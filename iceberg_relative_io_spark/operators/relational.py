@@ -1,0 +1,831 @@
+"""Relational operator surface (SURVEY.md §2.B, B1–B27 + B32).
+
+The reference delegates this entire surface to Spark SQL + Iceberg
+(reference pom.xml:17-26, README.md:14-18); here it is implemented
+natively with the DataFrame API so Catalyst owns pushdown, pruning, join
+selection and codegen. Every query has a DuckDB oracle twin in ``ORACLE``.
+
+Cross-engine determinism rules used throughout (and mirrored in the SQL):
+
+- **Sums of doubles are computed exactly.** Each term is cast to
+  ``DECIMAL(28,4)`` (or wider) before SUM, so the result is independent of
+  partial-aggregation order; the final value is cast back to DOUBLE, which
+  is correctly rounded in both engines. A plain double SUM would differ in
+  the last ulp between Spark's tree aggregation and DuckDB's sequential
+  scan and break the driver's value hash.
+- **Averages / ratios** are ``round(exact_sum::double / count, 6)``.
+- **Window row numbering** always carries a unique tiebreak column.
+- **events.ts** is nanos in parquet; loaders truncate to µs exactly like
+  DuckDB's ``CAST(ts AS TIMESTAMP)`` (see sources/tables.py); timestamps
+  that appear in outputs are emitted as ``unix_micros`` BIGINT when they
+  came from the events table.
+
+Scale notes (100 TB design intent) are in each query's docstring.
+"""
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.sources.tables import load_table
+
+# exact-sum helper: decimal-typed term so SUM is order-independent
+def _dec(col, scale: int = 4):
+    return col.cast(f"decimal(28,{scale})")
+
+
+def _dsum(col, scale: int = 4):
+    """Order-independent SUM of a double expression, returned as double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# B1/B4/B5/B6 — scan, full select, projection, filter
+# ---------------------------------------------------------------------------
+
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: parquet scan. count(*) compiles to a metadata-only parquet scan
+    (no column materialization); at 100 TB this reads only footers."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+def q_select_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: full-table SELECT * (on the small region dim)."""
+    return load_table(spark, sf_dir, "region")
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: column pruning — ReadSchema in the scan node must contain only
+    these three columns (verified in tests via explain)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: predicate pushdown — both conjuncts reach the parquet reader as
+    PushedFilters; at scale this prunes row groups via min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > F.lit(30.0))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# B7–B11 — joins
+# ---------------------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: equi inner join orders⋈customer. customer ≪ orders so Catalyst
+    (with AQE) picks a broadcast hash join — no shuffle of the fact side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 (left outer): per-customer order stats keeping order-less
+    customers. Aggregate-then-join keeps the shuffle on the pre-aggregated
+    (smaller) side at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"), _dsum(F.col("o_totalprice")).alias("ssum")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("ssum"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 (full outer): nations seen from the supplier side vs the customer
+    side; only ~10 suppliers exist so many nation keys appear on one side
+    only — genuine outer-null coverage."""
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        sup.join(cust, sup.s_nationkey == cust.c_nationkey, "outer")
+        .select(
+            F.coalesce(F.col("s_nationkey"), F.col("c_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: left-semi (EXISTS) — customers having at least one 'F' order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: left-anti (NOT EXISTS) — customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 + B13: the flagship star join. Fact lineitem joins orders then
+    the small dims customer/nation/region, all explicitly broadcast: at
+    100 TB the fact table never shuffles for the dim joins; only the
+    final groupBy shuffles (25 nation keys, tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: theta/range join — bucket lineitem quantities into tiers via a
+    non-equi predicate. The tier table is tiny, so Spark broadcasts it and
+    the 'range join' is a broadcast nested-loop over 4 rows — the right
+    physical plan at any scale."""
+    tiers = spark.createDataFrame(
+        [(0.0, 10.0, "t0_small"), (10.0, 25.0, "t1_mid"), (25.0, 40.0, "t2_large"), (40.0, 1e9, "t3_huge")],
+        "lo double, hi double, tier string",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(tiers), (li.l_quantity >= tiers.lo) & (li.l_quantity < tiers.hi))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: as-of join — for every purchase event, the most recent click by
+    the same user at or before the purchase time.
+
+    Spark has no native ASOF; the scalable formulation is the union+window
+    trick: tag both streams, sort within user by (ts, tag) and carry the
+    last click timestamp forward with last_value(ignoreNulls). One shuffle
+    on user_id, no pairwise blow-up — at 100 TB this beats any
+    inequality-join formulation. Oracle uses DuckDB's native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("tag"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("tag"),
+    )
+    merged = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("purchase_ts_us"),
+            F.unix_micros(F.col("last_click_ts")).alias("click_ts_us"),
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13–B16 — aggregation
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: hash aggregation — the TPC-H Q1 pricing summary. Partial
+    (map-side) aggregation collapses 100 TB of fact rows into 6 groups
+    before the shuffle; decimal terms keep the sums exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge, 8)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.sum(_dec(F.col("l_quantity"), 2)).alias("_sq"),
+            F.sum(_dec(F.col("l_extendedprice"), 2)).alias("_sp"),
+            F.sum(_dec(F.col("l_discount"), 4)).alias("_sd"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("_sp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+            F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+    return out
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: exact distinct (pair of low-cardinality customer columns)."""
+    return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: HyperLogLog approx_count_distinct. Sketch values are engine-
+    specific, so the oracle checks the *contract*: the exact count plus a
+    flag that the sketch landed within 5% (rsd=0.01 ⇒ far tighter in
+    practice). At 100 TB the sketch is the only affordable distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
+    )
+    return agg.select(
+        "exact_cnt",
+        (F.abs(F.col("_approx") - F.col("exact_cnt")) <= 0.05 * F.col("exact_cnt"))
+        .cast("int")
+        .alias("approx_within_5pct"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: ROLLUP over (status, priority); grouping-set NULLs are coalesced
+    to a sentinel so they are unambiguous in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice")).alias("sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "n_orders",
+            F.round(F.col("sum_price"), 4).alias("sum_price"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17–B19 — window functions
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: ranking — top-3 customers by balance per nation. row_number
+    carries a unique tiebreak; rank/dense_rank rank on balance alone."""
+    cust = load_table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    by_bal_only = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(by_bal).alias("rn"),
+            F.rank().over(by_bal_only).alias("rnk"),
+            F.dense_rank().over(by_bal_only).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: analytic lag/lead over each user's event timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: aggregate frames — running total and 3-row sliding average of
+    each customer's order history. Sums go through decimal for exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(running).cast("double").alias("running_total"),
+        F.round(
+            F.sum(_dec(F.col("o_totalprice"))).over(sliding).cast("double")
+            / F.count("*").over(sliding),
+            6,
+        ).alias("sliding_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20–B22 — sort, top-k, set ops
+# ---------------------------------------------------------------------------
+
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: global sort. The verifiable artifact of ordering under an
+    order-insensitive hash is an explicit position column. At scale a
+    global row_number is a single-partition window, so we first orderBy
+    (range-partitioned sort) — fine here because supplier is a dim table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: top-k — 10 most expensive orders. orderBy().limit(k) compiles to
+    TakeOrderedAndProject: each partition keeps a k-heap, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.select("o_orderkey", "o_totalprice").withColumn("pos", F.row_number().over(w))
+
+
+def _nation_sides(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust, sup
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: UNION (distinct) of customer vs supplier nation keys."""
+    cust, sup = _nation_sides(spark, sf_dir)
+    return cust.unionByName(sup).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: INTERSECT."""
+    cust, sup = _nation_sides(spark, sf_dir)
+    return cust.intersect(sup)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: EXCEPT (distinct set semantics, = DataFrame.subtract) — nations
+    with customers but no suppliers."""
+    cust, sup = _nation_sides(spark, sf_dir)
+    return cust.subtract(sup)
+
+
+# ---------------------------------------------------------------------------
+# B23–B27 — scalar function families
+# ---------------------------------------------------------------------------
+
+def q_string_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: string functions over part (all JVM built-ins, codegen'd)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").contains("o").cast("int").alias("has_o"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_datetime_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: date/time functions over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        # dates are emitted as ISO strings: Spark DATE arrives in pandas as
+        # datetime.date while DuckDB DATE arrives as datetime64 — same value,
+        # different physical type, which an exact value-hash would miss on
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+def q_math_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: math scalars over lineitem (sqrt is IEEE-correctly-rounded, so
+    bit-identical across engines; transcendental fns are avoided)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE product — bit-identical in any engine, so no rounding.
+        # (round(x, k) at the product's own decimal width is a tie-breaking
+        # minefield: Spark rounds the shortest decimal repr, DuckDB the
+        # binary value, and 2dec*4dec products land exactly on .5 ties.)
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+    )
+
+
+def q_array_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: array/higher-order functions over tokenized document text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_contains(toks, "query").cast("int").alias("has_query"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def q_json_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: JSON extraction over events.props, then aggregate per type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        )
+    )
+
+
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: the Python-UDF surface, done the right way: a vectorized
+    (Arrow-batched) pandas UDF, not a row-at-a-time Python UDF. Computes a
+    token/char density score; the oracle reproduces it in pure SQL."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def token_density(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        n_tokens = text.str.split(" ").str.len().astype("float64")
+        return (n_tokens / n_chars.astype("float64")).round(6)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_density("text", "n_chars").alias("token_density"))
+
+
+QUERIES = {
+    "b01_scan_count": q_scan_count,
+    "b04_select_all": q_select_all,
+    "b05_projection": q_projection,
+    "b06_filter": q_filter,
+    "b07_join_inner": q_join_inner,
+    "b08_join_left": q_join_left,
+    "b08_join_full": q_join_full,
+    "b09_join_semi": q_join_semi,
+    "b09_join_anti": q_join_anti,
+    "b10_star_broadcast": q_star_broadcast,
+    "b11_range_join": q_range_join,
+    "b12_asof_join": q_asof_join,
+    "b13_agg_pricing_summary": q_agg_pricing_summary,
+    "b14_distinct": q_distinct,
+    "b15_approx_distinct": q_approx_distinct,
+    "b16_rollup": q_rollup,
+    "b16_cube": q_cube,
+    "b17_window_rank": q_window_rank,
+    "b18_window_lag_lead": q_window_lag_lead,
+    "b19_window_frames": q_window_frames,
+    "b20_sort_global": q_sort_global,
+    "b21_topk": q_topk,
+    "b22_set_union": q_set_union,
+    "b22_set_intersect": q_set_intersect,
+    "b22_set_except": q_set_except,
+    "b23_string_funs": q_string_funs,
+    "b24_datetime_funs": q_datetime_funs,
+    "b25_math_funs": q_math_funs,
+    "b26_array_funs": q_array_funs,
+    "b27_json_funs": q_json_funs,
+    "b32_pandas_udf": q_pandas_udf,
+}
+
+
+ORACLE = {
+    "b01_scan_count": "SELECT count(*) AS n_rows FROM lineitem",
+    "b04_select_all": "SELECT * FROM region",
+    "b05_projection": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "b06_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_quantity > 30.0
+    """,
+    "b07_join_inner": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "b08_join_left": """
+        SELECT c_custkey,
+               COALESCE(cnt, 0) AS n_orders,
+               ROUND(COALESCE(ssum, 0.0), 4) AS total_spent
+        FROM customer LEFT JOIN (
+            SELECT o_custkey,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS ssum
+            FROM orders GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    """,
+    "b08_join_full": """
+        SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+               COALESCE(n_suppliers, 0) AS n_suppliers,
+               COALESCE(n_customers, 0) AS n_customers
+        FROM (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+        FULL OUTER JOIN
+             (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        ON s.s_nationkey = c.c_nationkey
+    """,
+    "b09_join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "b09_join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "b10_star_broadcast": """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "b11_range_join": """
+        WITH tiers(lo, hi, tier) AS (VALUES
+            (0.0, 10.0, 't0_small'), (10.0, 25.0, 't1_mid'),
+            (25.0, 40.0, 't2_large'), (40.0, 1e9, 't3_huge'))
+        SELECT tier, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY tier
+    """,
+    "b12_asof_join": """
+        SELECT p.event_id,
+               p.user_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+               p.value
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "b13_agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sum_charge,
+               ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               ROUND(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "b14_distinct": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "b15_approx_distinct": """
+        SELECT count(DISTINCT l_orderkey) AS exact_cnt, 1 AS approx_within_5pct
+        FROM lineitem
+    """,
+    "b16_rollup": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "b16_cube": """
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "b17_window_rank": """
+        SELECT * FROM (
+            SELECT c_nationkey, c_custkey,
+                   ROUND(c_acctbal, 2) AS acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                   rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+                   dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+            FROM customer
+        ) WHERE rn <= 3
+    """,
+    "b18_window_lag_lead": """
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               value,
+               lag(value)   OVER w AS prev_value,
+               lead(value)  OVER w AS next_value,
+               first_value(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    "b19_window_frames": """
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total,
+               ROUND(
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                   AS sliding_avg3
+        FROM orders
+    """,
+    "b20_sort_global": """
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal,
+               row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS pos
+        FROM supplier
+    """,
+    "b21_topk": """
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "b22_set_union": """
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        UNION
+        SELECT CAST(s_nationkey AS INT) FROM supplier
+    """,
+    "b22_set_intersect": """
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS INT) FROM supplier
+    """,
+    "b22_set_except": """
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        EXCEPT
+        SELECT CAST(s_nationkey AS INT) FROM supplier
+    """,
+    "b23_string_funs": r"""
+        SELECT p_partkey,
+               substring(p_name, 1, 8) AS name_prefix,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               CAST(length(p_name) AS INT) AS name_len,
+               CAST(contains(p_name, 'o') AS INT) AS has_o,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               concat_ws('|', p_brand, p_type) AS brand_type
+        FROM part
+    """,
+    "b24_datetime_funs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                   AS days_since_epoch95,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
+        FROM orders
+    """,
+    "b25_math_funs": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               abs(l_quantity - 25.0) AS qty_dev,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+               l_quantity * l_quantity AS qty_sq,
+               l_orderkey % 7 AS key_mod7
+        FROM lineitem
+    """,
+    "b26_array_funs": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               string_split(text, ' ')[1] AS first_token,
+               string_split(text, ' ')[-1] AS last_token,
+               CAST(list_contains(string_split(text, ' '), 'query') AS INT) AS has_query,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
+        FROM documents
+    """,
+    "b27_json_funs": """
+        SELECT event_type,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               ROUND(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+                     / count(*), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "b32_pandas_udf": """
+        SELECT doc_id,
+               ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6)
+                   AS token_density
+        FROM documents
+    """,
+}

@@ -1,0 +1,51 @@
+"""Parquet loaders for the driver fixture tables (FIXTURES.md).
+
+The reference delegates all scanning to Spark's parquet source
+(SURVEY.md §2.B B1); here that is the native path: ``spark.read.parquet``
+gives vectorized reads, predicate pushdown and column pruning for free.
+
+One fixture quirk is handled centrally: ``events.ts`` is parquet
+TIMESTAMP(NANOS), which Spark cannot read as a timestamp. With
+``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as raw
+nanoseconds; we truncate to microseconds (integer floor division — exactly
+what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does) and expose TimestampType.
+The matching oracle-side cast is ``CAST(ts AS TIMESTAMP)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.session import ensure_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes events.ts to TimestampType (µs)."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # raw nanos (nanosAsLong) -> µs timestamp. Integer `div` keeps the
+        # division exact (a double division would lose precision at 1e18);
+        # truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register fixture tables as temp views (for the SQL-API surface)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,68 @@
+"""Smoke + plan-shape tests for the relational operator surface.
+
+Full value-level correctness is the DuckDB oracle gate
+(tools/check_oracle.py, run by the driver); these tests assert the things
+the oracle cannot see: plan shape (pushdown, broadcast, partial agg) and
+basic invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_relative_io_spark.operators import relational as R
+
+
+@pytest.mark.parametrize("name", sorted(R.QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = R.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_every_query_has_oracle(spark):
+    missing = set(R.QUERIES) - set(R.ORACLE)
+    assert not missing, f"relational queries without an oracle: {missing}"
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = R.q_projection(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema must not include unprojected columns like l_comment/l_tax
+    assert "l_tax" not in plan
+    assert "l_extendedprice" in plan
+
+
+def test_filter_pushes_down(spark, sf_dir):
+    plan = R.q_filter(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = R.q_star_broadcast(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    plan = (
+        R.q_agg_pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # map-side combine before the exchange
+    assert "partial" in plan.lower()
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = (
+        orders.orderBy(orders.o_totalprice.desc())
+        .limit(10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    row = R.q_approx_distinct(spark, sf_dir).collect()[0]
+    assert row["approx_within_5pct"] == 1
