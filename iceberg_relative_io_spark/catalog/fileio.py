@@ -1,0 +1,169 @@
+"""RelativeFileIO — a path-relativizing file IO over a delegate filesystem.
+
+Python analogue of the reference's ``RelativeFileIO`` (reference
+RelativeFileIO.java:24-119): every operation takes a *relative* (or
+absolute) location, absolutizes it against the warehouse on the way to
+storage, and reports *relative* locations on the way back, so anything
+recorded from the IO layer (metadata, manifests) stays warehouse-movable.
+
+The delegate is ``pyarrow.fs`` — the Python counterpart of the reference's
+delegating ``ResolvingFileIO`` (RelativeFileIO.java:21-22, default
+``io-impl``): ``FileSystem.from_uri`` resolves the scheme (posix, s3://,
+hdfs://) to a concrete filesystem, so the same warehouse layout works
+across protocols — the reference's headline scenario (reference
+README.md:112-121).
+
+Like the reference object (which must survive serialization to executors,
+RelativeFileIO.java:106-119), this class is a picklable plain-data object:
+state is the warehouse string only; the delegate FS is resolved lazily.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass, field
+
+from iceberg_relative_io_spark.catalog.paths import (
+    absolute_location,
+    normalize_warehouse,
+    relative_location,
+)
+
+
+@dataclass
+class FileInfo:
+    """Relative-location file descriptor (reference FileInfo in listPrefix,
+    RelativeFileIO.java:83-87)."""
+
+    location: str
+    size: int
+
+
+@dataclass
+class RelativeFileIO:
+    warehouse: str
+    _fs: object = field(default=None, repr=False, compare=False)
+
+    def __post_init__(self):
+        self.warehouse = normalize_warehouse(self.warehouse)
+
+    # -- delegate resolution (lazy so the object pickles cleanly) ---------
+    @property
+    def fs(self):
+        if self._fs is None:
+            from pyarrow import fs as pafs
+
+            self._fs, self._root = pafs.FileSystem.from_uri(self.warehouse.rstrip("/"))
+        return self._fs
+
+    def _fs_path(self, location: str) -> str:
+        """Absolute location -> delegate-FS-native path (strips scheme)."""
+        absolute = self.absolute(location)
+        from pyarrow import fs as pafs  # noqa: F401  (ensures lazy init ran)
+
+        _ = self.fs
+        if "://" in absolute:
+            absolute = absolute.split("://", 1)[1]
+            # object stores keep bucket in path; local fs path is already bare
+        return absolute
+
+    # -- path discipline (A2/A3) -----------------------------------------
+    def absolute(self, location: str) -> str:
+        return absolute_location(self.warehouse, location)
+
+    def relative(self, location: str) -> str:
+        return relative_location(self.warehouse, location)
+
+    # -- IO surface (A4-A9) ------------------------------------------------
+    def new_input(self, location: str):
+        """Open for read at the absolute path; caller keeps the relative
+        name (reference RelativeInputFile location() contract)."""
+        return self.fs.open_input_stream(self._fs_path(location))
+
+    def read_bytes(self, location: str) -> bytes:
+        with self.new_input(location) as f:
+            return f.read()
+
+    def new_output(self, location: str):
+        """Create (overwrite) at the absolute path."""
+        path = self._fs_path(location)
+        parent = path.rsplit("/", 1)[0]
+        self.fs.create_dir(parent, recursive=True)
+        return self.fs.open_output_stream(path)
+
+    def write_bytes(self, location: str, data: bytes) -> None:
+        with self.new_output(location) as f:
+            f.write(data)
+
+    def exists(self, location: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self.fs.get_file_info(self._fs_path(location)).type != pafs.FileType.NotFound
+
+    def delete_file(self, location: str) -> None:
+        self.fs.delete_file(self._fs_path(location))
+
+    def delete_files(self, locations) -> None:
+        for loc in locations:
+            self.delete_file(loc)
+
+    def delete_prefix(self, prefix: str) -> None:
+        self.fs.delete_dir(self._fs_path(prefix))
+
+    def list_prefix(self, prefix: str) -> list[FileInfo]:
+        """List files under a prefix, reporting *relative* locations
+        (reference RelativeFileIO.java:83-87)."""
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self._fs_path(prefix), recursive=True, allow_not_found=True)
+        out = []
+        for info in self.fs.get_file_info(sel):
+            if info.type == pafs.FileType.File:
+                loc = info.path
+                if not loc.startswith("/") and "://" not in loc:
+                    loc = "/" + loc
+                out.append(FileInfo(location=self.relative(loc), size=info.size))
+        return out
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic rename-if-absent; the commit protocol's linchpin
+        (reference HadoopRelativeTableOperations.java:346-376). Returns
+        False for the loser of a commit race.
+
+        On posix this is hard-link + unlink: ``link(2)`` fails atomically
+        when dst exists, closing the TOCTOU window a check-then-rename
+        would leave (plain ``rename(2)`` silently overwrites). On object
+        stores without atomic rename the exists+move fallback carries the
+        same caveat the reference documents for S3 (README.md:123-124) —
+        production deployments there need a lock manager or conditional
+        put, exactly as the reference's LockManager hook does.
+        """
+        import os
+
+        from pyarrow import fs as pafs
+
+        src_p, dst_p = self._fs_path(src), self._fs_path(dst)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            try:
+                os.link(src_p, dst_p)
+            except FileExistsError:
+                return False
+            except OSError:
+                return False
+            os.unlink(src_p)
+            return True
+        if self.exists(dst):
+            return False
+        try:
+            self.fs.move(src_p, dst_p)
+            return True
+        except OSError:
+            return False
+
+    # -- pickling ----------------------------------------------------------
+    def __getstate__(self):
+        return {"warehouse": self.warehouse}
+
+    def __setstate__(self, state):
+        self.warehouse = state["warehouse"]
+        self._fs = None

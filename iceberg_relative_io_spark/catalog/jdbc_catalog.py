@@ -1,0 +1,403 @@
+"""JdbcCatalog — SQL-backed catalog with relative locations (sqlite).
+
+Python re-expression of the reference's ``JdbcRelativeCatalog`` (reference
+JdbcRelativeCatalog.java:61-692): the catalog state (tables, namespaces,
+views) lives in an RDBMS while data/metadata files flow through the same
+relativizing IO. Differences from the FS catalog mirror the reference:
+
+- table rename IS supported (SQL UPDATE, reference :245-284) — the FS
+  catalog refuses it,
+- namespaces are rows in a properties table with the reserved
+  ``exists=true`` marker (reference :53, :302-310), can carry metadata,
+  and refuse to drop while non-empty (reference :394-397),
+- views (schema V1) get full CRUD (reference :51-52, :475-547),
+- the current-metadata pointer lives in the DB row and commits are a SQL
+  compare-and-swap (reference newTableOps -> JdbcTableOperations,
+  :190-193) — no filesystem rename needed.
+
+sqlite is the embedded stand-in for the JDBC backend; every statement is
+parameterized exactly as the reference's prepared statements (:549-599).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import time
+import uuid
+
+from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
+from iceberg_relative_io_spark.catalog.table_ops import (
+    CommitFailedError,
+    NoSuchTableError,
+    new_table_metadata,
+)
+
+_CATALOG_TABLE_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_tables (
+    catalog_name TEXT NOT NULL,
+    table_namespace TEXT NOT NULL,
+    table_name TEXT NOT NULL,
+    metadata_location TEXT,
+    previous_metadata_location TEXT,
+    record_type TEXT NOT NULL DEFAULT 'TABLE',
+    PRIMARY KEY (catalog_name, table_namespace, table_name)
+)
+"""
+_NAMESPACE_TABLE_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+    catalog_name TEXT NOT NULL,
+    namespace TEXT NOT NULL,
+    property_key TEXT NOT NULL,
+    property_value TEXT,
+    PRIMARY KEY (catalog_name, namespace, property_key)
+)
+"""
+_NAMESPACE_EXISTS_PROP = "exists"  # reserved marker (reference :53)
+
+
+def _ns_str(namespace) -> str:
+    return "/".join(namespace)  # slash-joined like the reference (:55)
+
+
+class JdbcTableOperations:
+    """Pointer-in-DB table operations: metadata JSON documents still live
+    in the warehouse (written through the relativizing IO), but 'current'
+    is the DB row and commit is a SQL CAS."""
+
+    def __init__(self, catalog: "JdbcCatalog", namespace, name: str):
+        self.catalog = catalog
+        self.io = catalog.io
+        self.namespace = tuple(namespace)
+        self.name = name
+        self.location = catalog.default_warehouse_location(namespace, name)
+
+    @property
+    def metadata_dir(self) -> str:
+        return f"{self.location}/metadata"
+
+    def data_location(self, filename: str) -> str:
+        return f"{self.location}/data/{filename}"
+
+    def _pointer(self) -> str | None:
+        row = self.catalog._fetchone(
+            "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? "
+            "AND table_namespace=? AND table_name=? AND record_type='TABLE'",
+            (self.catalog.name, _ns_str(self.namespace), self.name),
+        )
+        return row[0] if row else None
+
+    def current(self) -> dict:
+        ptr = self._pointer()
+        if ptr is None:
+            raise NoSuchTableError(f"no such table {self.location}")
+        return json.loads(self.io.read_bytes(ptr))
+
+    def current_version(self) -> str | None:
+        return self._pointer()
+
+    def commit(self, base_pointer: str | None, metadata: dict) -> str:
+        """SQL compare-and-swap on the metadata pointer."""
+        new_loc = f"{self.metadata_dir}/{uuid.uuid4()}.metadata.json"
+        self.io.write_bytes(new_loc, json.dumps(metadata, indent=1).encode())
+        with self.catalog._conn() as con:
+            if base_pointer is None:
+                try:
+                    con.execute(
+                        "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
+                        "table_name, metadata_location, record_type) VALUES (?,?,?,?,'TABLE')",
+                        (self.catalog.name, _ns_str(self.namespace), self.name, new_loc),
+                    )
+                except sqlite3.IntegrityError as err:
+                    raise CommitFailedError(f"table {self.location} already exists") from err
+            else:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location=?, "
+                    "previous_metadata_location=? WHERE catalog_name=? AND "
+                    "table_namespace=? AND table_name=? AND metadata_location=?",
+                    (
+                        new_loc,
+                        base_pointer,
+                        self.catalog.name,
+                        _ns_str(self.namespace),
+                        self.name,
+                        base_pointer,
+                    ),
+                )
+                if cur.rowcount != 1:
+                    raise CommitFailedError(
+                        f"concurrent update to {self.location}: pointer moved"
+                    )
+        return new_loc
+
+
+class JdbcCatalog:
+    def __init__(self, db_path: str, warehouse: str, name: str = "jdbc"):
+        self.db_path = db_path
+        self.name = name
+        self.io = RelativeFileIO(warehouse)
+        self.warehouse = self.io.warehouse
+        with self._conn() as con:
+            con.execute(_CATALOG_TABLE_DDL)  # reference initializeCatalogTables :119-155
+            con.execute(_NAMESPACE_TABLE_DDL)
+
+    def _conn(self):
+        return sqlite3.connect(self.db_path)
+
+    def _fetchone(self, sql, params=()):
+        with self._conn() as con:
+            return con.execute(sql, params).fetchone()
+
+    def _fetchall(self, sql, params=()):
+        with self._conn() as con:
+            return con.execute(sql, params).fetchall()
+
+    # -- locations (A34) ------------------------------------------------------
+    def default_warehouse_location(self, namespace, name: str) -> str:
+        return f"{_ns_str(namespace)}/{name}" if namespace else name
+
+    # -- namespaces (A38) -------------------------------------------------------
+    def create_namespace(self, namespace, properties: dict | None = None) -> None:
+        ns = _ns_str(namespace)
+        if self.namespace_exists(namespace):
+            raise ValueError(f"namespace {ns} already exists")
+        props = dict(properties or {})
+        props[_NAMESPACE_EXISTS_PROP] = "true"
+        with self._conn() as con:
+            con.executemany(
+                "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?,?,?,?)",
+                [(self.name, ns, k, v) for k, v in props.items()],
+            )
+
+    def namespace_exists(self, namespace) -> bool:
+        ns = _ns_str(namespace)
+        if self._fetchone(
+            "SELECT 1 FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+            (self.name, ns),
+        ):
+            return True
+        # implicit namespaces: any prefix of an existing table's namespace
+        return bool(
+            self._fetchone(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND "
+                "(table_namespace=? OR table_namespace LIKE ?)",
+                (self.name, ns, ns + "/%"),
+            )
+        )
+
+    def list_namespaces(self, namespace=()) -> list[tuple[str, ...]]:
+        prefix = _ns_str(namespace)
+        like = (prefix + "/%") if prefix else "%"
+        rows = self._fetchall(
+            "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
+            "WHERE catalog_name=? AND namespace LIKE ? "
+            "UNION SELECT DISTINCT table_namespace FROM iceberg_tables "
+            "WHERE catalog_name=? AND table_namespace LIKE ?",
+            (self.name, like, self.name, like),
+        )
+        depth = len(tuple(namespace)) + 1
+        out = set()
+        for (ns,) in rows:
+            parts = tuple(ns.split("/"))
+            if len(parts) >= depth and parts[: depth - 1] == tuple(namespace):
+                out.add(parts[:depth])  # fuzzy-match exclusion (reference :341-363)
+        return sorted(out)
+
+    def drop_namespace(self, namespace) -> None:
+        ns = _ns_str(namespace)
+        if self.list_tables(namespace) or self.list_views(namespace) or self.list_namespaces(namespace):
+            raise ValueError(f"namespace {ns} is not empty")  # reference :394-397
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+                (self.name, ns),
+            )
+
+    def load_namespace_metadata(self, namespace) -> dict:
+        ns = _ns_str(namespace)
+        if not self.namespace_exists(namespace):
+            raise NoSuchTableError(f"no such namespace {ns}")
+        rows = self._fetchall(
+            "SELECT property_key, property_value FROM iceberg_namespace_properties "
+            "WHERE catalog_name=? AND namespace=?",
+            (self.name, ns),
+        )
+        return {k: v for k, v in rows if k != _NAMESPACE_EXISTS_PROP}
+
+    def set_namespace_properties(self, namespace, properties: dict) -> None:
+        ns = _ns_str(namespace)
+        with self._conn() as con:
+            con.executemany(
+                "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?,?,?,?)",
+                [(self.name, ns, k, v) for k, v in properties.items()],
+            )
+
+    def remove_namespace_properties(self, namespace, keys) -> None:
+        ns = _ns_str(namespace)
+        with self._conn() as con:
+            con.executemany(
+                "DELETE FROM iceberg_namespace_properties WHERE catalog_name=? "
+                "AND namespace=? AND property_key=?",
+                [(self.name, ns, k) for k in keys if k != _NAMESPACE_EXISTS_PROP],
+            )
+
+    # -- tables (A35-A37) -----------------------------------------------------------
+    def new_table_ops(self, namespace, name: str) -> JdbcTableOperations:
+        return JdbcTableOperations(self, namespace, name)
+
+    def create_table(
+        self,
+        namespace,
+        name: str,
+        schema_json: dict,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> JdbcTableOperations:
+        if self._view_pointer(namespace, name):
+            # view-aware replace guard (reference :674-691)
+            raise ValueError(f"a view named {name} already exists")
+        ops = self.new_table_ops(namespace, name)
+        meta = new_table_metadata(ops.location, schema_json, partition_by, properties)
+        meta["snapshots"] = []
+        ops.commit(None, meta)
+        return ops
+
+    def load_table(self, namespace, name: str) -> JdbcTableOperations:
+        ops = self.new_table_ops(namespace, name)
+        ops.current()
+        return ops
+
+    def list_tables(self, namespace) -> list[str]:
+        return [
+            r[0]
+            for r in self._fetchall(
+                "SELECT table_name FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND record_type='TABLE' ORDER BY table_name",
+                (self.name, _ns_str(namespace)),
+            )
+        ]
+
+    def drop_table(self, namespace, name: str, purge: bool = False) -> bool:
+        ops = self.new_table_ops(namespace, name)
+        ptr = ops._pointer()
+        if ptr is None:
+            return False
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
+                "AND table_name=? AND record_type='TABLE'",
+                (self.name, _ns_str(namespace), name),
+            )
+        if purge:
+            try:
+                self.io.delete_prefix(ops.location)
+            except Exception:
+                pass
+        return True
+
+    def rename_table(self, src_namespace, src_name: str, dst_namespace, dst_name: str) -> None:
+        """A37: supported here, unlike the FS catalog. Data files don't
+        move; only the catalog row changes — cheap at any scale because
+        stored locations are relative to the (unchanged) warehouse."""
+        if self._fetchone(
+            "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+            (self.name, _ns_str(dst_namespace), dst_name),
+        ):
+            raise ValueError(f"destination {dst_name} already exists")
+        with self._conn() as con:
+            cur = con.execute(
+                "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
+                "AND record_type='TABLE'",
+                (
+                    _ns_str(dst_namespace),
+                    dst_name,
+                    self.name,
+                    _ns_str(src_namespace),
+                    src_name,
+                ),
+            )
+            if cur.rowcount != 1:
+                raise NoSuchTableError(f"no such table {src_name}")
+
+    # -- views (A39) --------------------------------------------------------------
+    def _view_pointer(self, namespace, name: str) -> str | None:
+        row = self._fetchone(
+            "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? AND "
+            "table_namespace=? AND table_name=? AND record_type='VIEW'",
+            (self.name, _ns_str(namespace), name),
+        )
+        return row[0] if row else None
+
+    def create_view(self, namespace, name: str, sql: str, replace: bool = False) -> None:
+        if self._fetchone(
+            "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
+            "AND table_name=? AND record_type='TABLE'",
+            (self.name, _ns_str(namespace), name),
+        ):
+            raise ValueError(f"a table named {name} already exists")
+        doc = {
+            "view-uuid": str(uuid.uuid4()),
+            "sql": sql,
+            "created-ms": int(time.time() * 1000),
+        }
+        loc = f"{self.default_warehouse_location(namespace, name)}/metadata/{uuid.uuid4()}.view.json"
+        self.io.write_bytes(loc, json.dumps(doc).encode())
+        with self._conn() as con:
+            if replace:
+                con.execute(
+                    "INSERT OR REPLACE INTO iceberg_tables (catalog_name, table_namespace, "
+                    "table_name, metadata_location, record_type) VALUES (?,?,?,?,'VIEW')",
+                    (self.name, _ns_str(namespace), name, loc),
+                )
+            else:
+                try:
+                    con.execute(
+                        "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
+                        "table_name, metadata_location, record_type) VALUES (?,?,?,?,'VIEW')",
+                        (self.name, _ns_str(namespace), name, loc),
+                    )
+                except sqlite3.IntegrityError as err:
+                    raise ValueError(f"view {name} already exists") from err
+
+    def load_view_sql(self, namespace, name: str) -> str:
+        ptr = self._view_pointer(namespace, name)
+        if ptr is None:
+            raise NoSuchTableError(f"no such view {name}")
+        return json.loads(self.io.read_bytes(ptr))["sql"]
+
+    def list_views(self, namespace) -> list[str]:
+        return [
+            r[0]
+            for r in self._fetchall(
+                "SELECT table_name FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND record_type='VIEW' ORDER BY table_name",
+                (self.name, _ns_str(namespace)),
+            )
+        ]
+
+    def drop_view(self, namespace, name: str) -> bool:
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
+                "AND table_name=? AND record_type='VIEW'",
+                (self.name, _ns_str(namespace), name),
+            )
+            return cur.rowcount > 0
+
+    def rename_view(self, src_namespace, src_name: str, dst_namespace, dst_name: str) -> None:
+        with self._conn() as con:
+            cur = con.execute(
+                "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
+                "AND record_type='VIEW'",
+                (
+                    _ns_str(dst_namespace),
+                    dst_name,
+                    self.name,
+                    _ns_str(src_namespace),
+                    src_name,
+                ),
+            )
+            if cur.rowcount != 1:
+                raise NoSuchTableError(f"no such view {src_name}")

@@ -1,0 +1,180 @@
+"""RelativeTable — the Spark-facing table over the relative-path format.
+
+Gives the query surface the reference demonstrates through Spark+Iceberg
+(reference README.md:14-18): create / append (INSERT INTO) / select, plus
+snapshot time travel (VERSION AS OF / TIMESTAMP AS OF semantics,
+README.md:101-108) and metadata introspection (the `.snapshots` table of
+B29) — all against metadata whose every stored path is relative, so the
+warehouse can be moved between reads (README.md:112-121).
+
+Write path: executors write parquet into a per-snapshot directory under
+``<table>/data/`` (each commit owns its directory, so concurrent writers
+never collide on data files); the driver then records the file list in a
+manifest and commits the new snapshot pointer with the atomic-rename CAS
+(table_ops.py). Losers of the pointer race retry against refreshed
+metadata — optimistic concurrency exactly like the reference
+(HadoopRelativeTableOperations.java:143-180).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from iceberg_relative_io_spark.catalog.table_ops import CommitFailedError, TableOperations
+
+_COMMIT_RETRIES = 4
+
+
+class RelativeTable:
+    def __init__(self, ops: TableOperations):
+        self.ops = ops
+
+    # -- write path ------------------------------------------------------------
+    def _write_snapshot_files(self, df: DataFrame) -> tuple[str, list[dict]]:
+        """Write df as parquet into a fresh per-snapshot data dir; return
+        (relative dir, file entries with relative paths)."""
+        snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
+        abs_dir = self.ops.io.absolute(snap_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+        entries = []
+        for fi in self.ops.io.list_prefix(snap_dir):
+            name = fi.location.rsplit("/", 1)[-1]
+            if name.startswith("_") or name.startswith("."):
+                continue
+            entries.append({"path": fi.location, "size-bytes": fi.size})
+        return snap_dir, entries
+
+    def _commit_snapshot(self, operation: str, added: list[dict]) -> dict:
+        """Optimistic-concurrency snapshot commit with bounded retry."""
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))  # deep copy
+            base_version = self.ops.current_version()
+            parent = meta.get("current-snapshot-id")
+            snap_id = (parent or 0) + 1
+            prev_files = []
+            if operation == "append" and parent is not None:
+                prev_files = self._manifest_for(meta, parent)["data-files"]
+
+            manifest = {
+                "snapshot-id": snap_id,
+                "added-files": added,
+                "data-files": prev_files + added,
+            }
+            manifest_loc = f"{self.ops.metadata_dir}/snap-{snap_id}-{uuid.uuid4()}.manifest.json"
+            self.ops.io.write_bytes(manifest_loc, json.dumps(manifest).encode())
+
+            now_ms = int(time.time() * 1000)
+            snapshot = {
+                "snapshot-id": snap_id,
+                "parent-snapshot-id": parent,
+                "timestamp-ms": now_ms,
+                "operation": operation,
+                # relative path, like the reference's manifest-list (README.md:96)
+                "manifest": manifest_loc,
+                "summary": {
+                    "added-data-files": str(len(added)),
+                    "added-files-size": str(sum(f["size-bytes"] for f in added)),
+                    "total-data-files": str(len(manifest["data-files"])),
+                },
+            }
+            meta["snapshots"].append(snapshot)
+            meta["current-snapshot-id"] = snap_id
+            meta["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
+            meta["last-updated-ms"] = now_ms
+            try:
+                self.ops.commit(base_version, meta)
+                return snapshot
+            except CommitFailedError as err:
+                last_err = err
+                self.ops._should_refresh = True
+                try:
+                    self.ops.io.delete_file(manifest_loc)
+                except Exception:
+                    pass
+        raise CommitFailedError(f"commit failed after {_COMMIT_RETRIES} retries: {last_err}")
+
+    def append(self, df: DataFrame) -> dict:
+        """B2: INSERT INTO — durable append producing a new snapshot."""
+        _, entries = self._write_snapshot_files(df)
+        return self._commit_snapshot("append", entries)
+
+    def overwrite(self, df: DataFrame) -> dict:
+        """INSERT OVERWRITE — snapshot whose file set is just the new files."""
+        _, entries = self._write_snapshot_files(df)
+        return self._commit_snapshot("overwrite", entries)
+
+    # -- read path ---------------------------------------------------------------
+    def _manifest_for(self, meta: dict, snapshot_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return json.loads(self.ops.io.read_bytes(s["manifest"]))
+        raise ValueError(f"no snapshot {snapshot_id}")
+
+    def _resolve_snapshot(
+        self, meta: dict, snapshot_id: int | None, as_of_timestamp_ms: int | None
+    ) -> int | None:
+        if snapshot_id is not None:
+            return snapshot_id
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                s["snapshot-id"]
+                for s in meta["snapshots"]
+                if s["timestamp-ms"] <= as_of_timestamp_ms
+            ]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
+            return max(eligible)
+        return meta.get("current-snapshot-id")
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.ops.current()["schema"])
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """B4/B28: scan, optionally time-traveling to an old snapshot."""
+        meta = self.ops.current()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+        schema = StructType.fromJson(meta["schema"])
+        if snap is None:
+            return spark.createDataFrame([], schema)
+        files = [self.ops.io.absolute(f["path"]) for f in self._manifest_for(meta, snap)["data-files"]]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    # -- metadata introspection (B29) -----------------------------------------------
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        """The `.snapshots` metadata table (reference README.md:74-97 shape)."""
+        meta = self.ops.current()
+        rows = [
+            (
+                s["snapshot-id"],
+                s["parent-snapshot-id"],
+                s["timestamp-ms"],
+                s["operation"],
+                int(s["summary"]["added-data-files"]),
+                int(s["summary"]["total-data-files"]),
+                s["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, timestamp_ms long, operation string, "
+            "added_files int, total_files int, is_current boolean",
+        )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        meta = self.ops.current()
+        rows = [(h["timestamp-ms"], h["snapshot-id"]) for h in meta["snapshot-log"]]
+        return spark.createDataFrame(rows, "timestamp_ms long, snapshot_id long")

@@ -1,0 +1,224 @@
+"""Versioned table metadata + the atomic commit protocol.
+
+Python re-expression of the reference's
+``HadoopRelativeTableOperations`` (reference
+HadoopRelativeTableOperations.java:56-416):
+
+- metadata lives at ``<table>/metadata/v{N}.metadata.json`` (optionally
+  gzip: ``v{N}.gz.metadata.json``, codec from the
+  ``write.metadata.compression`` table property — reference :160-162,
+  :244-250),
+- ``metadata/version-hint.text`` points at the newest version, written
+  best-effort after each commit (reference :283-300),
+- refresh walks forward from the hinted version probing ``v{N+1}`` until
+  a miss (reference :127-132),
+- when the hint is missing, recovery scans ``metadata/`` for the max
+  ``v(\\d+)`` (reference :302-337),
+- commit = stale-base CAS check, write a temp ``{uuid}.metadata.json``,
+  atomically rename to ``v{N+1}.metadata.json`` — the loser of the race
+  gets CommitFailedError (reference :143-180, :346-376),
+- old metadata GC after commit, bounded by
+  ``write.metadata.previous-versions-max`` (reference :400-416).
+
+All paths *inside* metadata documents are relative to the warehouse; the
+IO layer absolutizes on open (reference's layering, see fileio.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import re
+import time
+import uuid
+
+from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
+
+_VERSION_RE = re.compile(r"^v(\d+)(\.gz)?\.metadata\.json$")
+FORMAT_VERSION = "relative-spark-1"
+
+
+class CommitFailedError(RuntimeError):
+    """Raised for the loser of an optimistic-concurrency commit race
+    (reference CommitFailedException, HadoopRelativeTableOperations.java:349)."""
+
+
+class NoSuchTableError(RuntimeError):
+    pass
+
+
+def new_table_metadata(
+    table_location: str,
+    schema_json: dict,
+    partition_by: list[str] | None = None,
+    properties: dict | None = None,
+) -> dict:
+    """Fresh metadata document. ``location`` is *relative* — the
+    reference's core trick (README.md:27, HadoopRelativeCatalog.java:202-210)."""
+    return {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table_location,
+        "last-updated-ms": int(time.time() * 1000),
+        "schema": schema_json,
+        "partition-spec": list(partition_by or []),
+        "properties": dict(properties or {}),
+        "current-snapshot-id": None,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+
+
+class TableOperations:
+    """Binds a table location to the relativizing IO (reference
+    HadoopRelativeCatalog.newTableOps, :196-200)."""
+
+    def __init__(self, io: RelativeFileIO, table_location: str):
+        self.io = io
+        self.location = table_location.rstrip("/")  # relative to warehouse
+        self._current: dict | None = None
+        self._version: int | None = None
+        self._should_refresh = True
+
+    # -- layout ------------------------------------------------------------
+    @property
+    def metadata_dir(self) -> str:
+        return f"{self.location}/metadata"
+
+    def version_hint_file(self) -> str:
+        return f"{self.metadata_dir}/version-hint.text"
+
+    def metadata_file(self, version: int, codec: str = "none") -> str:
+        ext = ".gz.metadata.json" if codec == "gzip" else ".metadata.json"
+        return f"{self.metadata_dir}/v{version}{ext}"
+
+    def data_location(self, filename: str) -> str:
+        """A32 locationProvider: where new data files live."""
+        return f"{self.location}/data/{filename}"
+
+    # -- read side ----------------------------------------------------------
+    def current(self) -> dict:
+        if self._should_refresh or self._current is None:
+            self.refresh()
+        return self._current
+
+    def current_version(self) -> int:
+        self.current()
+        return self._version or 0
+
+    def refresh(self) -> dict:
+        """Resolve the newest metadata: start from the hint, probe forward
+        (reference refresh(), :115-141)."""
+        version = self.find_version()
+        if version == 0:
+            raise NoSuchTableError(f"no metadata for table at {self.location}")
+        while True:
+            nxt = self._probe_metadata_file(version + 1)
+            if nxt is None:
+                break
+            version += 1
+        meta = self._read_metadata(version)
+        if self._current is not None and meta["table-uuid"] != self._current["table-uuid"]:
+            # UUID continuity check (reference :79-85)
+            raise RuntimeError("table UUID changed concurrently; refusing stale handle")
+        self._current, self._version, self._should_refresh = meta, version, False
+        return meta
+
+    def _probe_metadata_file(self, version: int) -> str | None:
+        """A30: try each codec extension (reference getMetadataFile, :242-251)."""
+        for codec in ("none", "gzip"):
+            path = self.metadata_file(version, codec)
+            if self.io.exists(path):
+                return path
+        return None
+
+    def _read_metadata(self, version: int) -> dict:
+        path = self._probe_metadata_file(version)
+        if path is None:
+            raise NoSuchTableError(f"metadata v{version} missing under {self.metadata_dir}")
+        raw = self.io.read_bytes(path)
+        if path.endswith(".gz.metadata.json"):
+            raw = gzip.decompress(raw)
+        return json.loads(raw)
+
+    def find_version(self) -> int:
+        """A28: read version-hint.text; fall back to a directory scan for
+        max v(\\d+) (reference findVersion, :302-337)."""
+        try:
+            return int(self.io.read_bytes(self.version_hint_file()).decode().strip())
+        except Exception:
+            pass
+        try:
+            listing = self.io.list_prefix(self.metadata_dir)
+        except Exception:
+            return 0
+        best = 0
+        for fi in listing:
+            m = _VERSION_RE.match(fi.location.rsplit("/", 1)[-1])
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
+    # -- write side ----------------------------------------------------------
+    def commit(self, base_version: int, metadata: dict) -> int:
+        """A26: optimistic-concurrency atomic commit."""
+        current_version = self.find_version()
+        # probe forward like refresh so a stale hint can't hide a newer commit
+        while self._probe_metadata_file(current_version + 1) is not None:
+            current_version += 1
+        if current_version != base_version:
+            raise CommitFailedError(
+                f"base version {base_version} is stale (current {current_version})"
+            )
+        if metadata.get("location") != self.location:
+            # forbid relocation inside commit (reference :155-158)
+            raise CommitFailedError("cannot change table location in a commit")
+
+        codec = metadata.get("properties", {}).get("write.metadata.compression", "none")
+        payload = json.dumps(metadata, indent=1).encode()
+        if codec == "gzip":
+            payload = gzip.compress(payload)
+
+        tmp = f"{self.metadata_dir}/{uuid.uuid4()}.metadata.json.tmp"
+        self.io.write_bytes(tmp, payload)
+        final = self.metadata_file(base_version + 1, codec)
+        if not self.io.rename(tmp, final):
+            try:
+                self.io.delete_file(tmp)
+            finally:
+                pass
+            raise CommitFailedError(f"lost commit race for v{base_version + 1}")
+
+        self._write_version_hint(base_version + 1)
+        self._gc_old_metadata(metadata, base_version + 1)
+        self._should_refresh = True
+        return base_version + 1
+
+    def _write_version_hint(self, version: int) -> None:
+        """A29: temp write + delete + rename, best effort (reference :283-300)."""
+        try:
+            tmp = f"{self.metadata_dir}/.version-hint.{uuid.uuid4()}.tmp"
+            self.io.write_bytes(tmp, str(version).encode())
+            hint = self.version_hint_file()
+            if self.io.exists(hint):
+                self.io.delete_file(hint)
+            self.io.rename(tmp, hint)
+        except Exception:
+            pass  # the hint is an optimization; findVersion recovers without it
+
+    def _gc_old_metadata(self, metadata: dict, new_version: int) -> None:
+        """Delete metadata older than previous-versions-max (reference
+        deleteRemovedMetadataFiles, :400-416)."""
+        props = metadata.get("properties", {})
+        if props.get("write.metadata.delete-after-commit.enabled", "false") != "true":
+            return
+        keep = int(props.get("write.metadata.previous-versions-max", "100"))
+        cutoff = new_version - keep
+        for v in range(max(1, cutoff - 10), cutoff + 1):
+            p = self._probe_metadata_file(v)
+            if p is not None:
+                try:
+                    self.io.delete_file(p)
+                except Exception:
+                    pass

@@ -1,0 +1,273 @@
+"""Catalog/table-format tests (SURVEY.md §5.2-5.3).
+
+These mirror the reference's own testable surface (its three
+@VisibleForTesting hooks cover version resolution) plus its README
+acceptance flow: write a table, inspect metadata for relative paths, move
+the warehouse, read back.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_relative_io_spark.catalog import (
+    CommitFailedError,
+    FsCatalog,
+    JdbcCatalog,
+    RelativeTable,
+    absolute_location,
+    relative_location,
+)
+
+
+# -- path discipline (A2/A3) --------------------------------------------------
+
+@given(st.text(alphabet="abcdefg/_.-", min_size=1).filter(lambda s: not s.startswith("/")))
+@settings(max_examples=200, deadline=None)
+def test_relativize_absolutize_roundtrip(rel):
+    wh = "/wh/root"
+    assert relative_location(wh, absolute_location(wh, rel)) == rel
+
+
+def test_absolute_uri_passthrough():
+    wh = "/wh/root"
+    assert absolute_location(wh, "s3a://bucket/x") == "s3a://bucket/x"
+    assert absolute_location(wh, "/other/abs/path") == "/other/abs/path"
+    assert relative_location(wh, "/other/abs/path") == "/other/abs/path"
+    assert relative_location(wh, "/wh/root/ns/t") == "ns/t"
+
+
+# -- fixtures ----------------------------------------------------------------
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+@pytest.fixture()
+def catalog(warehouse):
+    import os
+
+    os.makedirs(warehouse, exist_ok=True)
+    return FsCatalog(warehouse)
+
+
+def _schema_json(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    return df.schema.jsonValue()
+
+
+def _make_table(spark, catalog, rows, ns=("ns1",), name="t"):
+    if not catalog._namespace_exists(ns):
+        catalog.create_namespace(ns)
+    df = spark.createDataFrame(rows, "id long, name string")
+    ops = catalog.create_table(ns, name, df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    return table
+
+
+# -- README acceptance flow: create/insert/select, relative metadata ----------
+
+def test_create_insert_select_roundtrip(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")])
+    got = sorted((r.id, r.name) for r in table.read(spark).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_metadata_contains_no_absolute_paths(spark, catalog, warehouse):
+    table = _make_table(spark, catalog, [(1, "a")])
+    meta = table.ops.current()
+    blob = json.dumps(meta)
+    assert warehouse not in blob, "metadata leaked an absolute warehouse path"
+    assert meta["location"] == "ns1/t"
+    for s in meta["snapshots"]:
+        assert not s["manifest"].startswith("/")
+        manifest = json.loads(table.ops.io.read_bytes(s["manifest"]))
+        for f in manifest["data-files"]:
+            assert not f["path"].startswith("/"), f"absolute data path {f['path']}"
+
+
+def test_warehouse_move_keeps_table_readable(spark, catalog, warehouse, tmp_path):
+    """The reference's headline promise (README.md:112-121)."""
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b"), (3, "c")])
+    moved = str(tmp_path / "warehouse_moved")
+    shutil.move(warehouse, moved)
+    catalog2 = FsCatalog(moved)
+    table2 = RelativeTable(catalog2.load_table(("ns1",), "t"))
+    got = sorted(r.id for r in table2.read(spark).collect())
+    assert got == [1, 2, 3]
+
+
+# -- snapshots / time travel ---------------------------------------------------
+
+def test_append_snapshots_and_time_travel(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")])
+    df2 = spark.createDataFrame([(2, "b")], "id long, name string")
+    table.append(df2)
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+    assert sorted(r.id for r in table.read(spark, snapshot_id=1).collect()) == [1]
+    snaps = table.snapshots(spark).collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert all(s.operation == "append" for s in snaps)
+    ts1 = snaps[0].timestamp_ms
+    assert sorted(r.id for r in table.read(spark, as_of_timestamp_ms=ts1).collect()) == [1]
+
+
+def test_overwrite_replaces_file_set(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")])
+    table.overwrite(spark.createDataFrame([(9, "z")], "id long, name string"))
+    assert [r.id for r in table.read(spark).collect()] == [9]
+    # old snapshot still readable
+    assert sorted(r.id for r in table.read(spark, snapshot_id=1).collect()) == [1, 2]
+
+
+# -- version resolution (the reference's @VisibleForTesting surface) -----------
+
+def test_version_hint_recovery_after_deletion(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")])
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    ops = table.ops
+    ops.io.delete_file(ops.version_hint_file())
+    assert ops.find_version() == 3  # recovered by directory scan (v1 create + 2 appends)
+    ops._should_refresh = True
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+
+
+def test_refresh_probes_forward_past_stale_hint(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")])
+    ops = table.ops
+    # fake a stale hint pointing at v1 while v2 exists
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    ops.io.write_bytes(ops.version_hint_file(), b"1")
+    ops._should_refresh = True
+    meta = ops.refresh()
+    assert meta["current-snapshot-id"] == 2
+
+
+# -- commit protocol ------------------------------------------------------------
+
+def test_commit_race_exactly_one_winner(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")])
+    ops_a = catalog.load_table(("ns1",), "t")
+    ops_b = catalog.load_table(("ns1",), "t")
+    meta_a = json.loads(json.dumps(ops_a.current()))
+    meta_b = json.loads(json.dumps(ops_b.current()))
+    base_a, base_b = ops_a.current_version(), ops_b.current_version()
+    meta_a["properties"]["writer"] = "a"
+    meta_b["properties"]["writer"] = "b"
+    ops_a.commit(base_a, meta_a)
+    with pytest.raises(CommitFailedError):
+        ops_b.commit(base_b, meta_b)
+
+
+def test_concurrent_append_retries_and_succeeds(spark, catalog):
+    """Two RelativeTable handles appending against the same base: the loser
+    retries against refreshed metadata and both rows land."""
+    table_a = _make_table(spark, catalog, [(1, "a")])
+    table_b = RelativeTable(catalog.load_table(("ns1",), "t"))
+    table_a.ops.current()
+    table_b.ops.current()
+    table_a.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    table_b.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    got = sorted(r.id for r in table_b.read(spark).collect())
+    assert got == [1, 2, 3]
+
+
+def test_gzip_metadata_codec(spark, catalog, warehouse):
+    ns = ("nsz",)
+    catalog.create_namespace(ns)
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    ops = catalog.create_table(
+        ns, "tz", df.schema.jsonValue(), properties={"write.metadata.compression": "gzip"}
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    import glob
+
+    assert glob.glob(f"{warehouse}/nsz/tz/metadata/v2.gz.metadata.json")
+    assert [r.id for r in table.read(spark).collect()] == [1]
+
+
+# -- FS catalog namespace/table semantics -----------------------------------------
+
+def test_fs_namespace_and_table_listing(spark, catalog):
+    catalog.create_namespace(("ns1",))
+    catalog.create_namespace(("ns1", "sub"))
+    _make_table(spark, catalog, [(1, "a")], ns=("ns1",), name="t1")
+    assert catalog.list_tables(("ns1",)) == ["t1"]
+    assert catalog.list_namespaces(("ns1",)) == [("ns1", "sub")]
+    assert catalog.load_namespace_metadata(("ns1",)) == {"location": "ns1"}
+    with pytest.raises(Exception):
+        catalog.drop_namespace(("ns1",))  # non-empty
+    assert catalog.drop_table(("ns1",), "t1", purge=True)
+    assert catalog.list_tables(("ns1",)) == []
+    with pytest.raises(NotImplementedError):
+        catalog.rename_table(("ns1",), ("ns2",))
+
+
+# -- JDBC catalog -----------------------------------------------------------------
+
+def test_jdbc_catalog_crud(spark, tmp_path):
+    wh = str(tmp_path / "jwh")
+    import os
+
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / "cat.db"), wh)
+    cat.create_namespace(("db1",), {"owner": "me"})
+    assert cat.load_namespace_metadata(("db1",)) == {"owner": "me"}
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    ops = cat.create_table(("db1",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    assert cat.list_tables(("db1",)) == ["t"]
+    got = sorted(r.id for r in table.read(spark).collect())
+    assert got == [1, 2]
+
+    # rename (supported here, unlike FS catalog)
+    cat.rename_table(("db1",), "t", ("db1",), "t2")
+    assert cat.list_tables(("db1",)) == ["t2"]
+    # NOTE: data did not move; pointer row did. Table still reads.
+    t2 = RelativeTable(cat.load_table(("db1",), "t2"))
+    assert sorted(r.id for r in t2.read(spark).collect()) == [1, 2]
+
+    # views
+    cat.create_view(("db1",), "v", "SELECT 1 AS one")
+    assert cat.list_views(("db1",)) == ["v"]
+    assert cat.load_view_sql(("db1",), "v") == "SELECT 1 AS one"
+    with pytest.raises(ValueError):
+        cat.create_table(("db1",), "v", df.schema.jsonValue())  # view-aware guard
+    cat.rename_view(("db1",), "v", ("db1",), "v2")
+    assert cat.load_view_sql(("db1",), "v2") == "SELECT 1 AS one"
+    assert cat.drop_view(("db1",), "v2")
+
+    with pytest.raises(ValueError):
+        cat.drop_namespace(("db1",))  # still has t2
+    assert cat.drop_table(("db1",), "t2", purge=True)
+    cat.drop_namespace(("db1",))
+    assert not cat.namespace_exists(("db1",))
+
+
+def test_jdbc_commit_cas(spark, tmp_path):
+    wh = str(tmp_path / "jwh2")
+    import os
+
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / "cat2.db"), wh)
+    cat.create_namespace(("db1",))
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    cat.create_table(("db1",), "t", df.schema.jsonValue())
+    ops_a = cat.load_table(("db1",), "t")
+    ops_b = cat.load_table(("db1",), "t")
+    meta_a, ptr_a = ops_a.current(), ops_a.current_version()
+    meta_b, ptr_b = ops_b.current(), ops_b.current_version()
+    meta_a["properties"]["w"] = "a"
+    ops_a.commit(ptr_a, meta_a)
+    with pytest.raises(CommitFailedError):
+        ops_b.commit(ptr_b, meta_b)
