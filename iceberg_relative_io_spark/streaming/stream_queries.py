@@ -1,6 +1,216 @@
-"""Structured Streaming queries (B30/B31) — filled in in M3."""
+"""Structured Streaming surface (SURVEY.md §2.B B30-B31).
+
+The reference's events-stream north star: ingest an append log, window it
+with watermarks, deduplicate at-least-once delivery, run custom stateful
+operators. Each driver query materializes the fixture as a file-source
+stream (the local stand-in for Kafka), runs a real ``readStream`` →
+``writeStream`` pipeline to completion against a memory sink, and returns
+the sink table — so what the oracle checks is the output of the actual
+streaming engine, not a batch re-phrasing.
+
+Scale notes: the same pipelines run unchanged against Kafka/object-store
+sources on a cluster; watermarks bound state, and
+``dropDuplicatesWithinWatermark`` keeps the dedup state finite. Memory
+sinks are test-only — production writes through ``foreachBatch`` into the
+relative-format table (see tests/test_streaming.py for that path).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.sources.tables import load_table
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
+    """Materialize the events fixture (normalized µs timestamps) as a
+    parquet directory usable as a file-source stream."""
+    ev = load_table(spark, sf_dir, "events")
+    if doubled:
+        ev = ev.unionByName(ev)  # simulate at-least-once duplicate delivery
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    ev.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: streaming ingest -> watermark -> tumbling daily windows ->
+    per-type aggregates. Sums go through decimal for hash determinism."""
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(stream, "complete")
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: sliding windows (2-day window advancing daily) — each event
+    lands in two windows."""
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events")
+    )
+    return _run_to_memory(stream, "complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: stateful dedup of at-least-once delivery. The source is the
+    events fixture delivered twice; dropDuplicatesWithinWatermark must
+    return exactly the original stream."""
+    src = _stage_events(spark, sf_dir, doubled=True)
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
+    )
+    return _run_to_memory(stream, "append")
+
+
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (custom stateful operator): per-user running aggregate via
+    applyInPandasWithState — the escape hatch for semantics the built-in
+    windowed aggregates can't express. Emits each user's final
+    (count, max) when the stream drains; with the whole fixture in one
+    micro-batch that is one row per user, which the oracle states in SQL."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir)
+
+    def update(key, pdf_iter, state):
+        cnt, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            mx = max(mx, pdf["value"].max())
+        state.update((cnt, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]})
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="cnt long, mx double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(stream, "append")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: session windows — per-user sessions closed by a 30-minute gap.
+    Uses the native session_window operator; the oracle reconstructs the
+    same sessions with lag + cumulative-sum sessionization in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+QUERIES = {
+    "b30_stream_tumbling_window": q_stream_tumbling_window,
+    "b30_stream_sliding_window": q_stream_sliding_window,
+    "b31_stream_dedup": q_stream_dedup,
+    "b30_stream_stateful_counter": q_stream_stateful_counter,
+    "b30_session_window": q_session_window,
+}
+
+ORACLE = {
+    "b30_stream_tumbling_window": """
+        SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "b30_stream_sliding_window": """
+        WITH days AS (
+            SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d FROM events
+        ), starts AS (
+            SELECT d AS s FROM days
+            UNION ALL
+            SELECT d - 86400000000 AS s FROM days
+        )
+        SELECT s AS window_start_us, count(*) AS n_events
+        FROM starts GROUP BY s
+    """,
+    "b31_stream_dedup": """
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        FROM events
+    """,
+    "b30_stream_stateful_counter": """
+        SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "b30_session_window": """
+        WITH t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+            FROM events
+        ), marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+            FROM t
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+}
