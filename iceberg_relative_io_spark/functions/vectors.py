@@ -1,0 +1,95 @@
+"""Vector primitives for similarity search over embedding columns.
+
+Dot products / cosines are built from ``zip_with`` + ``aggregate`` —
+JVM-side, codegen'd, strictly left-to-right summation so the DuckDB oracle
+(sequential ``list_reduce``) produces bit-identical doubles. Floats are
+cast to double *before* any arithmetic in both engines.
+
+The LSH hyperplanes are derived from an integer LCG and an exact
+power-of-two division, so both engines materialize the exact same
+hyperplane doubles — the ANN bucketing is fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LCG = 2_654_435_761
+_TWO31 = 2_147_483_648  # 2^31 — exact power-of-two divisor
+
+DIM = 64
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-sum dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE) FOR i IN range(1, len({a}) + 1)]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)}) / (({norm_sql(a)}) * ({norm_sql(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH: deterministic, engine-independent hyperplanes
+# ---------------------------------------------------------------------------
+
+def plane_component(j: int, i: int) -> float:
+    """Hyperplane j, dimension i — exact in IEEE double in any engine."""
+    return ((j * DIM + i) * _LCG % _TWO31) / _TWO31 - 0.5
+
+
+def plane_dot(vec: Column, j: int) -> Column:
+    """vec · plane_j as a sequential sum (matches dot())."""
+    acc = F.lit(0.0)
+    for i in range(DIM):
+        acc = acc + F.element_at(vec, i + 1).cast("double") * F.lit(plane_component(j, i))
+    return acc
+
+
+def plane_dot_sql(vec: str, j: int) -> str:
+    terms = "(CAST(0.0 AS DOUBLE))"
+    for i in range(DIM):
+        terms = f"({terms} + CAST(({vec})[{i + 1}] AS DOUBLE) * ({plane_component(j, i)!r}))"
+    return terms
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign bits of N_PLANES hyperplane dots -> integer bucket id."""
+    acc = F.lit(0)
+    for j in range(N_PLANES):
+        acc = acc + F.when(plane_dot(vec, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_bucket_sql(vec: str) -> str:
+    parts = [
+        f"CASE WHEN ({plane_dot_sql(vec, j)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(parts) + ")"

@@ -1,6 +1,531 @@
-"""North-star LLM-pipeline operators (SURVEY.md §2.C) — filled in in M4."""
+"""North-star LLM-data-pipeline operators (SURVEY.md §2.C).
+
+Dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force kNN + LSH-bucketed ANN), text analysis
+(term frequency, language-ID heuristic, quality scoring, token counting,
+fingerprinting) and multimodal column plumbing — each as a DataFrame
+pipeline with an exact DuckDB oracle built from the shared primitives in
+``functions/text.py`` / ``functions/vectors.py`` (integer hash families
+and sequential-sum float arithmetic are bit-identical across engines, so
+even the sketch pipelines get exact oracles, not fuzzy ones).
+
+Scale design (100 TB):
+- every hash/signature computation is a Catalyst array expression inside
+  whole-stage codegen — no Python on the hot path;
+- MinHash-LSH candidate generation shuffles only (band, signature) pairs,
+  never the cross product; verification touches candidate pairs only;
+- brute-force kNN broadcasts the (small) query set and fans out over the
+  corpus — one pass, no shuffle of the corpus; the ANN variant prunes to
+  LSH buckets first (recall < 1, documented);
+- exact dedup is a single hash aggregation on the dedup key.
+
+Fixture notes: the synthetic documents share a 31-token vocabulary with no
+exact text duplicates, so dedup queries that need duplicates construct an
+at-least-once-delivery input (documents unioned with itself); similarity
+thresholds are tuned to the fixture's cosine range (max ≈ 0.4).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import text as T
+from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup of a doubled corpus (simulated re-crawl): one hash
+    aggregation on the content key; keeps min(doc_id) as the survivor —
+    deterministic, unlike dropDuplicates' arbitrary row pick."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return (
+        doubled.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies", F.length("text").alias("text_len"))
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (embedding-cosine near-dup): vector pairs with cosine >= 0.3.
+    Locally a triangular self-join; at scale the LSH bucketing of
+    q_ann_lsh becomes the blocking stage so the cross product never
+    materializes."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — sketch dedup: MinHash+LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    codes = T.token_codes(F.col("text"))
+    return docs.withColumn("shingles", T.shingle_codes(codes))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (MinHash): per-document signature + LSH band signatures. The
+    oracle recomputes the full integer pipeline, so all 16 permutations
+    and the band compaction are value-checked on every document."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    mins = [T.minhash(F.col("shingles"), j) for j in range(T.NUM_HASHES)]
+    out = docs.select(
+        "doc_id",
+        *[m.alias(f"mh{j}") for j, m in enumerate(mins[:4])],
+        *[
+            T.band_signature(mins, band).alias(f"band{band}")
+            for band in range(T.BANDS)
+        ],
+    )
+    return out
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (LSH banding): candidate pairs = documents agreeing on at least
+    one band signature; each candidate is then verified with exact
+    Jaccard over distinct shingle sets. Only (band, signature) tuples
+    shuffle — the corpus cross product never exists."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "shingles"
+    )
+    mins = [T.minhash(F.col("shingles"), j) for j in range(T.NUM_HASHES)]
+    bands = docs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature(mins, b).alias("sig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "shingles", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    sa = F.array_distinct(F.col("a.shingles"))
+    sb = F.array_distinct(F.col("b.shingles"))
+    inter = F.size(F.array_intersect(sa, sb))
+    jacc = inter.cast("double") / (F.size(sa) + F.size(sb) - inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (SimHash): 16-bit sign-sum fingerprint over token codes with
+    multiplicity; equal simhash => dedup cluster candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = T.token_codes(F.col("text"))
+    return docs.select("doc_id", T.simhash(codes).alias("simhash16"))
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (n-gram Jaccard): top-5 most similar document pairs per language
+    by exact 3-shingle Jaccard. Language is the blocking key (same-lang
+    near-dups are what a pipeline would collapse); at scale the block
+    would come from LSH instead of a full per-block cross join."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.array_distinct("shingles").alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jacc = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")
+    )
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (baseline): brute-force cosine top-k. The query set (vec_id < 5)
+    is broadcast; the corpus streams through in one pass — at 100 TB this
+    is a map-only job plus a tiny per-query top-k shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "rnk", "cos_sim")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (scale path): random-hyperplane LSH ANN. Vectors land in one of
+    2^8 sign-pattern buckets; each query searches only its own bucket
+    (recall < 1 by design — the price of pruning). Hyperplanes are
+    LCG-derived so the oracle reproduces the exact bucketing."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding")))
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "rnk", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — text analysis
+# ---------------------------------------------------------------------------
+
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: corpus term frequencies with rank (explode -> hash agg; the
+    map-side combine collapses each partition to |vocab| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("token"))),
+        )
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (language-ID heuristic): stopword-marker classifier. The fixture
+    corpus shares one vocabulary across langs, so this is the operator
+    pattern with deterministic stand-in profiles: real profiles would be
+    per-language n-gram tables in the same shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_marker_hits"),
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("non-en")).alias("predicted"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (quality scoring): length/stopword/diversity features combined
+    into a deterministic score, pure built-in arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    text_len = F.length("text")
+    mean_tok_len = (text_len - (n_tok - 1)).cast("double") / n_tok
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double") / n_tok
+    diversity = n_uniq.cast("double") / n_tok
+    score = F.round(
+        0.5 * diversity + 0.3 * (1.0 - stop_ratio) + 0.2 * (mean_tok_len / 10.0), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (token counting): whitespace tokens, regex word tokens, and a
+    BPE-ish chars/4 estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z0-9]+")).alias("word_tokens"),
+        F.ceil(F.length("text") / 4).alias("bpe_est"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (document fingerprinting): polynomial rolling hash over the full
+    character stream; equal fingerprints => exact-dup candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# C5 — multimodal columns
+# ---------------------------------------------------------------------------
+
+def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: opaque binary payload + typed metadata — the storage pattern
+    for image/audio/video columns. Payloads here are utf-8 document bytes
+    (the container has no media libs); the decode/resize stage lives in
+    functions/multimodal.py as mapInPandas plumbing with a stubbed codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "c01_exact_dedup": q_exact_dedup,
+    "c01_embedding_neardup": q_embedding_neardup,
+    "c02_minhash_signatures": q_minhash_signatures,
+    "c02_lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "c02_simhash": q_simhash,
+    "c02_ngram_jaccard_topk": q_ngram_jaccard_topk,
+    "c03_knn_bruteforce": q_knn_bruteforce,
+    "c03_ann_lsh": q_ann_lsh,
+    "c04_term_frequency": q_term_frequency,
+    "c04_langid": q_langid,
+    "c04_quality_score": q_quality_score,
+    "c04_token_count": q_token_count,
+    "c04_fingerprint": q_fingerprint,
+    "c05_multimodal_schema": q_multimodal_schema,
+}
+
+_CODES = T.token_codes_sql("text")
+_SHINGLES = T.shingle_codes_sql(_CODES)
+_MINS = [T.minhash_sql("shingles", j) for j in range(T.NUM_HASHES)]
+
+
+def _docs_with_shingles_cte() -> str:
+    return f"WITH sh AS (SELECT doc_id, lang, {_SHINGLES} AS shingles FROM documents)"
+
+
+ORACLE = {
+    "c01_exact_dedup": """
+        WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+               CAST(min(length(text)) AS INT) AS text_len
+        FROM doubled GROUP BY text
+    """,
+    "c01_embedding_neardup": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {V.cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+    "c02_minhash_signatures": (
+        _docs_with_shingles_cte()
+        + "SELECT doc_id, "
+        + ", ".join(f"{_MINS[j]} AS mh{j}" for j in range(4))
+        + ", "
+        + ", ".join(
+            f"{T.band_signature_sql(_MINS, b)} AS band{b}" for b in range(T.BANDS)
+        )
+        + " FROM sh"
+    ),
+    "c02_lsh_candidate_pairs": (
+        _docs_with_shingles_cte()
+        + ", bands AS (SELECT doc_id, shingles, band, sig FROM sh, "
+        + "LATERAL (VALUES "
+        + ", ".join(f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS))
+        + ") AS t(band, sig))"
+        + """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+               / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                  - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) AS jaccard
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """
+    ),
+    "c02_simhash": (
+        f"WITH codes AS (SELECT doc_id, {_CODES} AS c FROM documents) "
+        f"SELECT doc_id, {T.simhash_sql('c')} AS simhash16 FROM codes"
+    ),
+    "c02_ngram_jaccard_topk": (
+        _docs_with_shingles_cte()
+        + """
+        , d AS (SELECT doc_id, lang, list_distinct(shingles) AS s FROM sh)
+        , pairs AS (
+            SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        )
+        SELECT * FROM (
+            SELECT lang, doc_a, doc_b, jaccard,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY jaccard DESC, doc_a, doc_b) AS rnk
+            FROM pairs
+        ) WHERE rnk <= 5
+        """
+    ),
+    "c03_knn_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+            FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        )
+        SELECT * FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rnk,
+                   cos_sim
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
+    "c03_ann_lsh": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {V.lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+              FROM bucketed WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+            FROM bucketed e JOIN q
+              ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+        )
+        SELECT * FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rnk,
+                   cos_sim
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
+    "c04_term_frequency": """
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rnk
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token, cnt
+    """,  # placeholder; replaced below
+    "c04_langid": """
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ('the', 'a'))) AS INT) AS en_marker_hits,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t IN ('the', 'a'))) > 0
+                    THEN 'en' ELSE 'non-en' END AS predicted
+        FROM documents
+    """,
+    "c04_quality_score": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   length(text) AS text_len
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+               ROUND(CAST(text_len - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+               ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len(toks), 6) AS stopword_ratio,
+               ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                     + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                              / len(toks))
+                     + 0.2 * ((CAST(text_len - (len(toks) - 1) AS DOUBLE) / len(toks)) / 10.0),
+                     6) AS quality_score
+        FROM t
+    """,
+    "c04_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS word_tokens,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS bpe_est
+        FROM documents
+    """,
+    "c04_fingerprint": (
+        f"SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents"
+    ),
+    "c05_multimodal_schema": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               sha256(text) AS digest,
+               'text/plain' AS mime
+        FROM documents
+    """,
+}
+
+ORACLE["c04_term_frequency"] = """
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rnk
+    FROM (
+        SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+    )
+"""

@@ -1,0 +1,73 @@
+"""North-star operator tests: invariants the oracle can't express, plus
+the multimodal mapInPandas plumbing with an injected fake codec."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import multimodal as M
+from iceberg_relative_io_spark.functions import text as T
+from iceberg_relative_io_spark.operators import northstar as N
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+@pytest.mark.parametrize("name", sorted(N.QUERIES))
+def test_northstar_query_runs(spark, sf_dir, name):
+    df = N.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_minhash_contains_jaccard_signal(spark, sf_dir):
+    """A doc must be its own perfect match: identical shingle sets give
+    identical minhash signatures and land in the same LSH bands."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    codes = T.token_codes(F.col("text"))
+    sh = docs.select("doc_id", T.shingle_codes(codes).alias("s"))
+    mins = [T.minhash(F.col("s"), j).alias(f"m{j}") for j in range(T.NUM_HASHES)]
+    a = sh.select("doc_id", *mins)
+    b = sh.select(F.col("doc_id").alias("doc_id2"), *[m.alias(f"n{j}") for j, m in enumerate(mins)])
+    joined = a.join(b, a.doc_id == b.doc_id2)
+    for j in range(T.NUM_HASHES):
+        assert joined.filter(F.col(f"m{j}") != F.col(f"n{j}")).count() == 0
+
+
+def test_knn_is_superset_of_ann(spark, sf_dir):
+    """ANN candidates come from bucket pruning, so every (query, neighbor)
+    the ANN returns must score identically in the brute-force ranking."""
+    knn = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in N.q_knn_bruteforce(spark, sf_dir).collect()
+    }
+    ann = N.q_ann_lsh(spark, sf_dir).collect()
+    for r in ann:
+        if (r.query_id, r.vec_id) in knn:
+            assert abs(knn[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-12
+
+
+def test_exact_dedup_halves_doubled_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = N.q_exact_dedup(spark, sf_dir)
+    assert out.count() == docs.count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 2 * docs.count()
+
+
+def test_multimodal_decode_stub_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    mm = M.to_multimodal(docs)
+    with pytest.raises(Exception) as err:
+        M.decode_features(mm).collect()
+    assert "NotImplementedError" in str(err.value) or "media library" in str(err.value)
+
+
+def test_multimodal_pipeline_with_fake_codec(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    mm = M.to_multimodal(docs)
+    feats = M.decode_features(mm, decoder=M.fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.width >= 1 and r.height >= 1 and r.feature_norm >= 0 for r in rows)
+    # metadata consistency: n_bytes round-tripped through the decode stage
+    src = {r.item_id: r.n_bytes for r in mm.collect()}
+    for r in rows:
+        assert src[r.item_id] == r.n_bytes
