@@ -14,6 +14,7 @@ so the hot path scales like any built-in expression.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -161,3 +162,77 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(text: str) -> str:
     return token_code_sql(text)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched fast path for the full signature pipeline
+# ---------------------------------------------------------------------------
+# Spark evaluates nested higher-order array functions (aggregate inside
+# transform) in interpreted mode — they fall out of whole-stage codegen —
+# so hashing every token of every document through Column expressions is
+# ~20× slower than it should be. The batch UDFs below compute the *same
+# integers* (Python int arithmetic is exact; ord == ascii for these
+# single-byte tokens) in Arrow-vectorized batches; the Column builders
+# above remain the reference semantics and the oracle SQL mirrors both.
+
+def _py_token_code(tok: str, _memo: dict) -> int:
+    c = _memo.get(tok)
+    if c is None:
+        c = SEED
+        for ch in tok:
+            c = (c * 31 + ord(ch)) % MOD
+        _memo[tok] = c
+    return c
+
+
+def _py_shingles(text: str, memo: dict) -> list[int]:
+    codes = [_py_token_code(t, memo) for t in text.split(" ")]
+    return [
+        ((codes[i] * 31 + codes[i + 1]) * 31 + codes[i + 2]) % MOD
+        for i in range(len(codes) - (SHINGLE - 1))
+    ]
+
+
+def make_minhash_udf():
+    """pandas UDF: text -> array of NUM_HASHES minhash values."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = [hash_params(j) for j in range(NUM_HASHES)]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_sig(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for t in text:
+            sh = _py_shingles(t, memo)
+            if not sh:
+                out.append([None] * NUM_HASHES)
+            else:
+                out.append([min((a * c + b) % MOD for c in sh) for a, b in params])
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def make_shingle_set_udf():
+    """pandas UDF: text -> sorted distinct shingle codes (for exact
+    Jaccard verification and inverted-index similarity joins)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingle_set(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return pd.Series([sorted(set(_py_shingles(t, memo))) for t in text])
+
+    return shingle_set
+
+
+def band_signature_from_sig(sig: Column, band: int) -> Column:
+    """Band compaction over a minhash signature array column."""
+    vals = [
+        F.element_at(sig, band * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)
+    ]
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = acc * 31 + v
+    return acc % MOD

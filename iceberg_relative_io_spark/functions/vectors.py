@@ -12,6 +12,8 @@ hyperplane doubles — the ANN bucketing is fully oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np  # module-level so pandas-UDF type hints resolve
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -93,3 +95,55 @@ def lsh_bucket_sql(vec: str) -> str:
         for j in range(N_PLANES)
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched fast path for per-pair dot products
+# ---------------------------------------------------------------------------
+
+def make_dot_udf():
+    """pandas UDF computing the same sequential-sum dot product as dot():
+    vectorized across rows with numpy, but accumulated dimension-by-
+    dimension left-to-right (NOT np.dot, whose pairwise/SIMD summation
+    would produce different low bits than the oracle's list_reduce).
+    Used where millions of pairs flow through the dot — Spark evaluates
+    nested higher-order array expressions interpreted, ~10× slower."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return dot_seq
+
+
+def make_bucket_udf():
+    """pandas UDF mirror of lsh_bucket(): per-plane sequential-sum dots
+    (dimension-by-dimension, same bits as the Column/SQL builders), sign
+    bits packed into the bucket id. The Column version unrolls to a
+    512-term expression tree that Spark can't codegen efficiently; this
+    is the same arithmetic, Arrow-batched."""
+    from pyspark.sql.types import IntegerType
+
+    planes = np.array(
+        [[plane_component(j, i) for i in range(DIM)] for j in range(N_PLANES)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf(IntegerType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        out = np.zeros(len(V_), dtype=np.int64)
+        for j in range(N_PLANES):
+            acc = np.zeros(len(V_), dtype=np.float64)
+            for i in range(DIM):
+                acc = acc + V_[:, i] * planes[j, i]
+            out = out + (acc > 0).astype(np.int64) * (1 << j)
+        return pd.Series(out.astype(np.int32))
+
+    return bucket

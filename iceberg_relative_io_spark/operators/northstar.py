@@ -57,10 +57,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Locally a triangular self-join; at scale the LSH bucketing of
     q_ann_lsh becomes the blocking stage so the cross product never
     materializes."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # norms are computed once per vector BEFORE the pair join (O(N) not
+    # O(N^2)); the per-pair dot runs Arrow-batched in numpy with the same
+    # sequential summation as the oracle
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -76,62 +84,71 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C2 — sketch dedup: MinHash+LSH, SimHash, n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    codes = T.token_codes(F.col("text"))
-    return docs.withColumn("shingles", T.shingle_codes(codes))
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + minhash signature + distinct shingle set, Arrow-batched
+    (see functions/text.py on why the Column-expression pipeline is the
+    reference semantics but not the hot path), cached because the LSH
+    join consumes it from both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig_udf = T.make_minhash_udf()
+    set_udf = T.make_shingle_set_udf()
+    out = docs.select(
+        "doc_id",
+        "lang",
+        sig_udf(F.col("text")).alias("sig"),
+        set_udf(F.col("text")).alias("sh"),
+    )
+    return out.persist()
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (MinHash): per-document signature + LSH band signatures. The
-    oracle recomputes the full integer pipeline, so all 16 permutations
-    and the band compaction are value-checked on every document."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
-    mins = [T.minhash(F.col("shingles"), j) for j in range(T.NUM_HASHES)]
-    out = docs.select(
+    oracle recomputes the full integer pipeline in SQL, so all 16
+    permutations and the band compaction are value-checked on every
+    document."""
+    sigs = _signatures(spark, sf_dir)
+    return sigs.select(
         "doc_id",
-        *[m.alias(f"mh{j}") for j, m in enumerate(mins[:4])],
+        *[F.element_at("sig", j + 1).alias(f"mh{j}") for j in range(4)],
         *[
-            T.band_signature(mins, band).alias(f"band{band}")
+            T.band_signature_from_sig(F.col("sig"), band).alias(f"band{band}")
             for band in range(T.BANDS)
         ],
     )
-    return out
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (LSH banding): candidate pairs = documents agreeing on at least
     one band signature; each candidate is then verified with exact
     Jaccard over distinct shingle sets. Only (band, signature) tuples
-    shuffle — the corpus cross product never exists."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "shingles"
-    )
-    mins = [T.minhash(F.col("shingles"), j) for j in range(T.NUM_HASHES)]
-    bands = docs.select(
+    shuffle — the corpus cross product never exists, which is the whole
+    point of LSH at 100 TB."""
+    sigs = _signatures(spark, sf_dir)
+    bands = sigs.select(
         "doc_id",
-        "shingles",
+        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        T.band_signature(mins, b).alias("sig"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
                     )
                     for b in range(T.BANDS)
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "shingles", "bs.band", "bs.sig")
+    ).select("doc_id", "sh", "bs.band", "bs.bsig")
     a, b = bands.alias("a"), bands.alias("b")
-    sa = F.array_distinct(F.col("a.shingles"))
-    sb = F.array_distinct(F.col("b.shingles"))
-    inter = F.size(F.array_intersect(sa, sb))
-    jacc = inter.cast("double") / (F.size(sa) + F.size(sb) - inter)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jacc = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -153,28 +170,42 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (n-gram Jaccard): top-5 most similar document pairs per language
-    by exact 3-shingle Jaccard. Language is the blocking key (same-lang
-    near-dups are what a pipeline would collapse); at scale the block
-    would come from LSH instead of a full per-block cross join."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", F.array_distinct("shingles").alias("sh")
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    jacc = inter.cast("double") / (
-        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    )
+    by exact 3-shingle Jaccard, via an inverted-index similarity join:
+    explode distinct shingles, equi-join on (lang, shingle), count common
+    shingles per pair. Only pairs sharing >=1 shingle are ever generated —
+    the O(N^2) cross join never exists, so the plan survives a 100×
+    scale-up (the oracle states the naive cross-join formulation).
+
+    Correctness note: zero-overlap pairs can't reach the top-5 as long as
+    each language block has >=5 overlapping pairs, which holds for this
+    corpus (hundreds per block) — and the oracle run proves it per sf."""
+    sigs = _signatures(spark, sf_dir)
+    d = sigs.select("doc_id", "lang", "sh", F.size("sh").alias("sz"))
+    ex = d.select("doc_id", "lang", "sz", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.lang").alias("lang"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("jaccard"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
         )
     )
     w = Window.partitionBy("lang").orderBy(
@@ -195,11 +226,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (baseline): brute-force cosine top-k. The query set (vec_id < 5)
     is broadcast; the corpus streams through in one pass — at 100 TB this
     is a map-only job plus a tiny per-query top-k shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cos.alias("cos_sim"))
@@ -217,14 +253,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^8 sign-pattern buckets; each query searches only its own bucket
     (recall < 1 by design — the price of pruning). Hyperplanes are
     LCG-derived so the oracle reproduces the exact bucketing."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding")))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    bucketed = emb.withColumn(
+        "bucket", V.make_bucket_udf()(F.col("embedding"))
+    ).persist()
     queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         bucketed.join(
             F.broadcast(queries),
