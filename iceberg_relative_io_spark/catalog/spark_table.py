@@ -35,18 +35,43 @@ class RelativeTable:
         self.ops = ops
 
     # -- write path ------------------------------------------------------------
+    @property
+    def partition_spec(self) -> list[str]:
+        return self.ops.current().get("partition-spec", [])
+
+    @staticmethod
+    def _partition_values(rel_path: str) -> dict[str, str]:
+        """Parse hive-style key=value segments out of a data file path."""
+        out = {}
+        for seg in rel_path.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out[k] = v
+        return out
+
     def _write_snapshot_files(self, df: DataFrame) -> tuple[str, list[dict]]:
         """Write df as parquet into a fresh per-snapshot data dir; return
-        (relative dir, file entries with relative paths)."""
+        (relative dir, file entries with relative paths). Honors the
+        table's partition spec: files land in hive-style key=value dirs
+        and the manifest records each file's partition tuple, enabling
+        manifest-level partition pruning on read (the same layering as
+        Iceberg's partition-spec metadata, reference README.md:53-57)."""
         snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
         abs_dir = self.ops.io.absolute(snap_dir)
-        df.write.mode("overwrite").parquet(abs_dir)
+        spec = self.partition_spec
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(abs_dir)
         entries = []
         for fi in self.ops.io.list_prefix(snap_dir):
             name = fi.location.rsplit("/", 1)[-1]
             if name.startswith("_") or name.startswith("."):
                 continue
-            entries.append({"path": fi.location, "size-bytes": fi.size})
+            entry = {"path": fi.location, "size-bytes": fi.size}
+            if spec:
+                entry["partition"] = self._partition_values(fi.location)
+            entries.append(entry)
         return snap_dir, entries
 
     def _commit_snapshot(self, operation: str, added: list[dict]) -> dict:
@@ -140,17 +165,93 @@ class RelativeTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        partition_filter: dict | None = None,
     ) -> DataFrame:
-        """B4/B28: scan, optionally time-traveling to an old snapshot."""
+        """B4/B28: scan, optionally time-traveling to an old snapshot.
+
+        ``partition_filter`` ({col: value}) prunes at the *manifest* level
+        — files whose recorded partition tuple doesn't match never reach
+        Spark's scan, so a filtered read of a 100 TB table plans only the
+        matching partitions' files (metadata-driven pruning, the same job
+        Iceberg manifests do)."""
         meta = self.ops.current()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
         schema = StructType.fromJson(meta["schema"])
         if snap is None:
             return spark.createDataFrame([], schema)
-        files = [self.ops.io.absolute(f["path"]) for f in self._manifest_for(meta, snap)["data-files"]]
+        entries = self._manifest_for(meta, snap)["data-files"]
+        if partition_filter:
+            entries = [
+                f
+                for f in entries
+                if all(
+                    f.get("partition", {}).get(k) == str(v)
+                    for k, v in partition_filter.items()
+                )
+            ]
+        files = [self.ops.io.absolute(f["path"]) for f in entries]
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+        reader = spark.read.schema(schema)
+        if self.partition_spec:
+            # basePath keeps hive-style partition columns visible when
+            # addressing files directly
+            reader = reader.option("basePath", self.ops.io.absolute(f"{self.ops.location}/data"))
+        df = reader.parquet(*files)
+        # present columns in declared-schema order regardless of how the
+        # writer physically split partition columns out of the files
+        return df.select(*[f.name for f in schema.fields])
+
+    def scan_files(
+        self, snapshot_id: int | None = None, partition_filter: dict | None = None
+    ) -> list[dict]:
+        """Planned file list (for tests / the `.files` metadata view)."""
+        meta = self.ops.current()
+        snap = self._resolve_snapshot(meta, snapshot_id, None)
+        if snap is None:
+            return []
+        entries = self._manifest_for(meta, snap)["data-files"]
+        if partition_filter:
+            entries = [
+                f
+                for f in entries
+                if all(
+                    f.get("partition", {}).get(k) == str(v)
+                    for k, v in partition_filter.items()
+                )
+            ]
+        return entries
+
+    # -- maintenance ------------------------------------------------------------
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> dict:
+        """Small-file compaction (the `rewrite_data_files` maintenance op):
+        rewrite the current file set into ``target_partitions`` files per
+        partition as a 'replace' snapshot. Readers of old snapshots are
+        unaffected — time travel still sees the pre-compaction layout."""
+        df = self.read(spark).coalesce(target_partitions)
+        _, entries = self._write_snapshot_files(df)
+        return self._commit_snapshot("replace", entries)
+
+    # -- schema evolution ---------------------------------------------------------
+    def add_column(self, name: str, spark_type: str) -> None:
+        """Additive schema evolution: new nullable column in metadata only.
+        Old data files are untouched; the declared-schema read surfaces
+        NULL for them (schema-on-read reconciliation, mirroring the
+        reference format's metadata-driven schema, SURVEY.md §1.3)."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            if any(f["name"] == name for f in meta["schema"]["fields"]):
+                raise ValueError(f"column {name} already exists")
+            meta["schema"]["fields"].append(
+                {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
+            )
+            try:
+                self.ops.commit(base, meta)
+                return
+            except CommitFailedError:
+                self.ops._should_refresh = True
+        raise CommitFailedError(f"add_column({name}) lost {_COMMIT_RETRIES} races")
 
     # -- metadata introspection (B29) -----------------------------------------------
     def snapshots(self, spark: SparkSession) -> DataFrame:

@@ -335,6 +335,73 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B17–B19 — window functions
 # ---------------------------------------------------------------------------
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: explicit GROUPING SETS via the SQL surface — (status),
+    (priority), and grand total, with grouping-set NULLs coalesced."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 (pivot): order counts per priority pivoted by status. Pivot
+    values are enumerated so the output schema is static — required for
+    a deterministic plan (and for any engine at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 (unpivot/melt): wide part metrics to long (metric, value)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+def q_correlated_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (TPC-H Q17 pattern): lineitems below 20% of their part's average
+    quantity. Written decorrelated (aggregate-then-join) — the plan
+    Catalyst's subquery decorrelation produces anyway — and with the
+    threshold computed from an exact decimal sum so both engines compare
+    against the identical double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (0.2 * (F.sum(_dec(F.col("l_quantity"), 2)).cast("double") / F.count("*"))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_below"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17: ranking — top-3 customers by balance per nation. row_number
     carries a unique tiebreak; rank/dense_rank rank on balance alone."""
@@ -573,6 +640,10 @@ QUERIES = {
     "b15_approx_distinct": q_approx_distinct,
     "b16_rollup": q_rollup,
     "b16_cube": q_cube,
+    "b16_grouping_sets": q_grouping_sets,
+    "b16_pivot": q_pivot,
+    "b16_unpivot": q_unpivot,
+    "b13_correlated_agg_filter": q_correlated_agg_filter,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -685,6 +756,38 @@ ORACLE = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "b14_distinct": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "b16_grouping_sets": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "b16_pivot": """
+        SELECT o_orderpriority AS priority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "b16_unpivot": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+    "b13_correlated_agg_filter": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*))
+                       AS qty_threshold
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l.l_partkey, count(*) AS n_below,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+        WHERE l.l_quantity < p.qty_threshold
+        GROUP BY l.l_partkey
+    """,
     "b15_approx_distinct": """
         SELECT count(DISTINCT l_orderkey) AS exact_cnt, 1 AS approx_within_5pct
         FROM lineitem

@@ -109,8 +109,50 @@ def q_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + manifest-level partition pruning: lineitem is
+    written through the catalog partitioned by l_returnflag; the read
+    plans ONLY the 'A' partition's files from the manifest (the test
+    suite asserts the file-list shrink; the oracle checks the values).
+    This is the metadata-driven pruning that makes a 100 TB filtered scan
+    touch a fraction of the files."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    ops = cat.create_table(
+        ("ns",), "li_part", src.schema.jsonValue(), partition_by=["l_returnflag"]
+    )
+    table = RelativeTable(ops)
+    table.append(src)
+    return table.read(spark, partition_filter={"l_returnflag": "A"})
+
+
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance op: three small appends then rewrite_data_files-style
+    compaction into one file as a 'replace' snapshot; values must be
+    unchanged and the pre-compaction snapshot stays readable."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_c", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    for part in (
+        nation.filter(F.col("n_nationkey") < 8),
+        nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)),
+        nation.filter(F.col("n_nationkey") >= 16),
+    ):
+        table.append(part)
+    table.compact(spark, target_partitions=1)
+    assert len(table.scan_files()) == 1, "compaction must produce one file"
+    return table.read(spark)
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
+    "a32_partition_pruning": q_partition_pruning,
+    "a26_compaction": q_compaction,
     "b03_catalog_create_schema": q_catalog_create_schema,
     "a02_warehouse_move": q_warehouse_move,
     "b28_time_travel": q_time_travel,
@@ -118,6 +160,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a32_partition_pruning": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    "a26_compaction": "SELECT * FROM nation",
     "b02_catalog_insert_select": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_orderkey % 100 = 0

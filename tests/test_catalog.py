@@ -271,3 +271,59 @@ def test_jdbc_commit_cas(spark, tmp_path):
     ops_a.commit(ptr_a, meta_a)
     with pytest.raises(CommitFailedError):
         ops_b.commit(ptr_b, meta_b)
+
+
+# -- partitioned tables, compaction, schema evolution ------------------------------
+
+def test_partitioned_write_and_manifest_pruning(spark, catalog, sf_dir):
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    catalog.create_namespace(("pt",))
+    ops = catalog.create_table(
+        ("pt",), "li_part", li.schema.jsonValue(), partition_by=["l_returnflag"]
+    )
+    table = RelativeTable(ops)
+    table.append(li)
+
+    all_files = table.scan_files()
+    pruned = table.scan_files(partition_filter={"l_returnflag": "A"})
+    assert 0 < len(pruned) < len(all_files), "partition filter must prune files"
+    assert all(f["partition"] == {"l_returnflag": "A"} for f in pruned)
+    # metadata stays relative even with hive-style partition dirs
+    assert all(not f["path"].startswith("/") for f in all_files)
+
+    got = table.read(spark, partition_filter={"l_returnflag": "A"})
+    want = li.filter(li.l_returnflag == "A")
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(li.columns)
+    # values round-trip (partition column restored from dir names)
+    assert got.filter(got.l_returnflag != "A").count() == 0
+
+
+def test_compaction_rewrites_files_keeps_history(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("cp",), name="t")
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    files_before = len(table.scan_files())
+    assert files_before >= 3
+    table.compact(spark, target_partitions=1)
+    assert len(table.scan_files()) == 1
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3]
+    # pre-compaction snapshot still readable with the old file layout
+    assert len(table.scan_files(snapshot_id=3)) == files_before
+    snaps = {s.snapshot_id: s.operation for s in table.snapshots(spark).collect()}
+    assert snaps[4] == "replace"
+
+
+def test_schema_evolution_add_column(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("ev",), name="t")
+    table.add_column("score", "double")
+    table.ops._should_refresh = True
+    df2 = spark.createDataFrame([(2, "b", 0.5)], "id long, name string, score double")
+    table.append(df2)
+    rows = {r.id: r.score for r in table.read(spark).collect()}
+    assert rows[2] == 0.5
+    assert rows[1] is None, "pre-evolution rows must read NULL for the new column"
