@@ -288,11 +288,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag that the sketch landed within 5% (rsd=0.01 ⇒ far tighter in
     practice). At 100 TB the sketch is the only affordable distinct."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.countDistinct("l_orderkey").alias("exact_cnt"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
-    )
-    return agg.select(
+    # computed as two separate single-row aggregates + cross join: mixing
+    # a distinct agg with the HLL sketch in one agg triggers the Expand
+    # rewrite (row duplication) and costs ~3× more than the two passes
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_cnt"))
+    approx = li.agg(F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"))
+    return exact.crossJoin(approx).select(
         "exact_cnt",
         (F.abs(F.col("_approx") - F.col("exact_cnt")) <= 0.05 * F.col("exact_cnt"))
         .cast("int")
@@ -591,6 +592,21 @@ def q_array_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 (map type): construct, probe and enumerate MapType columns."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+    )
+
+
 def q_json_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B27: JSON extraction over events.props, then aggregate per type."""
     ev = load_table(spark, sf_dir, "events")
@@ -656,6 +672,7 @@ QUERIES = {
     "b24_datetime_funs": q_datetime_funs,
     "b25_math_funs": q_math_funs,
     "b26_array_funs": q_array_funs,
+    "b26_map_funs": q_map_funs,
     "b27_json_funs": q_json_funs,
     "b32_pandas_udf": q_pandas_udf,
 }
@@ -915,6 +932,14 @@ ORACLE = {
                array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
         FROM documents
+    """,
+    "b26_map_funs": """
+        SELECT p_partkey,
+               map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val,
+               map(['brand','type'], [p_brand, p_type])['type'][1] AS type_val,
+               CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS n_keys,
+               array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS keys
+        FROM part
     """,
     "b27_json_funs": """
         SELECT event_type,

@@ -19,8 +19,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
-from iceberg_relative_io_spark.sources.tables import load_table
+from iceberg_relative_io_spark.catalog import FsCatalog, JdbcCatalog, RelativeTable
+from iceberg_relative_io_spark.sources.tables import load_table, register_views
 
 
 def _fresh_catalog() -> FsCatalog:
@@ -149,10 +149,35 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_jdbc_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: view CRUD through the sqlite-backed JdbcCatalog — create a
+    view (its SQL document stored through the relativizing IO), rename
+    it, load it back by its new name, and execute it against the fixture
+    views. The oracle runs the identical SQL directly."""
+    import os
+
+    wh = tempfile.mkdtemp(prefix="jdbc_wh_")
+    cat = JdbcCatalog(os.path.join(wh, "catalog.db"), wh)
+    cat.create_namespace(("analytics",))
+    view_sql = (
+        "SELECT r_name, count(*) AS n_nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    )
+    cat.create_view(("analytics",), "nations_per_region", view_sql)
+    cat.rename_view(
+        ("analytics",), "nations_per_region", ("analytics",), "npr"
+    )
+    assert cat.list_views(("analytics",)) == ["npr"]
+    register_views(spark, sf_dir, ["nation", "region"])
+    return spark.sql(cat.load_view_sql(("analytics",), "npr"))
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a32_partition_pruning": q_partition_pruning,
     "a26_compaction": q_compaction,
+    "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
     "b03_catalog_create_schema": q_catalog_create_schema,
     "a02_warehouse_move": q_warehouse_move,
     "b28_time_travel": q_time_travel,
@@ -165,6 +190,11 @@ ORACLE = {
         FROM lineitem WHERE l_returnflag = 'A'
     """,
     "a26_compaction": "SELECT * FROM nation",
+    "a39_jdbc_view_roundtrip": """
+        SELECT r_name, count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
     "b02_catalog_insert_select": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_orderkey % 100 = 0

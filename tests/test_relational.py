@@ -40,7 +40,16 @@ def test_filter_pushes_down(spark, sf_dir):
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
     plan = R.q_star_broadcast(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # all four joins broadcast; the fact table must never sort-merge
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of formulation must cost exactly one exchange
+    (the user_id partitioning) — no pairwise join blow-up."""
+    plan = R.q_asof_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
 
 
 def test_agg_has_partial_aggregation(spark, sf_dir):
