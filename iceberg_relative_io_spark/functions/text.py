@@ -214,6 +214,33 @@ def make_minhash_udf():
     return minhash_sig
 
 
+def make_simhash_udf():
+    """pandas UDF mirror of simhash(): same integer arithmetic, Arrow-
+    batched (the Column version is 16 interpreted array aggregates)."""
+    from pyspark.sql.types import LongType
+
+    import numpy as np
+
+    bit_range = np.arange(SIMHASH_BITS, dtype=np.int64)
+    pow2 = (1 << bit_range).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def simhash16(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for t in text:
+            codes = np.array(
+                [_py_token_code(tok, memo) for tok in t.split(" ")], dtype=np.int64
+            )
+            # (n_tokens, bits) sign matrix; integer sums are exact in any
+            # order so vectorizing cannot diverge from the SQL oracle
+            contrib = (((codes[:, None] >> bit_range) & 1) * 2 - 1).sum(axis=0)
+            out.append(int(((contrib > 0) * pow2).sum()))
+        return pd.Series(out)
+
+    return simhash16
+
+
 def make_shingle_set_udf():
     """pandas UDF: text -> sorted distinct shingle codes (for exact
     Jaccard verification and inverted-index similarity joins)."""

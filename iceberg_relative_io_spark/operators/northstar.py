@@ -27,6 +27,7 @@ thresholds are tuned to the fixture's cosine range (max ≈ 0.4).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -57,27 +58,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Locally a triangular self-join; at scale the LSH bucketing of
     q_ann_lsh becomes the blocking stage so the cross product never
     materializes."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    # norms are computed once per vector BEFORE the pair join (O(N) not
-    # O(N^2)); the per-pair dot runs Arrow-batched in numpy with the same
-    # sequential summation as the oracle
-    dot_udf = V.make_dot_udf()
-    cos = dot_udf(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # blocked brute force: one side broadcast as a matrix, the other side
+    # streams through mapInPandas; each executor computes a (batch × N)
+    # cosine block with dimension-sequential accumulation so every value
+    # is bit-identical to the oracle's list_reduce. This is the broadcast-
+    # join shape: right for a corpus whose embedding matrix fits on an
+    # executor (2000×64 here); beyond that, the LSH bucketing of
+    # q_ann_lsh becomes the blocking stage.
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def blocks(batches):
+        bids, bM = bc.value
+        nb = np.zeros(len(bM))
+        for i in range(bM.shape[1]):
+            nb = nb + bM[:, i] * bM[:, i]
+        nb = np.sqrt(nb)
+        for pdf in batches:
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            aids = pdf["vec_id"].to_numpy()
+            S = np.zeros((len(A), len(bM)))
+            na = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                S = S + np.outer(A[:, i], bM[:, i])
+                na = na + A[:, i] * A[:, i]
+            cos = S / np.outer(np.sqrt(na), nb)
+            keep = (cos >= 0.3) & (aids[:, None] < bids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": aids[ai], "vec_b": bids[bj], "cos_sim": cos[ai, bj]}
+            )
+
+    return emb.mapInPandas(blocks, schema="vec_a long, vec_b long, cos_sim double")
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +179,10 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (SimHash): 16-bit sign-sum fingerprint over token codes with
-    multiplicity; equal simhash => dedup cluster candidate."""
+    multiplicity; equal simhash => dedup cluster candidate. Arrow-batched
+    (same integers as the Column builder in functions/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    codes = T.token_codes(F.col("text"))
-    return docs.select("doc_id", T.simhash(codes).alias("simhash16"))
+    return docs.select("doc_id", T.make_simhash_udf()(F.col("text")).alias("simhash16"))
 
 
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

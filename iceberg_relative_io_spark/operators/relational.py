@@ -458,6 +458,58 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 (RANGE frame): per-customer trailing-30-day spend — the frame
+    is value-based (days), not row-based, so gaps in order history are
+    handled correctly."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        days.alias("day_no"),
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("trailing_30d_spend"),
+        F.count("*").over(w).alias("trailing_30d_orders"),
+    )
+
+
+def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (statistics): mean/variance/stddev/covariance/correlation per
+    return flag, from explicit decimal-exact moment sums — not the
+    built-in stddev/corr aggregates, whose streaming (Welford-style)
+    update order differs between engines at the ulp level. Same math,
+    deterministic bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(q, 2)).cast("double").alias("sq"),
+        F.sum(_dec(p, 2)).cast("double").alias("sp"),
+        F.sum(_dec(q * q, 4)).cast("double").alias("sqq"),
+        F.sum(_dec(p * p, 4)).cast("double").alias("spp"),
+        F.sum(_dec(q * p, 4)).cast("double").alias("sqp"),
+    )
+    mq = F.col("sq") / F.col("n")
+    mp = F.col("sp") / F.col("n")
+    var_q = F.col("sqq") / F.col("n") - mq * mq
+    var_p = F.col("spp") / F.col("n") - mp * mp
+    cov = F.col("sqp") / F.col("n") - mq * mp
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(mq, 6).alias("mean_qty"),
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(cov, 4).alias("cov_qty_price"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("corr_qty_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B20–B22 — sort, top-k, set ops
 # ---------------------------------------------------------------------------
@@ -663,6 +715,8 @@ QUERIES = {
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
+    "b19_window_range_frame": q_window_range_frame,
+    "b13_stats_exact": q_stats_exact,
     "b20_sort_global": q_sort_global,
     "b21_topk": q_topk,
     "b22_set_union": q_set_union,
@@ -861,6 +915,40 @@ ORACLE = {
                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                    AS sliding_avg3
         FROM orders
+    """,
+    "b19_window_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                   AS day_no,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                   AS trailing_30d_spend,
+               count(*) OVER w AS trailing_30d_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(date_diff('day', DATE '1995-01-01',
+                                             CAST(o_orderdate AS DATE)) AS INT)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    "b13_stats_exact": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sq,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sqq,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS spp,
+                   CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sqp
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND(sq / n, 6) AS mean_qty,
+               ROUND(sqq / n - (sq / n) * (sq / n), 6) AS var_qty,
+               ROUND(sqrt(sqq / n - (sq / n) * (sq / n)), 6) AS stddev_qty,
+               ROUND(sqp / n - (sq / n) * (sp / n), 4) AS cov_qty_price,
+               ROUND((sqp / n - (sq / n) * (sp / n))
+                     / (sqrt(sqq / n - (sq / n) * (sq / n))
+                        * sqrt(spp / n - (sp / n) * (sp / n))), 6) AS corr_qty_price
+        FROM m
     """,
     "b20_sort_global": """
         SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal,

@@ -142,6 +142,47 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "append")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (stream-stream join): every purchase joined to the same user's
+    clicks in the preceding hour. Watermarks on both sides bound the join
+    state — the condition's time interval is what lets Spark expire
+    buffered rows, the non-negotiable ingredient at production scale."""
+    src = _stage_events(spark, sf_dir)
+
+    def stream():
+        return spark.readStream.schema(_EVENT_SCHEMA).parquet(src)
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "p_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30: session windows — per-user sessions closed by a 30-minute gap.
     Uses the native session_window operator; the oracle reconstructs the
@@ -163,6 +204,7 @@ QUERIES = {
     "b30_stream_sliding_window": q_stream_sliding_window,
     "b31_stream_dedup": q_stream_dedup,
     "b30_stream_stateful_counter": q_stream_stateful_counter,
+    "b30_stream_stream_join": q_stream_stream_join,
     "b30_session_window": q_session_window,
 }
 
@@ -193,6 +235,17 @@ ORACLE = {
     "b30_stream_stateful_counter": """
         SELECT user_id, count(*) AS n_events, max(value) AS max_value
         FROM events GROUP BY user_id
+    """,
+    "b30_stream_stream_join": """
+        SELECT p.event_id AS p_id,
+               p.user_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
     """,
     "b30_session_window": """
         WITH t AS (
