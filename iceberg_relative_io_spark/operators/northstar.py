@@ -177,6 +177,54 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 capstone: end-to-end fuzzy-dedup survivorship. LSH candidates
+    filtered by exact Jaccard become edges; connected components over the
+    edges assign each document to a cluster keyed by its minimum doc_id;
+    the cluster key holder survives.
+
+    Components run as driver-side union-find over the *candidate edges* —
+    after LSH + threshold the edge set is orders of magnitude smaller
+    than the corpus (the whole point of the sketch), so this is a tiny
+    collect even when the corpus is 100 TB; a pathological edge explosion
+    would call for the large-star/small-star DataFrame iteration instead.
+    The oracle recomputes components with a recursive transitive-closure
+    CTE."""
+    threshold = 0.3
+    pairs = q_lsh_candidate_pairs(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_rows = [(d, find(d)) for d in parent]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    if comp_rows:
+        comp = spark.createDataFrame(comp_rows, "doc_id long, component long")
+    else:
+        comp = spark.createDataFrame([], "doc_id long, component long")
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+            .cast("int")
+            .alias("survivor"),
+        )
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (SimHash): 16-bit sign-sum fingerprint over token codes with
     multiplicity; equal simhash => dedup cluster candidate. Arrow-batched
@@ -371,6 +419,27 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (normalization + edit distance): canonicalize text (lowercase,
+    squash whitespace, strip non-alphanumerics) and score each document's
+    lead token against a target term with Levenshtein — the cheap fuzzy
+    matcher for vocab normalization in cleaning pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    first_tok = F.element_at(F.split(F.col("text"), " "), 1)
+    return docs.select(
+        "doc_id",
+        F.length(normalized).alias("norm_len"),
+        F.levenshtein(first_tok, F.lit("query")).alias("lev_to_query"),
+        (F.levenshtein(first_tok, F.lit("query"))
+         <= F.lit(2)).cast("int").alias("fuzzy_match"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 (document fingerprinting): polynomial rolling hash over the full
     character stream; equal fingerprints => exact-dup candidates."""
@@ -407,6 +476,7 @@ QUERIES = {
     "c02_minhash_signatures": q_minhash_signatures,
     "c02_lsh_candidate_pairs": q_lsh_candidate_pairs,
     "c02_simhash": q_simhash,
+    "c02_dedup_survivors": q_dedup_survivors,
     "c02_ngram_jaccard_topk": q_ngram_jaccard_topk,
     "c03_knn_bruteforce": q_knn_bruteforce,
     "c03_ann_lsh": q_ann_lsh,
@@ -415,6 +485,7 @@ QUERIES = {
     "c04_quality_score": q_quality_score,
     "c04_token_count": q_token_count,
     "c04_fingerprint": q_fingerprint,
+    "c04_normalize_editdist": q_normalize_editdist,
     "c05_multimodal_schema": q_multimodal_schema,
 }
 
@@ -468,6 +539,33 @@ ORACLE = {
     "c02_simhash": (
         f"WITH codes AS (SELECT doc_id, {_CODES} AS c FROM documents) "
         f"SELECT doc_id, {T.simhash_sql('c')} AS simhash16 FROM codes"
+    ),
+    "c02_dedup_survivors": (
+        "WITH RECURSIVE sh AS (SELECT doc_id, lang, "
+        + _SHINGLES
+        + " AS shingles FROM documents), bands AS (SELECT doc_id, shingles, band, sig FROM sh, "
+        + "LATERAL (VALUES "
+        + ", ".join(f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS))
+        + ") AS t(band, sig)), cand AS ("
+        + """
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+                  / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                     - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.3
+        ),
+        edges AS (SELECT da AS a, db AS b FROM cand
+                  UNION SELECT db, da FROM cand),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS survivor
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        """
     ),
     "c02_ngram_jaccard_topk": (
         _docs_with_shingles_cte()
@@ -570,6 +668,16 @@ ORACLE = {
     "c04_fingerprint": (
         f"SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents"
     ),
+    "c04_normalize_editdist": """
+        SELECT doc_id,
+               CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len,
+               CAST(levenshtein(string_split(text, ' ')[1], 'query') AS INT)
+                   AS lev_to_query,
+               CAST(levenshtein(string_split(text, ' ')[1], 'query') <= 2 AS INT)
+                   AS fuzzy_match
+        FROM documents
+    """,
     "c05_multimodal_schema": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -644,6 +644,33 @@ def q_array_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_higher_order_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 (higher-order functions): transform / filter / exists /
+    aggregate over token arrays — the lambda surface Catalyst offers for
+    array columns."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.exists(toks, lambda t: t == F.lit("scan")).cast("int").alias("has_scan"),
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias("sum_token_len"),
+        F.array_max(lens).alias("max_token_len"),
+    )
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (sampling pattern): deterministic 1-in-10 systematic sample by
+    key modulus — the reproducible sampling a data pipeline wants
+    (df.sample's RNG is engine-specific and unverifiable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(10)) == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
 def q_map_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B26 (map type): construct, probe and enumerate MapType columns."""
     p = load_table(spark, sf_dir, "part")
@@ -727,6 +754,8 @@ QUERIES = {
     "b25_math_funs": q_math_funs,
     "b26_array_funs": q_array_funs,
     "b26_map_funs": q_map_funs,
+    "b26_higher_order_funs": q_higher_order_funs,
+    "b06_systematic_sample": q_systematic_sample,
     "b27_json_funs": q_json_funs,
     "b32_pandas_udf": q_pandas_udf,
 }
@@ -1020,6 +1049,24 @@ ORACLE = {
                array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
         FROM documents
+    """,
+    "b26_higher_order_funs": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT)
+                   AS n_long_tokens,
+               CAST(list_contains(string_split(text, ' '), 'scan') AS INT) AS has_scan,
+               CAST(list_reduce(
+                        list_prepend(0, list_transform(string_split(text, ' '),
+                                                       t -> CAST(length(t) AS INT))),
+                        (acc, x) -> acc + x) AS INT) AS sum_token_len,
+               CAST(list_max(list_transform(string_split(text, ' '),
+                                            t -> CAST(length(t) AS INT))) AS INT)
+                   AS max_token_len
+        FROM documents
+    """,
+    "b06_systematic_sample": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey % 10 = 0
     """,
     "b26_map_funs": """
         SELECT p_partkey,
