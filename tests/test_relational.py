@@ -75,3 +75,15 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     row = R.q_approx_distinct(spark, sf_dir).collect()[0]
     assert row["approx_within_5pct"] == 1
+
+
+def test_repartition_colocates_aggregation(spark, sf_dir):
+    """B20/partitioning: pre-partitioning by the aggregation key means the
+    groupBy reuses the distribution — exactly one shuffle in the plan."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pre = li.repartition(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+    agg = pre.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, "groupBy must reuse the repartition distribution"
