@@ -277,6 +277,25 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (skew handling): two-stage salted aggregation. Each hot key is
+    split across 16 salt buckets for the first (wide) aggregation, then
+    the salts are merged in a second, tiny aggregation — the classic fix
+    when one key owns a disproportionate share of a 100 TB table and AQE
+    skew-split alone can't save the agg. Decimal sums make the two-stage
+    result bit-equal to the direct aggregation, which is what the oracle
+    computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pc"), F.sum(_dec(F.col("l_quantity"), 2)).alias("ps")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_items"),
+        F.sum("ps").cast("double").alias("sum_qty"),
+    )
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: exact distinct (pair of low-cardinality customer columns)."""
     return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
@@ -739,6 +758,7 @@ QUERIES = {
     "b16_pivot": q_pivot,
     "b16_unpivot": q_unpivot,
     "b13_correlated_agg_filter": q_correlated_agg_filter,
+    "b13_salted_agg": q_salted_agg,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -854,6 +874,11 @@ ORACLE = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "b13_salted_agg": """
+        SELECT l_returnflag, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
     """,
     "b14_distinct": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
     "b16_grouping_sets": """

@@ -39,7 +39,11 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply correctness-critical runtime confs to a session.
 
     Called by every loader/query builder so the engine behaves the same
-    whether running under our own session or one handed to us.
+    whether running under our own session or one handed to us. If the
+    session still has the stock 200 shuffle partitions (nobody tuned it),
+    right-size to the local core count — AQE coalesces most exchanges
+    anyway, but streaming state-store partitioning is fixed at plan time
+    and 200 state partitions on a laptop-scale box is pure overhead.
     """
     for k, v in _RUNTIME_CONFS.items():
         try:
@@ -48,6 +52,12 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-settable in this deployment: leave as-is
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+    except Exception:
+        pass
     return spark
 
 
