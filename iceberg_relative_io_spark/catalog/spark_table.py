@@ -30,6 +30,15 @@ from iceberg_relative_io_spark.catalog.table_ops import CommitFailedError, Table
 _COMMIT_RETRIES = 4
 
 
+def _json_safe(v):
+    """Parquet footer stats -> JSON-storable scalar (datetime -> isoformat)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
 class RelativeTable:
     def __init__(self, ops: TableOperations):
         self.ops = ops
@@ -71,26 +80,62 @@ class RelativeTable:
             entry = {"path": fi.location, "size-bytes": fi.size}
             if spec:
                 entry["partition"] = self._partition_values(fi.location)
+            entry.update(self._file_stats(fi.location))
             entries.append(entry)
         return snap_dir, entries
 
+    def _file_stats(self, rel_path: str) -> dict:
+        """Per-file row count + per-column min/max from the parquet footer
+        — the stats that let a filtered scan skip whole files before Spark
+        ever plans them (Iceberg's manifest-stats role). Footer-only read;
+        in a cluster deployment executors would report these at write
+        time instead."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(self.ops.io.absolute(rel_path))
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    stats = col.statistics
+                    if stats is None or not stats.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    lo, hi = stats.min, stats.max
+                    if isinstance(lo, bytes):
+                        continue  # undecoded types: skip, never wrong-skip
+                    lo, hi = _json_safe(lo), _json_safe(hi)
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
+            return {"row-count": md.num_rows, "min": mins, "max": maxs}
+        except Exception:
+            return {}
+
     def _commit_snapshot(self, operation: str, added: list[dict]) -> dict:
-        """Optimistic-concurrency snapshot commit with bounded retry."""
+        """Optimistic-concurrency snapshot commit with bounded retry.
+
+        Manifests are *incremental*: each records only the files its
+        snapshot added. The live file set is reconstructed by walking the
+        parent chain (append accumulates; overwrite/replace resets), so
+        commit cost is O(added files), not O(total files) — at a million
+        files per table, rewriting a cumulative list per commit would be
+        the scaling bug."""
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             meta = json.loads(json.dumps(self.ops.current()))  # deep copy
             base_version = self.ops.current_version()
             parent = meta.get("current-snapshot-id")
             snap_id = (parent or 0) + 1
-            prev_files = []
+            total = len(added)
             if operation == "append" and parent is not None:
-                prev_files = self._manifest_for(meta, parent)["data-files"]
+                total += len(self._data_files(meta, parent))
 
-            manifest = {
-                "snapshot-id": snap_id,
-                "added-files": added,
-                "data-files": prev_files + added,
-            }
+            manifest = {"snapshot-id": snap_id, "added-files": added}
             manifest_loc = f"{self.ops.metadata_dir}/snap-{snap_id}-{uuid.uuid4()}.manifest.json"
             self.ops.io.write_bytes(manifest_loc, json.dumps(manifest).encode())
 
@@ -105,7 +150,7 @@ class RelativeTable:
                 "summary": {
                     "added-data-files": str(len(added)),
                     "added-files-size": str(sum(f["size-bytes"] for f in added)),
-                    "total-data-files": str(len(manifest["data-files"])),
+                    "total-data-files": str(total),
                 },
             }
             meta["snapshots"].append(snapshot)
@@ -141,6 +186,29 @@ class RelativeTable:
                 return json.loads(self.ops.io.read_bytes(s["manifest"]))
         raise ValueError(f"no snapshot {snapshot_id}")
 
+    def _snapshot_entry(self, meta: dict, snapshot_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"no snapshot {snapshot_id}")
+
+    def _data_files(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """Reconstruct a snapshot's live file set by walking its parent
+        chain: 'append' contributes parent files + added; 'overwrite' /
+        'replace' resets the set to its own added files."""
+        chain: list[dict] = []
+        sid: int | None = snapshot_id
+        while sid is not None:
+            snap = self._snapshot_entry(meta, sid)
+            chain.append(snap)
+            if snap["operation"] != "append":
+                break  # file set resets here; older history is shadowed
+            sid = snap["parent-snapshot-id"]
+        files: list[dict] = []
+        for snap in reversed(chain):
+            files.extend(self._manifest_for(meta, snap["snapshot-id"])["added-files"])
+        return files
+
     def _resolve_snapshot(
         self, meta: dict, snapshot_id: int | None, as_of_timestamp_ms: int | None
     ) -> int | None:
@@ -160,26 +228,12 @@ class RelativeTable:
     def schema(self) -> StructType:
         return StructType.fromJson(self.ops.current()["schema"])
 
-    def read(
-        self,
-        spark: SparkSession,
-        snapshot_id: int | None = None,
-        as_of_timestamp_ms: int | None = None,
-        partition_filter: dict | None = None,
-    ) -> DataFrame:
-        """B4/B28: scan, optionally time-traveling to an old snapshot.
-
-        ``partition_filter`` ({col: value}) prunes at the *manifest* level
-        — files whose recorded partition tuple doesn't match never reach
-        Spark's scan, so a filtered read of a 100 TB table plans only the
-        matching partitions' files (metadata-driven pruning, the same job
-        Iceberg manifests do)."""
-        meta = self.ops.current()
-        snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
-        schema = StructType.fromJson(meta["schema"])
-        if snap is None:
-            return spark.createDataFrame([], schema)
-        entries = self._manifest_for(meta, snap)["data-files"]
+    @staticmethod
+    def _prune(
+        entries: list[dict],
+        partition_filter: dict | None,
+        column_ranges: dict | None,
+    ) -> list[dict]:
         if partition_filter:
             entries = [
                 f
@@ -189,6 +243,41 @@ class RelativeTable:
                     for k, v in partition_filter.items()
                 )
             ]
+        if column_ranges:
+            def may_match(f: dict) -> bool:
+                mins, maxs = f.get("min", {}), f.get("max", {})
+                for col, (lo, hi) in column_ranges.items():
+                    if col in mins and hi is not None and mins[col] > hi:
+                        return False
+                    if col in maxs and lo is not None and maxs[col] < lo:
+                        return False
+                return True  # missing stats => cannot skip, never wrong
+
+            entries = [f for f in entries if may_match(f)]
+        return entries
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        partition_filter: dict | None = None,
+        column_ranges: dict | None = None,
+    ) -> DataFrame:
+        """B4/B28: scan, optionally time-traveling to an old snapshot.
+
+        ``partition_filter`` ({col: value}) and ``column_ranges``
+        ({col: (lo, hi)}) prune at the *manifest* level — files whose
+        recorded partition tuple or footer min/max can't match never
+        reach Spark's scan, so a filtered read of a 100 TB table plans
+        only the surviving files (the job Iceberg manifests + stats do).
+        Range pruning is conservative: files without stats are kept."""
+        meta = self.ops.current()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+        schema = StructType.fromJson(meta["schema"])
+        if snap is None:
+            return spark.createDataFrame([], schema)
+        entries = self._prune(self._data_files(meta, snap), partition_filter, column_ranges)
         files = [self.ops.io.absolute(f["path"]) for f in entries]
         if not files:
             return spark.createDataFrame([], schema)
@@ -203,24 +292,17 @@ class RelativeTable:
         return df.select(*[f.name for f in schema.fields])
 
     def scan_files(
-        self, snapshot_id: int | None = None, partition_filter: dict | None = None
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+        column_ranges: dict | None = None,
     ) -> list[dict]:
         """Planned file list (for tests / the `.files` metadata view)."""
         meta = self.ops.current()
         snap = self._resolve_snapshot(meta, snapshot_id, None)
         if snap is None:
             return []
-        entries = self._manifest_for(meta, snap)["data-files"]
-        if partition_filter:
-            entries = [
-                f
-                for f in entries
-                if all(
-                    f.get("partition", {}).get(k) == str(v)
-                    for k, v in partition_filter.items()
-                )
-            ]
-        return entries
+        return self._prune(self._data_files(meta, snap), partition_filter, column_ranges)
 
     # -- maintenance ------------------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> dict:

@@ -89,7 +89,7 @@ def test_metadata_contains_no_absolute_paths(spark, catalog, warehouse):
     for s in meta["snapshots"]:
         assert not s["manifest"].startswith("/")
         manifest = json.loads(table.ops.io.read_bytes(s["manifest"]))
-        for f in manifest["data-files"]:
+        for f in manifest["added-files"]:
             assert not f["path"].startswith("/"), f"absolute data path {f['path']}"
 
 
@@ -327,3 +327,44 @@ def test_schema_evolution_add_column(spark, catalog):
     rows = {r.id: r.score for r in table.read(spark).collect()}
     assert rows[2] == 0.5
     assert rows[1] is None, "pre-evolution rows must read NULL for the new column"
+
+
+def test_incremental_manifests_store_only_added(spark, catalog):
+    """Commit cost must be O(added files): each manifest records only its
+    snapshot's additions; the live set comes from the parent-chain walk."""
+    table = _make_table(spark, catalog, [(1, "a")], ns=("inc",), name="t")
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    meta = table.ops.current()
+    n_added = 0
+    for s in meta["snapshots"]:
+        manifest = json.loads(table.ops.io.read_bytes(s["manifest"]))
+        assert "data-files" not in manifest
+        assert len(manifest["added-files"]) >= 1
+        n_added += len(manifest["added-files"])
+    # chain walk accumulates exactly the per-snapshot additions
+    assert len(table.scan_files()) == n_added
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+
+
+def test_column_stats_file_skipping(spark, catalog, sf_dir):
+    """Footer min/max in the manifest lets a range predicate skip whole
+    files before Spark plans the scan."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    catalog.create_namespace(("st",))
+    ops = catalog.create_table(("st",), "t", li.schema.jsonValue())
+    table = RelativeTable(ops)
+    # three appends with disjoint l_orderkey ranges -> three stats islands
+    for lo, hi in [(0, 500), (500, 1000), (1000, 10**9)]:
+        table.append(li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)).coalesce(1))
+    all_files = table.scan_files()
+    assert all("l_orderkey" in f.get("min", {}) for f in all_files if f["row-count"] > 0)
+    pruned = table.scan_files(column_ranges={"l_orderkey": (0, 400)})
+    assert len(pruned) < len(all_files)
+    got = table.read(spark, column_ranges={"l_orderkey": (0, 400)})
+    # pruning is a superset guarantee: every row <=400 must survive
+    want = li.filter(F.col("l_orderkey") <= 400).count()
+    assert got.filter(F.col("l_orderkey") <= 400).count() == want
