@@ -71,3 +71,47 @@ def test_multimodal_pipeline_with_fake_codec(spark, sf_dir):
     src = {r.item_id: r.n_bytes for r in mm.collect()}
     for r in rows:
         assert src[r.item_id] == r.n_bytes
+
+
+def test_distributed_cc_matches_union_find(spark, sf_dir):
+    """The distributed connected-components (scale path) must produce the
+    same clustering as the driver-side union-find used by
+    q_dedup_survivors."""
+    from iceberg_relative_io_spark.functions.graph import connected_components
+
+    # synthetic graph: two chains and an isolated pair, plus a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_distributed_cc_on_lsh_edges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.functions.graph import connected_components
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_dedup_survivors,
+        q_lsh_candidate_pairs,
+    )
+
+    pairs = q_lsh_candidate_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.3)
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    uf = {
+        r.doc_id: r.component
+        for r in q_dedup_survivors(spark, sf_dir).collect()
+        if r.survivor == 0 or r.doc_id in dist
+    }
+    for node, comp in dist.items():
+        assert uf[node] == comp
