@@ -447,6 +447,51 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (chunking): split documents into fixed-size token windows with
+    overlap (size 32, stride 24) — the pre-embedding chunker of an LLM
+    data pipeline, as a pure array-slice explode (no UDF)."""
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(size)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunk_idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    out = docs.select("doc_id", toks.alias("toks"), chunk_idx.alias("chunk_id"))
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(F.slice(chunk, 1, 3), " ").alias("chunk_head"),
+    )
+
+
+def q_keyword_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (keyword extraction): per-document top keyword by tf × rarity,
+    where rarity = N/df (document frequency). A log-free tf-idf variant:
+    ln() is not correctly-rounded in either engine, so the monotone
+    rational weighting keeps the oracle exact without changing the
+    ranking semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("token").alias("top_keyword"), F.round("score", 6).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5 — multimodal columns
 # ---------------------------------------------------------------------------
@@ -486,6 +531,8 @@ QUERIES = {
     "c04_token_count": q_token_count,
     "c04_fingerprint": q_fingerprint,
     "c04_normalize_editdist": q_normalize_editdist,
+    "c04_chunking": q_chunking,
+    "c04_keyword_rarity": q_keyword_rarity,
     "c05_multimodal_schema": q_multimodal_schema,
 }
 
@@ -677,6 +724,44 @@ ORACLE = {
                CAST(levenshtein(string_split(text, ' ')[1], 'query') <= 2 AS INT)
                    AS fuzzy_match
         FROM documents
+    """,
+    "c04_chunking": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   greatest(1, CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24) AS INT) + 1)
+                       AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+                   AS chunk_tokens,
+               array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 3], ' ')
+                   AS chunk_head
+        FROM c, LATERAL unnest(range(0, n_chunks)) AS u(chunk_id)
+    """,
+    "c04_keyword_rarity": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM terms)
+            GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   tf.tf * (SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df AS score
+            FROM tf JOIN df ON tf.token = df.token
+        )
+        SELECT doc_id, token AS top_keyword, ROUND(score, 6) AS score
+        FROM (
+            SELECT doc_id, token, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
     """,
     "c05_multimodal_schema": """
         SELECT doc_id,

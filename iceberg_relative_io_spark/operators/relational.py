@@ -43,6 +43,39 @@ def _dsum(col, scale: int = 4):
 # B1/B4/B5/B6 — scan, full select, projection, filter
 # ---------------------------------------------------------------------------
 
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (source breadth): CSV with an explicit schema (never inferSchema
+    in production — one extra full pass). Round-trips the nation dim
+    through CSV; the oracle reads the original table."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="csv_src_")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(nation.schema).option("header", True).csv(path)
+
+
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (source breadth): JSON-lines with an explicit schema."""
+    import tempfile
+
+    region = load_table(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="json_src_")
+    region.write.mode("overwrite").json(path)
+    return spark.read.schema(region.schema).json(path)
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (source breadth): ORC — Spark's other first-class columnar
+    format; same pushdown/pruning machinery as parquet."""
+    import tempfile
+
+    sup = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="orc_src_")
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.schema(sup.schema).orc(path)
+
+
 def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: parquet scan. count(*) compiles to a metadata-only parquet scan
     (no column materialization); at 100 TB this reads only footers."""
@@ -738,6 +771,9 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "b01_scan_count": q_scan_count,
+    "b01_csv_source": q_csv_source,
+    "b01_json_source": q_json_source,
+    "b01_orc_roundtrip": q_orc_roundtrip,
     "b04_select_all": q_select_all,
     "b05_projection": q_projection,
     "b06_filter": q_filter,
@@ -783,6 +819,9 @@ QUERIES = {
 
 ORACLE = {
     "b01_scan_count": "SELECT count(*) AS n_rows FROM lineitem",
+    "b01_csv_source": "SELECT * FROM nation",
+    "b01_json_source": "SELECT * FROM region",
+    "b01_orc_roundtrip": "SELECT * FROM supplier",
     "b04_select_all": "SELECT * FROM region",
     "b05_projection": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
     "b06_filter": """
