@@ -223,6 +223,70 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 (two large sides): purchases x clicks within a 1-hour lookback,
+    as a *bucketized* range join — both sides bucket their timestamps
+    into hour cells, the probe side explodes into the two cells its
+    interval can touch, and the join is a plain equi-join on
+    (user, bucket) + an exact refine filter. This is how a range join
+    between two 100 TB streams stays a hash join instead of a
+    nested-loop; the oracle states the naive theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / hour_us).cast("long").alias("bucket"),
+    )
+    # a 1h-lookback interval [p-1h, p] spans at most 2 hour cells
+    probe = purch.select(
+        "p_id",
+        "p_user",
+        "p_us",
+        F.explode(
+            F.array(
+                (F.col("p_us") / hour_us).cast("long"),
+                (F.col("p_us") / hour_us).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    joined = probe.join(
+        clicks, (probe.p_user == clicks.c_user) & (probe.bucket == clicks.bucket)
+    ).filter((F.col("c_us") <= F.col("p_us")) & (F.col("c_us") >= F.col("p_us") - hour_us))
+    return joined.groupBy("p_id").agg(
+        F.count("*").alias("n_recent_clicks"), F.max("c_us").alias("last_click_us")
+    )
+
+
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (exact quantiles): per-group median by rank arithmetic — picks
+    the actual middle data value(s), so the result is deterministic and
+    oracle-exact (the built-in percentile interpolation paths are not
+    guaranteed bit-equal across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2))
+    )
+    return mid.groupBy("l_returnflag").agg(
+        F.round(F.sum(_dec(F.col("l_quantity"), 2)).cast("double") / F.count("*"), 6).alias(
+            "median_qty"
+        )
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: as-of join — for every purchase event, the most recent click by
     the same user at or before the purchase time.
@@ -784,7 +848,9 @@ QUERIES = {
     "b09_join_anti": q_join_anti,
     "b10_star_broadcast": q_star_broadcast,
     "b11_range_join": q_range_join,
+    "b11_bucketed_interval_join": q_bucketed_interval_join,
     "b12_asof_join": q_asof_join,
+    "b13_median_exact": q_median_exact,
     "b13_agg_pricing_summary": q_agg_pricing_summary,
     "b14_distinct": q_distinct,
     "b15_approx_distinct": q_approx_distinct,
@@ -884,6 +950,32 @@ ORACLE = {
                CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
         GROUP BY tier
+    """,
+    "b11_bucketed_interval_join": """
+        SELECT p.event_id AS p_id,
+               count(*) AS n_recent_clicks,
+               max(epoch_us(CAST(c.ts AS TIMESTAMP))) AS last_click_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(p.ts AS TIMESTAMP))
+         AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000
+        GROUP BY p.event_id
+    """,
+    "b13_median_exact": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
+                   AS median_qty
+        FROM ranked
+        WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+           OR rn = CAST(ceil(CAST(n + 1 AS DOUBLE) / 2) AS BIGINT)
+        GROUP BY l_returnflag
     """,
     "b12_asof_join": """
         SELECT p.event_id,
