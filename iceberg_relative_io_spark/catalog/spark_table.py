@@ -213,12 +213,14 @@ class RelativeTable:
         self, meta: dict, snapshot_id: int | None, as_of_timestamp_ms: int | None
     ) -> int | None:
         if snapshot_id is not None:
+            if self._snapshot_entry(meta, snapshot_id).get("expired"):
+                raise ValueError(f"snapshot {snapshot_id} has been expired")
             return snapshot_id
         if as_of_timestamp_ms is not None:
             eligible = [
                 s["snapshot-id"]
                 for s in meta["snapshots"]
-                if s["timestamp-ms"] <= as_of_timestamp_ms
+                if s["timestamp-ms"] <= as_of_timestamp_ms and not s.get("expired")
             ]
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_timestamp_ms}")
@@ -305,6 +307,97 @@ class RelativeTable:
         return self._prune(self._data_files(meta, snap), partition_filter, column_ranges)
 
     # -- maintenance ------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's expire_snapshots: drop old snapshots from the
+        time-travelable surface and delete data files no retained
+        snapshot references.
+
+        With incremental manifests an expired snapshot may still be an
+        *ancestor* of a retained one (its manifest feeds the chain walk),
+        so expired entries whose manifests are still needed are
+        tombstoned (``expired: true`` — invisible to reads/.snapshots)
+        rather than removed; fully unreferenced manifests and data files
+        are deleted. Returns {"expired": n, "deleted_files": n}."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            live = [s for s in meta["snapshots"] if not s.get("expired")]
+            if len(live) <= keep_last:
+                return {"expired": 0, "deleted_files": 0}
+            retained = {s["snapshot-id"] for s in live[-keep_last:]}
+            # manifests needed: every chain ancestor of a retained snapshot
+            needed = set()
+            for sid in retained:
+                cur: int | None = sid
+                while cur is not None:
+                    snap = self._snapshot_entry(meta, cur)
+                    needed.add(cur)
+                    if snap["operation"] != "append":
+                        break
+                    cur = snap["parent-snapshot-id"]
+            live_files = set()
+            for sid in retained:
+                live_files.update(f["path"] for f in self._data_files(meta, sid))
+
+            expiring = [s for s in live if s["snapshot-id"] not in retained]
+            doomed_files: set[str] = set()
+            for s in expiring:
+                for f in self._manifest_for(meta, s["snapshot-id"])["added-files"]:
+                    if f["path"] not in live_files:
+                        doomed_files.add(f["path"])
+
+            new_snapshots = []
+            doomed_manifests = []
+            for s in meta["snapshots"]:
+                if s["snapshot-id"] in retained or s.get("expired"):
+                    new_snapshots.append(s)
+                elif s["snapshot-id"] in needed:
+                    s = dict(s, expired=True)  # tombstone: keeps the chain walk alive
+                    new_snapshots.append(s)
+                else:
+                    doomed_manifests.append(s["manifest"])
+            meta["snapshots"] = new_snapshots
+            try:
+                self.ops.commit(base, meta)
+            except CommitFailedError:
+                self.ops._should_refresh = True
+                continue
+            for path in doomed_files:
+                try:
+                    self.ops.io.delete_file(path)
+                except Exception:
+                    pass
+            for path in doomed_manifests:
+                try:
+                    self.ops.io.delete_file(path)
+                except Exception:
+                    pass
+            return {"expired": len(expiring), "deleted_files": len(doomed_files)}
+        raise CommitFailedError("expire_snapshots lost all commit races")
+
+    def remove_orphan_files(self) -> list[str]:
+        """Iceberg's remove_orphan_files: delete data files under the
+        table's data/ prefix that no snapshot (live or tombstoned)
+        references — the debris of failed writes. Returns deleted paths."""
+        meta = self.ops.current()
+        referenced: set[str] = set()
+        for s in meta["snapshots"]:
+            referenced.update(
+                f["path"] for f in self._manifest_for(meta, s["snapshot-id"])["added-files"]
+            )
+        deleted = []
+        for fi in self.ops.io.list_prefix(f"{self.ops.location}/data"):
+            name = fi.location.rsplit("/", 1)[-1]
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if fi.location not in referenced:
+                try:
+                    self.ops.io.delete_file(fi.location)
+                    deleted.append(fi.location)
+                except Exception:
+                    pass
+        return deleted
+
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> dict:
         """Small-file compaction (the `rewrite_data_files` maintenance op):
         rewrite the current file set into ``target_partitions`` files per
@@ -350,6 +443,7 @@ class RelativeTable:
                 s["snapshot-id"] == meta.get("current-snapshot-id"),
             )
             for s in meta["snapshots"]
+            if not s.get("expired")
         ]
         return spark.createDataFrame(
             rows,

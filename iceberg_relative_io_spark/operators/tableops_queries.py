@@ -173,8 +173,33 @@ def q_jdbc_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(cat.load_view_sql(("analytics",), "npr"))
 
 
+def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance: three appends, then expire_snapshots(keep_last=1) —
+    old versions leave the time-travel surface (tombstoned ancestors keep
+    the incremental-manifest chain walk intact) while the current
+    snapshot's data is untouched, which is exactly what the oracle
+    checks."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_exp", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    for part in (
+        nation.filter(F.col("n_nationkey") < 8),
+        nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)),
+        nation.filter(F.col("n_nationkey") >= 16),
+    ):
+        table.append(part)
+    res = table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    assert res["expired"] == 2
+    assert [s.snapshot_id for s in table.snapshots(spark).collect()] == [3]
+    return table.read(spark)
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
+    "a18_expire_snapshots": q_expire_snapshots,
     "a32_partition_pruning": q_partition_pruning,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
@@ -190,6 +215,7 @@ ORACLE = {
         FROM lineitem WHERE l_returnflag = 'A'
     """,
     "a26_compaction": "SELECT * FROM nation",
+    "a18_expire_snapshots": "SELECT * FROM nation",
     "a39_jdbc_view_roundtrip": """
         SELECT r_name, count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey

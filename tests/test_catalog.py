@@ -368,3 +368,46 @@ def test_column_stats_file_skipping(spark, catalog, sf_dir):
     # pruning is a superset guarantee: every row <=400 must survive
     want = li.filter(F.col("l_orderkey") <= 400).count()
     assert got.filter(F.col("l_orderkey") <= 400).count() == want
+
+
+# -- maintenance: snapshot expiry + orphan cleanup ---------------------------------
+
+def test_expire_snapshots_tombstones_ancestors(spark, catalog, warehouse):
+    import glob
+
+    table = _make_table(spark, catalog, [(1, "a")], ns=("mx",), name="t")
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    res = table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    assert res["expired"] == 2
+    # current snapshot intact — every row still readable via the chain walk
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3]
+    # ancestors were needed by the retained head: nothing deletable
+    assert res["deleted_files"] == 0
+    # expired snapshots invisible + unreadable
+    assert [s.snapshot_id for s in table.snapshots(spark).collect()] == [3]
+    with pytest.raises(ValueError):
+        table.read(spark, snapshot_id=1)
+
+
+def test_expire_after_overwrite_deletes_shadowed_files(spark, catalog, warehouse):
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")], ns=("mo",), name="t")
+    table.overwrite(spark.createDataFrame([(9, "z")], "id long, name string"))
+    res = table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    # snapshot 1's files are shadowed by the overwrite and now deleted
+    assert res["expired"] == 1 and res["deleted_files"] >= 1
+    assert [r.id for r in table.read(spark).collect()] == [9]
+
+
+def test_remove_orphan_files(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("orf",), name="t")
+    # simulate a failed write: a data file no manifest references
+    orphan = f"{table.ops.location}/data/snap-deadbeef/part-orphan.parquet"
+    table.ops.io.write_bytes(orphan, b"junk")
+    deleted = table.remove_orphan_files()
+    assert orphan in deleted
+    assert not table.ops.io.exists(orphan)
+    # referenced data untouched
+    assert [r.id for r in table.read(spark).collect()] == [1]
