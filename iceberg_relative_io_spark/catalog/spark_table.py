@@ -116,7 +116,7 @@ class RelativeTable:
         except Exception:
             return {}
 
-    def _commit_snapshot(self, operation: str, added: list[dict]) -> dict:
+    def _commit_snapshot(self, operation: str, added: list[dict], branch: str = "main") -> dict:
         """Optimistic-concurrency snapshot commit with bounded retry.
 
         Manifests are *incremental*: each records only the files its
@@ -124,13 +124,26 @@ class RelativeTable:
         parent chain (append accumulates; overwrite/replace resets), so
         commit cost is O(added files), not O(total files) — at a million
         files per table, rewriting a cumulative list per commit would be
-        the scaling bug."""
+        the scaling bug.
+
+        ``branch`` selects which ref the new snapshot extends (reference
+        metadata models refs/branches the same way, README.md:68-72).
+        Snapshot ids are globally monotone across branches; only a commit
+        to 'main' moves current-snapshot-id."""
         last_err: Exception | None = None
         for _ in range(_COMMIT_RETRIES):
             meta = json.loads(json.dumps(self.ops.current()))  # deep copy
             base_version = self.ops.current_version()
-            parent = meta.get("current-snapshot-id")
-            snap_id = (parent or 0) + 1
+            refs = meta.setdefault("refs", {})
+            if branch == "main":
+                parent = refs.get("main", meta.get("current-snapshot-id"))
+            else:
+                if branch not in refs:
+                    raise ValueError(f"no such branch {branch!r}; create_branch first")
+                parent = refs[branch]
+            snap_id = max(
+                [s["snapshot-id"] for s in meta["snapshots"]] or [0]
+            ) + 1
             total = len(added)
             if operation == "append" and parent is not None:
                 total += len(self._data_files(meta, parent))
@@ -145,6 +158,7 @@ class RelativeTable:
                 "parent-snapshot-id": parent,
                 "timestamp-ms": now_ms,
                 "operation": operation,
+                "branch": branch,
                 # relative path, like the reference's manifest-list (README.md:96)
                 "manifest": manifest_loc,
                 "summary": {
@@ -154,8 +168,12 @@ class RelativeTable:
                 },
             }
             meta["snapshots"].append(snapshot)
-            meta["current-snapshot-id"] = snap_id
-            meta["snapshot-log"].append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
+            refs[branch] = snap_id
+            if branch == "main":
+                meta["current-snapshot-id"] = snap_id
+                meta["snapshot-log"].append(
+                    {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+                )
             meta["last-updated-ms"] = now_ms
             try:
                 self.ops.commit(base_version, meta)
@@ -169,15 +187,57 @@ class RelativeTable:
                     pass
         raise CommitFailedError(f"commit failed after {_COMMIT_RETRIES} retries: {last_err}")
 
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, branch: str = "main") -> dict:
         """B2: INSERT INTO — durable append producing a new snapshot."""
         _, entries = self._write_snapshot_files(df)
-        return self._commit_snapshot("append", entries)
+        return self._commit_snapshot("append", entries, branch)
 
-    def overwrite(self, df: DataFrame) -> dict:
+    def overwrite(self, df: DataFrame, branch: str = "main") -> dict:
         """INSERT OVERWRITE — snapshot whose file set is just the new files."""
         _, entries = self._write_snapshot_files(df)
-        return self._commit_snapshot("overwrite", entries)
+        return self._commit_snapshot("overwrite", entries, branch)
+
+    # -- row-level operations (MERGE / DELETE emulation) --------------------------
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level DELETE: rewrite the live rows that do NOT match the
+        condition as a 'delete' (chain-resetting) snapshot — copy-on-write
+        semantics, same model as Iceberg COW deletes."""
+        kept = self.read(spark).filter(~condition)
+        _, entries = self._write_snapshot_files(kept)
+        return self._commit_snapshot("delete", entries)
+
+    def merge(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> dict:
+        """MERGE INTO (upsert): target rows whose key collides with the
+        source are replaced; all source rows are inserted. Emulated as
+        anti-join + union + overwrite snapshot — the plan MERGE compiles
+        to in a copy-on-write table format."""
+        target = self.read(spark)
+        remaining = target.join(source.select(*key_cols), key_cols, "left_anti")
+        merged = remaining.unionByName(source)
+        _, entries = self._write_snapshot_files(merged)
+        return self._commit_snapshot("merge", entries)
+
+    # -- branches (refs) -----------------------------------------------------------
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a named ref at a snapshot (default: current head)."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists")
+            refs[name] = (
+                snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+            )
+            try:
+                self.ops.commit(base, meta)
+                return
+            except CommitFailedError:
+                self.ops._should_refresh = True
+        raise CommitFailedError(f"create_branch({name}) lost all commit races")
+
+    def branches(self) -> dict:
+        return dict(self.ops.current().get("refs", {}))
 
     # -- read path ---------------------------------------------------------------
     def _manifest_for(self, meta: dict, snapshot_id: int) -> dict:
@@ -265,6 +325,7 @@ class RelativeTable:
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
         column_ranges: dict | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """B4/B28: scan, optionally time-traveling to an old snapshot.
 
@@ -275,7 +336,13 @@ class RelativeTable:
         only the surviving files (the job Iceberg manifests + stats do).
         Range pruning is conservative: files without stats are kept."""
         meta = self.ops.current()
-        snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+        if branch is not None:
+            refs = meta.get("refs", {})
+            if branch not in refs:
+                raise ValueError(f"no such branch {branch!r}")
+            snap = refs[branch]
+        else:
+            snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
         schema = StructType.fromJson(meta["schema"])
         if snap is None:
             return spark.createDataFrame([], schema)
@@ -324,7 +391,12 @@ class RelativeTable:
             live = [s for s in meta["snapshots"] if not s.get("expired")]
             if len(live) <= keep_last:
                 return {"expired": 0, "deleted_files": 0}
-            retained = {s["snapshot-id"] for s in live[-keep_last:]}
+            # every ref head is always retained; keep_last applies to main
+            retained = {v for v in meta.get("refs", {}).values() if v is not None}
+            main_live = [s for s in live if s.get("branch", "main") == "main"]
+            retained.update(s["snapshot-id"] for s in main_live[-keep_last:])
+            if all(s["snapshot-id"] in retained for s in live):
+                return {"expired": 0, "deleted_files": 0}
             # manifests needed: every chain ancestor of a retained snapshot
             needed = set()
             for sid in retained:

@@ -197,9 +197,48 @@ def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (copy-on-write): remove region-0 nations; the
+    oracle states the surviving rows. Pre-delete snapshot remains
+    time-travelable (asserted in-query)."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_del", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(nation)
+    table.delete_where(spark, F.col("n_regionkey") == 0)
+    table.ops._should_refresh = True
+    assert table.read(spark, snapshot_id=1).count() == nation.count()
+    return table.read(spark)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): nations 0-4 get renamed, nation 990 inserted;
+    the oracle builds the same result set from the raw fixture."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_mrg", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(nation)
+    source = nation.filter(F.col("n_nationkey") < 5).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_V2")).alias("n_name"),
+        "n_regionkey",
+    ).unionByName(
+        spark.createDataFrame([(990, "NEWLAND", 0)], schema=nation.schema)
+    )
+    table.merge(spark, source, ["n_nationkey"])
+    table.ops._should_refresh = True
+    return table.read(spark)
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a18_expire_snapshots": q_expire_snapshots,
+    "a_row_delete": q_row_delete,
+    "a_merge_upsert": q_merge_upsert,
     "a32_partition_pruning": q_partition_pruning,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
@@ -216,6 +255,14 @@ ORACLE = {
     """,
     "a26_compaction": "SELECT * FROM nation",
     "a18_expire_snapshots": "SELECT * FROM nation",
+    "a_row_delete": "SELECT * FROM nation WHERE n_regionkey <> 0",
+    "a_merge_upsert": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5
+        UNION ALL
+        SELECT n_nationkey, n_name || '_V2', n_regionkey FROM nation WHERE n_nationkey < 5
+        UNION ALL
+        SELECT CAST(990 AS BIGINT), 'NEWLAND', 0
+    """,
     "a39_jdbc_view_roundtrip": """
         SELECT r_name, count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey

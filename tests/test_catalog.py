@@ -411,3 +411,57 @@ def test_remove_orphan_files(spark, catalog):
     assert not table.ops.io.exists(orphan)
     # referenced data untouched
     assert [r.id for r in table.read(spark).collect()] == [1]
+
+
+# -- row-level ops + branches --------------------------------------------------
+
+def test_delete_where_copy_on_write(spark, catalog):
+    from pyspark.sql import functions as F
+
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b"), (3, "c")], ns=("dw",), name="t")
+    table.delete_where(spark, F.col("id") == 2)
+    table.ops._should_refresh = True
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 3]
+    # pre-delete snapshot still time-travelable
+    assert sorted(r.id for r in table.read(spark, snapshot_id=1).collect()) == [1, 2, 3]
+    snaps = table.snapshots(spark).collect()
+    assert snaps[-1].operation == "delete"
+
+
+def test_merge_upsert(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")], ns=("mg",), name="t")
+    source = spark.createDataFrame([(2, "b2"), (9, "z")], "id long, name string")
+    table.merge(spark, source, ["id"])
+    table.ops._should_refresh = True
+    got = dict((r.id, r.name) for r in table.read(spark).collect())
+    assert got == {1: "a", 2: "b2", 9: "z"}
+
+
+def test_branches_isolate_writes(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("br",), name="t")
+    table.create_branch("audit")
+    table.ops._should_refresh = True
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"), branch="audit")
+    table.ops._should_refresh = True
+    # main unaffected by the branch write
+    assert sorted(r.id for r in table.read(spark).collect()) == [1]
+    assert sorted(r.id for r in table.read(spark, branch="audit").collect()) == [1, 2]
+    # main advances independently
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    table.ops._should_refresh = True
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 3]
+    assert sorted(r.id for r in table.read(spark, branch="audit").collect()) == [1, 2]
+    assert set(table.branches()) == {"main", "audit"}
+
+
+def test_expire_retains_branch_heads(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("bre",), name="t")
+    table.create_branch("keepme")
+    table.ops._should_refresh = True
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    # branch head (snapshot 1) must survive expiry and still read
+    assert sorted(r.id for r in table.read(spark, branch="keepme").collect()) == [1]
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3]
