@@ -17,6 +17,7 @@ relative-format table (see tests/test_streaming.py for that path).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -29,30 +30,49 @@ _EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
+# Stateful streaming creates one state-store instance per shuffle partition
+# per micro-batch; the partition count must be sized to STATE volume, not to
+# batch-query parallelism (on a cluster you raise this with state size —
+# it is fixed at first checkpoint, so pick it deliberately per stream).
+_STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+_STAGED: dict[tuple[str, bool], str] = {}
+
 
 def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
     """Materialize the events fixture (normalized µs timestamps) as a
-    parquet directory usable as a file-source stream."""
-    ev = load_table(spark, sf_dir, "events")
-    if doubled:
-        ev = ev.unionByName(ev)  # simulate at-least-once duplicate delivery
-    path = tempfile.mkdtemp(prefix="events_stream_")
-    ev.write.mode("overwrite").parquet(path)
-    return path
+    parquet directory usable as a file-source stream. Memoized per
+    (sf_dir, doubled) — the staged log is immutable input, shared by every
+    streaming query in the process."""
+    key = (sf_dir, doubled)
+    if key not in _STAGED:
+        ev = load_table(spark, sf_dir, "events")
+        if doubled:
+            ev = ev.unionByName(ev)  # simulate at-least-once duplicate delivery
+        path = tempfile.mkdtemp(prefix="events_stream_")
+        ev.write.mode("overwrite").parquet(path)
+        _STAGED[key] = path
+    return _STAGED[key]
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return stream_df.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTITIONS)
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
