@@ -1,0 +1,251 @@
+"""SQL front-end over the relative-path catalog.
+
+The reference is *driven entirely through SQL*: its README configures the
+catalog plugin and then runs ``CREATE TABLE`` / ``INSERT INTO`` /
+``SELECT *`` as plain Spark SQL statements (reference README.md:8-18).
+``RelativeSqlSession`` gives our catalog the same statement surface: DDL
+and DML against catalog-qualified names are dispatched to the catalog /
+table layer, and SELECTs are executed by Spark SQL itself after each
+``<catalog>.<ns…>.<table>`` reference is resolved through the catalog and
+registered as a temp view — so analysis, optimization, and execution stay
+entirely inside Catalyst; this module only does name resolution, exactly
+the division of labor the reference has with its SparkCatalog plugin.
+
+Supported statement surface (the README dialect plus the table features
+the format provides):
+
+- ``CREATE NAMESPACE [IF NOT EXISTS] cat.ns``
+- ``CREATE TABLE [IF NOT EXISTS] cat.ns.t (col type, …)
+  [PARTITIONED BY (col, …)]`` and ``CREATE TABLE … AS SELECT …``
+- ``INSERT INTO cat.ns.t VALUES (…), (…)`` / ``INSERT INTO … SELECT …``
+- ``SELECT …`` with any number of catalog-qualified references, each
+  optionally suffixed ``VERSION AS OF n`` (B28 time travel) or the
+  metadata tables ``cat.ns.t.snapshots`` / ``cat.ns.t.history`` (B29)
+- ``DROP TABLE [IF EXISTS] cat.ns.t [PURGE]``, ``DROP NAMESPACE cat.ns``
+- ``SHOW TABLES IN cat.ns``
+
+Known limitation (documented, not defended): qualified names are located
+lexically, so a string literal containing ``cat.ns.t`` would be rewritten
+too — the same class of caveat the README's SQL examples never hit.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from iceberg_relative_io_spark.catalog.fs_catalog import FsCatalog
+from iceberg_relative_io_spark.catalog.spark_table import RelativeTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class SqlParseError(ValueError):
+    pass
+
+
+class RelativeSqlSession:
+    def __init__(self, spark: SparkSession, warehouse: str, catalog_name: str = "test"):
+        self.spark = spark
+        self.catalog = FsCatalog(warehouse, name=catalog_name)
+        self.name = catalog_name
+        self._view_n = 0
+
+    # -- helpers ---------------------------------------------------------------
+    def _table(self, namespace: tuple[str, ...], name: str) -> RelativeTable:
+        return RelativeTable(self.catalog.load_table(namespace, name))
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "result string")
+
+    def _split_ident(self, dotted: str) -> tuple[tuple[str, ...], str]:
+        parts = dotted.split(".")
+        if parts[0] != self.name or len(parts) < 3:
+            raise SqlParseError(
+                f"identifier {dotted!r} is not a {self.name}-catalog table"
+            )
+        return tuple(parts[1:-1]), parts[-1]
+
+    # -- SELECT rewriting ------------------------------------------------------
+    def _resolve_refs(self, sql: str) -> str:
+        """Register every catalog-qualified reference as a temp view and
+        rewrite the SQL to use the view names."""
+        pattern = re.compile(
+            rf"\b{re.escape(self.name)}(?:\.{_IDENT}){{2,}}"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+            re.IGNORECASE,
+        )
+
+        def sub(m: re.Match) -> str:
+            dotted = m.group(0).split()[0]
+            version = m.group(1)
+            ts = m.group(2)
+            parts = dotted.split(".")
+            meta_view = None
+            if parts[-1].lower() in ("snapshots", "history") and len(parts) >= 4:
+                meta_view, parts = parts[-1].lower(), parts[:-1]
+            namespace, tname = tuple(parts[1:-1]), parts[-1]
+            table = self._table(namespace, tname)
+            if meta_view == "snapshots":
+                df = table.snapshots(self.spark)
+            elif meta_view == "history":
+                df = table.history(self.spark)
+            elif version is not None:
+                df = table.read(self.spark, snapshot_id=int(version))
+            elif ts is not None:
+                import datetime
+
+                ms = int(
+                    datetime.datetime.fromisoformat(ts).timestamp() * 1000
+                )
+                df = table.read(self.spark, as_of_timestamp_ms=ms)
+            else:
+                df = table.read(self.spark)
+            self._view_n += 1
+            view = f"__rel_{self.name}_{'_'.join(namespace)}_{tname}_{self._view_n}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pattern.sub(sub, sql)
+
+    # -- statement dispatch ----------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        stmt = statement.strip().rstrip(";").strip()
+        head = stmt.split(None, 2)
+        keyword = " ".join(head[:2]).upper() if len(head) >= 2 else stmt.upper()
+
+        if keyword.startswith("CREATE NAMESPACE"):
+            return self._create_namespace(stmt)
+        if keyword.startswith("CREATE TABLE"):
+            return self._create_table(stmt)
+        if keyword.startswith("INSERT INTO"):
+            return self._insert(stmt)
+        if keyword.startswith("DROP TABLE"):
+            return self._drop_table(stmt)
+        if keyword.startswith("DROP NAMESPACE"):
+            return self._drop_namespace(stmt)
+        if keyword.startswith("SHOW TABLES"):
+            return self._show_tables(stmt)
+        # everything else (SELECT / WITH …) runs in Spark SQL after
+        # catalog references are resolved to views
+        return self.spark.sql(self._resolve_refs(stmt))
+
+    # -- DDL -------------------------------------------------------------------
+    def _create_namespace(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        parts = m.group(2).split(".")
+        if parts[0] != self.name:
+            raise SqlParseError(f"unknown catalog {parts[0]!r}")
+        namespace = tuple(parts[1:])
+        try:
+            self.catalog.create_namespace(namespace)
+        except Exception:
+            if not m.group(1):
+                raise
+        return self._empty()
+
+    def _create_table(self, stmt: str) -> DataFrame:
+        ctas = re.fullmatch(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\b.*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ctas:
+            namespace, name = self._split_ident(ctas.group(2))
+            if ctas.group(1) and self.catalog.table_exists(namespace, name):
+                return self._empty()
+            df = self.spark.sql(self._resolve_refs(ctas.group(3)))
+            ops = self.catalog.create_table(namespace, name, df.schema.jsonValue())
+            RelativeTable(ops).append(df)
+            return self._empty()
+
+        m = re.fullmatch(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(2))
+        if m.group(1) and self.catalog.table_exists(namespace, name):
+            return self._empty()
+        schema = StructType.fromDDL(m.group(3))
+        partition_by = (
+            [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
+        )
+        self.catalog.create_table(
+            namespace, name, schema.jsonValue(), partition_by=partition_by
+        )
+        return self._empty()
+
+    def _drop_table(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)(\s+PURGE)?",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(2))
+        dropped = self.catalog.drop_table(namespace, name, purge=bool(m.group(3)))
+        if not dropped and not m.group(1):
+            raise ValueError(f"no such table {m.group(2)}")
+        return self._empty()
+
+    def _drop_namespace(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(r"DROP\s+NAMESPACE\s+([\w.]+)", stmt, re.IGNORECASE)
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        parts = m.group(1).split(".")
+        if parts[0] != self.name:
+            raise SqlParseError(f"unknown catalog {parts[0]!r}")
+        self.catalog.drop_namespace(tuple(parts[1:]))
+        return self._empty()
+
+    def _show_tables(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(r"SHOW\s+TABLES\s+IN\s+([\w.]+)", stmt, re.IGNORECASE)
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        parts = m.group(1).split(".")
+        if parts[0] != self.name:
+            raise SqlParseError(f"unknown catalog {parts[0]!r}")
+        names = self.catalog.list_tables(tuple(parts[1:]))
+        return self.spark.createDataFrame(
+            [(n,) for n in names], "tableName string"
+        )
+
+    # -- DML -------------------------------------------------------------------
+    def _insert(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"INSERT\s+INTO\s+([\w.]+)\s+(VALUES\b.*|SELECT\b.*|WITH\b.*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        table = self._table(namespace, name)
+        schema = table.schema()
+        body = m.group(2)
+        if body[:6].upper() == "VALUES":
+            cols = ", ".join(f.name for f in schema.fields)
+            df = self.spark.sql(f"SELECT * FROM ({body}) AS v({cols})")
+        else:
+            df = self.spark.sql(self._resolve_refs(body))
+            for field, col in zip(schema.fields, df.columns):
+                df = df.withColumnRenamed(col, field.name)
+        casted = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        table.append(casted)
+        return self._empty()

@@ -234,8 +234,40 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2-B4 through the SQL statement surface: the reference is driven by
+    plain SQL (reference README.md:14-18), so the engine exposes the same
+    CREATE/INSERT/SELECT dialect over the relative-path catalog, here
+    loading the nation fixture through INSERT INTO ... SELECT and reading
+    it back joined against a VALUES-inserted dimension."""
+    from iceberg_relative_io_spark.catalog import RelativeSqlSession
+
+    sess = RelativeSqlSession(spark, tempfile.mkdtemp(prefix="sqlwh_"), "test")
+    register_views(spark, sf_dir, ["nation"])
+    sess.sql("CREATE NAMESPACE test.ns")
+    sess.sql(
+        "CREATE TABLE test.ns.nation_sql "
+        "(n_nationkey bigint, n_name string, n_regionkey bigint)"
+    )
+    sess.sql(
+        "INSERT INTO test.ns.nation_sql "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    sess.sql("CREATE TABLE test.ns.tier (n_regionkey bigint, tier string)")
+    sess.sql(
+        "INSERT INTO test.ns.tier VALUES "
+        "(0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon')"
+    )
+    return sess.sql(
+        "SELECT n.n_nationkey, n.n_name, t.tier "
+        "FROM test.ns.nation_sql n JOIN test.ns.tier t "
+        "ON n.n_regionkey = t.n_regionkey"
+    )
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
+    "b04_sql_frontend": q_sql_frontend,
     "a18_expire_snapshots": q_expire_snapshots,
     "a_row_delete": q_row_delete,
     "a_merge_upsert": q_merge_upsert,
@@ -249,6 +281,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "b04_sql_frontend": """
+        WITH tier(n_regionkey, tier) AS (
+            VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon')
+        )
+        SELECT n.n_nationkey, n.n_name, t.tier
+        FROM nation n JOIN tier t ON n.n_regionkey = t.n_regionkey
+    """,
     "a32_partition_pruning": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_returnflag = 'A'
