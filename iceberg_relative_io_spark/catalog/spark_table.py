@@ -206,6 +206,18 @@ class RelativeTable:
         _, entries = self._write_snapshot_files(kept)
         return self._commit_snapshot("delete", entries)
 
+    def update_where(self, spark: SparkSession, condition, assignments: dict) -> dict:
+        """Row-level UPDATE: copy-on-write rewrite where matching rows get
+        each assignment column replaced (non-matching rows pass through
+        unchanged), committed as a chain-resetting 'update' snapshot."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark)
+        for col, expr_col in assignments.items():
+            df = df.withColumn(col, F.when(condition, expr_col).otherwise(F.col(col)))
+        _, entries = self._write_snapshot_files(df)
+        return self._commit_snapshot("update", entries)
+
     def merge(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> dict:
         """MERGE INTO (upsert): target rows whose key collides with the
         source are replaced; all source rows are inserted. Emulated as

@@ -23,6 +23,10 @@ the format provides):
   metadata tables ``cat.ns.t.snapshots`` / ``cat.ns.t.history`` (B29)
 - ``DROP TABLE [IF EXISTS] cat.ns.t [PURGE]``, ``DROP NAMESPACE cat.ns``
 - ``SHOW TABLES IN cat.ns``
+- row-level DML, copy-on-write like Iceberg's Spark extensions:
+  ``DELETE FROM cat.ns.t WHERE …``, ``UPDATE cat.ns.t SET c = e [WHERE …]``,
+  upsert-form ``MERGE INTO … USING … ON … WHEN MATCHED THEN UPDATE SET *
+  WHEN NOT MATCHED THEN INSERT *``, ``ALTER TABLE cat.ns.t ADD COLUMN c t``
 
 Known limitation (documented, not defended): qualified names are located
 lexically, so a string literal containing ``cat.ns.t`` would be rewritten
@@ -123,6 +127,14 @@ class RelativeSqlSession:
             return self._create_table(stmt)
         if keyword.startswith("INSERT INTO"):
             return self._insert(stmt)
+        if keyword.startswith("DELETE FROM"):
+            return self._delete(stmt)
+        if keyword.startswith("UPDATE"):
+            return self._update(stmt)
+        if keyword.startswith("MERGE INTO"):
+            return self._merge(stmt)
+        if keyword.startswith("ALTER TABLE"):
+            return self._alter_table(stmt)
         if keyword.startswith("DROP TABLE"):
             return self._drop_table(stmt)
         if keyword.startswith("DROP NAMESPACE"):
@@ -223,6 +235,106 @@ class RelativeSqlSession:
         return self.spark.createDataFrame(
             [(n,) for n in names], "tableName string"
         )
+
+    # -- row-level DML (copy-on-write, like Iceberg's Spark extensions) --------
+    def _delete(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        self._table(namespace, name).delete_where(self.spark, F.expr(m.group(2)))
+        return self._empty()
+
+    def _update(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        assignments = {}
+        for part in self._split_top_level(m.group(2)):
+            col, _, expr = part.partition("=")
+            assignments[col.strip()] = F.expr(expr.strip())
+        cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        self._table(namespace, name).update_where(self.spark, cond, assignments)
+        return self._empty()
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        """Split on commas not nested inside parentheses or quotes."""
+        parts, depth, start, quote = [], 0, 0, None
+        for i, ch in enumerate(s):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+        parts.append(s[start:])
+        return [p for p in (p.strip() for p in parts) if p]
+
+    def _merge(self, stmt: str) -> DataFrame:
+        """Upsert-form MERGE (the shape Iceberg's COW tables compile to):
+        WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *,
+        with an equi-key ON clause."""
+        m = re.fullmatch(
+            r"MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"USING\s+(\((?:.*)\)|[\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"ON\s+(.*?)\s+"
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(
+                f"cannot parse (only 'UPDATE SET * / INSERT *' MERGE is supported): {stmt!r}"
+            )
+        namespace, name = self._split_ident(m.group(1))
+        source_sql = m.group(3)
+        if source_sql.startswith("("):
+            source = self.spark.sql(self._resolve_refs(source_sql[1:-1]))
+        else:
+            s_ns, s_name = self._split_ident(source_sql)
+            source = self._table(s_ns, s_name).read(self.spark)
+        key_cols = []
+        for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.IGNORECASE):
+            lhs, _, rhs = clause.partition("=")
+            lcol = lhs.strip().split(".")[-1]
+            rcol = rhs.strip().split(".")[-1]
+            if lcol != rcol:
+                raise SqlParseError(
+                    f"MERGE ON clause must equate same-named key columns: {clause!r}"
+                )
+            key_cols.append(lcol)
+        self._table(namespace, name).merge(self.spark, source, key_cols)
+        return self._empty()
+
+    def _alter_table(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(\w+)\s+([\w()<>, ]+?)\s*\)?",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        table = self._table(namespace, name)
+        table.add_column(m.group(2), m.group(3))
+        return self._empty()
 
     # -- DML -------------------------------------------------------------------
     def _insert(self, stmt: str) -> DataFrame:

@@ -106,6 +106,38 @@ def test_partitioned_create_and_show_tables(sess):
     assert files and all(f["partition"]["kind"] == "click" for f in files)
 
 
+def test_delete_update_merge_alter(sess):
+    _readme_flow(sess)
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd'), (4, 'd', 'even')")
+
+    sess.sql("DELETE FROM test.my_ns.my_table WHERE id = 4")
+    assert {r.id for r in sess.sql("SELECT id FROM test.my_ns.my_table").collect()} == {1, 2, 3}
+
+    sess.sql("UPDATE test.my_ns.my_table SET data = upper(data) WHERE category = 'odd'")
+    rows = {
+        (r.id, r.data)
+        for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()
+    }
+    assert rows == {(1, "A"), (2, "b"), (3, "C")}
+
+    sess.sql(
+        "MERGE INTO test.my_ns.my_table t "
+        "USING (SELECT 2 AS id, 'bee' AS data, 'even' AS category "
+        "       UNION ALL SELECT 9, 'nine', 'odd') s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {
+        (r.id, r.data)
+        for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()
+    }
+    assert rows == {(1, "A"), (2, "bee"), (3, "C"), (9, "nine")}
+
+    sess.sql("ALTER TABLE test.my_ns.my_table ADD COLUMN score double")
+    out = sess.sql("SELECT id, score FROM test.my_ns.my_table WHERE id = 9")
+    assert [r.score for r in out.collect()] == [None]
+
+
 def test_drop_table_and_namespace(sess):
     sess.sql("CREATE NAMESPACE test.tmp")
     sess.sql("CREATE TABLE test.tmp.t (x int)")
