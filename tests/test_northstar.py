@@ -67,6 +67,15 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
     assert n_vecs >= N._IVF_MOD  # the quantizer rule yields >= 1 centroid
 
 
+def test_ivf_plan_broadcasts_probes(spark, sf_dir):
+    """The cell-pruned search must be a broadcast equi-join on cell id —
+    never a cartesian/nested-loop over the corpus."""
+    plan = N.q_ann_ivf(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_halves_doubled_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = N.q_exact_dedup(spark, sf_dir)
