@@ -539,3 +539,23 @@ class RelativeTable:
         meta = self.ops.current()
         rows = [(h["timestamp-ms"], h["snapshot-id"]) for h in meta["snapshot-log"]]
         return spark.createDataFrame(rows, "timestamp_ms long, snapshot_id long")
+
+    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The `.files` metadata table: the current (or given) snapshot's
+        live data files with their manifest-recorded size, row count, and
+        partition tuple — what Iceberg's files table exposes, and the
+        input a maintenance planner (compaction, orphan sweep) reads."""
+        import json as _json
+
+        rows = [
+            (
+                f["path"],
+                f["size-bytes"],
+                f.get("row-count"),
+                _json.dumps(f.get("partition", {}), sort_keys=True),
+            )
+            for f in self.scan_files(snapshot_id=snapshot_id)
+        ]
+        return spark.createDataFrame(
+            rows, "file_path string, size_bytes long, row_count long, partition string"
+        )

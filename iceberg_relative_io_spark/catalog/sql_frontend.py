@@ -19,8 +19,9 @@ the format provides):
   [PARTITIONED BY (col, …)]`` and ``CREATE TABLE … AS SELECT …``
 - ``INSERT INTO cat.ns.t VALUES (…), (…)`` / ``INSERT INTO … SELECT …``
 - ``SELECT …`` with any number of catalog-qualified references, each
-  optionally suffixed ``VERSION AS OF n`` (B28 time travel) or the
-  metadata tables ``cat.ns.t.snapshots`` / ``cat.ns.t.history`` (B29)
+  optionally suffixed ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'iso'``
+  (B28 time travel) or the metadata tables ``cat.ns.t.snapshots`` /
+  ``cat.ns.t.history`` / ``cat.ns.t.files`` (B29)
 - ``DROP TABLE [IF EXISTS] cat.ns.t [PURGE]``, ``DROP NAMESPACE cat.ns``
 - ``SHOW TABLES IN cat.ns``
 - row-level DML, copy-on-write like Iceberg's Spark extensions:
@@ -89,7 +90,7 @@ class RelativeSqlSession:
             ts = m.group(2)
             parts = dotted.split(".")
             meta_view = None
-            if parts[-1].lower() in ("snapshots", "history") and len(parts) >= 4:
+            if parts[-1].lower() in ("snapshots", "history", "files") and len(parts) >= 4:
                 meta_view, parts = parts[-1].lower(), parts[:-1]
             namespace, tname = tuple(parts[1:-1]), parts[-1]
             table = self._table(namespace, tname)
@@ -97,6 +98,8 @@ class RelativeSqlSession:
                 df = table.snapshots(self.spark)
             elif meta_view == "history":
                 df = table.history(self.spark)
+            elif meta_view == "files":
+                df = table.files(self.spark)
             elif version is not None:
                 df = table.read(self.spark, snapshot_id=int(version))
             elif ts is not None:

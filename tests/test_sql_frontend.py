@@ -65,6 +65,14 @@ def test_time_travel_and_snapshots_table(sess):
     assert now.count() == 3
     snaps = sess.sql("SELECT * FROM test.my_ns.my_table.snapshots")
     assert snaps.count() == 2  # two appends
+    files = sess.sql("SELECT * FROM test.my_ns.my_table.files").collect()
+    assert len(files) >= 2 and all(not r.file_path.startswith("/") for r in files)
+    assert sum(r.row_count for r in files) == 3
+    # TIMESTAMP AS OF far in the future resolves to the current snapshot
+    ts = sess.sql(
+        "SELECT * FROM test.my_ns.my_table TIMESTAMP AS OF '2099-01-01T00:00:00'"
+    )
+    assert ts.count() == 3
 
 
 def test_insert_select_and_ctas(sess):
