@@ -372,6 +372,59 @@ class RelativeTable:
         # writer physically split partition columns out of the files
         return df.select(*[f.name for f in schema.fields])
 
+    def incremental_files(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Manifest entries added strictly after ``from_snapshot_id`` up to
+        and including ``to_snapshot_id`` (default: current head). This is
+        the CDC read incremental manifests make O(changed files): walk the
+        parent chain, collect each append's added files. Raises if the
+        chain crosses a non-append snapshot (overwrite/delete/update reset
+        the file set, so 'rows added since' is no longer well-defined)."""
+        meta = self.ops.current()
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        if to_id is None:
+            return []
+        files: list[dict] = []
+        sid: int | None = to_id
+        while sid is not None and sid != from_snapshot_id:
+            snap = self._snapshot_entry(meta, sid)
+            if snap["operation"] != "append":
+                raise ValueError(
+                    f"snapshot {sid} is {snap['operation']!r}; incremental read "
+                    "requires an append-only chain"
+                )
+            files.append(self._manifest_for(meta, sid)["added-files"])
+            sid = snap["parent-snapshot-id"]
+        if sid is None and from_snapshot_id not in (None, 0):
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_id}"
+            )
+        return [f for manifest in reversed(files) for f in manifest]
+
+    def incremental_read(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows appended between two snapshots (exclusive, inclusive)."""
+        schema = self.schema()
+        entries = self.incremental_files(from_snapshot_id, to_snapshot_id)
+        if not entries:
+            return spark.createDataFrame([], schema)
+        files = [self.ops.io.absolute(f["path"]) for f in entries]
+        reader = spark.read.schema(schema)
+        if self.partition_spec:
+            reader = reader.option(
+                "basePath", self.ops.io.absolute(f"{self.ops.location}/data")
+            )
+        return reader.parquet(*files).select(*[f.name for f in schema.fields])
+
     def scan_files(
         self,
         snapshot_id: int | None = None,

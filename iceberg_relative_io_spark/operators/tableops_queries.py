@@ -265,9 +265,35 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 via Spark's Python DataSource API: the format is addressable as
+    spark.read.format('relative') — the PySpark-native analogue of the
+    reference's SparkCatalog plugin wiring (reference README.md:8-11).
+    The filter exercises manifest-level file skipping (pushFilters) and
+    Spark's row-level re-application of the same predicate."""
+    from iceberg_relative_io_spark.sources.relative_datasource import RelativeDataSource
+
+    spark.dataSource.register(RelativeDataSource)
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    ops = cat.create_table(("ns",), "orders_ds", src.schema.jsonValue())
+    RelativeTable(ops).append(src)
+    return (
+        spark.read.format("relative")
+        .option("warehouse", cat.warehouse)
+        .option("table", "ns.orders_ds")
+        .load()
+        .filter(F.col("o_orderstatus") == "F")
+    )
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "b04_sql_frontend": q_sql_frontend,
+    "b01_python_datasource": q_python_datasource,
     "a18_expire_snapshots": q_expire_snapshots,
     "a_row_delete": q_row_delete,
     "a_merge_upsert": q_merge_upsert,
@@ -281,6 +307,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "b01_python_datasource": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
     "b04_sql_frontend": """
         WITH tier(n_regionkey, tier) AS (
             VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon')

@@ -32,6 +32,8 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDF / toPandas paths
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # let the Python DataSource receive Catalyst filters for file skipping
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

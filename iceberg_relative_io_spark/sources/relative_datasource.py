@@ -1,0 +1,264 @@
+"""Python DataSource (Spark DSv2-style) integration for the relative-path
+table format.
+
+The reference plugs its format into Spark through the Iceberg connector's
+``SparkCatalog`` (reference README.md:8-11); the PySpark-native analogue
+is Spark 4's Python DataSource API. Registering :class:`RelativeDataSource`
+makes the format addressable with stock reader/writer/stream syntax:
+
+    spark.dataSource.register(RelativeDataSource)
+    spark.read.format("relative")
+         .option("warehouse", wh).option("table", "ns.t").load()
+    df.write.format("relative").options(...).mode("append").save()
+    spark.readStream.format("relative").options(...).load()
+
+and each half maps onto the format's native strengths:
+
+- **batch read**: one ``InputPartition`` per data file, planned from the
+  snapshot's manifest; ``pushFilters`` turns Catalyst filters into
+  manifest min/max + partition-tuple pruning, so skipped files are never
+  opened by any executor (the Iceberg scan-planning role). All filters
+  are also returned to Spark, which re-applies them row-level — pruning
+  is an optimization, never a semantics change.
+- **batch write**: Spark's two-phase writer protocol IS the table
+  format's commit protocol — executors each write a parquet file and
+  report (path, size) commit messages; the driver turns the messages
+  into a manifest and commits the snapshot pointer with the atomic CAS.
+- **stream read**: snapshot tailing. The offset is a snapshot id; each
+  micro-batch is ``incremental_files(start, end)`` — the CDC read the
+  incremental manifests make O(changed files). Driver-side row transport
+  (SimpleDataSourceStreamReader) is plenty for a tailing control stream;
+  a partition-planning DataSourceStreamReader is the drop-in upgrade if
+  a tailed table ever carries bulk data.
+
+Partitioned tables: the batch reader re-attaches hive partition columns
+from the manifest's partition tuples; the writer and stream reader
+require unpartitioned tables (use ``RelativeTable.append`` for
+partition-aware writes).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _load_table(options):
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+
+    dotted = options["table"].split(".")
+    cat = FsCatalog(options["warehouse"])
+    return RelativeTable(cat.load_table(tuple(dotted[:-1]), dotted[-1]))
+
+
+@dataclass
+class FilePartition(InputPartition):
+    path: str  # relative to the warehouse
+    partition_json: str
+
+
+@dataclass
+class FileCommit(WriterCommitMessage):
+    rel_path: str
+    size: int
+
+
+class RelativeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "relative"
+
+    def schema(self) -> StructType:
+        return _load_table(self.options).schema()
+
+    def reader(self, schema: StructType) -> "RelativeBatchReader":
+        return RelativeBatchReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "RelativeWriter":
+        return RelativeWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "RelativeStreamReader":
+        return RelativeStreamReader(self.options, schema)
+
+
+class RelativeBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.schema = schema
+        self.io = _load_table(options).ops.io
+        self.snapshot_id = (
+            int(options["snapshot_id"]) if "snapshot_id" in options else None
+        )
+        self.partition_filter: dict = {}
+        self.column_ranges: dict = {}
+        self._part_cols = _load_table(options).partition_spec
+
+    def pushFilters(self, filters):
+        """Use supported comparisons for file skipping; hand every filter
+        back so Spark still applies them to the rows we do return."""
+        for f in filters:
+            col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
+            value = getattr(f, "value", None)
+            # footer stats are JSON scalars; only same-type comparables are safe
+            if col is not None and isinstance(value, (int, float, str)):
+                if isinstance(f, EqualTo):
+                    if col in self._part_cols:
+                        self.partition_filter[col] = value
+                    self._narrow(col, value, value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._narrow(col, value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._narrow(col, None, value)
+            yield f
+
+    def _narrow(self, col: str, lo, hi) -> None:
+        old_lo, old_hi = self.column_ranges.get(col, (None, None))
+        self.column_ranges[col] = (
+            lo if old_lo is None else (old_lo if lo is None else max(old_lo, lo)),
+            hi if old_hi is None else (old_hi if hi is None else min(old_hi, hi)),
+        )
+
+    def partitions(self):
+        entries = _load_table(self.options).scan_files(
+            snapshot_id=self.snapshot_id,
+            partition_filter=self.partition_filter or None,
+            column_ranges=self.column_ranges or None,
+        )
+        return [
+            FilePartition(e["path"], json.dumps(e.get("partition", {})))
+            for e in entries
+        ]
+
+    def read(self, partition: FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(
+            self.io._fs_path(partition.path), filesystem=self.io.fs
+        )
+        part_values = json.loads(partition.partition_json)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                # partition column physically split out of the file:
+                # re-attach as a constant from the manifest's tuple
+                raw = pa.array([part_values[field.name]] * len(tbl), pa.string())
+                cols.append(raw.cast(field.type))
+        yield from pa.table(dict(zip(target.names, cols))).cast(target).to_batches()
+
+
+class RelativeWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        table = _load_table(options)
+        if table.partition_spec:
+            raise ValueError(
+                "the 'relative' writer appends unpartitioned files; use "
+                "RelativeTable.append for partition-spec tables"
+            )
+        self.options = options
+        self.io = table.ops.io
+        self.snap_dir = table.ops.data_location(f"snap-{uuid.uuid4()}")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor side: stream this task's record batches into one
+        parquet file under the (driver-chosen) snapshot dir."""
+        import pyarrow.parquet as pq
+
+        rel = f"{self.snap_dir}/part-{uuid.uuid4().hex}.parquet"
+        fs_path = self.io._fs_path(rel)
+        self.io.fs.create_dir(self.io._fs_path(self.snap_dir), recursive=True)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    fs_path, batch.schema, filesystem=self.io.fs
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return FileCommit("", 0)
+        writer.close()
+        size = self.io.fs.get_file_info(fs_path).size
+        return FileCommit(rel, size)
+
+    def commit(self, messages):
+        """Driver side: commit messages -> manifest entries -> snapshot."""
+        table = _load_table(self.options)
+        entries = []
+        for m in messages:
+            if m is None or not m.rel_path:
+                continue
+            entry = {"path": m.rel_path, "size-bytes": m.size}
+            entry.update(table._file_stats(m.rel_path))
+            entries.append(entry)
+        table._commit_snapshot("overwrite" if self.overwrite else "append", entries)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    self.io.delete_file(m.rel_path)
+                except Exception:
+                    pass
+
+
+class RelativeStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.schema = schema
+        if _load_table(options).partition_spec:
+            raise ValueError("streaming a partition-spec table is not supported")
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": 0}
+
+    def read(self, start: dict):
+        table = _load_table(self.options)
+        current = table.ops.current().get("current-snapshot-id") or 0
+        if current == start["snapshot_id"]:
+            return iter([]), start
+        end = {"snapshot_id": current}
+        return iter(self.readBetweenOffsets(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # list-backed (not a generator): Spark pickles the batch for its
+        # prefetch cache / replay log, and generators don't pickle
+        import pyarrow.parquet as pq
+
+        table = _load_table(self.options)
+        entries = table.incremental_files(
+            start["snapshot_id"] or None, end["snapshot_id"]
+        )
+        names = [f.name for f in self.schema.fields]
+        rows = []
+        for entry in entries:
+            tbl = pq.read_table(
+                table.ops.io._fs_path(entry["path"]), filesystem=table.ops.io.fs
+            )
+            rows.extend(
+                tuple(row[n] for n in names) for row in tbl.select(names).to_pylist()
+            )
+        return iter(rows)

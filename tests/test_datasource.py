@@ -1,0 +1,169 @@
+"""Python DataSource integration: spark.read/write/readStream over the
+relative-path format (the PySpark-native analogue of the reference's
+SparkCatalog plugin wiring, reference README.md:8-11)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+from iceberg_relative_io_spark.sources.relative_datasource import (
+    RelativeBatchReader,
+    RelativeDataSource,
+)
+
+
+@pytest.fixture()
+def wh(spark):
+    spark.dataSource.register(RelativeDataSource)
+    return tempfile.mkdtemp(prefix="dswh_")
+
+
+def _make_table(spark, wh, name="t", partition_by=None, rows=None):
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        rows or [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "id long, data string, kind string",
+    )
+    ops = cat.create_table(("ns",), name, df.schema.jsonValue(), partition_by=partition_by)
+    table = RelativeTable(ops)
+    table.append(df)
+    return table
+
+
+def test_batch_read_matches_table_read(spark, wh):
+    table = _make_table(spark, wh)
+    df = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.t")
+        .load()
+    )
+    assert sorted(df.collect()) == sorted(table.read(spark).collect())
+
+
+def test_batch_read_time_travel(spark, wh):
+    table = _make_table(spark, wh)
+    table.append(spark.createDataFrame([(9, "z", "q")], table.schema()))
+    v1 = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.t")
+        .option("snapshot_id", "1")
+        .load()
+    )
+    assert v1.count() == 3
+
+
+def test_partitioned_read_attaches_partition_column(spark, wh):
+    _make_table(spark, wh, name="p", partition_by=["kind"])
+    df = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.p")
+        .load()
+    )
+    rows = {(r.id, r.kind) for r in df.collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, "x")}
+
+
+def test_push_filters_prune_files(spark, wh):
+    """Two appends with disjoint id ranges -> a pushed id filter must plan
+    strictly fewer file partitions, and results stay exact."""
+    from pyspark.sql.datasource import GreaterThan
+
+    table = _make_table(spark, wh, name="pf")
+    table.append(
+        spark.createDataFrame([(100, "h", "z"), (101, "i", "z")], table.schema())
+    )
+    opts = {"warehouse": wh, "table": "ns.pf"}
+    reader = RelativeBatchReader(opts, table.schema())
+    all_parts = reader.partitions()
+
+    reader2 = RelativeBatchReader(opts, table.schema())
+    returned = list(reader2.pushFilters([GreaterThan(("id",), 50)]))
+    assert len(returned) == 1  # every filter handed back for row-level apply
+    pruned = reader2.partitions()
+    assert 0 < len(pruned) < len(all_parts)
+
+    df = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.pf")
+        .load()
+        .filter(F.col("id") > 50)
+    )
+    assert {r.id for r in df.collect()} == {100, 101}
+
+
+def test_write_append_through_datasource(spark, wh):
+    table = _make_table(spark, wh, name="w")
+    extra = spark.createDataFrame([(7, "g", "w"), (8, "h", "w")], table.schema())
+    (
+        extra.write.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.w")
+        .mode("append")
+        .save()
+    )
+    # metadata is cached lazily (reference semantics): re-load to observe
+    # the externally-committed snapshot
+    fresh = RelativeTable(FsCatalog(wh).load_table(("ns",), "w"))
+    assert fresh.read(spark).count() == 5
+    snaps = fresh.snapshots(spark).collect()
+    assert [s.operation for s in snaps] == ["append", "append"]
+    # commit recorded footer stats for the new files
+    files = fresh.scan_files()
+    assert all("row-count" in f for f in files)
+
+
+def test_write_overwrite_through_datasource(spark, wh):
+    table = _make_table(spark, wh, name="ow")
+    repl = spark.createDataFrame([(42, "only", "r")], table.schema())
+    (
+        repl.write.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.ow")
+        .mode("overwrite")
+        .save()
+    )
+    fresh = RelativeTable(FsCatalog(wh).load_table(("ns",), "ow"))
+    assert [r.id for r in fresh.read(spark).collect()] == [42]
+
+
+def test_stream_tails_snapshots(spark, wh):
+    table = _make_table(spark, wh, name="s")
+    stream = (
+        spark.readStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.s")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ds_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("tail_sink").count() == 3
+        table.append(spark.createDataFrame([(10, "j", "n")], table.schema()))
+        q.processAllAvailable()
+        assert spark.table("tail_sink").count() == 4
+    finally:
+        q.stop()
+
+
+def test_incremental_read_and_append_only_guard(spark, wh):
+    table = _make_table(spark, wh, name="cdc")
+    table.append(spark.createDataFrame([(4, "d", "z")], table.schema()))
+    inc = table.incremental_read(spark, 1)
+    assert [r.id for r in inc.collect()] == [4]
+    assert table.incremental_read(spark, 2).count() == 0
+    table.delete_where(spark, F.col("id") == 1)
+    with pytest.raises(ValueError, match="append-only"):
+        table.incremental_files(1)
