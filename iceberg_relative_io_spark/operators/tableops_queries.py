@@ -276,8 +276,10 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(RelativeDataSource)
     cat = _fresh_catalog()
     cat.create_namespace(("ns",))
-    src = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
     ops = cat.create_table(("ns",), "orders_ds", src.schema.jsonValue())
     RelativeTable(ops).append(src)
@@ -309,7 +311,7 @@ QUERIES = {
 ORACLE = {
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-        FROM orders WHERE o_orderstatus = 'F'
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'
     """,
     "b04_sql_frontend": """
         WITH tier(n_regionkey, tier) AS (
