@@ -116,7 +116,13 @@ class RelativeTable:
         except Exception:
             return {}
 
-    def _commit_snapshot(self, operation: str, added: list[dict], branch: str = "main") -> dict:
+    def _commit_snapshot(
+        self,
+        operation: str,
+        added: list[dict],
+        branch: str = "main",
+        extra_summary: dict | None = None,
+    ) -> dict:
         """Optimistic-concurrency snapshot commit with bounded retry.
 
         Manifests are *incremental*: each records only the files its
@@ -165,6 +171,7 @@ class RelativeTable:
                     "added-data-files": str(len(added)),
                     "added-files-size": str(sum(f["size-bytes"] for f in added)),
                     "total-data-files": str(total),
+                    **(extra_summary or {}),
                 },
             }
             meta["snapshots"].append(snapshot)

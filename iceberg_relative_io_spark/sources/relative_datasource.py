@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -95,6 +96,9 @@ class RelativeDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "RelativeStreamReader":
         return RelativeStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "RelativeStreamWriter":
+        return RelativeStreamWriter(self.options, schema, overwrite)
 
 
 class RelativeBatchReader(DataSourceReader):
@@ -217,6 +221,68 @@ class RelativeWriter(DataSourceArrowWriter):
         table._commit_snapshot("overwrite" if self.overwrite else "append", entries)
 
     def abort(self, messages):
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    self.io.delete_file(m.rel_path)
+                except Exception:
+                    pass
+
+
+class RelativeStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream sink: every micro-batch commits one append snapshot
+    through the same two-phase protocol as the batch writer. Replayed
+    batches (restart between executor write and sink commit) are deduped
+    by recording the batch id in the snapshot summary — the standard
+    idempotent-sink contract Structured Streaming expects."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        table = _load_table(options)
+        if table.partition_spec:
+            raise ValueError(
+                "the 'relative' stream writer appends unpartitioned files"
+            )
+        self.options = options
+        self.io = table.ops.io
+        self.data_root = table.ops.data_location("stream")
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        rel = f"{self.data_root}/part-{uuid.uuid4().hex}.parquet"
+        self.io.fs.create_dir(self.io._fs_path(self.data_root), recursive=True)
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    self.io._fs_path(rel), batch.schema, filesystem=self.io.fs
+                )
+            writer.write_batch(batch)
+        if writer is None:
+            return FileCommit("", 0)
+        writer.close()
+        return FileCommit(rel, self.io.fs.get_file_info(self.io._fs_path(rel)).size)
+
+    def commit(self, messages, batchId: int) -> None:
+        table = _load_table(self.options)
+        already = {
+            s["summary"].get("stream-batch-id")
+            for s in table.ops.current()["snapshots"]
+        }
+        if str(batchId) in already:
+            return  # replayed batch: snapshot already committed
+        entries = []
+        for m in messages:
+            if m is None or not m.rel_path:
+                continue
+            entry = {"path": m.rel_path, "size-bytes": m.size}
+            entry.update(table._file_stats(m.rel_path))
+            entries.append(entry)
+        table._commit_snapshot(
+            "append", entries, extra_summary={"stream-batch-id": str(batchId)}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and m.rel_path:
                 try:

@@ -158,6 +158,37 @@ def test_stream_tails_snapshots(spark, wh):
         q.stop()
 
 
+def test_stream_write_table_to_table(spark, wh):
+    """The format on both ends of a stream: tail table A's snapshots and
+    sink each micro-batch as an append snapshot into table B."""
+    table_a = _make_table(spark, wh, name="src_t")
+    cat = FsCatalog(wh)
+    ops_b = cat.create_table(("ns",), "dst_t", table_a.schema().jsonValue())
+    stream = (
+        spark.readStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.src_t")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.dst_t")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dsw_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        table_a.append(spark.createDataFrame([(10, "j", "n")], table_a.schema()))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fresh_b = RelativeTable(FsCatalog(wh).load_table(("ns",), "dst_t"))
+    assert {r.id for r in fresh_b.read(spark).collect()} == {1, 2, 3, 10}
+    summaries = [s["summary"] for s in fresh_b.ops.current()["snapshots"]]
+    assert all("stream-batch-id" in s for s in summaries)
+
+
 def test_incremental_read_and_append_only_guard(spark, wh):
     table = _make_table(spark, wh, name="cdc")
     table.append(spark.createDataFrame([(4, "d", "z")], table.schema()))
