@@ -73,6 +73,7 @@ class RelativeTable:
             writer = writer.partitionBy(*spec)
         writer.parquet(abs_dir)
         entries = []
+        column_ids = self.ops.current().get("column-ids")
         for fi in self.ops.io.list_prefix(snap_dir):
             name = fi.location.rsplit("/", 1)[-1]
             if name.startswith("_") or name.startswith("."):
@@ -80,6 +81,10 @@ class RelativeTable:
             entry = {"path": fi.location, "size-bytes": fi.size}
             if spec:
                 entry["partition"] = self._partition_values(fi.location)
+            if column_ids:
+                # name-as-written -> stable id: lets a future read map this
+                # file's physical columns onto a renamed/evolved schema
+                entry["column-ids"] = dict(column_ids)
             entry.update(self._file_stats(fi.location))
             entries.append(entry)
         return snap_dir, entries
@@ -366,18 +371,58 @@ class RelativeTable:
         if snap is None:
             return spark.createDataFrame([], schema)
         entries = self._prune(self._data_files(meta, snap), partition_filter, column_ranges)
-        files = [self.ops.io.absolute(f["path"]) for f in entries]
-        if not files:
+        return self._read_entries(spark, meta, schema, entries)
+
+    def _read_entries(
+        self, spark: SparkSession, meta: dict, schema: StructType, entries: list[dict]
+    ) -> DataFrame:
+        """Scan a set of manifest entries under the current schema.
+
+        Files are grouped by the column-id mapping recorded at their write
+        time; each group reads with its own physical names and is aliased
+        onto the current logical schema by id (renamed columns resolve,
+        ids absent from the file — added or dropped-and-readded later —
+        surface NULL). An unevolved table is one group with an identity
+        mapping: exactly the single-scan fast path."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField
+
+        if not entries:
             return spark.createDataFrame([], schema)
-        reader = spark.read.schema(schema)
-        if self.partition_spec:
-            # basePath keeps hive-style partition columns visible when
-            # addressing files directly
-            reader = reader.option("basePath", self.ops.io.absolute(f"{self.ops.location}/data"))
-        df = reader.parquet(*files)
-        # present columns in declared-schema order regardless of how the
-        # writer physically split partition columns out of the files
-        return df.select(*[f.name for f in schema.fields])
+        cur_ids = meta.get("column-ids") or {}
+        groups: dict[str, list[dict]] = {}
+        for e in entries:
+            key = json.dumps(e.get("column-ids"), sort_keys=True)
+            groups.setdefault(key, []).append(e)
+
+        base_path = self.ops.io.absolute(f"{self.ops.location}/data")
+        parts: list[DataFrame] = []
+        for key, es in groups.items():
+            file_ids = json.loads(key)
+            files = [self.ops.io.absolute(f["path"]) for f in es]
+            if not file_ids or not cur_ids:
+                # legacy entries: written with the current logical names
+                reader = spark.read.schema(schema)
+                if self.partition_spec:
+                    reader = reader.option("basePath", base_path)
+                parts.append(reader.parquet(*files).select(*[f.name for f in schema.fields]))
+                continue
+            id_to_phys = {v: k for k, v in file_ids.items()}
+            read_fields, select_cols = [], []
+            for f in schema.fields:
+                phys = id_to_phys.get(cur_ids.get(f.name))
+                if phys is None:
+                    select_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                else:
+                    read_fields.append(StructField(phys, f.dataType, True))
+                    select_cols.append(F.col(phys).alias(f.name))
+            reader = spark.read.schema(StructType(read_fields))
+            if self.partition_spec:
+                reader = reader.option("basePath", base_path)
+            parts.append(reader.parquet(*files).select(*select_cols))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def incremental_files(
         self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
@@ -420,17 +465,10 @@ class RelativeTable:
         to_snapshot_id: int | None = None,
     ) -> DataFrame:
         """Rows appended between two snapshots (exclusive, inclusive)."""
-        schema = self.schema()
+        meta = self.ops.current()
+        schema = StructType.fromJson(meta["schema"])
         entries = self.incremental_files(from_snapshot_id, to_snapshot_id)
-        if not entries:
-            return spark.createDataFrame([], schema)
-        files = [self.ops.io.absolute(f["path"]) for f in entries]
-        reader = spark.read.schema(schema)
-        if self.partition_spec:
-            reader = reader.option(
-                "basePath", self.ops.io.absolute(f"{self.ops.location}/data")
-            )
-        return reader.parquet(*files).select(*[f.name for f in schema.fields])
+        return self._read_entries(spark, meta, schema, entries)
 
     def scan_files(
         self,
@@ -556,21 +594,76 @@ class RelativeTable:
         """Additive schema evolution: new nullable column in metadata only.
         Old data files are untouched; the declared-schema read surfaces
         NULL for them (schema-on-read reconciliation, mirroring the
-        reference format's metadata-driven schema, SURVEY.md §1.3)."""
-        for _ in range(_COMMIT_RETRIES):
-            meta = json.loads(json.dumps(self.ops.current()))
-            base = self.ops.current_version()
+        reference format's metadata-driven schema, SURVEY.md §1.3). The
+        column gets a fresh id — ids are never reused, so a previously
+        dropped column of the same name cannot resurface old values."""
+
+        def mutate(meta: dict) -> None:
             if any(f["name"] == name for f in meta["schema"]["fields"]):
                 raise ValueError(f"column {name} already exists")
             meta["schema"]["fields"].append(
                 {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
             )
+            if "column-ids" in meta:
+                meta["last-column-id"] = meta.get("last-column-id", 0) + 1
+                meta["column-ids"][name] = meta["last-column-id"]
+
+        self._evolve(f"add_column({name})", mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename: the name moves, the column id stays, so
+        files from every era read correctly under the new name."""
+
+        def mutate(meta: dict) -> None:
+            if "column-ids" not in meta:
+                raise ValueError(
+                    "table predates column-id metadata; rename is unsupported"
+                )
+            if old in meta.get("partition-spec", []):
+                raise ValueError(f"cannot rename partition column {old!r}")
+            fields = meta["schema"]["fields"]
+            if not any(f["name"] == old for f in fields):
+                raise ValueError(f"no such column {old!r}")
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} already exists")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            meta["column-ids"][new] = meta["column-ids"].pop(old)
+
+        self._evolve(f"rename_column({old}->{new})", mutate)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only drop; the id is retired, never reused."""
+
+        def mutate(meta: dict) -> None:
+            if "column-ids" not in meta:
+                raise ValueError(
+                    "table predates column-id metadata; drop is unsupported"
+                )
+            if name in meta.get("partition-spec", []):
+                raise ValueError(f"cannot drop partition column {name!r}")
+            fields = meta["schema"]["fields"]
+            if not any(f["name"] == name for f in fields):
+                raise ValueError(f"no such column {name!r}")
+            if len(fields) == 1:
+                raise ValueError("cannot drop the last column")
+            meta["schema"]["fields"] = [f for f in fields if f["name"] != name]
+            meta["column-ids"].pop(name, None)
+
+        self._evolve(f"drop_column({name})", mutate)
+
+    def _evolve(self, what: str, mutate) -> None:
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            mutate(meta)
             try:
                 self.ops.commit(base, meta)
                 return
             except CommitFailedError:
                 self.ops._should_refresh = True
-        raise CommitFailedError(f"add_column({name}) lost {_COMMIT_RETRIES} races")
+        raise CommitFailedError(f"{what} lost {_COMMIT_RETRIES} races")
 
     # -- metadata introspection (B29) -----------------------------------------------
     def snapshots(self, spark: SparkSession) -> DataFrame:

@@ -327,17 +327,34 @@ class RelativeSqlSession:
         return self._empty()
 
     def _alter_table(self, stmt: str) -> DataFrame:
-        m = re.fullmatch(
+        add = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(\w+)\s+([\w()<>, ]+?)\s*\)?",
             stmt,
             re.IGNORECASE,
         )
-        if not m:
-            raise SqlParseError(f"cannot parse: {stmt!r}")
-        namespace, name = self._split_ident(m.group(1))
-        table = self._table(namespace, name)
-        table.add_column(m.group(2), m.group(3))
-        return self._empty()
+        if add:
+            namespace, name = self._split_ident(add.group(1))
+            self._table(namespace, name).add_column(add.group(2), add.group(3))
+            return self._empty()
+        ren = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if ren:
+            namespace, name = self._split_ident(ren.group(1))
+            self._table(namespace, name).rename_column(ren.group(2), ren.group(3))
+            return self._empty()
+        drop = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if drop:
+            namespace, name = self._split_ident(drop.group(1))
+            self._table(namespace, name).drop_column(drop.group(2))
+            return self._empty()
+        raise SqlParseError(f"cannot parse: {stmt!r}")
 
     # -- DML -------------------------------------------------------------------
     def _insert(self, stmt: str) -> DataFrame:

@@ -55,12 +55,19 @@ def new_table_metadata(
 ) -> dict:
     """Fresh metadata document. ``location`` is *relative* — the
     reference's core trick (README.md:27, HadoopRelativeCatalog.java:202-210)."""
+    fields = schema_json.get("fields", [])
     return {
         "format-version": FORMAT_VERSION,
         "table-uuid": str(uuid.uuid4()),
         "location": table_location,
         "last-updated-ms": int(time.time() * 1000),
         "schema": schema_json,
+        # stable per-column ids (Iceberg's id-based evolution model,
+        # SURVEY.md §1.3): renames move the name, never the id; dropped
+        # ids are never reused, so re-adding a name can't resurrect old
+        # values from pre-drop data files
+        "column-ids": {f["name"]: i + 1 for i, f in enumerate(fields)},
+        "last-column-id": len(fields),
         "partition-spec": list(partition_by or []),
         "properties": dict(properties or {}),
         "current-snapshot-id": None,

@@ -329,6 +329,33 @@ def test_schema_evolution_add_column(spark, catalog):
     assert rows[1] is None, "pre-evolution rows must read NULL for the new column"
 
 
+def test_schema_evolution_rename_column(spark, catalog):
+    """Id-based rename: files written before AND after the rename read
+    correctly under the new logical name."""
+    table = _make_table(spark, catalog, [(1, "a")], ns=("ev",), name="ren")
+    table.rename_column("name", "label")
+    table.ops._should_refresh = True
+    table.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    rows = {r.id: r.label for r in table.read(spark).collect()}
+    assert rows == {1: "a", 2: "b"}
+    with pytest.raises(ValueError, match="no such column"):
+        table.rename_column("name", "x")
+
+
+def test_schema_evolution_drop_then_readd_does_not_resurrect(spark, catalog):
+    """The Iceberg id-semantics test: drop a column, re-add the same name
+    — values written before the drop must NOT resurface."""
+    table = _make_table(spark, catalog, [(1, "old")], ns=("ev",), name="dr")
+    table.drop_column("name")
+    table.ops._should_refresh = True
+    assert table.read(spark).columns == ["id"]
+    table.add_column("name", "string")
+    table.ops._should_refresh = True
+    table.append(spark.createDataFrame([(2, "new")], "id long, name string"))
+    rows = {r.id: r.name for r in table.read(spark).collect()}
+    assert rows == {1: None, 2: "new"}, "pre-drop values must stay buried"
+
+
 def test_incremental_manifests_store_only_added(spark, catalog):
     """Commit cost must be O(added files): each manifest records only its
     snapshot's additions; the live set comes from the parent-chain walk."""

@@ -145,6 +145,16 @@ def test_delete_update_merge_alter(sess):
     out = sess.sql("SELECT id, score FROM test.my_ns.my_table WHERE id = 9")
     assert [r.score for r in out.collect()] == [None]
 
+    sess.sql("ALTER TABLE test.my_ns.my_table RENAME COLUMN data TO payload")
+    rows = {
+        (r.id, r.payload)
+        for r in sess.sql("SELECT id, payload FROM test.my_ns.my_table").collect()
+    }
+    assert rows == {(1, "A"), (2, "bee"), (3, "C"), (9, "nine")}
+    sess.sql("ALTER TABLE test.my_ns.my_table DROP COLUMN score")
+    cols = sess.sql("SELECT * FROM test.my_ns.my_table").columns
+    assert cols == ["id", "payload", "category"]
+
 
 def test_drop_table_and_namespace(sess):
     sess.sql("CREATE NAMESPACE test.tmp")
