@@ -130,6 +130,7 @@ class FsCatalog:
         partition_by: list[str] | None = None,
         properties: dict | None = None,
         location: str | None = None,
+        sort_order: list[str] | None = None,
     ) -> TableOperations:
         rel = self.default_warehouse_location(namespace, name)
         if location is not None and location.rstrip("/") != rel:
@@ -140,7 +141,7 @@ class FsCatalog:
         ops = self.new_table_ops(namespace, name)
         if ops.find_version() > 0:
             raise AlreadyExistsError(f"table {rel} already exists")
-        meta = new_table_metadata(rel, schema_json, partition_by, properties)
+        meta = new_table_metadata(rel, schema_json, partition_by, properties, sort_order)
         ops.commit(0, meta)
         return ops
 

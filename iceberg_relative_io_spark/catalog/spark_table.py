@@ -68,6 +68,12 @@ class RelativeTable:
         snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
         abs_dir = self.ops.io.absolute(snap_dir)
         spec = self.partition_spec
+        sort_order = self.ops.current().get("sort-order") or []
+        if sort_order:
+            # write clustering: range-repartition so files carry disjoint
+            # sort-key ranges, then sort within — footer min/max become
+            # tight and range pruning can skip most files of a scan
+            df = df.repartitionByRange(*sort_order).sortWithinPartitions(*sort_order)
         writer = df.write.mode("overwrite")
         if spec:
             writer = writer.partitionBy(*spec)
@@ -262,6 +268,30 @@ class RelativeTable:
 
     def branches(self) -> dict:
         return dict(self.ops.current().get("refs", {}))
+
+    def fast_forward(self, branch: str) -> None:
+        """Write-audit-publish: point main at a branch's head. Appends
+        staged on an audit branch become visible atomically — the
+        publish step of the WAP pattern Iceberg users run for validated
+        ingestion."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            refs = meta.get("refs", {})
+            if branch not in refs:
+                raise ValueError(f"no such branch {branch!r}")
+            head = refs[branch]
+            refs["main"] = head
+            meta["current-snapshot-id"] = head
+            meta["snapshot-log"].append(
+                {"timestamp-ms": int(time.time() * 1000), "snapshot-id": head}
+            )
+            try:
+                self.ops.commit(base, meta)
+                return
+            except CommitFailedError:
+                self.ops._should_refresh = True
+        raise CommitFailedError(f"fast_forward({branch}) lost all commit races")
 
     # -- read path ---------------------------------------------------------------
     def _manifest_for(self, meta: dict, snapshot_id: int) -> dict:

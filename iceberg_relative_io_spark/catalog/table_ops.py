@@ -52,6 +52,7 @@ def new_table_metadata(
     schema_json: dict,
     partition_by: list[str] | None = None,
     properties: dict | None = None,
+    sort_order: list[str] | None = None,
 ) -> dict:
     """Fresh metadata document. ``location`` is *relative* — the
     reference's core trick (README.md:27, HadoopRelativeCatalog.java:202-210)."""
@@ -69,6 +70,8 @@ def new_table_metadata(
         "column-ids": {f["name"]: i + 1 for i, f in enumerate(fields)},
         "last-column-id": len(fields),
         "partition-spec": list(partition_by or []),
+        # write clustering (reference metadata records sort-orders, README.md:59)
+        "sort-order": list(sort_order or []),
         "properties": dict(properties or {}),
         "current-snapshot-id": None,
         "snapshots": [],

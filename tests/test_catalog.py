@@ -356,6 +356,47 @@ def test_schema_evolution_drop_then_readd_does_not_resurrect(spark, catalog):
     assert rows == {1: None, 2: "new"}, "pre-drop values must stay buried"
 
 
+def test_sort_order_clusters_files_for_range_pruning(spark, catalog):
+    """A sort-ordered table writes range-disjoint files, so a range filter
+    prunes most of them at the manifest level before Spark plans a scan."""
+    catalog.create_namespace(("so",))
+    li = spark.range(0, 10_000).selectExpr("id AS k", "id % 97 AS v")
+    ops = catalog.create_table(
+        ("so",), "clustered", li.schema.jsonValue(), sort_order=["k"]
+    )
+    table = RelativeTable(ops)
+    # AQE would rightly coalesce this toy write into one file; pin the
+    # partition count so the test observes multi-file clustering
+    before = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        table.append(li.repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", before)
+    assert table.ops.current()["sort-order"] == ["k"]
+    all_files = table.scan_files()
+    assert len(all_files) >= 4
+    pruned = table.scan_files(column_ranges={"k": (0, 10)})
+    assert len(pruned) == 1, "a 10-key range must touch exactly one clustered file"
+    got = table.read(spark, column_ranges={"k": (0, 10)}).filter("k <= 10")
+    assert got.count() == 11
+
+
+def test_wap_fast_forward_publishes_branch(spark, catalog):
+    """Write-audit-publish: stage an append on an audit branch (invisible
+    to main), validate, fast-forward main to publish atomically."""
+    table = _make_table(spark, catalog, [(1, "a")], ns=("wap",), name="t")
+    table.create_branch("audit")
+    table.append(
+        spark.createDataFrame([(2, "staged")], "id long, name string"),
+        branch="audit",
+    )
+    assert table.read(spark).count() == 1  # main unchanged
+    assert table.read(spark, branch="audit").count() == 2
+    table.fast_forward("audit")
+    assert {r.name for r in table.read(spark).collect()} == {"a", "staged"}
+
+
 def test_incremental_manifests_store_only_added(spark, catalog):
     """Commit cost must be O(added files): each manifest records only its
     snapshot's additions; the live set comes from the parent-chain walk."""
