@@ -74,6 +74,12 @@ class RelativeTable:
             # sort-key ranges, then sort within — footer min/max become
             # tight and range pruning can skip most files of a scan
             df = df.repartitionByRange(*sort_order).sortWithinPartitions(*sort_order)
+        elif spec:
+            # hash-distribute rows to their partition before partitionBy:
+            # without this every task emits a file per partition value it
+            # sees — tasks × partitions small files at scale (Iceberg's
+            # 'hash' write.distribution-mode solves the same problem)
+            df = df.repartition(*spec)
         writer = df.write.mode("overwrite")
         if spec:
             writer = writer.partitionBy(*spec)
@@ -614,7 +620,9 @@ class RelativeTable:
         """Small-file compaction (the `rewrite_data_files` maintenance op):
         rewrite the current file set into ``target_partitions`` files per
         partition as a 'replace' snapshot. Readers of old snapshots are
-        unaffected — time travel still sees the pre-compaction layout."""
+        unaffected — time travel still sees the pre-compaction layout.
+        Sort-ordered tables recluster on rewrite (the range repartition in
+        the write path supersedes ``target_partitions``)."""
         df = self.read(spark).coalesce(target_partitions)
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("replace", entries)

@@ -588,6 +588,37 @@ def q_keyword_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-layer capstone: the composed cleaning pipeline a training-data
+    run executes — quality gate (token diversity) ∧ fuzzy-dedup
+    survivorship (MinHash-LSH + connected components), then per-language
+    corpus statistics. Each stage is an operator proven exact on its own;
+    this query proves they compose (one pass over documents, the shared
+    featurization stage reused, survivors broadcast into the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("diversity"),
+    )
+    survivors = (
+        q_dedup_survivors(spark, sf_dir)
+        .filter(F.col("survivor") == 1)
+        .select("doc_id")
+    )
+    kept = quality.join(F.broadcast(survivors), "doc_id").filter(
+        F.col("diversity") >= 0.5
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.min("diversity"), 6).alias("min_diversity"),
+        F.round(F.max("diversity"), 6).alias("max_diversity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5 — multimodal columns
 # ---------------------------------------------------------------------------
@@ -631,6 +662,7 @@ QUERIES = {
     "c04_chunking": q_chunking,
     "c04_keyword_rarity": q_keyword_rarity,
     "c05_multimodal_schema": q_multimodal_schema,
+    "c06_pipeline_capstone": q_pipeline_capstone,
 }
 
 _CODES = T.token_codes_sql("text")
@@ -909,6 +941,27 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["c06_pipeline_capstone"] = f"""
+    WITH surv AS (
+        SELECT doc_id FROM ({ORACLE["c02_dedup_survivors"]}) WHERE survivor = 1
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS diversity
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(min(diversity), 6) AS min_diversity,
+           ROUND(max(diversity), 6) AS max_diversity
+    FROM q JOIN surv USING (doc_id)
+    WHERE diversity >= 0.5
+    GROUP BY lang
+"""
 
 ORACLE["c04_term_frequency"] = """
     SELECT token, cnt,
