@@ -252,12 +252,15 @@ class JdbcCatalog:
         schema_json: dict,
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        sort_order: list[str] | None = None,
     ) -> JdbcTableOperations:
         if self._view_pointer(namespace, name):
             # view-aware replace guard (reference :674-691)
             raise ValueError(f"a view named {name} already exists")
         ops = self.new_table_ops(namespace, name)
-        meta = new_table_metadata(ops.location, schema_json, partition_by, properties)
+        meta = new_table_metadata(
+            ops.location, schema_json, partition_by, properties, sort_order
+        )
         meta["snapshots"] = []
         ops.commit(None, meta)
         return ops

@@ -27,7 +27,12 @@ the format provides):
 - row-level DML, copy-on-write like Iceberg's Spark extensions:
   ``DELETE FROM cat.ns.t WHERE …``, ``UPDATE cat.ns.t SET c = e [WHERE …]``,
   upsert-form ``MERGE INTO … USING … ON … WHEN MATCHED THEN UPDATE SET *
-  WHEN NOT MATCHED THEN INSERT *``, ``ALTER TABLE cat.ns.t ADD COLUMN c t``
+  WHEN NOT MATCHED THEN INSERT *``, ``ALTER TABLE cat.ns.t
+  ADD COLUMN / RENAME COLUMN / DROP COLUMN``
+- maintenance procedures, Iceberg's ``CALL`` surface:
+  ``CALL cat.system.expire_snapshots('ns.t', keep_last)`` /
+  ``remove_orphan_files('ns.t')`` / ``rewrite_data_files('ns.t', n)`` /
+  ``fast_forward('ns.t', 'branch')``
 
 Known limitation (documented, not defended): qualified names are located
 lexically, so a string literal containing ``cat.ns.t`` would be rewritten
@@ -144,6 +149,8 @@ class RelativeSqlSession:
             return self._drop_namespace(stmt)
         if keyword.startswith("SHOW TABLES"):
             return self._show_tables(stmt)
+        if keyword.startswith("CALL "):
+            return self._call(stmt)
         # everything else (SELECT / WITH …) runs in Spark SQL after
         # catalog references are resolved to views
         return self.spark.sql(self._resolve_refs(stmt))
@@ -238,6 +245,34 @@ class RelativeSqlSession:
         return self.spark.createDataFrame(
             [(n,) for n in names], "tableName string"
         )
+
+    # -- maintenance procedures (Iceberg's CALL cat.system.* surface) ----------
+    def _call(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"CALL\s+{re.escape(self.name)}\.system\.(\w+)\s*\(\s*'([\w.]+)'\s*"
+            r"(?:,\s*([\w'\. ]+?)\s*)?\)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        proc, dotted, arg = m.group(1).lower(), m.group(2), m.group(3)
+        parts = dotted.split(".")
+        table = self._table(tuple(parts[:-1]), parts[-1])
+        if proc == "expire_snapshots":
+            result = table.expire_snapshots(keep_last=int(arg) if arg else 1)
+            rows = [(str(result),)]
+        elif proc == "remove_orphan_files":
+            rows = [(p,) for p in table.remove_orphan_files()] or [("0 orphans",)]
+        elif proc == "rewrite_data_files":
+            result = table.compact(self.spark, int(arg) if arg else 1)
+            rows = [(str(result["snapshot-id"]),)]
+        elif proc == "fast_forward":
+            table.fast_forward(arg.strip().strip("'"))
+            rows = [("ok",)]
+        else:
+            raise SqlParseError(f"unknown procedure {proc!r}")
+        return self.spark.createDataFrame(rows, "result string")
 
     # -- row-level DML (copy-on-write, like Iceberg's Spark extensions) --------
     def _delete(self, stmt: str) -> DataFrame:

@@ -156,6 +156,19 @@ def test_delete_update_merge_alter(sess):
     assert cols == ["id", "payload", "category"]
 
 
+def test_call_maintenance_procedures(sess):
+    _readme_flow(sess)
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')")
+    res = sess.sql("CALL test.system.rewrite_data_files('my_ns.my_table', 1)")
+    assert res.count() == 1
+    table = sess._table(("my_ns",), "my_table")
+    assert len(table.scan_files()) == 1  # compacted
+    sess.sql("CALL test.system.expire_snapshots('my_ns.my_table', 1)")
+    sess.sql("CALL test.system.remove_orphan_files('my_ns.my_table')")
+    out = sess.sql("SELECT * FROM test.my_ns.my_table")
+    assert out.count() == 3  # data intact after full maintenance pass
+
+
 def test_drop_table_and_namespace(sess):
     sess.sql("CREATE NAMESPACE test.tmp")
     sess.sql("CREATE TABLE test.tmp.t (x int)")
