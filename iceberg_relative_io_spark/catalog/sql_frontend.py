@@ -133,8 +133,12 @@ class RelativeSqlSession:
             return self._create_namespace(stmt)
         if keyword.startswith("CREATE TABLE"):
             return self._create_table(stmt)
-        if keyword.startswith("INSERT INTO"):
+        if keyword.startswith("INSERT INTO") or keyword.startswith("INSERT OVERWRITE"):
             return self._insert(stmt)
+        if keyword.startswith("DESCRIBE TABLE") or keyword.startswith("DESCRIBE "):
+            return self._describe(stmt)
+        if keyword.startswith("TRUNCATE TABLE"):
+            return self._truncate(stmt)
         if keyword.startswith("DELETE FROM"):
             return self._delete(stmt)
         if keyword.startswith("UPDATE"):
@@ -394,16 +398,17 @@ class RelativeSqlSession:
     # -- DML -------------------------------------------------------------------
     def _insert(self, stmt: str) -> DataFrame:
         m = re.fullmatch(
-            r"INSERT\s+INTO\s+([\w.]+)\s+(VALUES\b.*|SELECT\b.*|WITH\b.*)",
+            r"INSERT\s+(INTO|OVERWRITE)(?:\s+TABLE)?\s+([\w.]+)\s+"
+            r"(VALUES\b.*|SELECT\b.*|WITH\b.*)",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlParseError(f"cannot parse: {stmt!r}")
-        namespace, name = self._split_ident(m.group(1))
+        namespace, name = self._split_ident(m.group(2))
         table = self._table(namespace, name)
         schema = table.schema()
-        body = m.group(2)
+        body = m.group(3)
         if body[:6].upper() == "VALUES":
             cols = ", ".join(f.name for f in schema.fields)
             df = self.spark.sql(f"SELECT * FROM ({body}) AS v({cols})")
@@ -414,5 +419,34 @@ class RelativeSqlSession:
         casted = df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
-        table.append(casted)
+        if m.group(1).upper() == "OVERWRITE":
+            table.overwrite(casted)
+        else:
+            table.append(casted)
+        return self._empty()
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"DESCRIBE\s+(?:TABLE\s+)?([\w.]+)", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        table = self._table(namespace, name)
+        spec = set(table.partition_spec)
+        rows = [
+            (f.name, f.dataType.simpleString(), f.name in spec)
+            for f in table.schema().fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, is_partition boolean"
+        )
+
+    def _truncate(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(r"TRUNCATE\s+TABLE\s+([\w.]+)", stmt, re.IGNORECASE)
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(1))
+        table = self._table(namespace, name)
+        table.overwrite(self.spark.createDataFrame([], table.schema()))
         return self._empty()

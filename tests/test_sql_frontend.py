@@ -156,6 +156,20 @@ def test_delete_update_merge_alter(sess):
     assert cols == ["id", "payload", "category"]
 
 
+def test_insert_overwrite_describe_truncate(sess):
+    _readme_flow(sess)
+    sess.sql("INSERT OVERWRITE test.my_ns.my_table VALUES (5, 'e', 'odd')")
+    assert [r.id for r in sess.sql("SELECT id FROM test.my_ns.my_table").collect()] == [5]
+    desc = sess.sql("DESCRIBE TABLE test.my_ns.my_table").collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("id", "bigint"), ("data", "string"), ("category", "string"),
+    ]
+    sess.sql("TRUNCATE TABLE test.my_ns.my_table")
+    assert sess.sql("SELECT * FROM test.my_ns.my_table").count() == 0
+    # snapshots preserved: the pre-truncate state is still time-travelable
+    assert sess.sql("SELECT * FROM test.my_ns.my_table VERSION AS OF 2").count() == 1
+
+
 def test_call_maintenance_procedures(sess):
     _readme_flow(sess)
     sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')")
