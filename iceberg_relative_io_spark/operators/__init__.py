@@ -15,6 +15,7 @@ def merged_queries() -> dict:
     out: dict = {}
     for mod in (relational, northstar, tableops_queries, stream_queries):
         out.update(mod.QUERIES)
+    out.update(stream_queries.register_optional_queries())
     return out
 
 

@@ -39,6 +39,26 @@ _STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 _STAGED: dict[tuple[str, bool], str] = {}
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-speaking state server;
+    the container ships no google.protobuf, so the TWS operator is gated
+    (the applyInPandasWithState operator covers custom stateful here)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def register_optional_queries() -> dict:
+    """Queries available only when the runtime supports them."""
+    out = {}
+    if _tws_available():
+        out["b30_stream_tws_user_stats"] = q_stream_tws_user_stats
+    return out
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
     """Materialize the events fixture (normalized µs timestamps) as a
     parquet directory usable as a file-source stream. Memoized per
@@ -162,6 +182,67 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "append")
 
 
+def q_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (Spark 4 stateful API): per-user event statistics via
+    transformWithStateInPandas — the successor to applyInPandasWithState,
+    with composable named state (ValueState here; ListState/MapState and
+    timers for richer operators). Count/min/max only, so every emitted
+    value is exact against the oracle. One micro-batch (the file source
+    drains the staged log in one trigger) => one final row per user.
+
+    Registered in QUERIES only when the runtime supports it: TWS's state
+    server speaks protobuf, which this container does not ship (see
+    _TWS_AVAILABLE) — the operator itself is exercised wherever
+    ``google.protobuf`` is importable."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "cnt long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                cnt, mn, mx = self._state.get()
+            else:
+                cnt, mn, mx = 0, float("inf"), float("-inf")
+            for pdf in rows:
+                cnt += len(pdf)
+                mn = min(mn, float(pdf["value"].min()))
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((cnt, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType="user_id long, n_events long, min_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(stream, "update")
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30 (stream-stream join): every purchase joined to the same user's
     clicks in the preceding hour. Watermarks on both sides bound the join
@@ -266,6 +347,12 @@ ORACLE = {
           ON p.user_id = c.user_id
          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    """,
+    # registered when TWS is runnable (see register_optional_queries)
+    "b30_stream_tws_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY user_id
     """,
     "b30_session_window": """
         WITH t AS (

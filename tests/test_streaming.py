@@ -14,6 +14,18 @@ from iceberg_relative_io_spark.sources.tables import load_table
 from iceberg_relative_io_spark.streaming import stream_queries as S
 
 
+@pytest.mark.skipif(not S._tws_available(), reason="transformWithStateInPandas needs google.protobuf")
+def test_tws_user_stats_matches_batch(spark, sf_dir):
+    got = {r.user_id: (r.n_events, r.min_value, r.max_value)
+           for r in S.q_stream_tws_user_stats(spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+    want = {r.user_id: (r.n, r.mn, r.mx)
+            for r in load_table(spark, sf_dir, "events").groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+            .collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("name", sorted(S.QUERIES))
 def test_stream_query_runs(spark, sf_dir, name):
     df = S.QUERIES[name](spark, sf_dir)
