@@ -356,6 +356,18 @@ def test_schema_evolution_drop_then_readd_does_not_resurrect(spark, catalog):
     assert rows == {1: None, 2: "new"}, "pre-drop values must stay buried"
 
 
+def test_protocol_change_reread(spark, catalog):
+    """The README's second headline (reference README.md:112-121): re-read
+    the same warehouse under a different protocol — posix path on write,
+    file:// URI on read — with zero metadata rewrites, because every
+    stored path is warehouse-relative."""
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")], ns=("proto",), name="t")
+    assert not catalog.warehouse.startswith("file://")
+    cat2 = FsCatalog("file://" + catalog.warehouse.rstrip("/"))
+    got = RelativeTable(cat2.load_table(("proto",), "t")).read(spark)
+    assert sorted((r.id, r.name) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
 def test_sort_order_clusters_files_for_range_pruning(spark, catalog):
     """A sort-ordered table writes range-disjoint files, so a range filter
     prunes most of them at the manifest level before Spark plans a scan."""

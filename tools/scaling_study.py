@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Scaling study: measure flagship queries at sf0.1 and at a synthetic
+10× corpus (facts duplicated 10×, dims kept — the realistic shape: fact
+tables grow, dimensions don't), and report the wall-clock ratio. A
+scale-ready plan costs ~10× for 10× data (linear); super-linear growth
+exposes a shuffle or a driver-side bottleneck. Results are recorded in
+SCALING.md.
+
+Usage: python tools/scaling_study.py [synth_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+FACTS = ["lineitem", "orders", "documents", "embeddings", "events"]
+DIMS = ["customer", "supplier", "part", "nation", "region"]
+MEASURED = [
+    "b10_star_broadcast",
+    "b13_agg_pricing_summary",
+    "b07_join_inner",
+    "b17_window_rank",
+    "c01_exact_dedup",
+    "c02_minhash_signatures",
+    "c03_knn_bruteforce",
+    "c04_quality_score",
+]
+
+
+def build_synth(dst: str, factor: int = 10) -> None:
+    import duckdb
+
+    out = Path(dst)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    for t in FACTS:
+        # duplicate rows; keys repeat, which only makes groups/joins heavier
+        con.execute(
+            f"COPY (SELECT t.* FROM read_parquet('{SRC}/{t}.parquet') t, "
+            f"range({factor})) TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    for t in DIMS:
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+
+
+def main() -> None:
+    synth = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    if not Path(synth, "lineitem.parquet").exists():
+        print(f"building {synth} (10x facts) ...", flush=True)
+        build_synth(synth)
+
+    import __spark_entry__ as e
+    from iceberg_relative_io_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = e.queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        from iceberg_relative_io_spark.operators import northstar
+
+        # the shared featurization cache would make the base timing
+        # unrepresentative of a cold pipeline — measure uncached
+        for df in northstar._SIG_CACHE.values():
+            df.unpersist()
+        northstar._SIG_CACHE.clear()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    print(f"{'query':32} {'sf0.1':>8} {'10x':>8} {'ratio':>6}")
+    for name in MEASURED:
+        run(name, SRC)  # warm (codegen, Python workers)
+        base = run(name, SRC)
+        big = run(name, synth)
+        print(f"{name:32} {base:8.2f} {big:8.2f} {big / base:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
