@@ -270,6 +270,16 @@ class JdbcCatalog:
         ops.current()
         return ops
 
+    def table_exists(self, namespace, name: str) -> bool:
+        return (
+            self._fetchone(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=? AND record_type='TABLE'",
+                (self.name, _ns_str(namespace), name),
+            )
+            is not None
+        )
+
     def list_tables(self, namespace) -> list[str]:
         return [
             r[0]

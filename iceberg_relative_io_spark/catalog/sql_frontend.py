@@ -58,9 +58,19 @@ class SqlParseError(ValueError):
 
 
 class RelativeSqlSession:
-    def __init__(self, spark: SparkSession, warehouse: str, catalog_name: str = "test"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        catalog_name: str = "test",
+        catalog=None,
+    ):
+        """``catalog`` defaults to a path-based FsCatalog; pass a
+        JdbcCatalog to add view DDL (views live only in the JDBC catalog,
+        like the reference — JdbcRelativeCatalog.java:51-52 vs the
+        view-less Hadoop catalog)."""
         self.spark = spark
-        self.catalog = FsCatalog(warehouse, name=catalog_name)
+        self.catalog = catalog if catalog is not None else FsCatalog(warehouse, name=catalog_name)
         self.name = catalog_name
         self._view_n = 0
 
@@ -98,6 +108,16 @@ class RelativeSqlSession:
             if parts[-1].lower() in ("snapshots", "history", "files") and len(parts) >= 4:
                 meta_view, parts = parts[-1].lower(), parts[:-1]
             namespace, tname = tuple(parts[1:-1]), parts[-1]
+            if meta_view is None and version is None and ts is None:
+                vsql = self._stored_view_sql(namespace, tname)
+                if vsql is not None:
+                    # a view: expand its stored SQL (which may itself
+                    # reference catalog tables or other views)
+                    df = self.spark.sql(self._resolve_refs(vsql))
+                    self._view_n += 1
+                    view = f"__rel_view_{tname}_{self._view_n}"
+                    df.createOrReplaceTempView(view)
+                    return view
             table = self._table(namespace, tname)
             if meta_view == "snapshots":
                 df = table.snapshots(self.spark)
@@ -131,6 +151,10 @@ class RelativeSqlSession:
 
         if keyword.startswith("CREATE NAMESPACE"):
             return self._create_namespace(stmt)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", stmt, re.IGNORECASE):
+            return self._create_view(stmt)
+        if keyword.startswith("DROP VIEW"):
+            return self._drop_view(stmt)
         if keyword.startswith("CREATE TABLE"):
             return self._create_table(stmt)
         if keyword.startswith("INSERT INTO") or keyword.startswith("INSERT OVERWRITE"):
@@ -158,6 +182,48 @@ class RelativeSqlSession:
         # everything else (SELECT / WITH …) runs in Spark SQL after
         # catalog references are resolved to views
         return self.spark.sql(self._resolve_refs(stmt))
+
+    # -- views (JDBC catalog only, like the reference: A39) --------------------
+    def _stored_view_sql(self, namespace, name: str) -> str | None:
+        if not hasattr(self.catalog, "load_view_sql"):
+            return None
+        try:
+            return self.catalog.load_view_sql(namespace, name)
+        except Exception:
+            return None
+
+    def _create_view(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        if not hasattr(self.catalog, "create_view"):
+            raise ValueError(
+                "views require the JDBC catalog (pass catalog=JdbcCatalog(...)); "
+                "the path-based catalog has no views, like the reference"
+            )
+        namespace, name = self._split_ident(m.group(2))
+        body = m.group(3)
+        self.spark.sql(self._resolve_refs(body))  # validate references now
+        self.catalog.create_view(namespace, name, body, replace=bool(m.group(1)))
+        return self._empty()
+
+    def _drop_view(self, stmt: str) -> DataFrame:
+        m = re.fullmatch(
+            r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise SqlParseError(f"cannot parse: {stmt!r}")
+        namespace, name = self._split_ident(m.group(2))
+        dropped = hasattr(self.catalog, "drop_view") and self.catalog.drop_view(
+            namespace, name
+        )
+        if not dropped and not m.group(1):
+            raise ValueError(f"no such view {m.group(2)}")
+        return self._empty()
 
     # -- DDL -------------------------------------------------------------------
     def _create_namespace(self, stmt: str) -> DataFrame:

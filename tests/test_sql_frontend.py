@@ -183,6 +183,39 @@ def test_call_maintenance_procedures(sess):
     assert out.count() == 3  # data intact after full maintenance pass
 
 
+def test_views_through_sql_with_jdbc_catalog(spark):
+    """A39 via SQL: views exist only in the JDBC catalog (like the
+    reference); CREATE VIEW stores the SQL text, SELECT expands it
+    recursively, the FS catalog refuses view DDL."""
+    import tempfile as tf
+
+    from iceberg_relative_io_spark.catalog import JdbcCatalog
+
+    wh = tf.mkdtemp(prefix="jdbc_sql_wh_")
+    cat = JdbcCatalog(f"{wh}/catalog.db", wh, name="test")
+    s = RelativeSqlSession(spark, wh, "test", catalog=cat)
+    s.sql("CREATE NAMESPACE test.ns")
+    s.sql("CREATE TABLE test.ns.t (id bigint, kind string)")
+    s.sql("INSERT INTO test.ns.t VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    s.sql("CREATE VIEW test.ns.only_a AS SELECT id FROM test.ns.t WHERE kind = 'a'")
+    assert {r.id for r in s.sql("SELECT * FROM test.ns.only_a").collect()} == {1, 3}
+    # view over a view
+    s.sql("CREATE VIEW test.ns.only_a_top AS SELECT max(id) AS m FROM test.ns.only_a")
+    assert s.sql("SELECT * FROM test.ns.only_a_top").collect()[0].m == 3
+    s.sql("CREATE OR REPLACE VIEW test.ns.only_a AS SELECT id FROM test.ns.t WHERE kind = 'b'")
+    assert {r.id for r in s.sql("SELECT * FROM test.ns.only_a").collect()} == {2}
+    s.sql("DROP VIEW test.ns.only_a_top")
+    with pytest.raises(ValueError, match="no such view"):
+        s.sql("DROP VIEW test.ns.only_a_top")
+
+    # FS catalog refuses view DDL, like the reference's Hadoop catalog
+    fs_sess = RelativeSqlSession(spark, tf.mkdtemp(prefix="fswh_"), "test")
+    fs_sess.sql("CREATE NAMESPACE test.ns")
+    fs_sess.sql("CREATE TABLE test.ns.t (id bigint)")
+    with pytest.raises(ValueError, match="JDBC"):
+        fs_sess.sql("CREATE VIEW test.ns.v AS SELECT * FROM test.ns.t")
+
+
 def test_drop_table_and_namespace(sess):
     sess.sql("CREATE NAMESPACE test.tmp")
     sess.sql("CREATE TABLE test.tmp.t (x int)")
