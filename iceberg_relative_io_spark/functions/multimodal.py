@@ -85,3 +85,54 @@ def decode_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_stage(
+    df: DataFrame,
+    target_bytes: int,
+    resizer: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """The resize/transcode stage: payload -> smaller payload, metadata
+    updated in place. Runs as mapInPandas so a real transcoder (Pillow
+    thumbnail, ffmpeg scale) drops in without touching the plan. The
+    default stand-in truncates — deterministic and library-free."""
+    shrink = resizer or (lambda b, n: b[:n])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [bytes(shrink(bytes(p), target_bytes)) for p in pdf["payload"]]
+            out["n_bytes"] = [len(p) for p in out["payload"]]
+            yield out
+
+    return df.mapInPandas(run, schema="item_id long, payload binary, mime string, n_bytes int")
+
+
+def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 2) -> DataFrame:
+    """The frame-sampling stage (video → every ``stride``-th frame): a
+    1→N mapInPandas explosion emitting one row per sampled frame with a
+    content digest. Frames here are fixed-size payload slices — the
+    deterministic stand-in for a real demuxer; the batch shape (explode
+    inside Arrow batches, no driver involvement) is the part that has to
+    be right at 100 TB."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digests = [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    ids.append(item_id)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    digests.append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(
+                {"item_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_sha": digests}
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id long, frame_idx int, frame_len int, frame_sha string"
+    )

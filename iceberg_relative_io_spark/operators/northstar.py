@@ -638,6 +638,17 @@ def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (frame sampling): every 2nd fixed-size frame of each payload,
+    as a 1→N mapInPandas explosion (functions/multimodal.py). Payloads
+    are ASCII document bytes — the deterministic stand-in for video —
+    so the oracle restates the slicing + digests in SQL exactly."""
+    from iceberg_relative_io_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.to_multimodal(docs), frame_size=32, stride=2)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -662,6 +673,7 @@ QUERIES = {
     "c04_chunking": q_chunking,
     "c04_keyword_rarity": q_keyword_rarity,
     "c05_multimodal_schema": q_multimodal_schema,
+    "c05_frame_sample": q_frame_sample,
     "c06_pipeline_capstone": q_pipeline_capstone,
 }
 
@@ -941,6 +953,21 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["c05_frame_sample"] = """
+    WITH p AS (SELECT doc_id AS item_id, text FROM documents),
+    f AS (
+        SELECT item_id, CAST(u.i AS INT) AS frame_idx,
+               substring(text, CAST(u.i * 32 + 1 AS INT), 32) AS fr
+        FROM p, LATERAL unnest(
+            range(0, CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT), 2)
+        ) AS u(i)
+    )
+    SELECT item_id, frame_idx,
+           CAST(length(fr) AS INT) AS frame_len,
+           sha256(fr) AS frame_sha
+    FROM f
+"""
 
 ORACLE["c06_pipeline_capstone"] = f"""
     WITH surv AS (

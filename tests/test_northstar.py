@@ -104,6 +104,24 @@ def test_multimodal_pipeline_with_fake_codec(spark, sf_dir):
         assert src[r.item_id] == r.n_bytes
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = M.to_multimodal(docs)
+    resized = M.resize_stage(mm, target_bytes=64)
+    assert all(r.n_bytes <= 64 for r in resized.collect())
+
+    frames = M.sample_frames(mm, frame_size=32, stride=2).collect()
+    by_item = {}
+    for r in frames:
+        by_item.setdefault(r.item_id, []).append(r)
+    src = {r.item_id: r.n_bytes for r in mm.collect()}
+    for item_id, rows in by_item.items():
+        n_frames = -(-src[item_id] // 32)  # ceil
+        assert len(rows) == len(range(0, n_frames, 2))
+        assert all(r.frame_idx % 2 == 0 for r in rows)
+        assert all(len(r.frame_sha) == 64 for r in rows)
+
+
 def test_distributed_cc_matches_union_find(spark, sf_dir):
     """The distributed connected-components (scale path) must produce the
     same clustering as the driver-side union-find used by
