@@ -72,6 +72,7 @@ def _load_table(options):
 class FilePartition(InputPartition):
     path: str  # relative to the warehouse
     partition_json: str
+    column_ids_json: str  # name->id mapping in force when the file was written
 
 
 @dataclass
@@ -111,7 +112,9 @@ class RelativeBatchReader(DataSourceReader):
         )
         self.partition_filter: dict = {}
         self.column_ranges: dict = {}
-        self._part_cols = _load_table(options).partition_spec
+        table = _load_table(options)
+        self._part_cols = table.partition_spec
+        self._cur_ids = table.ops.current().get("column-ids") or {}
 
     def pushFilters(self, filters):
         """Use supported comparisons for file skipping; hand every filter
@@ -139,13 +142,18 @@ class RelativeBatchReader(DataSourceReader):
         )
 
     def partitions(self):
-        entries = _load_table(self.options).scan_files(
+        table = _load_table(self.options)
+        entries = table.scan_files(
             snapshot_id=self.snapshot_id,
             partition_filter=self.partition_filter or None,
             column_ranges=self.column_ranges or None,
         )
         return [
-            FilePartition(e["path"], json.dumps(e.get("partition", {})))
+            FilePartition(
+                e["path"],
+                json.dumps(e.get("partition", {})),
+                json.dumps(e.get("column-ids", {})),
+            )
             for e in entries
         ]
 
@@ -160,15 +168,25 @@ class RelativeBatchReader(DataSourceReader):
             self.io._fs_path(partition.path), filesystem=self.io.fs
         )
         part_values = json.loads(partition.partition_json)
+        # current logical name -> name physically written in this file
+        # (identity for unevolved tables; resolved by stable column id after
+        # a rename, same reconciliation as RelativeTable._read_entries)
+        file_ids = json.loads(partition.column_ids_json)
+        id_to_phys = {v: k for k, v in file_ids.items()}
+        cur_ids = self._cur_ids
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
-            else:
+            phys = id_to_phys.get(cur_ids.get(field.name), field.name)
+            if phys in tbl.column_names:
+                cols.append(tbl.column(phys).cast(field.type))
+            elif field.name in part_values:
                 # partition column physically split out of the file:
                 # re-attach as a constant from the manifest's tuple
                 raw = pa.array([part_values[field.name]] * len(tbl), pa.string())
                 cols.append(raw.cast(field.type))
+            else:
+                # column added (or dropped-and-readded) after this file
+                cols.append(pa.nulls(len(tbl), field.type))
         yield from pa.table(dict(zip(target.names, cols))).cast(target).to_batches()
 
 
@@ -315,6 +333,7 @@ class RelativeStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = _load_table(self.options)
+        cur_ids = table.ops.current().get("column-ids") or {}
         entries = table.incremental_files(
             start["snapshot_id"] or None, end["snapshot_id"]
         )
@@ -324,7 +343,16 @@ class RelativeStreamReader(SimpleDataSourceStreamReader):
             tbl = pq.read_table(
                 table.ops.io._fs_path(entry["path"]), filesystem=table.ops.io.fs
             )
-            rows.extend(
-                tuple(row[n] for n in names) for row in tbl.select(names).to_pylist()
-            )
+            # current logical name -> name written in this file (see batch
+            # reader: identity unless the schema evolved since the write)
+            id_to_phys = {v: k for k, v in entry.get("column-ids", {}).items()}
+            data = tbl.to_pylist()
+            per_row = []
+            for row in data:
+                per_row.append(
+                    tuple(
+                        row.get(id_to_phys.get(cur_ids.get(n), n)) for n in names
+                    )
+                )
+            rows.extend(per_row)
         return iter(rows)

@@ -189,6 +189,25 @@ def test_stream_write_table_to_table(spark, wh):
     assert all("stream-batch-id" in s for s in summaries)
 
 
+def test_datasource_reads_across_schema_evolution(spark, wh):
+    """Files written before a rename must resolve by column id through the
+    Python DataSource, exactly like the native read path."""
+    table = _make_table(spark, wh, name="ev")
+    table.rename_column("data", "label")
+    table.ops._should_refresh = True
+    table.append(
+        spark.createDataFrame([(9, "post", "z")], "id long, label string, kind string")
+    )
+    df = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.ev")
+        .load()
+    )
+    rows = {(r.id, r.label) for r in df.collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c"), (9, "post")}
+
+
 def test_incremental_read_and_append_only_guard(spark, wh):
     table = _make_table(spark, wh, name="cdc")
     table.append(spark.createDataFrame([(4, "d", "z")], table.schema()))
