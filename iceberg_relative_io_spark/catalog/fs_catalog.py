@@ -171,8 +171,9 @@ class FsCatalog:
             self.io.delete_prefix(f"{rel}/metadata")
         return True
 
-    def rename_table(self, src, dst) -> None:
-        # A19: unsupported for path-based tables (reference :238-241)
+    def rename_table(self, src, dst, *rest) -> None:
+        # A19: unsupported for path-based tables (reference :238-241);
+        # accepts either (src, dst) idents or the JdbcCatalog 4-arg form
         raise NotImplementedError(
             "cannot rename tables in a path-based catalog; use JdbcCatalog"
         )

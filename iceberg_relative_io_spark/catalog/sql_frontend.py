@@ -459,6 +459,21 @@ class RelativeSqlSession:
             namespace, name = self._split_ident(drop.group(1))
             self._table(namespace, name).drop_column(drop.group(2))
             return self._empty()
+        ren_t = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if ren_t:
+            # JDBC catalog only; the path-based catalog raises, like the
+            # reference's HadoopRelativeCatalog (:238-241)
+            src_ns, src = self._split_ident(ren_t.group(1))
+            dst = ren_t.group(2)
+            dst_ns, dst_name = (
+                self._split_ident(dst) if "." in dst else (src_ns, dst)
+            )
+            self.catalog.rename_table(src_ns, src, dst_ns, dst_name)
+            return self._empty()
         raise SqlParseError(f"cannot parse: {stmt!r}")
 
     # -- DML -------------------------------------------------------------------

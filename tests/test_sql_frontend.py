@@ -208,12 +208,18 @@ def test_views_through_sql_with_jdbc_catalog(spark):
     with pytest.raises(ValueError, match="no such view"):
         s.sql("DROP VIEW test.ns.only_a_top")
 
-    # FS catalog refuses view DDL, like the reference's Hadoop catalog
+    # table rename works through SQL on the JDBC catalog
+    s.sql("ALTER TABLE test.ns.t RENAME TO t_renamed")
+    assert s.sql("SELECT * FROM test.ns.t_renamed").count() == 3
+
+    # FS catalog refuses view DDL and rename, like the reference's Hadoop catalog
     fs_sess = RelativeSqlSession(spark, tf.mkdtemp(prefix="fswh_"), "test")
     fs_sess.sql("CREATE NAMESPACE test.ns")
     fs_sess.sql("CREATE TABLE test.ns.t (id bigint)")
     with pytest.raises(ValueError, match="JDBC"):
         fs_sess.sql("CREATE VIEW test.ns.v AS SELECT * FROM test.ns.t")
+    with pytest.raises(NotImplementedError):
+        fs_sess.sql("ALTER TABLE test.ns.t RENAME TO t2")
 
 
 def test_drop_table_and_namespace(sess):
