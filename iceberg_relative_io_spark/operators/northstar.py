@@ -588,6 +588,50 @@ def q_keyword_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_K = 24
+
+
+def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (exact substring dedup): per-document count of character
+    k-gram occurrences shared with at least one OTHER document — the
+    cross-document duplicated-substring signal the 'deduplicate training
+    data' line of work removes. All JVM-side: k-grams come from
+    sequence+transform+explode inside codegen; the only shuffle carries
+    (gram, doc) pairs. At 100 TB the gram column would be compacted to
+    a 64-bit hash before the shuffle (collision-tolerable counting); the
+    raw-string form here keeps the oracle exact."""
+    k = _SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    gram_arr = F.when(
+        F.length("text") >= k,
+        F.expr(f"transform(sequence(0, length(text) - {k}), i -> substring(text, i + 1, {k}))"),
+    ).otherwise(F.expr("array()"))
+    grams = docs.select("doc_id", F.explode(gram_arr).alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_occurrences"),
+            F.countDistinct("gram").alias("dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_occurrences", F.lit(0)).alias("dup_occurrences"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        )
+    )
+
+
 def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-layer capstone: the composed cleaning pipeline a training-data
     run executes — quality gate (token diversity) ∧ fuzzy-dedup
@@ -672,6 +716,7 @@ QUERIES = {
     "c04_normalize_editdist": q_normalize_editdist,
     "c04_chunking": q_chunking,
     "c04_keyword_rarity": q_keyword_rarity,
+    "c02_duplicate_ngrams": q_duplicate_ngrams,
     "c05_multimodal_schema": q_multimodal_schema,
     "c05_frame_sample": q_frame_sample,
     "c06_pipeline_capstone": q_pipeline_capstone,
@@ -953,6 +998,29 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["c02_duplicate_ngrams"] = f"""
+    WITH grams AS (
+        SELECT doc_id,
+               substring(text, CAST(u.i + 1 AS INT), {_SUBSTR_K}) AS gram
+        FROM documents,
+        LATERAL unnest(range(0, greatest(length(text) - {_SUBSTR_K} + 1, 0))) AS u(i)
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+        SELECT g.doc_id,
+               count(*) AS dup_occurrences,
+               count(DISTINCT g.gram) AS dup_grams
+        FROM grams g JOIN dup USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.dup_occurrences, 0) AS BIGINT) AS dup_occurrences,
+           CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
 
 ORACLE["c05_frame_sample"] = """
     WITH p AS (SELECT doc_id AS item_id, text FROM documents),
