@@ -607,18 +607,19 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"transform(sequence(0, length(text) - {k}), i -> substring(text, i + 1, {k}))"),
     ).otherwise(F.expr("array()"))
     grams = docs.select("doc_id", F.explode(gram_arr).alias("gram"))
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
+    # One wide shuffle total: partial (map-side) aggregation collapses the
+    # exploded pairs to per-(gram, doc) occurrence counts before exchange;
+    # a window over the already-gram-clustered rows then counts documents
+    # per gram with no second exchange and no join back to the gram stream.
+    gd = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("occ"))
+    nd_w = Window.partitionBy("gram")
     per_doc = (
-        grams.join(dup, "gram")
+        gd.withColumn("nd", F.count("*").over(nd_w))
+        .filter(F.col("nd") >= 2)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("dup_occurrences"),
-            F.countDistinct("gram").alias("dup_grams"),
+            F.sum("occ").alias("dup_occurrences"),
+            F.count("*").alias("dup_grams"),
         )
     )
     return (
