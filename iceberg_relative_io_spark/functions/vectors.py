@@ -122,6 +122,41 @@ def make_dot_udf():
     return dot_seq
 
 
+def pack_centroids(rows):
+    """Collected (id, embedding) rows -> (ids, matrix, norms) for a
+    nearest-centroid broadcast. Rows must be sorted by id; norms use the
+    same dimension-sequential accumulation as norm()/norm_sql."""
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.float64)
+    nc = np.zeros(len(C), dtype=np.float64)
+    for i in range(C.shape[1]):
+        nc = nc + C[:, i] * C[:, i]
+    return ids, C, np.sqrt(nc)
+
+
+def make_nearest_udf(bc):
+    """pandas UDF: id of the max-cosine centroid for each vector, from a
+    broadcast ``pack_centroids`` triple. Ties resolve to the smallest id
+    (argmax takes the first maximum and centroids are id-sorted), matching
+    the oracle's ORDER BY cos DESC, id. Per-dimension sequential
+    accumulation — the same bits as cosine_sql — batched across rows."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def nearest(vec: pd.Series) -> pd.Series:
+        ids_, C_, nc_ = bc.value
+        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        S = np.zeros((len(V_), len(C_)), dtype=np.float64)
+        nv = np.zeros(len(V_), dtype=np.float64)
+        for i in range(V_.shape[1]):
+            S = S + np.outer(V_[:, i], C_[:, i])
+            nv = nv + V_[:, i] * V_[:, i]
+        cos = S / np.outer(np.sqrt(nv), nc_)
+        return pd.Series(ids_[np.argmax(cos, axis=1)])
+
+    return nearest
+
+
 def make_bucket_udf():
     """pandas UDF mirror of lsh_bucket(): per-plane sequential-sum dots
     (dimension-by-dimension, same bits as the Column/SQL builders), sign

@@ -383,29 +383,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
-    nc = np.zeros(len(C), dtype=np.float64)
-    for i in range(C.shape[1]):
-        nc = nc + C[:, i] * C[:, i]
-    nc = np.sqrt(nc)
+    cids, C, nc = V.pack_centroids([(r.vec_id, r.embedding) for r in cent_rows])
     bc = spark.sparkContext.broadcast((cids, C, nc))
-
-    @F.pandas_udf("long")
-    def cell_of(vec: pd.Series) -> pd.Series:
-        import numpy as np
-
-        cids_, C_, nc_ = bc.value
-        V_ = np.stack(vec.to_numpy()).astype(np.float64)
-        S = np.zeros((len(V_), len(C_)), dtype=np.float64)
-        nv = np.zeros(len(V_), dtype=np.float64)
-        for i in range(V_.shape[1]):
-            S = S + np.outer(V_[:, i], C_[:, i])
-            nv = nv + V_[:, i] * V_[:, i]
-        cos = S / np.outer(np.sqrt(nv), nc_)
-        # first max = smallest cid on ties (centroids sorted by cid),
-        # matching the oracle's ORDER BY cos DESC, cid
-        return pd.Series(cids_[np.argmax(cos, axis=1)])
+    cell_of = V.make_nearest_udf(bc)
 
     # probe cells for the (tiny, collected) query set — same sequential math
     q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
@@ -441,6 +421,49 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "vec_id", "rnk", "cos_sim")
+    )
+
+
+_KM_MOD = 16
+_KM_RES = 3
+
+
+def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (clustering iteration): one k-medoids refinement pass over the
+    embedding corpus — the iterative-algorithm shape (Lloyd-style
+    assign → update → reassign) behind semantic dedup and corpus
+    bucketing, with every step oracle-exact. Seeds are every
+    ``_KM_MOD``-th vector; each vector joins its max-cosine seed
+    (broadcast map-only pass); each cluster elects its minimum-vec_id
+    member as the new medoid; a second assignment pass runs against the
+    elected medoids. Per-cluster outputs are integer-exact (counts and
+    id sums), so the oracle checks both assignment passes bit-for-bit.
+    At 100 TB each pass stays a broadcast map-only scan (the medoid set
+    is tiny) — further iterations repeat the same two jobs."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = (
+        emb.filter((F.col("vec_id") % _KM_MOD) == _KM_RES).orderBy("vec_id").collect()
+    )
+    bc0 = spark.sparkContext.broadcast(
+        V.pack_centroids([(r.vec_id, r.embedding) for r in seed_rows])
+    )
+    assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
+    rep_ids = sorted(
+        r.rep_id
+        for r in assign1.groupBy("c0").agg(F.min("vec_id").alias("rep_id")).collect()
+    )
+    rep_rows = emb.filter(F.col("vec_id").isin(rep_ids)).orderBy("vec_id").collect()
+    bc1 = spark.sparkContext.broadcast(
+        V.pack_centroids([(r.vec_id, r.embedding) for r in rep_rows])
+    )
+    return (
+        emb.withColumn("cluster", V.make_nearest_udf(bc1)(F.col("embedding")))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.sum("vec_id").alias("sum_members"),
+        )
     )
 
 
@@ -709,6 +732,7 @@ QUERIES = {
     "c03_knn_bruteforce": q_knn_bruteforce,
     "c03_ann_lsh": q_ann_lsh,
     "c03_ann_ivf": q_ann_ivf,
+    "c03_cluster_medoids": q_cluster_medoids,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
     "c04_quality_score": q_quality_score,
@@ -896,6 +920,44 @@ ORACLE = {
                    cos_sim
             FROM scored
         ) WHERE rnk <= {_TOP_K}
+    """,
+    "c03_cluster_medoids": f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id % {_KM_MOD} = {_KM_RES}
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, s.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
+                       ) AS rn
+                FROM embeddings e, seeds s
+            ) WHERE rn = 1
+        ),
+        reps AS (
+            SELECT min(vec_id) AS rep_id FROM a1 GROUP BY cid
+        ),
+        rvecs AS (
+            SELECT r.rep_id, e.embedding AS rvec
+            FROM reps r JOIN embeddings e ON e.vec_id = r.rep_id
+        ),
+        a2 AS (
+            SELECT vec_id, rep_id FROM (
+                SELECT e.vec_id, rv.rep_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'rv.rvec')} DESC, rv.rep_id
+                       ) AS rn
+                FROM embeddings e, rvecs rv
+            ) WHERE rn = 1
+        )
+        SELECT rep_id AS cluster,
+               count(*) AS n_members,
+               min(vec_id) AS min_member,
+               CAST(sum(vec_id) AS BIGINT) AS sum_members
+        FROM a2 GROUP BY rep_id
     """,
     "c04_term_frequency": """
         SELECT token, cnt,

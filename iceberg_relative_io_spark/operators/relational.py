@@ -818,6 +818,44 @@ def q_json_funs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 (recursive CTE, Spark 4): a monthly calendar spine generated by
+    WITH RECURSIVE, left-joined to per-month order counts so months with
+    no orders appear with zero — the canonical gaps-in-time-series fill.
+    The spine bounds come from a one-row driver aggregate (min/max
+    orderdate), so the recursive part is a pure 80-level ladder well under
+    Spark's cteRecursionLevelLimit; the oracle runs the identical ANSI
+    recursion in DuckDB with the bounds computed in-query."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.select(
+        F.date_trunc("month", F.min("o_orderdate")).cast("string"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("string"),
+    ).first()
+    view = "orders_rcte"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '{lo}'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '{hi}'
+        ),
+        per_month AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(28,4))) AS total_price
+            FROM {view}
+            GROUP BY 1
+        )
+        SELECT unix_micros(months.m) AS month_start_us,
+               COALESCE(p.n_orders, 0) AS n_orders,
+               CAST(COALESCE(p.total_price, 0) AS DOUBLE) AS total_price
+        FROM months LEFT JOIN per_month p ON months.m = p.m
+        """
+    )
+
+
 def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32: the Python-UDF surface, done the right way: a vectorized
     (Arrow-batched) pandas UDF, not a row-at-a-time Python UDF. Computes a
@@ -880,6 +918,7 @@ QUERIES = {
     "b06_systematic_sample": q_systematic_sample,
     "b27_json_funs": q_json_funs,
     "b32_pandas_udf": q_pandas_udf,
+    "b33_recursive_cte": q_recursive_cte,
 }
 
 
@@ -1246,5 +1285,24 @@ ORACLE = {
                ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6)
                    AS token_density
         FROM documents
+    """,
+    "b33_recursive_cte": """
+        WITH RECURSIVE months(m) AS (
+            SELECT (SELECT date_trunc('month', min(o_orderdate)) FROM orders)
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        ),
+        per_month AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(28,4))) AS total_price
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT epoch_us(CAST(months.m AS TIMESTAMP)) AS month_start_us,
+               COALESCE(p.n_orders, 0) AS n_orders,
+               CAST(COALESCE(p.total_price, 0) AS DOUBLE) AS total_price
+        FROM months LEFT JOIN per_month p ON months.m = p.m
     """,
 }

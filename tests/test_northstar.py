@@ -164,3 +164,37 @@ def test_distributed_cc_on_lsh_edges(spark, sf_dir):
     }
     for node, comp in dist.items():
         assert uf[node] == comp
+
+
+def test_cluster_medoids_partitions_corpus(spark, sf_dir):
+    """One k-medoids pass: clusters partition the corpus exactly, every
+    cluster id is a corpus member, and the medoid belongs to its own
+    cluster (it is its cluster's min-cosine-tie-free nearest rep)."""
+    from iceberg_relative_io_spark.operators.northstar import q_cluster_medoids
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    out = q_cluster_medoids(spark, sf_dir).collect()
+    n_vectors = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_vectors
+    for r in out:
+        assert r.min_member <= r.cluster  # medoid is a member id, clusters keyed by rep
+
+
+def test_recursive_cte_month_spine(spark, sf_dir):
+    """The recursive spine covers every month between min and max
+    orderdate inclusive, with zero-order months present."""
+    from iceberg_relative_io_spark.operators.relational import q_recursive_cte
+    from iceberg_relative_io_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = q_recursive_cte(spark, sf_dir)
+    months = [r.month_start_us for r in out.collect()]
+    assert len(months) == len(set(months))
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.select(
+        F.min(F.date_trunc("month", "o_orderdate")),
+        F.max(F.date_trunc("month", "o_orderdate")),
+    ).first()
+    span = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    assert len(months) == span
+    assert sum(r.n_orders for r in out.collect()) == orders.count()
