@@ -424,6 +424,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (embedding compression): symmetric int8 quantization, the
+    standard 4× shrink applied to embedding corpora before ANN serving.
+    Per vector: scale = max|v|/127, code_i = floor(v_i/scale + 0.5)
+    (clamped) — pure IEEE-double built-ins, so codes are bit-identical in
+    any engine and the oracle checks integer checksums over them. Runs
+    entirely inside codegen (higher-order array functions, no UDF): at
+    100 TB this is a map-only pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    )
+    return (
+        emb.select("vec_id", "embedding", (absmax / F.lit(127.0)).alias("scale"))
+        .select(
+            "vec_id",
+            "scale",
+            F.transform("embedding", code).alias("codes"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate("codes", F.lit(0), lambda a, x: a + x).alias("code_sum"),
+            F.array_min("codes").alias("code_min"),
+            F.array_max("codes").alias("code_max"),
+        )
+    )
+
+
 _KM_MOD = 16
 _KM_RES = 3
 
@@ -733,6 +767,7 @@ QUERIES = {
     "c03_ann_lsh": q_ann_lsh,
     "c03_ann_ivf": q_ann_ivf,
     "c03_cluster_medoids": q_cluster_medoids,
+    "c03_quantize_int8": q_quantize_int8,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
     "c04_quality_score": q_quality_score,
@@ -920,6 +955,27 @@ ORACLE = {
                    cos_sim
             FROM scored
         ) WHERE rnk <= {_TOP_K}
+    """,
+    "c03_quantize_int8": """
+        WITH t AS (
+            SELECT vec_id, embedding,
+                   list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0
+                       AS scale
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, scale,
+                   [greatest(-127, least(127,
+                        CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))
+                    FOR x IN embedding] AS codes
+            FROM t
+        )
+        SELECT vec_id,
+               scale,
+               list_reduce(list_prepend(0, codes), (a, x) -> a + x) AS code_sum,
+               list_min(codes) AS code_min,
+               list_max(codes) AS code_max
+        FROM c
     """,
     "c03_cluster_medoids": f"""
         WITH seeds AS (

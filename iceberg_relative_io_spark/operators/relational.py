@@ -417,6 +417,40 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 (quantile sketch): percentile_approx (KLL-style) medians per
+    return flag. Sketch outputs are engine-specific, so — like the HLL
+    check above — the oracle checks the contract: the sketch's median
+    must sit at the true CDF midpoint (exact rank-count validation inside
+    Spark), and the emitted columns are the integer-exact group sizes
+    plus the pass flag. At 100 TB the sketch aggregates in one pass with
+    bounded memory; the exact rank check here is the test harness, not
+    the production path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("q50"),
+        F.count("*").alias("n_rows"),
+    )
+    below = (
+        li.join(q.select("l_returnflag", "q50"), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("q50")).cast("long")).alias("n_le")
+        )
+    )
+    return (
+        q.join(below, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            # the sketch's median must split the group 45/55 or tighter
+            (
+                F.abs(F.col("n_le").cast("double") / F.col("n_rows") - 0.5) <= 0.05
+            ).cast("int").alias("median_within_5pct"),
+        )
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16: ROLLUP over (status, priority); grouping-set NULLs are coalesced
     to a sentinel so they are unambiguous in both engines."""
@@ -892,6 +926,7 @@ QUERIES = {
     "b13_agg_pricing_summary": q_agg_pricing_summary,
     "b14_distinct": q_distinct,
     "b15_approx_distinct": q_approx_distinct,
+    "b15_approx_quantile": q_approx_quantile,
     "b16_rollup": q_rollup,
     "b16_cube": q_cube,
     "b16_grouping_sets": q_grouping_sets,
@@ -1086,6 +1121,10 @@ ORACLE = {
     "b15_approx_distinct": """
         SELECT count(DISTINCT l_orderkey) AS exact_cnt, 1 AS approx_within_5pct
         FROM lineitem
+    """,
+    "b15_approx_quantile": """
+        SELECT l_returnflag, count(*) AS n_rows, 1 AS median_within_5pct
+        FROM lineitem GROUP BY l_returnflag
     """,
     "b16_rollup": """
         SELECT COALESCE(o_orderstatus, '(all)') AS status,
