@@ -26,4 +26,7 @@ def merged_oracle() -> dict:
     out: dict = {}
     for mod in (relational, northstar, tableops_queries, stream_queries):
         out.update(mod.ORACLE)
-    return out
+    # keep the oracle map a subset of queries(): optional queries that the
+    # runtime gates off must not leave a dangling oracle entry behind
+    names = set(merged_queries())
+    return {k: v for k, v in out.items() if k in names}

@@ -721,6 +721,60 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 256  # tokens per training batch (sequence-packing bin)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (sequence packing): assign documents to fixed token-budget bins
+    per language — the batch-construction step before tokenized examples
+    are written for training. Distributed packing is cumsum-based: a doc's
+    bin is floor(tokens_before_it / budget) within its (lang, doc_id)
+    order, so bins can overflow by at most one document (first-fit packing
+    is inherently sequential; this is the standard parallel
+    approximation). One window + one aggregation, all integer arithmetic.
+    At 100 TB the window partitions by (lang, shard) so no single ordered
+    partition grows unbounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "lang",
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (dataset splitting): deterministic content-hash train/val/test
+    assignment — split by fingerprint(text) mod 100 (80/10/10), so exact
+    duplicates always land in the same split (no train→test leakage from
+    re-crawled copies) and the assignment is stable across runs and
+    cluster sizes. Pure integer hashing ⇒ exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = T.fingerprint(F.col("text")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", F.size(F.split("text", " ")).alias("n_tok"), split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5 — multimodal columns
 # ---------------------------------------------------------------------------
@@ -780,6 +834,8 @@ QUERIES = {
     "c05_multimodal_schema": q_multimodal_schema,
     "c05_frame_sample": q_frame_sample,
     "c06_pipeline_capstone": q_pipeline_capstone,
+    "c04_sequence_packing": q_sequence_packing,
+    "c06_train_split": q_train_split,
 }
 
 _CODES = T.token_codes_sql("text")
@@ -1185,4 +1241,37 @@ ORACLE["c04_term_frequency"] = """
             SELECT unnest(string_split(text, ' ')) AS token FROM documents
         ) GROUP BY token
     )
+"""
+
+ORACLE["c04_sequence_packing"] = f"""
+    WITH t AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (
+        SELECT lang, doc_id, n_tok,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY lang, bin_id
+"""
+
+ORACLE["c06_train_split"] = f"""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tok,
+               ({T.fingerprint_sql('text')}) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
 """

@@ -393,6 +393,111 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 (skew handling, join form): salted shuffle join. The build side
+    is replicated once per salt bucket and the probe side is salted with a
+    deterministic hash, so a hot join key spreads over SALT reducers
+    instead of melting one. This is the manual fix for skew that AQE's
+    skew-join split can't reach (e.g. when the skewed key is produced by
+    an upstream stage AQE can't re-split). The salt never leaves the
+    plan — the oracle is the plain join+agg, so the rewrite is proved
+    result-identical. At 100 TB: SALT multiplies build-side shuffle volume
+    (keep the replicated side the small one) and removes the straggler
+    reducer, which dominates wall-clock under skew."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    salts = spark.range(SALT).select(F.col("id").cast("int").alias("_salt"))
+    part_rep = part.crossJoin(F.broadcast(salts))
+    probe = li.select(
+        "l_partkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT))
+        .cast("int")
+        .alias("_salt"),
+    )
+    # hint SHUFFLE_HASH so this demonstrates the salted *shuffle* join
+    # (without it Catalyst would just broadcast `part` here)
+    joined = probe.hint("SHUFFLE_HASH").join(
+        part_rep,
+        on=(probe["l_partkey"] == part_rep["p_partkey"])
+        & (probe["_salt"] == part_rep["_salt"]),
+        how="inner",
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# count-min-sketch geometry: d independent affine hash rows × W buckets.
+# Small W keeps the fixture's collision behavior visible; production sizing
+# is W = e/eps buckets for an eps·N overcount bound.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_MOD = 2_147_483_647
+
+
+def _cms_params() -> list[tuple[int, int]]:
+    from iceberg_relative_io_spark.functions.text import hash_params
+
+    return [hash_params(j) for j in range(_CMS_D)]
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 (frequency sketch): count-min-sketch heavy hitters over
+    lineitem.l_partkey. The sketch is a d×W integer table built by one
+    hash aggregation over (row, bucket) pairs — fixed O(d·W) state
+    regardless of input size, mergeable by addition, so at 100 TB the
+    partial sketches combine map-side exactly like any partial agg. Each
+    candidate key's estimate is min over rows of its bucket count (the
+    classic CMS upper bound: est >= true, overcount bounded by collisions).
+    Integer-only hashing makes the whole pipeline — sketch, estimates,
+    top-10 ranking — bit-identical in DuckDB, so even this sketch query
+    carries an exact oracle."""
+    params = _cms_params()
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    pairs = li.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        ((F.col("key") * a + b) % _CMS_MOD % _CMS_W).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("h"),
+    ).select("key", "h.j", "h.bucket")
+    cms = pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    key_buckets = pairs.groupBy("key", "j", "bucket").agg(
+        F.count("*").alias("true_in_bucket")
+    )
+    est = (
+        key_buckets.join(cms, ["j", "bucket"])
+        .groupBy("key")
+        .agg(
+            F.min("cnt").alias("est_cnt"),
+            # every row of the sketch counts each key occurrence once
+            (F.sum("true_in_bucket") / _CMS_D).cast("long").alias("true_cnt"),
+        )
+    )
+    w = Window.orderBy(F.col("est_cnt").desc(), F.col("key"))
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            "key",
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).cast("int").alias("cms_upper_bound_ok"),
+        )
+    )
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: exact distinct (pair of low-cardinality customer columns)."""
     return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
@@ -934,6 +1039,8 @@ QUERIES = {
     "b16_unpivot": q_unpivot,
     "b13_correlated_agg_filter": q_correlated_agg_filter,
     "b13_salted_agg": q_salted_agg,
+    "b07_skew_salted_join": q_skew_salted_join,
+    "b15_cms_heavy_hitters": q_cms_heavy_hitters,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -1084,6 +1191,13 @@ ORACLE = {
         SELECT l_returnflag, count(*) AS n_items,
                CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # the salt is plan-internal; the oracle is the unsalted join+agg
+    "b07_skew_salted_join": """
+        SELECT p_brand, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "b14_distinct": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
     "b16_grouping_sets": """
@@ -1345,3 +1459,31 @@ ORACLE = {
         FROM months LEFT JOIN per_month p ON months.m = p.m
     """,
 }
+
+# CMS oracle: the same d×W integer sketch, built from the same affine hash
+# family — generated here so the (a, b) constants can't drift from Spark's
+_CMS_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_cms_params())
+)
+ORACLE["b15_cms_heavy_hitters"] = f"""
+    WITH params(j, a, b) AS (VALUES {_CMS_VALUES}),
+    pairs AS (
+        SELECT l_partkey AS key, j,
+               ((l_partkey * a + b) % {_CMS_MOD}) % {_CMS_W} AS bucket
+        FROM lineitem CROSS JOIN params
+    ),
+    cms AS (SELECT j, bucket, count(*) AS cnt FROM pairs GROUP BY j, bucket),
+    kb AS (SELECT key, j, bucket, count(*) AS tib
+           FROM pairs GROUP BY key, j, bucket),
+    est AS (
+        SELECT key, min(cnt) AS est_cnt,
+               CAST(sum(tib) / {_CMS_D} AS BIGINT) AS true_cnt
+        FROM kb JOIN cms USING (j, bucket) GROUP BY key
+    )
+    SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY est_cnt DESC, key) AS rnk,
+               key, est_cnt, true_cnt,
+               CAST(est_cnt >= true_cnt AS INT) AS cms_upper_bound_ok
+        FROM est
+    ) WHERE rnk <= 10
+"""

@@ -198,3 +198,28 @@ def test_recursive_cte_month_spine(spark, sf_dir):
     span = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
     assert len(months) == span
     assert sum(r.n_orders for r in out.collect()) == orders.count()
+
+
+def test_sequence_packing_respects_budget_overflow_rule(spark, sf_dir):
+    from iceberg_relative_io_spark.operators import northstar as N
+
+    rows = N.q_sequence_packing(spark, sf_dir).collect()
+    # cumsum packing: a bin may overflow only by its last document, so a
+    # bin other than the final one per lang holds at least one doc and its
+    # token count is bounded by budget + max doc length (docs are < 256
+    # tokens in the fixture => bound is 2 * budget)
+    assert all(r.n_docs >= 1 for r in rows)
+    assert all(r.bin_tokens < 2 * N._PACK_BUDGET for r in rows)
+
+
+def test_train_split_is_deterministic_and_complete(spark, sf_dir):
+    from iceberg_relative_io_spark.operators import northstar as N
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    a = {(r.split, r.lang): (r.n_docs, r.total_tokens)
+         for r in N.q_train_split(spark, sf_dir).collect()}
+    b = {(r.split, r.lang): (r.n_docs, r.total_tokens)
+         for r in N.q_train_split(spark, sf_dir).collect()}
+    assert a == b  # content-hash split: stable across runs
+    total = sum(n for n, _ in a.values())
+    assert total == load_table(spark, sf_dir, "documents").count()

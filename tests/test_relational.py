@@ -87,3 +87,18 @@ def test_repartition_colocates_aggregation(spark, sf_dir):
     agg = pre.groupBy("l_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, "groupBy must reuse the repartition distribution"
+
+
+def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
+    # the query exists to demonstrate the salted SHUFFLE join; if Catalyst
+    # silently broadcast it the demonstration would be vacuous
+    plan = R.q_skew_salted_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan.split("ShuffledHashJoin")[0]
+
+
+def test_cms_estimates_upper_bound_true_counts(spark, sf_dir):
+    rows = R.q_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.cms_upper_bound_ok == 1 for r in rows)
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
