@@ -58,7 +58,9 @@ class RelativeTable:
                 out[k] = v
         return out
 
-    def _write_snapshot_files(self, df: DataFrame) -> tuple[str, list[dict]]:
+    def _write_snapshot_files(
+        self, df: DataFrame, pre_distributed: bool = False
+    ) -> tuple[str, list[dict]]:
         """Write df as parquet into a fresh per-snapshot data dir; return
         (relative dir, file entries with relative paths). Honors the
         table's partition spec: files land in hive-style key=value dirs
@@ -69,7 +71,9 @@ class RelativeTable:
         abs_dir = self.ops.io.absolute(snap_dir)
         spec = self.partition_spec
         sort_order = self.ops.current().get("sort-order") or []
-        if sort_order:
+        if pre_distributed:
+            pass  # caller already clustered the rows (e.g. z-order rewrite)
+        elif sort_order:
             # write clustering: range-repartition so files carry disjoint
             # sort-key ranges, then sort within — footer min/max become
             # tight and range pruning can skip most files of a scan
@@ -626,6 +630,57 @@ class RelativeTable:
         df = self.read(spark).coalesce(target_partitions)
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("replace", entries)
+
+    def rewrite_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        target_partitions: int = 8,
+        bits: int = 16,
+    ) -> dict:
+        """`rewrite_data_files(strategy='sort', sort_order=zorder(cols))`:
+        recluster the table on a Morton (z-order) curve over several
+        numeric columns, so footer min/max become selective on ALL of them
+        at once — a single-column sort order can range-prune only its
+        leading column; z-order lets a 100 TB table skip files for filters
+        on any clustered dimension.
+
+        Mechanics: each column is min/max-normalized to ``bits`` bits
+        (one tiny agg for the bounds — driver-side scalars, not data), the
+        bit-planes are interleaved with shift/and/or Column expressions
+        (whole-stage codegen, no UDF), and rows are range-repartitioned +
+        sorted on the z-value before the rewrite commits as a 'replace'
+        snapshot. Time travel to the pre-rewrite layout still works."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark)
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        top = (1 << bits) - 1
+        quantized = []
+        for c in cols:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            span = (hi - lo) or 1
+            q = F.floor((F.col(c) - F.lit(lo)) * top / F.lit(span)).cast("long")
+            quantized.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, q in enumerate(quantized):
+                z = z + F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(cols) + i
+                )
+        clustered = (
+            df.withColumn("_zval", z)
+            .repartitionByRange(target_partitions, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+        _, entries = self._write_snapshot_files(clustered, pre_distributed=True)
+        return self._commit_snapshot(
+            "replace", entries, extra_summary={"zorder-by": ",".join(cols)}
+        )
 
     # -- schema evolution ---------------------------------------------------------
     def add_column(self, name: str, spark_type: str) -> None:

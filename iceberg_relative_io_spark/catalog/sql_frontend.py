@@ -32,6 +32,7 @@ the format provides):
 - maintenance procedures, Iceberg's ``CALL`` surface:
   ``CALL cat.system.expire_snapshots('ns.t', keep_last)`` /
   ``remove_orphan_files('ns.t')`` / ``rewrite_data_files('ns.t', n)`` /
+  ``rewrite_zorder('ns.t', 'c1,c2')`` /
   ``fast_forward('ns.t', 'branch')``
 
 Known limitation (documented, not defended): qualified names are located
@@ -320,7 +321,7 @@ class RelativeSqlSession:
     def _call(self, stmt: str) -> DataFrame:
         m = re.fullmatch(
             rf"CALL\s+{re.escape(self.name)}\.system\.(\w+)\s*\(\s*'([\w.]+)'\s*"
-            r"(?:,\s*([\w'\. ]+?)\s*)?\)",
+            r"(?:,\s*([\w'\.\, ]+?)\s*)?\)",
             stmt,
             re.IGNORECASE,
         )
@@ -336,6 +337,10 @@ class RelativeSqlSession:
             rows = [(p,) for p in table.remove_orphan_files()] or [("0 orphans",)]
         elif proc == "rewrite_data_files":
             result = table.compact(self.spark, int(arg) if arg else 1)
+            rows = [(str(result["snapshot-id"]),)]
+        elif proc == "rewrite_zorder":
+            cols = [c.strip() for c in arg.strip().strip("'").split(",") if c.strip()]
+            result = table.rewrite_zorder(self.spark, cols)
             rows = [(str(result["snapshot-id"]),)]
         elif proc == "fast_forward":
             table.fast_forward(arg.strip().strip("'"))

@@ -545,3 +545,37 @@ def test_expire_retains_branch_heads(spark, catalog):
     # branch head (snapshot 1) must survive expiry and still read
     assert sorted(r.id for r in table.read(spark, branch="keepme").collect()) == [1]
     assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3]
+
+
+def test_zorder_rewrite_improves_two_column_pruning(spark, catalog):
+    """Z-order recluster: after rewrite_zorder on (x, y), a box query on
+    BOTH columns must plan strictly fewer files than the unclustered
+    layout, with identical data and time-travelable history."""
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ops = catalog.create_table(("zo",), "t", li.schema.jsonValue())
+    table = RelativeTable(ops)
+    # unclustered layout: 8 files split on arrival order (l_orderkey-ish),
+    # so every file spans nearly the full (l_partkey, l_suppkey) domain
+    table.append(li.repartition(8))
+    total_rows = table.read(spark).count()
+    box = {"l_partkey": (1, 20), "l_suppkey": (1, 2)}
+    files_before = len(table.scan_files(column_ranges=box))
+    pre_snapshot = table.ops.current()["current-snapshot-id"]
+    assert files_before == 8, "unclustered files should all survive pruning"
+
+    table.rewrite_zorder(spark, ["l_partkey", "l_suppkey"], target_partitions=8)
+    files_after = len(table.scan_files(column_ranges=box))
+    assert files_after < files_before
+    # data unchanged, box-query values identical
+    assert table.read(spark).count() == total_rows
+    got = table.read(spark, column_ranges=box).filter(
+        "l_partkey BETWEEN 1 AND 20 AND l_suppkey BETWEEN 1 AND 2"
+    )
+    want = li.filter("l_partkey BETWEEN 1 AND 20 AND l_suppkey BETWEEN 1 AND 2")
+    assert got.count() == want.count()
+    # old layout still reachable through time travel
+    assert len(table.scan_files(snapshot_id=pre_snapshot)) == 8

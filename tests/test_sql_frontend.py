@@ -177,6 +177,7 @@ def test_call_maintenance_procedures(sess):
     assert res.count() == 1
     table = sess._table(("my_ns",), "my_table")
     assert len(table.scan_files()) == 1  # compacted
+    sess.sql("CALL test.system.rewrite_zorder('my_ns.my_table', 'id, id')")
     sess.sql("CALL test.system.expire_snapshots('my_ns.my_table', 1)")
     sess.sql("CALL test.system.remove_orphan_files('my_ns.my_table')")
     out = sess.sql("SELECT * FROM test.my_ns.my_table")
