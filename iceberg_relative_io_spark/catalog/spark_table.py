@@ -279,6 +279,67 @@ class RelativeTable:
     def branches(self) -> dict:
         return dict(self.ops.current().get("refs", {}))
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named ref (Iceberg tag): pins a snapshot under a
+        human name — 'v1-release', 'audit-2026-08' — for reproducible
+        reads. Unlike a branch, a tag can never be committed to."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            tags = meta.setdefault("tags", {})
+            if name in tags:
+                raise ValueError(f"tag {name!r} already exists")
+            snap = (
+                snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+            )
+            if snap is None:
+                raise ValueError("cannot tag an empty table")
+            self._snapshot_entry(meta, snap)  # must exist
+            tags[name] = snap
+            try:
+                self.ops.commit(base, meta)
+                return
+            except CommitFailedError:
+                self.ops._should_refresh = True
+        raise CommitFailedError(f"create_tag({name}) lost all commit races")
+
+    def tags(self) -> dict:
+        return dict(self.ops.current().get("tags", {}))
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """Iceberg's rollback_to_snapshot: move main back to an ancestor
+        snapshot as a new metadata version — a metadata-only undo of bad
+        commits. History is preserved (the rolled-back snapshots stay
+        time-travelable until expired); the snapshot-log records the
+        rollback like any other head move."""
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base = self.ops.current_version()
+            target = self._snapshot_entry(meta, snapshot_id)
+            if target.get("expired"):
+                raise ValueError(f"snapshot {snapshot_id} has been expired")
+            # only ancestors of the current head are legal rollback targets
+            sid = meta.get("current-snapshot-id")
+            ancestors = set()
+            while sid is not None:
+                ancestors.add(sid)
+                sid = self._snapshot_entry(meta, sid)["parent-snapshot-id"]
+            if snapshot_id not in ancestors:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of the current head"
+                )
+            meta["current-snapshot-id"] = snapshot_id
+            meta.setdefault("refs", {})["main"] = snapshot_id
+            meta["snapshot-log"].append(
+                {"timestamp-ms": int(time.time() * 1000), "snapshot-id": snapshot_id}
+            )
+            try:
+                self.ops.commit(base, meta)
+                return
+            except CommitFailedError:
+                self.ops._should_refresh = True
+        raise CommitFailedError(f"rollback_to_snapshot({snapshot_id}) lost all commit races")
+
     def fast_forward(self, branch: str) -> None:
         """Write-audit-publish: point main at a branch's head. Appends
         staged on an audit branch become visible atomically — the
@@ -390,6 +451,7 @@ class RelativeTable:
         partition_filter: dict | None = None,
         column_ranges: dict | None = None,
         branch: str | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """B4/B28: scan, optionally time-traveling to an old snapshot.
 
@@ -400,7 +462,12 @@ class RelativeTable:
         only the surviving files (the job Iceberg manifests + stats do).
         Range pruning is conservative: files without stats are kept."""
         meta = self.ops.current()
-        if branch is not None:
+        if tag is not None:
+            tags = meta.get("tags", {})
+            if tag not in tags:
+                raise ValueError(f"no such tag {tag!r}")
+            snap = tags[tag]
+        elif branch is not None:
             refs = meta.get("refs", {})
             if branch not in refs:
                 raise ValueError(f"no such branch {branch!r}")
@@ -541,8 +608,10 @@ class RelativeTable:
             live = [s for s in meta["snapshots"] if not s.get("expired")]
             if len(live) <= keep_last:
                 return {"expired": 0, "deleted_files": 0}
-            # every ref head is always retained; keep_last applies to main
+            # every ref head (branches AND tags) is always retained;
+            # keep_last applies to main
             retained = {v for v in meta.get("refs", {}).values() if v is not None}
+            retained.update(meta.get("tags", {}).values())
             main_live = [s for s in live if s.get("branch", "main") == "main"]
             retained.update(s["snapshot-id"] for s in main_live[-keep_last:])
             if all(s["snapshot-id"] in retained for s in live):

@@ -32,7 +32,7 @@ the format provides):
 - maintenance procedures, Iceberg's ``CALL`` surface:
   ``CALL cat.system.expire_snapshots('ns.t', keep_last)`` /
   ``remove_orphan_files('ns.t')`` / ``rewrite_data_files('ns.t', n)`` /
-  ``rewrite_zorder('ns.t', 'c1,c2')`` /
+  ``rewrite_zorder('ns.t', 'c1,c2')`` / ``rollback_to_snapshot('ns.t', id)`` /
   ``fast_forward('ns.t', 'branch')``
 
 Known limitation (documented, not defended): qualified names are located
@@ -342,6 +342,9 @@ class RelativeSqlSession:
             cols = [c.strip() for c in arg.strip().strip("'").split(",") if c.strip()]
             result = table.rewrite_zorder(self.spark, cols)
             rows = [(str(result["snapshot-id"]),)]
+        elif proc == "rollback_to_snapshot":
+            table.rollback_to_snapshot(int(arg))
+            rows = [("ok",)]
         elif proc == "fast_forward":
             table.fast_forward(arg.strip().strip("'"))
             rows = [("ok",)]

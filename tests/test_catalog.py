@@ -579,3 +579,39 @@ def test_zorder_rewrite_improves_two_column_pruning(spark, catalog):
     assert got.count() == want.count()
     # old layout still reachable through time travel
     assert len(table.scan_files(snapshot_id=pre_snapshot)) == 8
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("tg",), name="t")
+    table.create_tag("v1")
+    v1_snap = table.tags()["v1"]
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    # tag reads stay pinned while main advances
+    assert [r.id for r in table.read(spark, tag="v1").collect()] == [1]
+    assert table.read(spark).count() == 3
+    # tags are immutable refs: not committable as branches
+    with pytest.raises(ValueError):
+        table.append(spark.createDataFrame([(9, "x")], "id long, name string"), branch="v1")
+    # expire keeps the tagged snapshot alive
+    table.expire_snapshots(keep_last=1)
+    assert [r.id for r in table.read(spark, tag="v1").collect()] == [1]
+    with pytest.raises(ValueError):
+        table.read(spark, tag="nope")
+
+
+def test_rollback_to_snapshot_restores_old_head(spark, catalog):
+    table = _make_table(spark, catalog, [(1, "a")], ns=("rb",), name="t")
+    good = table.ops.current()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(99, "bad")], "id long, name string"))
+    assert table.read(spark).count() == 2
+    table.rollback_to_snapshot(good)
+    assert [r.id for r in table.read(spark).collect()] == [1]
+    # the bad snapshot is still time-travelable (history preserved)
+    assert table.read(spark, snapshot_id=good + 1).count() == 2
+    # a new append extends the rolled-back head
+    table.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+    # non-ancestor (the abandoned bad snapshot) is not a rollback target
+    with pytest.raises(ValueError):
+        table.rollback_to_snapshot(good + 1)
