@@ -422,14 +422,17 @@ class RelativeTable:
         column_ranges: dict | None,
     ) -> list[dict]:
         if partition_filter:
-            entries = [
-                f
-                for f in entries
-                if all(
-                    f.get("partition", {}).get(k) == str(v)
+            # prune only on keys the file's own layout recorded: after
+            # partition evolution, old-layout files lack the new key and
+            # must be kept (conservative), never wrongly skipped
+            def part_match(f: dict) -> bool:
+                tup = f.get("partition", {})
+                return all(
+                    k not in tup or tup[k] == str(v)
                     for k, v in partition_filter.items()
                 )
-            ]
+
+            entries = [f for f in entries if part_match(f)]
         if column_ranges:
             def may_match(f: dict) -> bool:
                 mins, maxs = f.get("min", {}), f.get("max", {})
@@ -499,20 +502,26 @@ class RelativeTable:
         if not entries:
             return spark.createDataFrame([], schema)
         cur_ids = meta.get("column-ids") or {}
+        # group by (column-id mapping, partition layout): after partition
+        # evolution a snapshot mixes file eras with different directory
+        # layouts, and Spark's partition discovery needs each read to see
+        # one consistent layout
         groups: dict[str, list[dict]] = {}
         for e in entries:
-            key = json.dumps(e.get("column-ids"), sort_keys=True)
+            key = json.dumps(
+                [e.get("column-ids"), sorted(e.get("partition", {}))], sort_keys=True
+            )
             groups.setdefault(key, []).append(e)
 
         base_path = self.ops.io.absolute(f"{self.ops.location}/data")
         parts: list[DataFrame] = []
         for key, es in groups.items():
-            file_ids = json.loads(key)
+            file_ids, part_keys = json.loads(key)
             files = [self.ops.io.absolute(f["path"]) for f in es]
             if not file_ids or not cur_ids:
                 # legacy entries: written with the current logical names
                 reader = spark.read.schema(schema)
-                if self.partition_spec:
+                if part_keys:
                     reader = reader.option("basePath", base_path)
                 parts.append(reader.parquet(*files).select(*[f.name for f in schema.fields]))
                 continue
@@ -526,7 +535,7 @@ class RelativeTable:
                     read_fields.append(StructField(phys, f.dataType, True))
                     select_cols.append(F.col(phys).alias(f.name))
             reader = spark.read.schema(StructType(read_fields))
-            if self.partition_spec:
+            if part_keys:
                 reader = reader.option("basePath", base_path)
             parts.append(reader.parquet(*files).select(*select_cols))
         return reduce(lambda a, b: a.unionByName(b), parts)
@@ -814,6 +823,25 @@ class RelativeTable:
             meta["column-ids"].pop(name, None)
 
         self._evolve(f"drop_column({name})", mutate)
+
+    def update_partition_spec(self, new_spec: list[str]) -> None:
+        """Partition evolution (Iceberg parity): change how FUTURE writes
+        are laid out, as a metadata-only commit. Existing files keep the
+        layout of the spec they were written under — each manifest entry
+        records its own partition tuple, the read path groups files by
+        per-file layout, and pruning only skips a file when the filtered
+        key is actually present in its tuple (old-layout files are
+        conservatively kept). This is what lets a 100 TB table switch
+        from daily to hourly partitioning without rewriting history."""
+
+        def mutate(meta: dict) -> None:
+            fields = {f["name"] for f in meta["schema"]["fields"]}
+            missing = [c for c in new_spec if c not in fields]
+            if missing:
+                raise ValueError(f"partition columns not in schema: {missing}")
+            meta["partition-spec"] = list(new_spec)
+
+        self._evolve(f"update_partition_spec({new_spec})", mutate)
 
     def _evolve(self, what: str, mutate) -> None:
         for _ in range(_COMMIT_RETRIES):

@@ -467,6 +467,24 @@ class RelativeSqlSession:
             namespace, name = self._split_ident(drop.group(1))
             self._table(namespace, name).drop_column(drop.group(2))
             return self._empty()
+        # Iceberg partition-evolution DDL: ADD/DROP PARTITION FIELD
+        pf = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(\w+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if pf:
+            namespace, name = self._split_ident(pf.group(1))
+            table = self._table(namespace, name)
+            spec = list(table.partition_spec)
+            col = pf.group(3)
+            if pf.group(2).upper() == "ADD":
+                if col not in spec:
+                    spec.append(col)
+            else:
+                spec = [c for c in spec if c != col]
+            table.update_partition_spec(spec)
+            return self._empty()
         ren_t = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)",
             stmt,

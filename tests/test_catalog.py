@@ -615,3 +615,30 @@ def test_rollback_to_snapshot_restores_old_head(spark, catalog):
     # non-ancestor (the abandoned bad snapshot) is not a rollback target
     with pytest.raises(ValueError):
         table.rollback_to_snapshot(good + 1)
+
+
+def test_partition_evolution_mixed_layouts(spark, catalog):
+    """update_partition_spec: unpartitioned-era and partitioned-era files
+    coexist in one snapshot; reads union both layouts, partition pruning
+    skips only new-era files and conservatively keeps old-era ones."""
+    table = _make_table(spark, catalog, [(1, "a"), (2, "b")], ns=("pe",), name="t")
+    table.update_partition_spec(["name"])
+    table.ops._should_refresh = True
+    table.append(
+        spark.createDataFrame([(3, "a"), (4, "c")], "id long, name string")
+    )
+    got = {(r.id, r.name) for r in table.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
+    files = table.scan_files(partition_filter={"name": "a"})
+    # both old-era files (no partition tuple => kept) and exactly the one
+    # new-era name=a file survive
+    new_era = [f for f in files if f.get("partition")]
+    old_era = [f for f in files if not f.get("partition")]
+    assert len(new_era) == 1 and new_era[0]["partition"] == {"name": "a"}
+    assert old_era, "pre-evolution files must never be pruned by the new key"
+    # filtered read over the pruned plan still yields exact values
+    rows = {r.id for r in table.read(spark, partition_filter={"name": "a"})
+            .filter("name = 'a'").collect()}
+    assert rows == {1, 3}
+    with pytest.raises(ValueError):
+        table.update_partition_spec(["nope"])

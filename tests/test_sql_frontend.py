@@ -230,3 +230,19 @@ def test_drop_table_and_namespace(sess):
     assert sess.sql("SHOW TABLES IN test.tmp").count() == 0
     sess.sql("DROP NAMESPACE test.tmp")
     assert ("tmp",) not in sess.catalog.list_namespaces()
+
+
+def test_alter_partition_field_evolves_spec(sess):
+    _readme_flow(sess)
+    sess.sql("ALTER TABLE test.my_ns.my_table ADD PARTITION FIELD category")
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')")
+    table = sess._table(("my_ns",), "my_table")
+    assert table.partition_spec == ["category"]
+    # mixed-era read: pre-evolution rows + hive-laid-out new row
+    out = sess.sql("SELECT id, category FROM test.my_ns.my_table")
+    assert {(r.id, r.category) for r in out.collect()} == {
+        (1, "odd"), (2, "even"), (3, "odd"),
+    }
+    sess.sql("ALTER TABLE test.my_ns.my_table DROP PARTITION FIELD category")
+    table.ops._should_refresh = True
+    assert table.partition_spec == []
