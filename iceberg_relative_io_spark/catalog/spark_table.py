@@ -19,6 +19,7 @@ metadata — optimistic concurrency exactly like the reference
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -37,6 +38,66 @@ def _json_safe(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
+
+
+# -- hidden partitioning (Iceberg partition transforms) -------------------------
+# A spec entry is either an identity column name or a transform:
+#   "day(ts)" / "month(ts)" / "bucket(16, id)" / "truncate(4, code)"
+# Transform layouts partition the DIRECTORY tree on a derived value while the
+# source column stays physical in the data files — queries filter the source
+# column and pruning maps the predicate onto the layout (Iceberg's hidden
+# partitioning, so users never filter a derived column by hand).
+
+_TRANSFORM_RE = re.compile(r"(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)")
+
+
+def parse_partition_field(entry: str) -> dict:
+    m = _TRANSFORM_RE.fullmatch(entry.strip())
+    if not m:
+        return {"kind": "identity", "source": entry.strip(), "arg": None, "name": entry.strip()}
+    kind, arg, col = m.group(1).lower(), m.group(2), m.group(3)
+    if kind not in ("day", "month", "bucket", "truncate"):
+        raise ValueError(f"unknown partition transform {kind!r}")
+    if kind in ("bucket", "truncate") and not arg:
+        raise ValueError(f"{kind} transform needs a width: {entry!r}")
+    return {
+        "kind": kind,
+        "source": col,
+        "arg": int(arg) if arg else None,
+        "name": f"{col}_{kind}",
+    }
+
+
+def _transform_column(fdef: dict):
+    """The derived layout column as a Catalyst expression (codegen)."""
+    from pyspark.sql import functions as F
+
+    src = F.col(fdef["source"])
+    if fdef["kind"] == "day":
+        return F.date_format(src, "yyyy-MM-dd")
+    if fdef["kind"] == "month":
+        return F.date_format(src, "yyyy-MM")
+    if fdef["kind"] == "bucket":
+        return F.pmod(F.xxhash64(src), F.lit(fdef["arg"])).cast("int")
+    if fdef["kind"] == "truncate":
+        return F.substring(src, 1, fdef["arg"])
+    return src
+
+
+def _transform_value(fdef: dict, v):
+    """Driver-side mirror of order-preserving transforms, for pruning.
+    Returns None when the transform of this value can't be derived here
+    (bucket: engine-side hash) — callers must then keep the file."""
+    if v is None:
+        return None
+    s = v.isoformat() if hasattr(v, "isoformat") else str(v)
+    if fdef["kind"] == "day":
+        return s[:10]
+    if fdef["kind"] == "month":
+        return s[:7]
+    if fdef["kind"] == "truncate":
+        return s[: fdef["arg"]]
+    return None
 
 
 class RelativeTable:
@@ -70,7 +131,15 @@ class RelativeTable:
         snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
         abs_dir = self.ops.io.absolute(snap_dir)
         spec = self.partition_spec
+        fields = [parse_partition_field(e) for e in spec]
+        layout_cols = [f["name"] for f in fields]
         sort_order = self.ops.current().get("sort-order") or []
+        if fields:
+            # hidden partitioning: derive each transform's layout column
+            # (identity entries pass through untouched)
+            for fdef in fields:
+                if fdef["kind"] != "identity":
+                    df = df.withColumn(fdef["name"], _transform_column(fdef))
         if pre_distributed:
             pass  # caller already clustered the rows (e.g. z-order rewrite)
         elif sort_order:
@@ -78,15 +147,15 @@ class RelativeTable:
             # sort-key ranges, then sort within — footer min/max become
             # tight and range pruning can skip most files of a scan
             df = df.repartitionByRange(*sort_order).sortWithinPartitions(*sort_order)
-        elif spec:
+        elif layout_cols:
             # hash-distribute rows to their partition before partitionBy:
             # without this every task emits a file per partition value it
             # sees — tasks × partitions small files at scale (Iceberg's
             # 'hash' write.distribution-mode solves the same problem)
-            df = df.repartition(*spec)
+            df = df.repartition(*layout_cols)
         writer = df.write.mode("overwrite")
-        if spec:
-            writer = writer.partitionBy(*spec)
+        if layout_cols:
+            writer = writer.partitionBy(*layout_cols)
         writer.parquet(abs_dir)
         entries = []
         column_ids = self.ops.current().get("column-ids")
@@ -415,12 +484,29 @@ class RelativeTable:
     def schema(self) -> StructType:
         return StructType.fromJson(self.ops.current()["schema"])
 
-    @staticmethod
     def _prune(
+        self,
         entries: list[dict],
         partition_filter: dict | None,
         column_ranges: dict | None,
     ) -> list[dict]:
+        if column_ranges:
+            # hidden partitioning: a range predicate on a transform's SOURCE
+            # column prunes on the derived layout value (order-preserving
+            # transforms only; bucket can't be derived driver-side => kept)
+            for fdef in (parse_partition_field(e) for e in self.partition_spec):
+                if fdef["kind"] == "identity" or fdef["source"] not in column_ranges:
+                    continue
+                lo, hi = column_ranges[fdef["source"]]
+                tlo, thi = _transform_value(fdef, lo), _transform_value(fdef, hi)
+
+                def in_layout(f: dict, name=fdef["name"], tlo=tlo, thi=thi) -> bool:
+                    v = f.get("partition", {}).get(name)
+                    if v is None:
+                        return True  # other-era / bucket layouts: keep
+                    return (tlo is None or v >= tlo) and (thi is None or v <= thi)
+
+                entries = [f for f in entries if in_layout(f)]
         if partition_filter:
             # prune only on keys the file's own layout recorded: after
             # partition evolution, old-layout files lack the new key and
@@ -790,7 +876,10 @@ class RelativeTable:
                 raise ValueError(
                     "table predates column-id metadata; rename is unsupported"
                 )
-            if old in meta.get("partition-spec", []):
+            if old in [
+                parse_partition_field(e)["source"]
+                for e in meta.get("partition-spec", [])
+            ]:
                 raise ValueError(f"cannot rename partition column {old!r}")
             fields = meta["schema"]["fields"]
             if not any(f["name"] == old for f in fields):
@@ -812,7 +901,10 @@ class RelativeTable:
                 raise ValueError(
                     "table predates column-id metadata; drop is unsupported"
                 )
-            if name in meta.get("partition-spec", []):
+            if name in [
+                parse_partition_field(e)["source"]
+                for e in meta.get("partition-spec", [])
+            ]:
                 raise ValueError(f"cannot drop partition column {name!r}")
             fields = meta["schema"]["fields"]
             if not any(f["name"] == name for f in fields):
@@ -836,7 +928,9 @@ class RelativeTable:
 
         def mutate(meta: dict) -> None:
             fields = {f["name"] for f in meta["schema"]["fields"]}
-            missing = [c for c in new_spec if c not in fields]
+            missing = [
+                e for e in new_spec if parse_partition_field(e)["source"] not in fields
+            ]
             if missing:
                 raise ValueError(f"partition columns not in schema: {missing}")
             meta["partition-spec"] = list(new_spec)

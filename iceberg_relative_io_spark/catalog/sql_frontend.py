@@ -263,7 +263,7 @@ class RelativeSqlSession:
 
         m = re.fullmatch(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
-            r"\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?",
+            r"\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\((.*)\))?",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
@@ -273,8 +273,12 @@ class RelativeSqlSession:
         if m.group(1) and self.catalog.table_exists(namespace, name):
             return self._empty()
         schema = StructType.fromDDL(m.group(3))
+        # split on top-level commas only: transform entries like
+        # bucket(8, id) carry their own comma
         partition_by = (
-            [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
+            [c.strip() for c in re.split(r",(?![^(]*\))", m.group(4))]
+            if m.group(4)
+            else None
         )
         self.catalog.create_table(
             namespace, name, schema.jsonValue(), partition_by=partition_by
@@ -469,7 +473,8 @@ class RelativeSqlSession:
             return self._empty()
         # Iceberg partition-evolution DDL: ADD/DROP PARTITION FIELD
         pf = re.fullmatch(
-            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(\w+)",
+            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+"
+            r"(\w+(?:\([\w, ]*\))?)",
             stmt,
             re.IGNORECASE,
         )
@@ -477,7 +482,7 @@ class RelativeSqlSession:
             namespace, name = self._split_ident(pf.group(1))
             table = self._table(namespace, name)
             spec = list(table.partition_spec)
-            col = pf.group(3)
+            col = pf.group(3).strip()
             if pf.group(2).upper() == "ADD":
                 if col not in spec:
                     spec.append(col)
@@ -540,7 +545,9 @@ class RelativeSqlSession:
             raise SqlParseError(f"cannot parse: {stmt!r}")
         namespace, name = self._split_ident(m.group(1))
         table = self._table(namespace, name)
-        spec = set(table.partition_spec)
+        from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
+        spec = {parse_partition_field(e)["source"] for e in table.partition_spec}
         rows = [
             (f.name, f.dataType.simpleString(), f.name in spec)
             for f in table.schema().fields

@@ -113,7 +113,15 @@ class RelativeBatchReader(DataSourceReader):
         self.partition_filter: dict = {}
         self.column_ranges: dict = {}
         table = _load_table(options)
-        self._part_cols = table.partition_spec
+        from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
+        # equality filters map to partition dirs only for identity entries;
+        # transform layouts (day/bucket/...) prune through column_ranges
+        self._part_cols = [
+            f["name"]
+            for f in (parse_partition_field(e) for e in table.partition_spec)
+            if f["kind"] == "identity"
+        ]
         self._cur_ids = table.ops.current().get("column-ids") or {}
 
     def pushFilters(self, filters):

@@ -642,3 +642,60 @@ def test_partition_evolution_mixed_layouts(spark, catalog):
     assert rows == {1, 3}
     with pytest.raises(ValueError):
         table.update_partition_spec(["nope"])
+
+
+def test_hidden_partitioning_day_transform(spark, catalog):
+    """day(ts) layout: queries filter the SOURCE column; pruning maps the
+    range onto the derived day directories (Iceberg hidden partitioning).
+    The source column stays physical in the data files."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 10.0), (2, "2024-01-01 17:30:00", 20.0),
+         (3, "2024-01-02 09:15:00", 30.0), (4, "2024-01-03 23:59:59", 40.0)],
+        "id long, ts string, v double",
+    )
+    ops = catalog.create_table(
+        ("hp",), "t", df.schema.jsonValue(), partition_by=["day(ts)"]
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    files = table.scan_files()
+    assert {f["partition"]["ts_day"] for f in files} == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+    # range predicate on ts prunes to one day's file(s)
+    pruned = table.scan_files(
+        column_ranges={"ts": ("2024-01-02 00:00:00", "2024-01-02 23:59:59")}
+    )
+    assert {f["partition"]["ts_day"] for f in pruned} == {"2024-01-02"}
+    # read returns full rows incl. the physical source column
+    got = table.read(
+        spark, column_ranges={"ts": ("2024-01-02 00:00:00", "2024-01-02 23:59:59")}
+    )
+    assert [(r.id, r.ts, r.v) for r in got.collect()] == [
+        (3, "2024-01-02 09:15:00", 30.0)
+    ]
+    assert set(table.read(spark).columns) == {"id", "ts", "v"}  # layout col hidden
+    assert table.read(spark).count() == 4
+
+
+def test_bucket_and_truncate_transforms(spark, catalog):
+    df = spark.createDataFrame(
+        [(i, f"code{i % 3}x{i}") for i in range(20)], "id long, code string"
+    )
+    ops = catalog.create_table(
+        ("hp",), "bt", df.schema.jsonValue(),
+        partition_by=["bucket(4, id)", "truncate(5, code)"],
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    files = table.scan_files()
+    buckets = {f["partition"]["id_bucket"] for f in files}
+    truncs = {f["partition"]["code_truncate"] for f in files}
+    assert buckets <= {"0", "1", "2", "3"} and len(buckets) > 1
+    assert truncs == {"code0", "code1", "code2"}
+    # truncate is order-preserving: a range on code prunes directories
+    pruned = table.scan_files(column_ranges={"code": ("code1", "code1zzz")})
+    assert {f["partition"]["code_truncate"] for f in pruned} == {"code1"}
+    # full data round-trips
+    assert table.read(spark).count() == 20
+    assert {r.id for r in table.read(spark).collect()} == set(range(20))

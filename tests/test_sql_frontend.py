@@ -246,3 +246,23 @@ def test_alter_partition_field_evolves_spec(sess):
     sess.sql("ALTER TABLE test.my_ns.my_table DROP PARTITION FIELD category")
     table.ops._should_refresh = True
     assert table.partition_spec == []
+
+
+def test_hidden_partitioning_through_sql(sess):
+    sess.sql("CREATE NAMESPACE test.hp")
+    sess.sql(
+        "CREATE TABLE test.hp.ev (id bigint, ts string, kind string) "
+        "PARTITIONED BY (day(ts), bucket(4, id))"
+    )
+    sess.sql(
+        "INSERT INTO test.hp.ev VALUES "
+        "(1, '2024-03-01 01:00:00', 'a'), (2, '2024-03-02 02:00:00', 'b'), "
+        "(3, '2024-03-02 03:00:00', 'a')"
+    )
+    out = sess.sql("SELECT id FROM test.hp.ev WHERE ts >= '2024-03-02'")
+    assert {r.id for r in out.collect()} == {2, 3}
+    table = sess._table(("hp",), "ev")
+    days = {f["partition"]["ts_day"] for f in table.scan_files()}
+    assert days == {"2024-03-01", "2024-03-02"}
+    pruned = table.scan_files(column_ranges={"ts": ("2024-03-02", None)})
+    assert {f["partition"]["ts_day"] for f in pruned} == {"2024-03-02"}
