@@ -129,6 +129,37 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark, partition_filter={"l_returnflag": "A"})
 
 
+def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg partition-transform parity): orders is
+    written through the catalog laid out by month(o_orderdate); a range
+    predicate on the SOURCE column must prune the monthly directories at
+    the manifest level (asserted here) and the surviving rows must equal
+    the plain SQL filter (the oracle). At 100 TB this is the difference
+    between scanning 12 months and scanning one year's files."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    # systematic sample keeps the staging write off the bench hot path;
+    # the layout/pruning semantics are identical at any density
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+    ops = cat.create_table(
+        ("ns",), "ord_hp", src.schema.jsonValue(), partition_by=["month(o_orderdate)"]
+    )
+    table = RelativeTable(ops)
+    table.append(src)
+    lo, hi = "1995-01-01T00:00:00", "1995-12-31T23:59:59.999999"
+    pruned = table.scan_files(column_ranges={"o_orderdate": (lo, hi)})
+    assert 0 < len(pruned) < len(table.scan_files()), "month layout must prune"
+    assert all(
+        f["partition"]["o_orderdate_month"].startswith("1995") for f in pruned
+    )
+    out = table.read(spark, column_ranges={"o_orderdate": (lo, hi)})
+    return out.filter(F.year("o_orderdate") == 1995)
+
+
 def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance op: three small appends then rewrite_data_files-style
     compaction into one file as a 'replace' snapshot; values must be
@@ -300,6 +331,7 @@ QUERIES = {
     "a_row_delete": q_row_delete,
     "a_merge_upsert": q_merge_upsert,
     "a32_partition_pruning": q_partition_pruning,
+    "a32_hidden_partitioning": q_hidden_partitioning,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
     "b03_catalog_create_schema": q_catalog_create_schema,
@@ -323,6 +355,10 @@ ORACLE = {
     "a32_partition_pruning": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    "a32_hidden_partitioning": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey % 5 = 0
     """,
     "a26_compaction": "SELECT * FROM nation",
     "a18_expire_snapshots": "SELECT * FROM nation",
