@@ -59,16 +59,22 @@ def register_optional_queries() -> dict:
     return out
 
 
-def _stage_events(spark: SparkSession, sf_dir: str, doubled: bool = False) -> str:
+def _stage_events(
+    spark: SparkSession, sf_dir: str, doubled: bool = False, parts: int | None = None
+) -> str:
     """Materialize the events fixture (normalized µs timestamps) as a
     parquet directory usable as a file-source stream. Memoized per
-    (sf_dir, doubled) — the staged log is immutable input, shared by every
-    streaming query in the process."""
-    key = (sf_dir, doubled)
+    (sf_dir, doubled, parts) — the staged log is immutable input, shared
+    by every streaming query in the process. ``parts`` forces a file
+    count, so maxFilesPerTrigger can carve the log into that many
+    micro-batches."""
+    key = (sf_dir, doubled, parts)
     if key not in _STAGED:
         ev = load_table(spark, sf_dir, "events")
         if doubled:
             ev = ev.unionByName(ev)  # simulate at-least-once duplicate delivery
+        if parts:
+            ev = ev.repartition(parts)
         path = tempfile.mkdtemp(prefix="events_stream_")
         ev.write.mode("overwrite").parquet(path)
         _STAGED[key] = path
@@ -146,6 +152,50 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
     )
     return _run_to_memory(stream, "append")
+
+
+def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (stream -> table sink): the production ingestion shape — the
+    event stream commits into the relative-path table format through
+    foreachBatch (one durable snapshot per micro-batch, idempotent by
+    Structured Streaming's epoch contract), then the TABLE is read back
+    and aggregated. What the oracle checks is therefore the whole
+    stream->catalog->scan round trip, not just the stream computation.
+    Three micro-batches here (maxFilesPerTrigger) prove multi-snapshot
+    accumulation."""
+    import tempfile as _tf
+
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+
+    src = _stage_events(spark, sf_dir, parts=3)
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    cat = FsCatalog(_tf.mkdtemp(prefix="stream_sink_wh_"))
+    cat.create_namespace(("stream",))
+    ops = cat.create_table(("stream",), "events_sink", ev_schema.jsonValue())
+    table = RelativeTable(ops)
+
+    stream = spark.readStream.schema(_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda batch, epoch: table.append(batch))
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    table.ops._should_refresh = True
+    n_snaps = len([s for s in table.ops.current()["snapshots"]])
+    assert n_snaps == 3, f"expected one snapshot per micro-batch, got {n_snaps}"
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+    )
 
 
 def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,9 +357,17 @@ QUERIES = {
     "b30_stream_stateful_counter": q_stream_stateful_counter,
     "b30_stream_stream_join": q_stream_stream_join,
     "b30_session_window": q_session_window,
+    "b30_stream_to_table": q_stream_to_table,
 }
 
 ORACLE = {
+    "b30_stream_to_table": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "b30_stream_tumbling_window": """
         SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_us,
                event_type,
