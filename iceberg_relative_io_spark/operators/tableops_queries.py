@@ -160,6 +160,24 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.year("o_orderdate") == 1995)
 
 
+def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / incremental consumption (Iceberg incremental-scan parity):
+    three appends produce three snapshots; the consumer checkpoints after
+    snapshot 1 and asks for "rows added since" — the chain walk hands back
+    exactly appends 2+3, reading only their manifests (O(changed files),
+    which is what makes a 100 TB changelog consumer cheap)."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_cdc", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(nation.filter(F.col("n_nationkey") < 8))
+    first = table.ops.current()["current-snapshot-id"]
+    table.append(nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)))
+    table.append(nation.filter(F.col("n_nationkey") >= 16))
+    return table.incremental_read(spark, from_snapshot_id=first)
+
+
 def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance op: three small appends then rewrite_data_files-style
     compaction into one file as a 'replace' snapshot; values must be
@@ -332,6 +350,7 @@ QUERIES = {
     "a_merge_upsert": q_merge_upsert,
     "a32_partition_pruning": q_partition_pruning,
     "a32_hidden_partitioning": q_hidden_partitioning,
+    "a_cdc_incremental_read": q_cdc_incremental_read,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
     "b03_catalog_create_schema": q_catalog_create_schema,
@@ -361,6 +380,7 @@ ORACLE = {
         FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey % 5 = 0
     """,
     "a26_compaction": "SELECT * FROM nation",
+    "a_cdc_incremental_read": "SELECT * FROM nation WHERE n_nationkey >= 8",
     "a18_expire_snapshots": "SELECT * FROM nation",
     "a_row_delete": "SELECT * FROM nation WHERE n_regionkey <> 0",
     "a_merge_upsert": """
