@@ -721,6 +721,32 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (PII scrubbing): regex redaction of email addresses — the
+    cleaning stage every training corpus runs before release. The fixture
+    text carries no PII, so each document is salted with a synthetic
+    contact line first; the operator then redacts it and reports the
+    redaction count. Pure regexp_replace/regexp_count inside codegen; the
+    pattern is RE2-compatible so Spark (Java regex) and DuckDB (RE2)
+    agree exactly. At 100 TB this is a map-only pass — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"), F.lit("@example.com "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(salted, _EMAIL_RE, "[EMAIL]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(salted, F.lit(_EMAIL_RE)).alias("n_pii_found"),
+        F.regexp_count(redacted, F.lit(_EMAIL_RE)).alias("n_pii_left"),
+        F.substring(redacted, 1, 24).alias("redacted_head"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 _PACK_BUDGET = 256  # tokens per training batch (sequence-packing bin)
 
 
@@ -835,6 +861,7 @@ QUERIES = {
     "c05_frame_sample": q_frame_sample,
     "c06_pipeline_capstone": q_pipeline_capstone,
     "c04_sequence_packing": q_sequence_packing,
+    "c04_pii_redaction": q_pii_redaction,
     "c06_train_split": q_train_split,
 }
 
@@ -1274,4 +1301,24 @@ ORACLE["c06_train_split"] = f"""
            count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM t GROUP BY 1, 2
+"""
+
+ORACLE["c04_pii_redaction"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' || text
+                   AS salted
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, salted,
+               regexp_replace(salted, '{_EMAIL_RE}', '[EMAIL]', 'g') AS redacted
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(salted, '{_EMAIL_RE}')) AS INT) AS n_pii_found,
+           CAST(len(regexp_extract_all(redacted, '{_EMAIL_RE}')) AS INT) AS n_pii_left,
+           substring(redacted, 1, 24) AS redacted_head,
+           CAST(length(redacted) AS INT) AS redacted_len
+    FROM r
 """
