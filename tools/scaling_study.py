@@ -31,6 +31,10 @@ MEASURED = [
     "c02_minhash_signatures",
     "c03_knn_bruteforce",
     "c04_quality_score",
+    "b07_skew_salted_join",
+    "b15_cms_heavy_hitters",
+    "c04_sequence_packing",
+    "c06_train_split",
 ]
 
 
