@@ -331,7 +331,10 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
     ops = cat.create_table(("ns",), "orders_ds", src.schema.jsonValue())
-    RelativeTable(ops).append(src)
+    # right-size the staged file count: one InputPartition (= one Python
+    # worker task) per manifest entry, and a 15k-row demo table does not
+    # need 32 of them
+    RelativeTable(ops).append(src.coalesce(4))
     return (
         spark.read.format("relative")
         .option("warehouse", cat.warehouse)
