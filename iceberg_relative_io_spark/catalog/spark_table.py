@@ -972,6 +972,22 @@ class RelativeTable:
             "added_files int, total_files int, is_current boolean",
         )
 
+    def refs(self, spark: SparkSession) -> DataFrame:
+        """The `.refs` metadata table: every named ref (branches and tags)
+        with its pinned snapshot — Iceberg's refs table shape."""
+        meta = self.ops.current()
+        rows = [
+            (name, "BRANCH", sid)
+            for name, sid in sorted(meta.get("refs", {}).items())
+            if sid is not None
+        ] + [
+            (name, "TAG", sid)
+            for name, sid in sorted(meta.get("tags", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     def history(self, spark: SparkSession) -> DataFrame:
         meta = self.ops.current()
         rows = [(h["timestamp-ms"], h["snapshot-id"]) for h in meta["snapshot-log"]]

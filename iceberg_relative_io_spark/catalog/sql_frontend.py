@@ -96,20 +96,21 @@ class RelativeSqlSession:
         rewrite the SQL to use the view names."""
         pattern = re.compile(
             rf"\b{re.escape(self.name)}(?:\.{_IDENT}){{2,}}"
-            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
             re.IGNORECASE,
         )
 
         def sub(m: re.Match) -> str:
             dotted = m.group(0).split()[0]
             version = m.group(1)
-            ts = m.group(2)
+            ref = m.group(2)  # VERSION AS OF 'branch-or-tag'
+            ts = m.group(3)
             parts = dotted.split(".")
             meta_view = None
-            if parts[-1].lower() in ("snapshots", "history", "files") and len(parts) >= 4:
+            if parts[-1].lower() in ("snapshots", "history", "files", "refs") and len(parts) >= 4:
                 meta_view, parts = parts[-1].lower(), parts[:-1]
             namespace, tname = tuple(parts[1:-1]), parts[-1]
-            if meta_view is None and version is None and ts is None:
+            if meta_view is None and version is None and ref is None and ts is None:
                 vsql = self._stored_view_sql(namespace, tname)
                 if vsql is not None:
                     # a view: expand its stored SQL (which may itself
@@ -126,8 +127,17 @@ class RelativeSqlSession:
                 df = table.history(self.spark)
             elif meta_view == "files":
                 df = table.files(self.spark)
+            elif meta_view == "refs":
+                df = table.refs(self.spark)
             elif version is not None:
                 df = table.read(self.spark, snapshot_id=int(version))
+            elif ref is not None:
+                # a quoted version is a named ref: tag first, then branch
+                # (Iceberg's VERSION AS OF 'name' resolution order)
+                if ref in table.tags():
+                    df = table.read(self.spark, tag=ref)
+                else:
+                    df = table.read(self.spark, branch=ref)
             elif ts is not None:
                 import datetime
 
@@ -348,6 +358,12 @@ class RelativeSqlSession:
             rows = [(str(result["snapshot-id"]),)]
         elif proc == "rollback_to_snapshot":
             table.rollback_to_snapshot(int(arg))
+            rows = [("ok",)]
+        elif proc == "create_tag":
+            table.create_tag(arg.strip().strip("'"))
+            rows = [("ok",)]
+        elif proc == "create_branch":
+            table.create_branch(arg.strip().strip("'"))
             rows = [("ok",)]
         elif proc == "fast_forward":
             table.fast_forward(arg.strip().strip("'"))

@@ -266,3 +266,18 @@ def test_hidden_partitioning_through_sql(sess):
     assert days == {"2024-03-01", "2024-03-02"}
     pruned = table.scan_files(column_ranges={"ts": ("2024-03-02", None)})
     assert {f["partition"]["ts_day"] for f in pruned} == {"2024-03-02"}
+
+
+def test_ref_reads_and_refs_table_through_sql(sess):
+    _readme_flow(sess)
+    sess.sql("CALL test.system.create_tag('my_ns.my_table', 'v1')")
+    sess.sql("CALL test.system.create_branch('my_ns.my_table', 'audit')")
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')")
+    # tag pinned at 2 rows while main moved to 3
+    assert sess.sql("SELECT * FROM test.my_ns.my_table VERSION AS OF 'v1'").count() == 2
+    assert sess.sql("SELECT * FROM test.my_ns.my_table").count() == 3
+    refs = {(r.name, r.type): r.snapshot_id
+            for r in sess.sql("SELECT * FROM test.my_ns.my_table.refs").collect()}
+    assert ("v1", "TAG") in refs and ("audit", "BRANCH") in refs and ("main", "BRANCH") in refs
+    # branch read resolves through the same VERSION AS OF syntax
+    assert sess.sql("SELECT * FROM test.my_ns.my_table VERSION AS OF 'audit'").count() == 2
