@@ -916,6 +916,28 @@ class RelativeTable:
 
         self._evolve(f"drop_column({name})", mutate)
 
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES: merge key/values into table
+        properties as a metadata-only commit. Properties already steer
+        behavior (write.metadata.compression); user keys ride along."""
+
+        def mutate(meta: dict) -> None:
+            meta.setdefault("properties", {}).update(
+                {str(k): str(v) for k, v in props.items()}
+            )
+
+        self._evolve(f"set_properties({sorted(props)})", mutate)
+
+    def unset_properties(self, keys: list[str]) -> None:
+        def mutate(meta: dict) -> None:
+            for k in keys:
+                meta.get("properties", {}).pop(k, None)
+
+        self._evolve(f"unset_properties({keys})", mutate)
+
+    def properties(self) -> dict:
+        return dict(self.ops.current().get("properties", {}))
+
     def update_partition_spec(self, new_spec: list[str]) -> None:
         """Partition evolution (Iceberg parity): change how FUTURE writes
         are laid out, as a metadata-only commit. Existing files keep the

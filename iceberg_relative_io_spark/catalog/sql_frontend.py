@@ -188,6 +188,17 @@ class RelativeSqlSession:
             return self._drop_namespace(stmt)
         if keyword.startswith("SHOW TABLES"):
             return self._show_tables(stmt)
+        if keyword.startswith("SHOW TBLPROPERTIES"):
+            m = re.fullmatch(
+                r"SHOW\s+TBLPROPERTIES\s+([\w.]+)", stmt, re.IGNORECASE
+            )
+            if not m:
+                raise SqlParseError(f"cannot parse: {stmt!r}")
+            namespace, name = self._split_ident(m.group(1))
+            props = self._table(namespace, name).properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()) or [], "key string, value string"
+            )
         if keyword.startswith("CALL "):
             return self._call(stmt)
         # everything else (SELECT / WITH …) runs in Spark SQL after
@@ -486,6 +497,31 @@ class RelativeSqlSession:
         if drop:
             namespace, name = self._split_ident(drop.group(1))
             self._table(namespace, name).drop_column(drop.group(2))
+            return self._empty()
+        # table properties DDL
+        setp = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if setp:
+            namespace, name = self._split_ident(setp.group(1))
+            props = dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", setp.group(2))
+            )
+            if not props:
+                raise SqlParseError(f"no properties in: {stmt!r}")
+            self._table(namespace, name).set_properties(props)
+            return self._empty()
+        unsetp = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.*)\)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if unsetp:
+            namespace, name = self._split_ident(unsetp.group(1))
+            keys = re.findall(r"'([^']+)'", unsetp.group(2))
+            self._table(namespace, name).unset_properties(keys)
             return self._empty()
         # Iceberg partition-evolution DDL: ADD/DROP PARTITION FIELD
         pf = re.fullmatch(

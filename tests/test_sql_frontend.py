@@ -281,3 +281,26 @@ def test_ref_reads_and_refs_table_through_sql(sess):
     assert ("v1", "TAG") in refs and ("audit", "BRANCH") in refs and ("main", "BRANCH") in refs
     # branch read resolves through the same VERSION AS OF syntax
     assert sess.sql("SELECT * FROM test.my_ns.my_table VERSION AS OF 'audit'").count() == 2
+
+
+def test_table_properties_ddl(sess):
+    _readme_flow(sess)
+    sess.sql(
+        "ALTER TABLE test.my_ns.my_table SET TBLPROPERTIES "
+        "('write.metadata.compression' = 'gzip', 'owner' = 'etl')"
+    )
+    props = {r.key: r.value
+             for r in sess.sql("SHOW TBLPROPERTIES test.my_ns.my_table").collect()}
+    assert props["owner"] == "etl"
+    assert props["write.metadata.compression"] == "gzip"
+    # the compression property takes effect on the NEXT metadata commit
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')")
+    table = sess._table(("my_ns",), "my_table")
+    vs = [fi.location for fi in table.ops.io.list_prefix(table.ops.metadata_dir)
+          if ".metadata.json" in fi.location]
+    assert any(v.endswith(".gz.metadata.json") for v in vs)
+    assert sess.sql("SELECT * FROM test.my_ns.my_table").count() == 3
+    sess.sql("ALTER TABLE test.my_ns.my_table UNSET TBLPROPERTIES ('owner')")
+    props = {r.key: r.value
+             for r in sess.sql("SHOW TBLPROPERTIES test.my_ns.my_table").collect()}
+    assert "owner" not in props
