@@ -916,6 +916,21 @@ class RelativeTable:
 
         self._evolve(f"drop_column({name})", mutate)
 
+    def update_sort_order(self, cols: list[str]) -> None:
+        """ALTER TABLE WRITE ORDERED BY: set the write-clustering sort
+        order (metadata-only). Future writes range-repartition + sort on
+        these columns so footer min/max become range-prunable; existing
+        files are untouched until rewritten."""
+
+        def mutate(meta: dict) -> None:
+            fields = {f["name"] for f in meta["schema"]["fields"]}
+            missing = [c for c in cols if c not in fields]
+            if missing:
+                raise ValueError(f"sort columns not in schema: {missing}")
+            meta["sort-order"] = list(cols)
+
+        self._evolve(f"update_sort_order({cols})", mutate)
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES: merge key/values into table
         properties as a metadata-only commit. Properties already steer

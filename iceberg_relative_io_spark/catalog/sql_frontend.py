@@ -498,6 +498,17 @@ class RelativeSqlSession:
             namespace, name = self._split_ident(drop.group(1))
             self._table(namespace, name).drop_column(drop.group(2))
             return self._empty()
+        # write-clustering DDL: ALTER TABLE t WRITE ORDERED BY (c1, c2)
+        wob = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if wob:
+            namespace, name = self._split_ident(wob.group(1))
+            cols = [c.strip() for c in wob.group(2).split(",") if c.strip()]
+            self._table(namespace, name).update_sort_order(cols)
+            return self._empty()
         # table properties DDL
         setp = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)",

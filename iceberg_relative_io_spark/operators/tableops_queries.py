@@ -160,6 +160,33 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.year("o_orderdate") == 1995)
 
 
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order recluster as the correctness gate sees it: lineitem is
+    written unclustered (every file spans the full key domain), rewritten
+    on a Morton curve over (l_partkey, l_suppkey), and a 2-D box query
+    must then plan strictly fewer files (asserted) while returning
+    exactly the plain-SQL rows (the oracle). The multi-column file
+    skipping a single-column sort order cannot give."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+    ops = cat.create_table(("ns",), "li_z", src.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(src.repartition(8))
+    box = {"l_partkey": (1, 50), "l_suppkey": (1, 3)}
+    files_before = len(table.scan_files(column_ranges=box))
+    table.rewrite_zorder(spark, ["l_partkey", "l_suppkey"], target_partitions=8)
+    files_after = len(table.scan_files(column_ranges=box))
+    assert files_after < files_before, "z-order must improve 2-D pruning"
+    return table.read(spark, column_ranges=box).filter(
+        "l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 3"
+    )
+
+
 def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / incremental consumption (Iceberg incremental-scan parity):
     three appends produce three snapshots; the consumer checkpoints after
@@ -354,6 +381,7 @@ QUERIES = {
     "a32_partition_pruning": q_partition_pruning,
     "a32_hidden_partitioning": q_hidden_partitioning,
     "a_cdc_incremental_read": q_cdc_incremental_read,
+    "a32_zorder_pruning": q_zorder_pruning,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
     "b03_catalog_create_schema": q_catalog_create_schema,
@@ -384,6 +412,12 @@ ORACLE = {
     """,
     "a26_compaction": "SELECT * FROM nation",
     "a_cdc_incremental_read": "SELECT * FROM nation WHERE n_nationkey >= 8",
+    "a32_zorder_pruning": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE l_orderkey % 3 = 0
+          AND l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 3
+    """,
     "a18_expire_snapshots": "SELECT * FROM nation",
     "a_row_delete": "SELECT * FROM nation WHERE n_regionkey <> 0",
     "a_merge_upsert": """

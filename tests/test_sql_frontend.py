@@ -304,3 +304,13 @@ def test_table_properties_ddl(sess):
     props = {r.key: r.value
              for r in sess.sql("SHOW TBLPROPERTIES test.my_ns.my_table").collect()}
     assert "owner" not in props
+
+
+def test_write_ordered_by_clusters_next_write(sess):
+    _readme_flow(sess)
+    sess.sql("ALTER TABLE test.my_ns.my_table WRITE ORDERED BY (id)")
+    table = sess._table(("my_ns",), "my_table")
+    table.ops._should_refresh = True
+    assert table.ops.current()["sort-order"] == ["id"]
+    sess.sql("INSERT INTO test.my_ns.my_table VALUES (7, 'g', 'odd'), (8, 'h', 'even')")
+    assert sess.sql("SELECT * FROM test.my_ns.my_table").count() == 4
