@@ -699,3 +699,64 @@ def test_bucket_and_truncate_transforms(spark, catalog):
     # full data round-trips
     assert table.read(spark).count() == 20
     assert {r.id for r in table.read(spark).collect()} == set(range(20))
+
+
+# -- property tests: partition transforms + z-order ---------------------------
+
+@given(st.sampled_from(["ts", "col_a", "x1"]))
+@settings(max_examples=20, deadline=None)
+def test_parse_identity_roundtrip(col):
+    from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
+    f = parse_partition_field(col)
+    assert f == {"kind": "identity", "source": col, "arg": None, "name": col}
+
+
+@given(
+    st.sampled_from(["day", "month"]),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1990, 1, 1),
+        max_value=__import__("datetime").datetime(2050, 12, 31),
+    ),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1990, 1, 1),
+        max_value=__import__("datetime").datetime(2050, 12, 31),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_transform_value_order_preserving(kind, a, b):
+    """Pruning soundness hinges on transforms preserving order: lo <= hi
+    must imply t(lo) <= t(hi), for both datetime objects and ISO strings."""
+    from iceberg_relative_io_spark.catalog.spark_table import (
+        _transform_value,
+        parse_partition_field,
+    )
+
+    fdef = parse_partition_field(f"{kind}(ts)")
+    lo, hi = (a, b) if a <= b else (b, a)
+    assert _transform_value(fdef, lo) <= _transform_value(fdef, hi)
+    assert _transform_value(fdef, lo.isoformat()) <= _transform_value(fdef, hi.isoformat())
+
+
+@given(st.text(alphabet="abcXYZ019 .-", max_size=30), st.text(alphabet="abcXYZ019 .-", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_truncate_transform_order_preserving(a, b):
+    from iceberg_relative_io_spark.catalog.spark_table import (
+        _transform_value,
+        parse_partition_field,
+    )
+
+    fdef = parse_partition_field("truncate(5, s)")
+    lo, hi = (a, b) if a <= b else (b, a)
+    assert _transform_value(fdef, lo) <= _transform_value(fdef, hi)
+
+
+def test_parse_transform_rejects_bad_entries():
+    from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
+    with pytest.raises(ValueError):
+        parse_partition_field("years(ts)")
+    with pytest.raises(ValueError):
+        parse_partition_field("bucket(ts)")  # missing width
+    with pytest.raises(ValueError):
+        parse_partition_field("truncate(code)")
