@@ -315,14 +315,31 @@ class RelativeTable:
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("update", entries)
 
-    def merge(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> dict:
-        """MERGE INTO (upsert): target rows whose key collides with the
-        source are replaced; all source rows are inserted. Emulated as
-        anti-join + union + overwrite snapshot — the plan MERGE compiles
-        to in a copy-on-write table format."""
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        matched: str = "update",
+    ) -> dict:
+        """MERGE INTO, emulated as anti-joins + union + snapshot — the
+        plan MERGE compiles to in a copy-on-write table format.
+
+        ``matched='update'``: WHEN MATCHED THEN UPDATE SET * /
+        WHEN NOT MATCHED THEN INSERT * (upsert — matched target rows are
+        replaced by their source row, unmatched source rows inserted).
+        ``matched='delete'``: WHEN MATCHED THEN DELETE /
+        WHEN NOT MATCHED THEN INSERT * (matched target rows are removed,
+        unmatched source rows inserted)."""
         target = self.read(spark)
         remaining = target.join(source.select(*key_cols), key_cols, "left_anti")
-        merged = remaining.unionByName(source)
+        if matched == "update":
+            merged = remaining.unionByName(source)
+        elif matched == "delete":
+            inserts = source.join(target.select(*key_cols), key_cols, "left_anti")
+            merged = remaining.unionByName(inserts)
+        else:
+            raise ValueError(f"unknown matched action {matched!r}")
         _, entries = self._write_snapshot_files(merged)
         return self._commit_snapshot("merge", entries)
 

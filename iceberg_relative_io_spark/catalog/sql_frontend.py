@@ -441,14 +441,14 @@ class RelativeSqlSession:
             r"MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
             r"USING\s+(\((?:.*)\)|[\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
             r"ON\s+(.*?)\s+"
-            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)\s+"
             r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlParseError(
-                f"cannot parse (only 'UPDATE SET * / INSERT *' MERGE is supported): {stmt!r}"
+                f"cannot parse (only 'UPDATE SET */DELETE + INSERT *' MERGE is supported): {stmt!r}"
             )
         namespace, name = self._split_ident(m.group(1))
         source_sql = m.group(3)
@@ -467,7 +467,8 @@ class RelativeSqlSession:
                     f"MERGE ON clause must equate same-named key columns: {clause!r}"
                 )
             key_cols.append(lcol)
-        self._table(namespace, name).merge(self.spark, source, key_cols)
+        action = "delete" if m.group(6).upper() == "DELETE" else "update"
+        self._table(namespace, name).merge(self.spark, source, key_cols, matched=action)
         return self._empty()
 
     def _alter_table(self, stmt: str) -> DataFrame:

@@ -314,3 +314,18 @@ def test_write_ordered_by_clusters_next_write(sess):
     assert table.ops.current()["sort-order"] == ["id"]
     sess.sql("INSERT INTO test.my_ns.my_table VALUES (7, 'g', 'odd'), (8, 'h', 'even')")
     assert sess.sql("SELECT * FROM test.my_ns.my_table").count() == 4
+
+
+def test_merge_matched_delete(sess):
+    _readme_flow(sess)
+    sess.sql(
+        "MERGE INTO test.my_ns.my_table t "
+        "USING (SELECT 1 AS id, 'x' AS data, 'odd' AS category "
+        "       UNION ALL SELECT 9, 'nine', 'odd') s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {(r.id, r.data)
+            for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()}
+    # id=1 matched => deleted; id=9 unmatched => inserted; id=2 untouched
+    assert rows == {(2, "b"), (9, "nine")}
