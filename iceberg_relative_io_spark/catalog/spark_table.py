@@ -212,6 +212,7 @@ class RelativeTable:
         added: list[dict],
         branch: str = "main",
         extra_summary: dict | None = None,
+        delete_files: list[dict] | None = None,
     ) -> dict:
         """Optimistic-concurrency snapshot commit with bounded retry.
 
@@ -241,10 +242,12 @@ class RelativeTable:
                 [s["snapshot-id"] for s in meta["snapshots"]] or [0]
             ) + 1
             total = len(added)
-            if operation == "append" and parent is not None:
+            if operation in self._CHAIN_OPS and parent is not None:
                 total += len(self._data_files(meta, parent))
 
             manifest = {"snapshot-id": snap_id, "added-files": added}
+            if delete_files:
+                manifest["delete-files"] = delete_files
             manifest_loc = f"{self.ops.metadata_dir}/snap-{snap_id}-{uuid.uuid4()}.manifest.json"
             self.ops.io.write_bytes(manifest_loc, json.dumps(manifest).encode())
 
@@ -314,6 +317,42 @@ class RelativeTable:
             df = df.withColumn(col, F.when(condition, expr_col).otherwise(F.col(col)))
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("update", entries)
+
+    def delete_where_mor(
+        self, spark: SparkSession, condition, equality_cols: list[str]
+    ) -> dict:
+        """Merge-on-read DELETE (Iceberg v2 equality deletes): instead of
+        rewriting every surviving file (copy-on-write — O(table) at
+        100 TB), commit a small *delete file* holding the equality-key
+        tuples of the deleted rows; readers anti-join it against data
+        files older than the delete. The commit costs O(deleted keys); the
+        read overhead is one broadcast-sized anti-join until compaction
+        materializes the deletes. Re-inserted keys after the delete
+        survive (deletes scope to strictly older data files)."""
+        keys = (
+            self.read(spark).filter(condition).select(*equality_cols).distinct()
+        )
+        snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
+        abs_dir = self.ops.io.absolute(snap_dir)
+        keys.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+        deletes = []
+        for fi in self.ops.io.list_prefix(snap_dir):
+            name = fi.location.rsplit("/", 1)[-1]
+            if name.startswith("_") or name.startswith("."):
+                continue
+            deletes.append(
+                {
+                    "path": fi.location,
+                    "size-bytes": fi.size,
+                    "equality-cols": list(equality_cols),
+                }
+            )
+        return self._commit_snapshot(
+            "delete-mor",
+            [],
+            delete_files=deletes,
+            extra_summary={"equality-delete-files": str(len(deletes))},
+        )
 
     def merge(
         self,
@@ -463,22 +502,54 @@ class RelativeTable:
                 return s
         raise ValueError(f"no snapshot {snapshot_id}")
 
+    # snapshot operations that EXTEND the parent file set (vs reset it)
+    _CHAIN_OPS = ("append", "delete-mor")
+
     def _data_files(self, meta: dict, snapshot_id: int) -> list[dict]:
         """Reconstruct a snapshot's live file set by walking its parent
-        chain: 'append' contributes parent files + added; 'overwrite' /
-        'replace' resets the set to its own added files."""
+        chain: 'append'/'delete-mor' contribute to the parent set;
+        'overwrite' / 'replace' reset it to their own added files. Each
+        returned entry is annotated with its adding snapshot id (``_snap``,
+        in-memory only) so merge-on-read can scope delete files."""
         chain: list[dict] = []
         sid: int | None = snapshot_id
         while sid is not None:
             snap = self._snapshot_entry(meta, sid)
             chain.append(snap)
-            if snap["operation"] != "append":
+            if snap["operation"] not in self._CHAIN_OPS:
                 break  # file set resets here; older history is shadowed
             sid = snap["parent-snapshot-id"]
         files: list[dict] = []
         for snap in reversed(chain):
-            files.extend(self._manifest_for(meta, snap["snapshot-id"])["added-files"])
+            files.extend(
+                dict(f, _snap=snap["snapshot-id"])
+                for f in self._manifest_for(meta, snap["snapshot-id"])["added-files"]
+            )
         return files
+
+    def _delete_files(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """Live equality-delete files for a snapshot: every delete-mor
+        manifest on the chain, annotated with its snapshot id. A delete
+        applies only to data files added STRICTLY BEFORE it (Iceberg's
+        sequence-number rule: re-inserting a deleted key later must
+        survive)."""
+        chain: list[dict] = []
+        sid: int | None = snapshot_id
+        while sid is not None:
+            snap = self._snapshot_entry(meta, sid)
+            chain.append(snap)
+            if snap["operation"] not in self._CHAIN_OPS:
+                break
+            sid = snap["parent-snapshot-id"]
+        out: list[dict] = []
+        for snap in chain:
+            if snap["operation"] != "delete-mor":
+                continue
+            for d in self._manifest_for(meta, snap["snapshot-id"]).get(
+                "delete-files", []
+            ):
+                out.append(dict(d, _snap=snap["snapshot-id"]))
+        return out
 
     def _resolve_snapshot(
         self, meta: dict, snapshot_id: int | None, as_of_timestamp_ms: int | None
@@ -584,10 +655,17 @@ class RelativeTable:
         if snap is None:
             return spark.createDataFrame([], schema)
         entries = self._prune(self._data_files(meta, snap), partition_filter, column_ranges)
-        return self._read_entries(spark, meta, schema, entries)
+        return self._read_entries(
+            spark, meta, schema, entries, deletes=self._delete_files(meta, snap)
+        )
 
     def _read_entries(
-        self, spark: SparkSession, meta: dict, schema: StructType, entries: list[dict]
+        self,
+        spark: SparkSession,
+        meta: dict,
+        schema: StructType,
+        entries: list[dict],
+        deletes: list[dict] | None = None,
     ) -> DataFrame:
         """Scan a set of manifest entries under the current schema.
 
@@ -609,38 +687,56 @@ class RelativeTable:
         # evolution a snapshot mixes file eras with different directory
         # layouts, and Spark's partition discovery needs each read to see
         # one consistent layout
+        deletes = deletes or []
         groups: dict[str, list[dict]] = {}
         for e in entries:
+            # merge-on-read scoping: a delete applies only to data files
+            # added strictly before it; files with different applicable
+            # delete sets must read (and anti-join) separately
+            applicable = sorted(
+                d["_snap"] for d in deletes if d["_snap"] > e.get("_snap", -1)
+            )
             key = json.dumps(
-                [e.get("column-ids"), sorted(e.get("partition", {}))], sort_keys=True
+                [e.get("column-ids"), sorted(e.get("partition", {})), applicable],
+                sort_keys=True,
             )
             groups.setdefault(key, []).append(e)
 
         base_path = self.ops.io.absolute(f"{self.ops.location}/data")
         parts: list[DataFrame] = []
         for key, es in groups.items():
-            file_ids, part_keys = json.loads(key)
+            file_ids, part_keys, applicable = json.loads(key)
             files = [self.ops.io.absolute(f["path"]) for f in es]
             if not file_ids or not cur_ids:
                 # legacy entries: written with the current logical names
                 reader = spark.read.schema(schema)
                 if part_keys:
                     reader = reader.option("basePath", base_path)
-                parts.append(reader.parquet(*files).select(*[f.name for f in schema.fields]))
-                continue
-            id_to_phys = {v: k for k, v in file_ids.items()}
-            read_fields, select_cols = [], []
-            for f in schema.fields:
-                phys = id_to_phys.get(cur_ids.get(f.name))
-                if phys is None:
-                    select_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-                else:
-                    read_fields.append(StructField(phys, f.dataType, True))
-                    select_cols.append(F.col(phys).alias(f.name))
-            reader = spark.read.schema(StructType(read_fields))
-            if part_keys:
-                reader = reader.option("basePath", base_path)
-            parts.append(reader.parquet(*files).select(*select_cols))
+                df = reader.parquet(*files).select(*[f.name for f in schema.fields])
+            else:
+                id_to_phys = {v: k for k, v in file_ids.items()}
+                read_fields, select_cols = [], []
+                for f in schema.fields:
+                    phys = id_to_phys.get(cur_ids.get(f.name))
+                    if phys is None:
+                        select_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    else:
+                        read_fields.append(StructField(phys, f.dataType, True))
+                        select_cols.append(F.col(phys).alias(f.name))
+                reader = spark.read.schema(StructType(read_fields))
+                if part_keys:
+                    reader = reader.option("basePath", base_path)
+                df = reader.parquet(*files).select(*select_cols)
+            # merge-on-read: anti-join each applicable equality-delete file
+            # (delete files are key-tuple-sized — Catalyst broadcasts them)
+            for d in deletes:
+                if d["_snap"] not in applicable:
+                    continue
+                keys = spark.read.parquet(self.ops.io.absolute(d["path"]))
+                df = df.join(
+                    F.broadcast(keys), on=list(d["equality-cols"]), how="left_anti"
+                )
+            parts.append(df)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def incremental_files(
@@ -735,17 +831,25 @@ class RelativeTable:
                 while cur is not None:
                     snap = self._snapshot_entry(meta, cur)
                     needed.add(cur)
-                    if snap["operation"] != "append":
+                    if snap["operation"] not in self._CHAIN_OPS:
                         break
                     cur = snap["parent-snapshot-id"]
             live_files = set()
             for sid in retained:
                 live_files.update(f["path"] for f in self._data_files(meta, sid))
+            for sid in needed:
+                # equality-delete files of tombstoned chain snapshots are
+                # still read by retained heads — never doom them
+                live_files.update(
+                    d["path"]
+                    for d in self._manifest_for(meta, sid).get("delete-files", [])
+                )
 
             expiring = [s for s in live if s["snapshot-id"] not in retained]
             doomed_files: set[str] = set()
             for s in expiring:
-                for f in self._manifest_for(meta, s["snapshot-id"])["added-files"]:
+                man = self._manifest_for(meta, s["snapshot-id"])
+                for f in man["added-files"] + man.get("delete-files", []):
                     if f["path"] not in live_files:
                         doomed_files.add(f["path"])
 
@@ -785,9 +889,9 @@ class RelativeTable:
         meta = self.ops.current()
         referenced: set[str] = set()
         for s in meta["snapshots"]:
-            referenced.update(
-                f["path"] for f in self._manifest_for(meta, s["snapshot-id"])["added-files"]
-            )
+            man = self._manifest_for(meta, s["snapshot-id"])
+            referenced.update(f["path"] for f in man["added-files"])
+            referenced.update(d["path"] for d in man.get("delete-files", []))
         deleted = []
         for fi in self.ops.io.list_prefix(f"{self.ops.location}/data"):
             name = fi.location.rsplit("/", 1)[-1]

@@ -393,7 +393,16 @@ class RelativeSqlSession:
         if not m:
             raise SqlParseError(f"cannot parse: {stmt!r}")
         namespace, name = self._split_ident(m.group(1))
-        self._table(namespace, name).delete_where(self.spark, F.expr(m.group(2)))
+        table = self._table(namespace, name)
+        cond = F.expr(m.group(2))
+        if table.properties().get("write.delete.mode") == "merge-on-read":
+            # equality delete over ALL columns removes exactly the rows
+            # satisfying the predicate, costing O(deleted keys) instead of
+            # a full copy-on-write table rewrite
+            cols = [f.name for f in table.schema().fields]
+            table.delete_where_mor(self.spark, cond, equality_cols=cols)
+        else:
+            table.delete_where(self.spark, cond)
         return self._empty()
 
     def _update(self, stmt: str) -> DataFrame:

@@ -760,3 +760,52 @@ def test_parse_transform_rejects_bad_entries():
         parse_partition_field("bucket(ts)")  # missing width
     with pytest.raises(ValueError):
         parse_partition_field("truncate(code)")
+
+
+def test_merge_on_read_equality_deletes(spark, catalog):
+    """MOR delete: O(deleted-keys) commit, reader-side anti-join, scoped
+    so later re-inserts of a deleted key survive; compaction materializes
+    the deletes; maintenance never reaps a live delete file."""
+    from pyspark.sql import functions as F
+
+    table = _make_table(
+        spark, catalog, [(i, f"n{i}") for i in range(10)], ns=("mor",), name="t"
+    )
+    before = table.read(spark).count()
+    assert before == 10
+    files_before = {f["path"] for f in table.scan_files()}
+    res = table.delete_where_mor(spark, F.col("id") < 3, equality_cols=["id"])
+    assert res["operation"] == "delete-mor"
+    table.ops._should_refresh = True
+    # no data files rewritten: the delete cost one tiny key file
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(3, 10))
+    assert {f["path"] for f in table.scan_files()} == files_before
+    # pre-delete snapshot still reads all 10 (time travel unaffected)
+    assert table.read(spark, snapshot_id=1).count() == 10
+    # re-insert one deleted key AFTER the delete: it must survive
+    table.append(spark.createDataFrame([(1, "reborn")], "id long, name string"))
+    got = {r.id: r.name for r in table.read(spark).collect()}
+    assert got[1] == "reborn" and 0 not in got and 2 not in got
+    # orphan sweep must not reap the delete file (it is referenced)
+    assert table.remove_orphan_files() == []
+    assert got == {r.id: r.name for r in table.read(spark).collect()}
+    # compaction materializes deletes: one file, same rows, no delete files
+    table.compact(spark)
+    meta = table.ops.current()
+    assert sorted(r.id for r in table.read(spark).collect()) == [1] + list(range(3, 10))
+    head = meta["current-snapshot-id"]
+    assert table._delete_files(meta, head) == []
+
+
+def test_mor_delete_then_expire_keeps_needed_delete_files(spark, catalog):
+    from pyspark.sql import functions as F
+
+    table = _make_table(
+        spark, catalog, [(i, f"n{i}") for i in range(6)], ns=("mor",), name="ex"
+    )
+    table.delete_where_mor(spark, F.col("id") == 0, equality_cols=["id"])
+    table.append(spark.createDataFrame([(6, "six")], "id long, name string"))
+    table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    # the tombstoned delete-mor snapshot's key file must still be applied
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3, 4, 5, 6]

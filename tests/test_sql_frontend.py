@@ -329,3 +329,19 @@ def test_merge_matched_delete(sess):
             for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()}
     # id=1 matched => deleted; id=9 unmatched => inserted; id=2 untouched
     assert rows == {(2, "b"), (9, "nine")}
+
+
+def test_delete_mode_merge_on_read(sess):
+    _readme_flow(sess)
+    sess.sql(
+        "ALTER TABLE test.my_ns.my_table SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read')"
+    )
+    table = sess._table(("my_ns",), "my_table")
+    files_before = {f["path"] for f in table.scan_files()}
+    sess.sql("DELETE FROM test.my_ns.my_table WHERE id = 1")
+    table.ops._should_refresh = True
+    # same data files: the delete was a key file, not a rewrite
+    assert {f["path"] for f in table.scan_files()} == files_before
+    assert [r.id for r in sess.sql(
+        "SELECT id FROM test.my_ns.my_table ORDER BY id").collect()] == [2]
