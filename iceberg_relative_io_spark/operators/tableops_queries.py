@@ -160,6 +160,30 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.year("o_orderdate") == 1995)
 
 
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE through the correctness gate: nation is
+    appended once (files never rewritten — asserted), a region's rows are
+    deleted via an equality-delete key file, one deleted nation is then
+    re-inserted and must survive (deletes scope to older files only).
+    The oracle states the surviving set in plain SQL."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_mor", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(nation)
+    files_before = {f["path"] for f in table.scan_files()}
+    table.delete_where_mor(spark, F.col("n_regionkey") == 0, ["n_nationkey"])
+    assert {f["path"] for f in table.scan_files()} == files_before, (
+        "MOR delete must not rewrite data files"
+    )
+    reborn = nation.filter(F.col("n_nationkey") == 0).withColumn(
+        "n_name", F.lit("REBORN")
+    )
+    table.append(reborn)
+    return table.read(spark)
+
+
 def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order recluster as the correctness gate sees it: lineitem is
     written unclustered (every file spans the full key domain), rewritten
@@ -382,6 +406,7 @@ QUERIES = {
     "a32_hidden_partitioning": q_hidden_partitioning,
     "a_cdc_incremental_read": q_cdc_incremental_read,
     "a32_zorder_pruning": q_zorder_pruning,
+    "a_mor_delete": q_mor_delete,
     "a26_compaction": q_compaction,
     "a39_jdbc_view_roundtrip": q_jdbc_view_roundtrip,
     "b03_catalog_create_schema": q_catalog_create_schema,
@@ -420,6 +445,11 @@ ORACLE = {
     """,
     "a18_expire_snapshots": "SELECT * FROM nation",
     "a_row_delete": "SELECT * FROM nation WHERE n_regionkey <> 0",
+    "a_mor_delete": """
+        SELECT * FROM nation WHERE n_regionkey <> 0
+        UNION ALL
+        SELECT n_nationkey, 'REBORN', n_regionkey FROM nation WHERE n_nationkey = 0
+    """,
     "a_merge_upsert": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5
         UNION ALL
