@@ -354,6 +354,31 @@ class RelativeTable:
             extra_summary={"equality-delete-files": str(len(deletes))},
         )
 
+    def update_where_mor(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        equality_cols: list[str],
+    ) -> dict:
+        """Merge-on-read UPDATE: equality-delete the matching rows' keys,
+        then append the updated versions — two O(changed-rows) commits
+        instead of a full copy-on-write rewrite (Iceberg's
+        write.update.mode=merge-on-read). The re-appended rows land in a
+        snapshot AFTER the delete, so the scoping rule keeps exactly them
+        alive."""
+        from pyspark.sql import functions as F
+
+        matched = self.read(spark).filter(condition)
+        self.delete_where_mor(spark, condition, equality_cols)
+        self.ops._should_refresh = True
+        updated = matched
+        for col, expr_col in assignments.items():
+            updated = updated.withColumn(col, expr_col)
+        return self._commit_snapshot(
+            "append", self._write_snapshot_files(updated)[1]
+        )
+
     def merge(
         self,
         spark: SparkSession,

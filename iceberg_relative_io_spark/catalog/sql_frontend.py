@@ -419,7 +419,12 @@ class RelativeSqlSession:
             col, _, expr = part.partition("=")
             assignments[col.strip()] = F.expr(expr.strip())
         cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
-        self._table(namespace, name).update_where(self.spark, cond, assignments)
+        table = self._table(namespace, name)
+        if table.properties().get("write.update.mode") == "merge-on-read":
+            cols = [f.name for f in table.schema().fields]
+            table.update_where_mor(self.spark, cond, assignments, equality_cols=cols)
+        else:
+            table.update_where(self.spark, cond, assignments)
         return self._empty()
 
     @staticmethod

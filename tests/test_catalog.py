@@ -809,3 +809,20 @@ def test_mor_delete_then_expire_keeps_needed_delete_files(spark, catalog):
     table.ops._should_refresh = True
     # the tombstoned delete-mor snapshot's key file must still be applied
     assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_merge_on_read_update(spark, catalog):
+    from pyspark.sql import functions as F
+
+    table = _make_table(
+        spark, catalog, [(i, f"n{i}") for i in range(8)], ns=("mor",), name="up"
+    )
+    files_before = {f["path"] for f in table.scan_files()}
+    table.update_where_mor(
+        spark, F.col("id") < 3, {"name": F.upper(F.col("name"))}, equality_cols=["id"]
+    )
+    table.ops._should_refresh = True
+    got = {r.id: r.name for r in table.read(spark).collect()}
+    assert got == {i: (f"n{i}".upper() if i < 3 else f"n{i}") for i in range(8)}
+    # original data files untouched; only key file + updated-rows file added
+    assert files_before <= {f["path"] for f in table.scan_files()}

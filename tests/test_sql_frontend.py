@@ -345,3 +345,15 @@ def test_delete_mode_merge_on_read(sess):
     assert {f["path"] for f in table.scan_files()} == files_before
     assert [r.id for r in sess.sql(
         "SELECT id FROM test.my_ns.my_table ORDER BY id").collect()] == [2]
+
+
+def test_update_mode_merge_on_read(sess):
+    _readme_flow(sess)
+    sess.sql(
+        "ALTER TABLE test.my_ns.my_table SET TBLPROPERTIES "
+        "('write.update.mode' = 'merge-on-read')"
+    )
+    sess.sql("UPDATE test.my_ns.my_table SET data = upper(data) WHERE id = 1")
+    rows = {(r.id, r.data)
+            for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()}
+    assert rows == {(1, "A"), (2, "b")}
