@@ -498,6 +498,39 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13+B24 composite: weekly retention cohorts over the event stream —
+    of the users active in week W, how many return in week W+1. The
+    warehouse shape: distinct (user, week) pairs first (one hash agg
+    collapses the event volume), then a self-join on user across adjacent
+    weeks. At 100 TB the distinct pairs table is orders of magnitude
+    smaller than the events, and the self-join shuffles only it."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    nxt = ua.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("prev_week"),
+    )
+    joined = ua.join(
+        nxt,
+        (ua["user_id"] == nxt["n_user"]) & (ua["week"] == nxt["prev_week"]),
+        "left",
+    )
+    return (
+        joined.groupBy(F.date_format("week", "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct("n_user").alias("n_retained"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6),
+        )
+    )
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: exact distinct (pair of low-cardinality customer columns)."""
     return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
@@ -1041,6 +1074,7 @@ QUERIES = {
     "b13_salted_agg": q_salted_agg,
     "b07_skew_salted_join": q_skew_salted_join,
     "b15_cms_heavy_hitters": q_cms_heavy_hitters,
+    "b13_retention_cohorts": q_retention_cohorts,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -1191,6 +1225,22 @@ ORACLE = {
         SELECT l_returnflag, count(*) AS n_items,
                CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "b13_retention_cohorts": """
+        WITH ua AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        )
+        SELECT strftime(a.week, '%Y-%m-%d') AS week,
+               count(DISTINCT a.user_id) AS n_active,
+               count(DISTINCT b.user_id) AS n_retained,
+               ROUND(CAST(count(DISTINCT b.user_id) AS DOUBLE)
+                     / count(DISTINCT a.user_id), 6) AS retention
+        FROM ua a
+        LEFT JOIN ua b
+          ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+        GROUP BY a.week
     """,
     # the salt is plan-internal; the oracle is the unsalted join+agg
     "b07_skew_salted_join": """
