@@ -102,3 +102,20 @@ def test_cms_estimates_upper_bound_true_counts(spark, sf_dir):
     assert len(rows) == 10
     assert all(r.cms_upper_bound_ok == 1 for r in rows)
     assert all(r.est_cnt >= r.true_cnt for r in rows)
+
+
+def test_retention_distinct_pairs_before_self_join(spark, sf_dir):
+    # the (user, week) distinct must collapse event volume BEFORE the
+    # self-join: the plan must contain an aggregate under the join
+    plan = R.q_retention_cohorts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # no cartesian/broadcast-nested-loop: the self-join is keyed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_partial_aggregation(spark, sf_dir):
+    # sketch construction must combine map-side (partial_count before the
+    # exchange) — the property that makes CMS state fixed-size at scale
+    plan = R.q_cms_heavy_hitters(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial count" in plan.lower()
