@@ -531,6 +531,73 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13+B24 composite: ordered conversion funnel view → click →
+    purchase. Each stage is a per-user MIN over only the events after the
+    previous stage's timestamp — three tiny per-user aggregates chained by
+    joins, never a window over the raw event stream. At 100 TB each stage
+    input is pre-filtered by event type (a fraction of the log) and the
+    join keys are user ids, so every shuffle carries per-user rows, not
+    events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+_SEARCH_TERMS = ("scan", "filter")
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (keyword search): conjunctive boolean retrieval over an inverted
+    index — posting lists per term, AND-intersected, ranked by summed term
+    frequency. The index shape (term → postings) is what a 100 TB corpus
+    search builds once and shares across queries; the intersection
+    shuffles only the two posting lists, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "doc_id", "score")
+    )
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: exact distinct (pair of low-cardinality customer columns)."""
     return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
@@ -1075,6 +1142,8 @@ QUERIES = {
     "b07_skew_salted_join": q_skew_salted_join,
     "b15_cms_heavy_hitters": q_cms_heavy_hitters,
     "b13_retention_cohorts": q_retention_cohorts,
+    "b13_funnel_analysis": q_funnel_analysis,
+    "c04_boolean_search": q_boolean_search,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -1241,6 +1310,47 @@ ORACLE = {
         LEFT JOIN ua b
           ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
         GROUP BY a.week
+    """,
+    "b13_funnel_analysis": """
+        WITH v AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after_view,
+               (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    "c04_boolean_search": """
+        WITH postings AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ) WHERE term IN ('scan', 'filter')
+            GROUP BY doc_id, term
+        ),
+        hits AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+            FROM postings GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2
+        )
+        SELECT * FROM (
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                       AS rnk,
+                   doc_id, score
+            FROM hits
+        ) WHERE rnk <= 20
     """,
     # the salt is plan-internal; the oracle is the unsalted join+agg
     "b07_skew_salted_join": """
