@@ -1062,6 +1062,42 @@ class RelativeTable:
 
         self._evolve(f"drop_column({name})", mutate)
 
+    # Iceberg's legal type promotions: widening only, so every value in
+    # old data files remains exactly representable (Spark's parquet reader
+    # upcasts int32→int64 / float→double at scan time)
+    _WIDENINGS = {("integer", "long"), ("float", "double")}
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Type promotion (Iceberg schema-evolution parity): widen a
+        column in metadata only; old files keep their narrow physical
+        type and upcast at read. decimal(p,s) may grow precision at the
+        same scale."""
+
+        def mutate(meta: dict) -> None:
+            for f in meta["schema"]["fields"]:
+                if f["name"] != name:
+                    continue
+                old = f["type"]
+                ok = (old, new_type) in self._WIDENINGS
+                if not ok and isinstance(old, str):
+                    mo = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+                    mn = re.fullmatch(r"decimal\((\d+),(\d+)\)", new_type)
+                    ok = bool(
+                        mo
+                        and mn
+                        and mo.group(2) == mn.group(2)
+                        and int(mn.group(1)) >= int(mo.group(1))
+                    )
+                if not ok:
+                    raise ValueError(
+                        f"illegal promotion {old!r} -> {new_type!r} for {name!r}"
+                    )
+                f["type"] = new_type
+                return
+            raise ValueError(f"no such column {name!r}")
+
+        self._evolve(f"widen_column({name}->{new_type})", mutate)
+
     def update_sort_order(self, cols: list[str]) -> None:
         """ALTER TABLE WRITE ORDERED BY: set the write-clustering sort
         order (metadata-only). Future writes range-repartition + sort on

@@ -513,6 +513,21 @@ class RelativeSqlSession:
             namespace, name = self._split_ident(drop.group(1))
             self._table(namespace, name).drop_column(drop.group(2))
             return self._empty()
+        # type promotion: ALTER TABLE t ALTER COLUMN c TYPE bigint
+        widen = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if widen:
+            namespace, name = self._split_ident(widen.group(1))
+            ddl_to_json = {"bigint": "long", "int": "integer", "double": "double",
+                           "float": "float", "long": "long"}
+            t = widen.group(3).lower()
+            self._table(namespace, name).widen_column(
+                widen.group(2), ddl_to_json.get(t, t)
+            )
+            return self._empty()
         # write-clustering DDL: ALTER TABLE t WRITE ORDERED BY (c1, c2)
         wob = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)",

@@ -826,3 +826,24 @@ def test_merge_on_read_update(spark, catalog):
     assert got == {i: (f"n{i}".upper() if i < 3 else f"n{i}") for i in range(8)}
     # original data files untouched; only key file + updated-rows file added
     assert files_before <= {f["path"] for f in table.scan_files()}
+
+
+def test_type_widening_int_to_long(spark, catalog):
+    """Iceberg type promotion: files written with the narrow type read
+    back upcast under the widened declared schema; post-widening appends
+    store the wide type; illegal narrowing is refused."""
+    catalog.create_namespace(("tw",))
+    df = spark.createDataFrame([(1, 1.5)], "id int, score float")
+    ops = catalog.create_table(("tw",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.widen_column("id", "long")
+    table.widen_column("score", "double")
+    table.ops._should_refresh = True
+    big = spark.createDataFrame([(2**40, 2.5)], "id long, score double")
+    table.append(big)
+    got = {r.id: r.score for r in table.read(spark).collect()}
+    assert got[1] == 1.5 and got[2**40] == 2.5
+    assert dict(table.schema().fields[0].jsonValue(), name="id")["type"] == "long"
+    with pytest.raises(ValueError):
+        table.widen_column("id", "integer")  # narrowing refused

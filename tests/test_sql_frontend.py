@@ -357,3 +357,14 @@ def test_update_mode_merge_on_read(sess):
     rows = {(r.id, r.data)
             for r in sess.sql("SELECT id, data FROM test.my_ns.my_table").collect()}
     assert rows == {(1, "A"), (2, "b")}
+
+
+def test_alter_column_type_widening(sess, spark):
+    sess.sql("CREATE NAMESPACE test.tw")
+    sess.sql("CREATE TABLE test.tw.t (id int, v float)")
+    sess.sql("INSERT INTO test.tw.t VALUES (1, 1.5)")
+    sess.sql("ALTER TABLE test.tw.t ALTER COLUMN id TYPE bigint")
+    sess.sql("ALTER TABLE test.tw.t ALTER COLUMN v TYPE double")
+    out = sess.sql("SELECT * FROM test.tw.t")
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double"}
+    assert [(r.id, r.v) for r in out.collect()] == [(1, 1.5)]
