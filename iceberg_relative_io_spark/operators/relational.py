@@ -531,6 +531,60 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null rate / distinct count / min / max /
+    mean for lineitem's numeric core — the one-pass table profile a
+    warehouse job publishes after each load. All aggregates ride one scan
+    (Spark computes them in a single hash-agg stage); at 100 TB distinct
+    counts would switch to approx_count_distinct, here exact so the
+    oracle is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        rows.append(
+            li.agg(
+                F.lit(c).alias("column"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.round(F.min(c), 4).alias("min_val"),
+                F.round(F.max(c), 4).alias("max_val"),
+                F.round(
+                    F.sum(_dec(F.col(c), 4)).cast("double") / F.count("*"), 6
+                ).alias("mean_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential integrity (lineitem→orders,
+    orders→customer), duplicate-key and null-key checks — the validation
+    suite a pipeline runs before publishing a snapshot. Each check is an
+    anti-join or keyed aggregate; at 100 TB the anti-joins broadcast the
+    key sets of the smaller side or shuffle on the key, never more."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orphan_li = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+    orphan_ord = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    )
+    null_keys = orders.filter(F.col("o_custkey").isNull())
+    return (
+        orphan_li.agg(F.count("*").alias("orphan_lineitems"))
+        .crossJoin(orphan_ord.agg(F.count("*").alias("orphan_orders")))
+        .crossJoin(dup_keys.agg(F.count("*").alias("duplicate_orderkeys")))
+        .crossJoin(null_keys.agg(F.count("*").alias("null_custkeys")))
+    )
+
+
 def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13+B24 composite: ordered conversion funnel view → click →
     purchase. Each stage is a per-user MIN over only the events after the
@@ -1144,6 +1198,8 @@ QUERIES = {
     "b13_retention_cohorts": q_retention_cohorts,
     "b13_funnel_analysis": q_funnel_analysis,
     "c04_boolean_search": q_boolean_search,
+    "b13_column_profile": q_column_profile,
+    "b13_integrity_audit": q_integrity_audit,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -1310,6 +1366,49 @@ ORACLE = {
         LEFT JOIN ua b
           ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
         GROUP BY a.week
+    """,
+    "b13_column_profile": """
+        SELECT 'l_quantity' AS column, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity IS NULL AS INT)) AS BIGINT) AS n_null,
+               count(DISTINCT l_quantity) AS n_distinct,
+               ROUND(min(l_quantity), 4) AS min_val,
+               ROUND(max(l_quantity), 4) AS max_val,
+               ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                     / count(*), 6) AS mean_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               CAST(sum(CAST(l_extendedprice IS NULL AS INT)) AS BIGINT),
+               count(DISTINCT l_extendedprice),
+               ROUND(min(l_extendedprice), 4), ROUND(max(l_extendedprice), 4),
+               ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                     / count(*), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               CAST(sum(CAST(l_discount IS NULL AS INT)) AS BIGINT),
+               count(DISTINCT l_discount),
+               ROUND(min(l_discount), 4), ROUND(max(l_discount), 4),
+               ROUND(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE)
+                     / count(*), 6)
+        FROM lineitem
+    """,
+    "b13_integrity_audit": """
+        SELECT
+            (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_lineitems,
+            (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1))
+                AS duplicate_orderkeys,
+            (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS null_custkeys
     """,
     "b13_funnel_analysis": """
         WITH v AS (
