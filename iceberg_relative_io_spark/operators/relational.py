@@ -539,25 +539,36 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts would switch to approx_count_distinct, here exact so the
     oracle is exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    rows = []
-    for c in ("l_quantity", "l_extendedprice", "l_discount"):
-        rows.append(
-            li.agg(
-                F.lit(c).alias("column"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.round(F.min(c), 4).alias("min_val"),
-                F.round(F.max(c), 4).alias("max_val"),
-                F.round(
-                    F.sum(_dec(F.col(c), 4)).cast("double") / F.count("*"), 6
-                ).alias("mean_val"),
-            )
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.round(F.min(c), 4).alias(f"min_{c}"),
+            F.round(F.max(c), 4).alias(f"max_{c}"),
+            F.sum(_dec(F.col(c), 4)).alias(f"sum_{c}"),
+        ]
+    # ONE scan, one agg stage, all 16 measures. The three exact
+    # countDistincts cost an Expand (3x row duplication) — at 100 TB the
+    # profile job swaps them for approx_count_distinct and the Expand
+    # disappears; exact here keeps the oracle exact.
+    wide = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_val"),
+            F.col(f"max_{c}").alias("max_val"),
+            F.round(F.col(f"sum_{c}").cast("double") / F.col("n_rows"), 6).alias(
+                "mean_val"
+            ),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
 
 
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
