@@ -531,6 +531,64 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter having at least one
+    deep-discount lineitem, counted per priority (the fixture lineitem is
+    slimmed — no commit/receipt dates — so the EXISTS predicate is a
+    discount threshold; the plan shape is identical). The EXISTS compiles
+    to a left-semi join: the probe side is pre-filtered to one quarter
+    before the shuffle, and only distinct orderkeys flow from lineitem."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    deep = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(deep, orders["o_orderkey"] == deep["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return flag, split lineitems by order-priority
+    class with conditional sums — the case-sum pattern that partial
+    aggregation collapses map-side (shipmode is absent from the slimmed
+    fixture; returnflag plays its grouping role)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(1 - high).alias("low_line_count"),
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of one part class for one month — a
+    broadcast join (part is dim-sized) and a ratio of two conditional
+    decimal sums ('ECONOMY' stands in for the fixture's missing PROMO%
+    types)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return j.agg(
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.round(
+            F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct"),
+    )
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling: per-column null rate / distinct count / min / max /
     mean for lineitem's numeric core — the one-pass table profile a
@@ -1211,6 +1269,9 @@ QUERIES = {
     "c04_boolean_search": q_boolean_search,
     "b13_column_profile": q_column_profile,
     "b13_integrity_audit": q_integrity_audit,
+    "b09_order_priority": q_order_priority,
+    "b13_priority_classes": q_priority_classes,
+    "b10_promo_revenue": q_promo_revenue,
     "b17_window_rank": q_window_rank,
     "b18_window_lag_lead": q_window_lag_lead,
     "b19_window_frames": q_window_frames,
@@ -1377,6 +1438,41 @@ ORACLE = {
         LEFT JOIN ua b
           ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
         GROUP BY a.week
+    """,
+    "b09_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        GROUP BY o_orderpriority
+    """,
+    "b13_priority_classes": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+    "b10_promo_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+               CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,6))
+                             ELSE 0 END) AS DOUBLE) AS promo_revenue,
+               ROUND(CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                                   THEN CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(28,6))
+                                   ELSE 0 END) AS DOUBLE) * 100.0
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'
     """,
     "b13_column_profile": """
         SELECT 'l_quantity' AS column, count(*) AS n_rows,
