@@ -1191,6 +1191,28 @@ class RelativeTable:
             "added_files int, total_files int, is_current boolean",
         )
 
+    def partitions(self, spark: SparkSession) -> DataFrame:
+        """The `.partitions` metadata table: per-partition file count, row
+        count, and bytes for the current snapshot — what a maintenance
+        planner reads to find skewed or fragmented partitions (Iceberg's
+        partitions table role)."""
+        meta = self.ops.current()
+        snap = meta.get("current-snapshot-id")
+        agg: dict[str, list[int]] = {}
+        if snap is not None:
+            for f in self._data_files(meta, snap):
+                key = json.dumps(f.get("partition", {}), sort_keys=True)
+                n_files, n_rows, n_bytes = agg.get(key, (0, 0, 0))
+                agg[key] = (
+                    n_files + 1,
+                    n_rows + (f.get("row-count") or 0),
+                    n_bytes + f["size-bytes"],
+                )
+        rows = [(k, *v) for k, v in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows, "partition string, file_count int, row_count long, total_bytes long"
+        )
+
     def refs(self, spark: SparkSession) -> DataFrame:
         """The `.refs` metadata table: every named ref (branches and tags)
         with its pinned snapshot — Iceberg's refs table shape."""

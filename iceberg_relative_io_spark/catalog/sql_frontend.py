@@ -107,7 +107,9 @@ class RelativeSqlSession:
             ts = m.group(3)
             parts = dotted.split(".")
             meta_view = None
-            if parts[-1].lower() in ("snapshots", "history", "files", "refs") and len(parts) >= 4:
+            if parts[-1].lower() in (
+                "snapshots", "history", "files", "refs", "partitions"
+            ) and len(parts) >= 4:
                 meta_view, parts = parts[-1].lower(), parts[:-1]
             namespace, tname = tuple(parts[1:-1]), parts[-1]
             if meta_view is None and version is None and ref is None and ts is None:
@@ -129,6 +131,8 @@ class RelativeSqlSession:
                 df = table.files(self.spark)
             elif meta_view == "refs":
                 df = table.refs(self.spark)
+            elif meta_view == "partitions":
+                df = table.partitions(self.spark)
             elif version is not None:
                 df = table.read(self.spark, snapshot_id=int(version))
             elif ref is not None:

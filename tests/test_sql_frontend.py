@@ -368,3 +368,13 @@ def test_alter_column_type_widening(sess, spark):
     out = sess.sql("SELECT * FROM test.tw.t")
     assert dict(out.dtypes) == {"id": "bigint", "v": "double"}
     assert [(r.id, r.v) for r in out.collect()] == [(1, 1.5)]
+
+
+def test_partitions_metadata_table(sess):
+    sess.sql("CREATE NAMESPACE test.pm")
+    sess.sql("CREATE TABLE test.pm.ev (id bigint, kind string) PARTITIONED BY (kind)")
+    sess.sql("INSERT INTO test.pm.ev VALUES (1, 'click'), (2, 'view'), (3, 'click')")
+    rows = {r.partition: (r.file_count, r.row_count)
+            for r in sess.sql("SELECT * FROM test.pm.ev.partitions").collect()}
+    assert rows['{"kind": "click"}'] == (1, 2)
+    assert rows['{"kind": "view"}'] == (1, 1)
