@@ -233,6 +233,31 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (graph analytics over the near-dup graph): vertex/edge/triangle
+    counts of the LSH candidate-pair graph — the structure signal dedup
+    pipelines use to tell diffuse similarity from tight duplicate
+    cliques. Triangle enumeration is the canonical two-join pattern over
+    an ordered edge list (a<b<c, each triangle counted once); the edge
+    list is post-LSH, orders of magnitude smaller than the corpus, so
+    the joins shuffle edges, never documents."""
+    # five consumers below — materialize the (tiny, post-LSH) edge list
+    # once instead of re-running the band self-join per branch
+    edges = q_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a")).join(
+        e3,
+        (F.col("e1.doc_a") == F.col("e3.doc_a"))
+        & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+    )
+    verts = edges.select(F.explode(F.array("doc_a", "doc_b")).alias("v"))
+    return (
+        verts.agg(F.countDistinct("v").alias("n_vertices"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (SimHash): 16-bit sign-sum fingerprint over token codes with
     multiplicity; equal simhash => dedup cluster candidate. Arrow-batched
@@ -840,6 +865,7 @@ QUERIES = {
     "c01_embedding_neardup": q_embedding_neardup,
     "c02_minhash_signatures": q_minhash_signatures,
     "c02_lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "c02_triangle_count": q_triangle_count,
     "c02_simhash": q_simhash,
     "c02_dedup_survivors": q_dedup_survivors,
     "c02_ngram_jaccard_topk": q_ngram_jaccard_topk,
@@ -1322,3 +1348,26 @@ ORACLE["c04_pii_redaction"] = f"""
            CAST(length(redacted) AS INT) AS redacted_len
     FROM r
 """
+
+ORACLE["c02_triangle_count"] = (
+    _docs_with_shingles_cte()
+    + ", bands AS (SELECT doc_id, shingles, band, sig FROM sh, "
+    + "LATERAL (VALUES "
+    + ", ".join(f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS))
+    + ") AS t(band, sig)), pairs AS ("
+    + """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT count(DISTINCT v) FROM (
+                SELECT doc_a AS v FROM pairs
+                UNION ALL SELECT doc_b FROM pairs)) AS n_vertices,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*)
+            FROM pairs e1
+            JOIN pairs e2 ON e1.doc_b = e2.doc_a
+            JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b)
+               AS n_triangles
+    """
+)
