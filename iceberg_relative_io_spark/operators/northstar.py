@@ -826,6 +826,45 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINARY_STAGE: dict[str, str] = {}
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (multimodal ingestion): raw blob files → typed rows via Spark's
+    built-in ``binaryFile`` source — the path image/audio corpora take
+    into the lake (one file per asset, content as an opaque binary
+    column). Here each staged file carries a document's utf-8 bytes (the
+    container has no media codecs); the query lands path-derived ids,
+    byte lengths, and content digests, which the oracle recomputes from
+    the documents table. At 100 TB the same reader fans out over an
+    object-store listing; pathGlobFilter/recursiveFileLookup handle
+    layout."""
+    import os
+    import tempfile as _tf
+
+    if sf_dir not in _BINARY_STAGE:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        )
+        d = _tf.mkdtemp(prefix="binary_assets_")
+        for r in docs.select("doc_id", "text").collect():
+            with open(os.path.join(d, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        _BINARY_STAGE[sf_dir] = d
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(_BINARY_STAGE[sf_dir])
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5 — multimodal columns
 # ---------------------------------------------------------------------------
@@ -885,6 +924,7 @@ QUERIES = {
     "c02_duplicate_ngrams": q_duplicate_ngrams,
     "c05_multimodal_schema": q_multimodal_schema,
     "c05_frame_sample": q_frame_sample,
+    "c05_binary_ingest": q_binary_ingest,
     "c06_pipeline_capstone": q_pipeline_capstone,
     "c04_sequence_packing": q_sequence_packing,
     "c04_pii_redaction": q_pii_redaction,
@@ -1371,3 +1411,10 @@ ORACLE["c02_triangle_count"] = (
                AS n_triangles
     """
 )
+
+ORACLE["c05_binary_ingest"] = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents WHERE doc_id % 10 = 0
+"""
