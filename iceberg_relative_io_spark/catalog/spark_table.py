@@ -213,6 +213,7 @@ class RelativeTable:
         branch: str = "main",
         extra_summary: dict | None = None,
         delete_files: list[dict] | None = None,
+        replaced_partitions: list[str] | None = None,
     ) -> dict:
         """Optimistic-concurrency snapshot commit with bounded retry.
 
@@ -243,11 +244,22 @@ class RelativeTable:
             ) + 1
             total = len(added)
             if operation in self._CHAIN_OPS and parent is not None:
-                total += len(self._data_files(meta, parent))
+                parent_files = self._data_files(meta, parent)
+                if operation == "dynamic-overwrite":
+                    rep = set(replaced_partitions or [])
+                    parent_files = [
+                        f
+                        for f in parent_files
+                        if json.dumps(f.get("partition", {}), sort_keys=True)
+                        not in rep
+                    ]
+                total += len(parent_files)
 
             manifest = {"snapshot-id": snap_id, "added-files": added}
             if delete_files:
                 manifest["delete-files"] = delete_files
+            if replaced_partitions is not None:
+                manifest["replaced-partitions"] = replaced_partitions
             manifest_loc = f"{self.ops.metadata_dir}/snap-{snap_id}-{uuid.uuid4()}.manifest.json"
             self.ops.io.write_bytes(manifest_loc, json.dumps(manifest).encode())
 
@@ -291,6 +303,27 @@ class RelativeTable:
         """B2: INSERT INTO — durable append producing a new snapshot."""
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("append", entries, branch)
+
+    def overwrite_partitions(self, df: DataFrame) -> dict:
+        """Dynamic partition overwrite (backfill): replace ONLY the
+        partitions present in ``df``; every other partition's files carry
+        over untouched. At 100 TB this is how a daily backfill rewrites
+        one day instead of the table. Requires a partition spec; the
+        replaced-partition set is recorded in the manifest so the chain
+        walk can replay it (old snapshots still see the pre-backfill
+        layout)."""
+        if not self.partition_spec:
+            raise ValueError("overwrite_partitions requires a partitioned table")
+        _, entries = self._write_snapshot_files(df)
+        replaced = sorted(
+            {json.dumps(e.get("partition", {}), sort_keys=True) for e in entries}
+        )
+        return self._commit_snapshot(
+            "dynamic-overwrite",
+            entries,
+            replaced_partitions=replaced,
+            extra_summary={"replaced-partitions": str(len(replaced))},
+        )
 
     def overwrite(self, df: DataFrame, branch: str = "main") -> dict:
         """INSERT OVERWRITE — snapshot whose file set is just the new files."""
@@ -528,7 +561,7 @@ class RelativeTable:
         raise ValueError(f"no snapshot {snapshot_id}")
 
     # snapshot operations that EXTEND the parent file set (vs reset it)
-    _CHAIN_OPS = ("append", "delete-mor")
+    _CHAIN_OPS = ("append", "delete-mor", "dynamic-overwrite")
 
     def _data_files(self, meta: dict, snapshot_id: int) -> list[dict]:
         """Reconstruct a snapshot's live file set by walking its parent
@@ -546,9 +579,18 @@ class RelativeTable:
             sid = snap["parent-snapshot-id"]
         files: list[dict] = []
         for snap in reversed(chain):
+            man = self._manifest_for(meta, snap["snapshot-id"])
+            if snap["operation"] == "dynamic-overwrite":
+                # backfill semantics: drop the parent's files in the
+                # replaced partitions, keep everything else
+                rep = set(man.get("replaced-partitions", []))
+                files = [
+                    f
+                    for f in files
+                    if json.dumps(f.get("partition", {}), sort_keys=True) not in rep
+                ]
             files.extend(
-                dict(f, _snap=snap["snapshot-id"])
-                for f in self._manifest_for(meta, snap["snapshot-id"])["added-files"]
+                dict(f, _snap=snap["snapshot-id"]) for f in man["added-files"]
             )
         return files
 
@@ -712,6 +754,17 @@ class RelativeTable:
         # evolution a snapshot mixes file eras with different directory
         # layouts, and Spark's partition discovery needs each read to see
         # one consistent layout
+        def layout_prefix(path: str) -> str:
+            """Directory above the first key=value segment: Spark's
+            partition discovery needs every path in one read to share a
+            consistent structure below basePath, and per-snapshot data
+            dirs (data/snap-X/day=.../file) would otherwise conflict."""
+            segs = path.split("/")
+            for i, s in enumerate(segs[:-1]):
+                if "=" in s:
+                    return "/".join(segs[:i])
+            return ""
+
         deletes = deletes or []
         groups: dict[str, list[dict]] = {}
         for e in entries:
@@ -722,20 +775,25 @@ class RelativeTable:
                 d["_snap"] for d in deletes if d["_snap"] > e.get("_snap", -1)
             )
             key = json.dumps(
-                [e.get("column-ids"), sorted(e.get("partition", {})), applicable],
+                [
+                    e.get("column-ids"),
+                    sorted(e.get("partition", {})),
+                    applicable,
+                    layout_prefix(e["path"]) if e.get("partition") else "",
+                ],
                 sort_keys=True,
             )
             groups.setdefault(key, []).append(e)
 
-        base_path = self.ops.io.absolute(f"{self.ops.location}/data")
         parts: list[DataFrame] = []
         for key, es in groups.items():
-            file_ids, part_keys, applicable = json.loads(key)
+            file_ids, part_keys, applicable, prefix = json.loads(key)
             files = [self.ops.io.absolute(f["path"]) for f in es]
+            base_path = self.ops.io.absolute(prefix) if prefix else None
             if not file_ids or not cur_ids:
                 # legacy entries: written with the current logical names
                 reader = spark.read.schema(schema)
-                if part_keys:
+                if part_keys and base_path:
                     reader = reader.option("basePath", base_path)
                 df = reader.parquet(*files).select(*[f.name for f in schema.fields])
             else:
@@ -749,7 +807,7 @@ class RelativeTable:
                         read_fields.append(StructField(phys, f.dataType, True))
                         select_cols.append(F.col(phys).alias(f.name))
                 reader = spark.read.schema(StructType(read_fields))
-                if part_keys:
+                if part_keys and base_path:
                     reader = reader.option("basePath", base_path)
                 df = reader.parquet(*files).select(*select_cols)
             # merge-on-read: anti-join each applicable equality-delete file

@@ -629,7 +629,15 @@ class RelativeSqlSession:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         if m.group(1).upper() == "OVERWRITE":
-            table.overwrite(casted)
+            if (
+                table.partition_spec
+                and table.properties().get("write.overwrite.mode") == "dynamic"
+            ):
+                # Spark's dynamic partitionOverwriteMode semantics: only
+                # the partitions present in the new data are replaced
+                table.overwrite_partitions(casted)
+            else:
+                table.overwrite(casted)
         else:
             table.append(casted)
         return self._empty()

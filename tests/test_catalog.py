@@ -847,3 +847,49 @@ def test_type_widening_int_to_long(spark, catalog):
     assert dict(table.schema().fields[0].jsonValue(), name="id")["type"] == "long"
     with pytest.raises(ValueError):
         table.widen_column("id", "integer")  # narrowing refused
+
+
+def test_dynamic_partition_overwrite(spark, catalog):
+    """Backfill one partition: only the overwritten partition's files are
+    replaced; other partitions and time travel are untouched."""
+    catalog.create_namespace(("dpo",))
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "id long, v string, day string",
+    )
+    ops = catalog.create_table(("dpo",), "t", df.schema.jsonValue(), partition_by=["day"])
+    table = RelativeTable(ops)
+    table.append(df)
+    d2_files = {f["path"] for f in table.scan_files(partition_filter={"day": "d2"})}
+    backfill = spark.createDataFrame(
+        [(9, "A2", "d1")], "id long, v string, day string"
+    )
+    table.overwrite_partitions(backfill)
+    got = {(r.id, r.v, r.day) for r in table.read(spark).collect()}
+    assert got == {(9, "A2", "d1"), (3, "c", "d2")}
+    # d2's physical files carried over untouched
+    assert {f["path"] for f in table.scan_files(partition_filter={"day": "d2"})} == d2_files
+    # pre-backfill snapshot intact
+    assert table.read(spark, snapshot_id=1).count() == 3
+    # appends continue the chain after a dynamic overwrite
+    table.append(spark.createDataFrame([(4, "d", "d3")], "id long, v string, day string"))
+    assert table.read(spark).count() == 3
+    with pytest.raises(ValueError):
+        RelativeTable(catalog.create_table(("dpo",), "u", df.schema.jsonValue())) \
+            .overwrite_partitions(df)
+
+
+def test_partitioned_reads_across_multiple_appends(spark, catalog):
+    """Regression: partitioned files from different per-snapshot data
+    dirs must read in one scan group per layout prefix (Spark's partition
+    discovery rejects mixed structures under one basePath)."""
+    catalog.create_namespace(("ma",))
+    df1 = spark.createDataFrame([(1, "x")], "id long, k string")
+    ops = catalog.create_table(("ma",), "t", df1.schema.jsonValue(), partition_by=["k"])
+    table = RelativeTable(ops)
+    table.append(df1)
+    table.append(spark.createDataFrame([(2, "y")], "id long, k string"))
+    table.append(spark.createDataFrame([(3, "x")], "id long, k string"))
+    got = {(r.id, r.k) for r in table.read(spark).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "x")}
+    assert {r.id for r in table.read(spark, partition_filter={"k": "x"}).collect()} == {1, 3}

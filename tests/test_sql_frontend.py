@@ -378,3 +378,15 @@ def test_partitions_metadata_table(sess):
             for r in sess.sql("SELECT * FROM test.pm.ev.partitions").collect()}
     assert rows['{"kind": "click"}'] == (1, 2)
     assert rows['{"kind": "view"}'] == (1, 1)
+
+
+def test_insert_overwrite_dynamic_mode(sess):
+    sess.sql("CREATE NAMESPACE test.dpo")
+    sess.sql("CREATE TABLE test.dpo.t (id bigint, day string) PARTITIONED BY (day)")
+    sess.sql("INSERT INTO test.dpo.t VALUES (1, 'd1'), (2, 'd2')")
+    sess.sql(
+        "ALTER TABLE test.dpo.t SET TBLPROPERTIES ('write.overwrite.mode' = 'dynamic')"
+    )
+    sess.sql("INSERT OVERWRITE test.dpo.t VALUES (9, 'd1')")
+    rows = {(r.id, r.day) for r in sess.sql("SELECT * FROM test.dpo.t").collect()}
+    assert rows == {(9, "d1"), (2, "d2")}  # d2 untouched
