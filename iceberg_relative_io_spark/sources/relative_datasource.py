@@ -32,9 +32,10 @@ and each half maps onto the format's native strengths:
   a tailed table ever carries bulk data.
 
 Partitioned tables: the batch reader re-attaches hive partition columns
-from the manifest's partition tuples; the writer and stream reader
-require unpartitioned tables (use ``RelativeTable.append`` for
-partition-aware writes).
+from the manifest's partition tuples; the batch writer lays out identity
+partition specs hive-style (one file per task×partition) and records
+each file's tuple in the manifest; transform layouts and the stream
+writer still route through ``RelativeTable.append``.
 """
 
 from __future__ import annotations
@@ -79,6 +80,12 @@ class FilePartition(InputPartition):
 class FileCommit(WriterCommitMessage):
     rel_path: str
     size: int
+
+
+@dataclass
+class MultiFileCommit(WriterCommitMessage):
+    # (rel_path, size, partition_json) per file written by this task
+    files: list
 
 
 class RelativeDataSource(DataSource):
@@ -200,57 +207,98 @@ class RelativeBatchReader(DataSourceReader):
 
 class RelativeWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
+        from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
         table = _load_table(options)
-        if table.partition_spec:
+        fields = [parse_partition_field(e) for e in table.partition_spec]
+        if any(f["kind"] != "identity" for f in fields):
             raise ValueError(
-                "the 'relative' writer appends unpartitioned files; use "
-                "RelativeTable.append for partition-spec tables"
+                "the 'relative' writer supports identity partition specs; "
+                "use RelativeTable.append for transform layouts"
             )
+        self.part_cols = [f["name"] for f in fields]
         self.options = options
         self.io = table.ops.io
         self.snap_dir = table.ops.data_location(f"snap-{uuid.uuid4()}")
         self.overwrite = overwrite
 
-    def write(self, iterator):
-        """Executor side: stream this task's record batches into one
-        parquet file under the (driver-chosen) snapshot dir."""
+    def _open(self, rel: str, schema):
         import pyarrow.parquet as pq
 
-        rel = f"{self.snap_dir}/part-{uuid.uuid4().hex}.parquet"
         fs_path = self.io._fs_path(rel)
-        self.io.fs.create_dir(self.io._fs_path(self.snap_dir), recursive=True)
-        writer = None
-        rows = 0
+        self.io.fs.create_dir(self.io._fs_path(rel.rsplit("/", 1)[0]), recursive=True)
+        return pq.ParquetWriter(fs_path, schema, filesystem=self.io.fs)
+
+    def write(self, iterator):
+        """Executor side: stream this task's record batches into parquet
+        under the (driver-chosen) snapshot dir — one file per hive
+        partition this task sees (rows were hash-distributed by the
+        caller or arrive as-is; either way each (task, partition) pair
+        emits one file)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        writers: dict = {}  # key -> [writer, rel, partition_json]
         for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    fs_path, batch.schema, filesystem=self.io.fs
-                )
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return FileCommit("", 0)
-        writer.close()
-        size = self.io.fs.get_file_info(fs_path).size
-        return FileCommit(rel, size)
+            if not self.part_cols:
+                key = ()
+                if key not in writers:
+                    rel = f"{self.snap_dir}/part-{uuid.uuid4().hex}.parquet"
+                    writers[key] = [self._open(rel, batch.schema), rel, "{}"]
+                writers[key][0].write_batch(batch)
+                continue
+            tbl = pa.Table.from_batches([batch])
+            combos = {
+                tuple(str(v) for v in t)
+                for t in zip(*[tbl.column(c).to_pylist() for c in self.part_cols])
+            }
+            for combo in combos:
+                mask = None
+                for c, v in zip(self.part_cols, combo):
+                    eq = pc.equal(pc.cast(tbl[c], pa.string()), v)
+                    mask = eq if mask is None else pc.and_(mask, eq)
+                sub = tbl.filter(mask).drop(self.part_cols)
+                if combo not in writers:
+                    segs = "/".join(
+                        f"{c}={v}" for c, v in zip(self.part_cols, combo)
+                    )
+                    rel = f"{self.snap_dir}/{segs}/part-{uuid.uuid4().hex}.parquet"
+                    writers[combo] = [
+                        self._open(rel, sub.schema),
+                        rel,
+                        json.dumps(dict(zip(self.part_cols, combo)), sort_keys=True),
+                    ]
+                writers[combo][0].write_table(sub)
+        files = []
+        for w, rel, pjson in writers.values():
+            w.close()
+            size = self.io.fs.get_file_info(self.io._fs_path(rel)).size
+            files.append((rel, size, pjson))
+        return MultiFileCommit(files)
 
     def commit(self, messages):
         """Driver side: commit messages -> manifest entries -> snapshot."""
         table = _load_table(self.options)
         entries = []
         for m in messages:
-            if m is None or not m.rel_path:
+            if m is None:
                 continue
-            entry = {"path": m.rel_path, "size-bytes": m.size}
-            entry.update(table._file_stats(m.rel_path))
-            entries.append(entry)
+            for rel, size, pjson in m.files:
+                entry = {"path": rel, "size-bytes": size}
+                part = json.loads(pjson)
+                if part:
+                    entry["partition"] = part
+                entry.update(table._file_stats(rel))
+                entries.append(entry)
         table._commit_snapshot("overwrite" if self.overwrite else "append", entries)
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and m.rel_path:
+            if m is None:
+                continue
+            for rel, _, _ in m.files:
                 try:
-                    self.io.delete_file(m.rel_path)
+                    self.io.delete_file(rel)
                 except Exception:
                     pass
 

@@ -217,3 +217,39 @@ def test_incremental_read_and_append_only_guard(spark, wh):
     table.delete_where(spark, F.col("id") == 1)
     with pytest.raises(ValueError, match="append-only"):
         table.incremental_files(1)
+
+
+def test_datasource_partitioned_write(spark, tmp_path):
+    """The 'relative' writer lays out identity partition specs hive-style
+    and records partition tuples, so manifest pruning works on the
+    written table."""
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+    from iceberg_relative_io_spark.sources.relative_datasource import RelativeDataSource
+
+    spark.dataSource.register(RelativeDataSource)
+    wh = str(tmp_path / "wh")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ds",))
+    df = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click")], "id long, kind string"
+    )
+    cat.create_table(("ds",), "ev", df.schema.jsonValue(), partition_by=["kind"])
+    (
+        df.write.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ds.ev")
+        .mode("append")
+        .save()
+    )
+    table = RelativeTable(cat.load_table(("ds",), "ev"))
+    files = table.scan_files(partition_filter={"kind": "click"})
+    assert files and all(f["partition"] == {"kind": "click"} for f in files)
+    got = {(r.id, r.kind) for r in table.read(spark).collect()}
+    assert got == {(1, "click"), (2, "view"), (3, "click")}
+    back = (
+        spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ds.ev")
+        .load()
+    )
+    assert {(r.id, r.kind) for r in back.collect()} == got
