@@ -205,6 +205,55 @@ class RelativeBatchReader(DataSourceReader):
         yield from pa.table(dict(zip(target.names, cols))).cast(target).to_batches()
 
 
+def _write_task_batches(io, base_dir: str, part_cols: list, iterator) -> list:
+    """Executor-side hive-layout writer shared by the batch and stream
+    sinks: split each Arrow batch by identity-partition value, write one
+    parquet file per (task, partition), return (rel, size, partition_json)
+    tuples for the driver-side manifest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def _open(rel: str, schema):
+        io.fs.create_dir(io._fs_path(rel.rsplit("/", 1)[0]), recursive=True)
+        return pq.ParquetWriter(io._fs_path(rel), schema, filesystem=io.fs)
+
+    writers: dict = {}  # key -> [writer, rel, partition_json]
+    for batch in iterator:
+        if not part_cols:
+            key = ()
+            if key not in writers:
+                rel = f"{base_dir}/part-{uuid.uuid4().hex}.parquet"
+                writers[key] = [_open(rel, batch.schema), rel, "{}"]
+            writers[key][0].write_batch(batch)
+            continue
+        tbl = pa.Table.from_batches([batch])
+        combos = {
+            tuple(str(v) for v in t)
+            for t in zip(*[tbl.column(c).to_pylist() for c in part_cols])
+        }
+        for combo in combos:
+            mask = None
+            for c, v in zip(part_cols, combo):
+                eq = pc.equal(pc.cast(tbl[c], pa.string()), v)
+                mask = eq if mask is None else pc.and_(mask, eq)
+            sub = tbl.filter(mask).drop(part_cols)
+            if combo not in writers:
+                segs = "/".join(f"{c}={v}" for c, v in zip(part_cols, combo))
+                rel = f"{base_dir}/{segs}/part-{uuid.uuid4().hex}.parquet"
+                writers[combo] = [
+                    _open(rel, sub.schema),
+                    rel,
+                    json.dumps(dict(zip(part_cols, combo)), sort_keys=True),
+                ]
+            writers[combo][0].write_table(sub)
+    files = []
+    for w, rel, pjson in writers.values():
+        w.close()
+        files.append((rel, io.fs.get_file_info(io._fs_path(rel)).size, pjson))
+    return files
+
+
 class RelativeWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
@@ -222,59 +271,15 @@ class RelativeWriter(DataSourceArrowWriter):
         self.snap_dir = table.ops.data_location(f"snap-{uuid.uuid4()}")
         self.overwrite = overwrite
 
-    def _open(self, rel: str, schema):
-        import pyarrow.parquet as pq
-
-        fs_path = self.io._fs_path(rel)
-        self.io.fs.create_dir(self.io._fs_path(rel.rsplit("/", 1)[0]), recursive=True)
-        return pq.ParquetWriter(fs_path, schema, filesystem=self.io.fs)
-
     def write(self, iterator):
         """Executor side: stream this task's record batches into parquet
         under the (driver-chosen) snapshot dir — one file per hive
         partition this task sees (rows were hash-distributed by the
         caller or arrive as-is; either way each (task, partition) pair
         emits one file)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        writers: dict = {}  # key -> [writer, rel, partition_json]
-        for batch in iterator:
-            if not self.part_cols:
-                key = ()
-                if key not in writers:
-                    rel = f"{self.snap_dir}/part-{uuid.uuid4().hex}.parquet"
-                    writers[key] = [self._open(rel, batch.schema), rel, "{}"]
-                writers[key][0].write_batch(batch)
-                continue
-            tbl = pa.Table.from_batches([batch])
-            combos = {
-                tuple(str(v) for v in t)
-                for t in zip(*[tbl.column(c).to_pylist() for c in self.part_cols])
-            }
-            for combo in combos:
-                mask = None
-                for c, v in zip(self.part_cols, combo):
-                    eq = pc.equal(pc.cast(tbl[c], pa.string()), v)
-                    mask = eq if mask is None else pc.and_(mask, eq)
-                sub = tbl.filter(mask).drop(self.part_cols)
-                if combo not in writers:
-                    segs = "/".join(
-                        f"{c}={v}" for c, v in zip(self.part_cols, combo)
-                    )
-                    rel = f"{self.snap_dir}/{segs}/part-{uuid.uuid4().hex}.parquet"
-                    writers[combo] = [
-                        self._open(rel, sub.schema),
-                        rel,
-                        json.dumps(dict(zip(self.part_cols, combo)), sort_keys=True),
-                    ]
-                writers[combo][0].write_table(sub)
-        files = []
-        for w, rel, pjson in writers.values():
-            w.close()
-            size = self.io.fs.get_file_info(self.io._fs_path(rel)).size
-            files.append((rel, size, pjson))
-        return MultiFileCommit(files)
+        return MultiFileCommit(
+            _write_task_batches(self.io, self.snap_dir, self.part_cols, iterator)
+        )
 
     def commit(self, messages):
         """Driver side: commit messages -> manifest entries -> snapshot."""
@@ -312,30 +317,22 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         table = _load_table(options)
-        if table.partition_spec:
+        from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
+
+        fields = [parse_partition_field(e) for e in table.partition_spec]
+        if any(f["kind"] != "identity" for f in fields):
             raise ValueError(
-                "the 'relative' stream writer appends unpartitioned files"
+                "the 'relative' stream writer supports identity partition specs"
             )
+        self.part_cols = [f["name"] for f in fields]
         self.options = options
         self.io = table.ops.io
         self.data_root = table.ops.data_location("stream")
 
     def write(self, iterator):
-        import pyarrow.parquet as pq
-
-        rel = f"{self.data_root}/part-{uuid.uuid4().hex}.parquet"
-        self.io.fs.create_dir(self.io._fs_path(self.data_root), recursive=True)
-        writer = None
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    self.io._fs_path(rel), batch.schema, filesystem=self.io.fs
-                )
-            writer.write_batch(batch)
-        if writer is None:
-            return FileCommit("", 0)
-        writer.close()
-        return FileCommit(rel, self.io.fs.get_file_info(self.io._fs_path(rel)).size)
+        return MultiFileCommit(
+            _write_task_batches(self.io, self.data_root, self.part_cols, iterator)
+        )
 
     def commit(self, messages, batchId: int) -> None:
         table = _load_table(self.options)
@@ -347,20 +344,26 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
             return  # replayed batch: snapshot already committed
         entries = []
         for m in messages:
-            if m is None or not m.rel_path:
+            if m is None:
                 continue
-            entry = {"path": m.rel_path, "size-bytes": m.size}
-            entry.update(table._file_stats(m.rel_path))
-            entries.append(entry)
+            for rel, size, pjson in m.files:
+                entry = {"path": rel, "size-bytes": size}
+                part = json.loads(pjson)
+                if part:
+                    entry["partition"] = part
+                entry.update(table._file_stats(rel))
+                entries.append(entry)
         table._commit_snapshot(
             "append", entries, extra_summary={"stream-batch-id": str(batchId)}
         )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and m.rel_path:
+            if m is None:
+                continue
+            for rel, _, _ in m.files:
                 try:
-                    self.io.delete_file(m.rel_path)
+                    self.io.delete_file(rel)
                 except Exception:
                     pass
 

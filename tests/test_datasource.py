@@ -253,3 +253,38 @@ def test_datasource_partitioned_write(spark, tmp_path):
         .load()
     )
     assert {(r.id, r.kind) for r in back.collect()} == got
+
+
+def test_stream_writer_partitioned(spark, tmp_path):
+    """writeStream into an identity-partitioned relative table: each
+    micro-batch commits hive-laid-out files with partition tuples."""
+    import tempfile as tf
+
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+    from iceberg_relative_io_spark.sources.relative_datasource import RelativeDataSource
+
+    spark.dataSource.register(RelativeDataSource)
+    wh = str(tmp_path / "wh")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ds",))
+    df = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click")], "id long, kind string"
+    )
+    cat.create_table(("ds",), "sink", df.schema.jsonValue(), partition_by=["kind"])
+    src = tf.mkdtemp(prefix="stream_src_")
+    df.write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("id long, kind string").parquet(src)
+        .writeStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ds.sink")
+        .option("checkpointLocation", tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    table = RelativeTable(cat.load_table(("ds",), "sink"))
+    files = table.scan_files(partition_filter={"kind": "view"})
+    assert files and all(f["partition"] == {"kind": "view"} for f in files)
+    got = {(r.id, r.kind) for r in table.read(spark).collect()}
+    assert got == {(1, "click"), (2, "view"), (3, "click")}
