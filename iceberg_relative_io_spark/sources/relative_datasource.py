@@ -32,10 +32,10 @@ and each half maps onto the format's native strengths:
   a tailed table ever carries bulk data.
 
 Partitioned tables: the batch reader re-attaches hive partition columns
-from the manifest's partition tuples; the batch writer lays out identity
-partition specs hive-style (one file per task×partition) and records
-each file's tuple in the manifest; transform layouts and the stream
-writer still route through ``RelativeTable.append``.
+from the manifest's partition tuples; the batch and stream writers lay
+out identity partition specs hive-style (one file per task×partition)
+and record each file's tuple in the manifest; transform layouts route
+through ``RelativeTable.append``.
 """
 
 from __future__ import annotations
