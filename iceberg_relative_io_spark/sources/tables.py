@@ -37,11 +37,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TimestampType (µs)."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # raw nanos (nanosAsLong) -> µs timestamp. Integer `div` keeps the
-        # division exact (a double division would lose precision at 1e18);
-        # truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # raw nanos (legacy nanosAsLong) -> µs timestamp. Integer `div`
+            # keeps the division exact (a double division would lose
+            # precision at 1e18); truncation matches DuckDB's
+            # TIMESTAMP_NS -> TIMESTAMP cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1+ reads parquet TIMESTAMP(NANOS) natively as NTZ
+            # (µs-truncated). Session tz is pinned to UTC, so casting the
+            # wall time to TimestampType yields the same instants DuckDB's
+            # naive-timestamp semantics produce.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
