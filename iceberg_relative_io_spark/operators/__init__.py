@@ -43,13 +43,21 @@ def merged_queries() -> dict:
     from iceberg_relative_io_spark.operators import (
         relational,
         northstar,
+        pipeline_ext,
         tableops_queries,
         tpch,
     )
     from iceberg_relative_io_spark.streaming import stream_queries
 
     out: dict = {}
-    for mod in (relational, tpch, northstar, tableops_queries, stream_queries):
+    for mod in (
+        relational,
+        tpch,
+        northstar,
+        pipeline_ext,
+        tableops_queries,
+        stream_queries,
+    ):
         out.update(mod.QUERIES)
     out.update(stream_queries.register_optional_queries())
     ordered = {k: out[k] for k in PRIORITY_ORDER if k in out}
@@ -61,13 +69,21 @@ def merged_oracle() -> dict:
     from iceberg_relative_io_spark.operators import (
         relational,
         northstar,
+        pipeline_ext,
         tableops_queries,
         tpch,
     )
     from iceberg_relative_io_spark.streaming import stream_queries
 
     out: dict = {}
-    for mod in (relational, tpch, northstar, tableops_queries, stream_queries):
+    for mod in (
+        relational,
+        tpch,
+        northstar,
+        pipeline_ext,
+        tableops_queries,
+        stream_queries,
+    ):
         out.update(mod.ORACLE)
     # keep the oracle map a subset of queries(): optional queries that the
     # runtime gates off must not leave a dangling oracle entry behind

@@ -1,0 +1,229 @@
+"""Training-data pipeline extensions, round 2 (SURVEY.md §2.C).
+
+Second batch of the LLM-pipeline operators a 100 TB curation run needs
+beyond the first northstar set: intra-document repetition scoring,
+train/test contamination detection, per-source quota sampling, and
+class-centroid computation over the embedding column. Like every C-layer
+op these are driver queries with exact DuckDB oracles: all float
+aggregation goes through decimal casts (see relational.py docstring) and
+all hashing is the integer family from functions/text.py.
+
+Scale design notes (100 TB):
+
+- Repetition scoring is map-only (per-row array expressions inside
+  whole-stage codegen) — no shuffle at all.
+- Contamination explodes word 5-grams but shuffles only DISTINCT
+  (gram, doc) pairs map-side-combined; at 100 TB the gram string would be
+  xxhash64-compressed before the exchange and the train-side set carried
+  as a bloom filter broadcast, turning the semi join into a map-side
+  filter (noted inline; the raw-string form keeps the oracle exact).
+- Quota sampling is one hash-partition by source + in-partition top-N —
+  the canonical skew-safe "cap any single source's contribution" step
+  before mixing weights are applied.
+- Label centroids shuffle (label, dim) partial sums — 64·|labels| rows —
+  regardless of corpus size; the classic distributed-mean shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import text as T
+from iceberg_relative_io_spark.operators.relational import _dec
+from iceberg_relative_io_spark.sources.tables import load_table
+
+_QUOTA = 25  # docs kept per source by the quota sampler
+_CONTAM_K = 5  # word n-gram width for contamination detection
+
+
+def _word_grams(text_col: str, k: int):
+    """Array of k-token grams (space-joined) from a text column (named by
+    its SQL identifier); empty when the doc is shorter than k tokens.
+    Codegen-only — no UDF, no shuffle."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _word_grams_sql(tok_list: str, k: int) -> str:
+    return (
+        f"[array_to_string(({tok_list})[i : i + {k - 1}], ' ') "
+        f"FOR i IN range(1, len({tok_list}) - {k - 2})]"
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (quality): intra-document repetition — fraction of word
+    trigrams that are repeats of an earlier trigram in the same doc
+    (the 'repeated n-grams' filter of Gopher/FineWeb-style cleaning).
+    Pure per-row array math, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_grams("text", 3)
+    total = F.size(grams)
+    repeats = total - F.size(F.array_distinct(grams))
+    # raw double from exact integer division: IEEE division is correctly
+    # rounded, so both engines emit the identical bits — no round() step
+    # whose half-way ties could diverge (e.g. 128-gram docs).
+    ratio = F.when(
+        total > 0, repeats.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        repeats.alias("n_repeats"),
+        ratio.alias("rep_ratio"),
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (eval hygiene): train→test contamination — test-split documents
+    sharing any word 5-gram with any train-split document, per language.
+    Splits reuse the content-hash assignment of c06_train_split, so the
+    check composes with the split it audits. The distinct (gram, doc)
+    explosion is map-side combined; the train gram set joins as a
+    left-semi (at 100 TB: xxhash64 the grams and broadcast a bloom filter
+    of the train side instead of shuffling it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = T.fingerprint(F.col("text")) % 100
+    with_grams = docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), _word_grams("text", _CONTAM_K).alias("grams")
+    )
+    test_docs = with_grams.filter(F.col("bucket") >= 90)
+    train_grams = (
+        with_grams.filter(F.col("bucket") < 80)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    test_grams = test_docs.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).distinct()
+    hit_docs = (
+        test_grams.join(train_grams, "gram", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        test_docs.select("doc_id", "lang")
+        .join(hit_docs.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (mixing): per-source quota sampling — keep at most N documents
+    per source, chosen deterministically (lowest doc_id), the skew-safe
+    'no single crawl dominates the mix' cap. One hash partition by
+    source; rank-and-filter stays in-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA)
+        .select("doc_id", "source", "rn")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (clustering support): per-label centroid of the embedding
+    column — posexplode to (label, dim) partial sums (decimal-exact, so
+    the distributed mean matches DuckDB's sequential one bit-for-bit),
+    emitted as one row per component. The shuffle carries 64·|labels|
+    partial rows however large the corpus is. Each mean is an exact
+    decimal sum divided by a count — identical doubles on both engines
+    with no second rounding step (a deeper decimal re-cast of the
+    squared means diverges: DuckDB's double→decimal cast rounds via a
+    double multiply, Spark's via exact BigDecimal expansion)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # float -> shortest-round-trip string -> decimal: both engines render
+    # a float with the same (<=9 significant digit) string, and parsing
+    # that string into DECIMAL(38,18) is exact — unlike a double->decimal
+    # cast, which DuckDB performs with a rounding double multiply. The
+    # exact sum is then rescaled to 10 decimals BEFORE the double cast:
+    # at scale 10 the scaled integer stays under 2^53, where both
+    # engines' decimal->double conversion is correctly rounded (DuckDB's
+    # int128-sized conversion at scale 18 is off by an ulp).
+    term = F.col("val").cast("string").cast("decimal(38,18)")
+    mean = F.sum(term).cast("decimal(38,10)").cast("double") / F.count("*")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            mean.alias("centroid_val"),
+        )
+    )
+
+
+QUERIES = {
+    "c04_repetition_ratio": q_repetition_ratio,
+    "c06_contamination_check": q_contamination_check,
+    "c06_source_quota_sample": q_source_quota_sample,
+    "c03_label_centroids": q_label_centroids,
+}
+
+
+_TOK_SQL = "string_split(text, ' ')"
+
+
+def _grams_cte(k: int) -> str:
+    return (
+        "WITH g AS (SELECT doc_id, lang, text, "
+        f"{_word_grams_sql(_TOK_SQL, k)} AS grams FROM documents)"
+    )
+
+
+ORACLE = {
+    "c04_repetition_ratio": f"""
+        {_grams_cte(3)}
+        SELECT doc_id,
+               CAST(len(grams) AS INT) AS n_grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_repeats,
+               CASE WHEN len(grams) > 0
+                    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                         / CAST(len(grams) AS DOUBLE)
+                    ELSE 0.0 END AS rep_ratio
+        FROM g
+    """,
+    "c06_contamination_check": f"""
+        WITH g AS (SELECT doc_id, lang,
+                          ({T.fingerprint_sql('text')}) % 100 AS bucket,
+                          {_word_grams_sql(_TOK_SQL, _CONTAM_K)} AS grams
+                   FROM documents),
+        train_grams AS (
+            SELECT DISTINCT gram FROM g, UNNEST(grams) AS u(gram) WHERE bucket < 80),
+        test_docs AS (SELECT doc_id, lang, grams FROM g WHERE bucket >= 90),
+        hits AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, gram FROM test_docs, UNNEST(grams) AS u(gram))
+            WHERE gram IN (SELECT gram FROM train_grams))
+        SELECT lang,
+               count(*) AS n_test_docs,
+               CAST(COALESCE(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_contaminated
+        FROM test_docs
+        GROUP BY lang
+    """,
+    "c06_source_quota_sample": f"""
+        SELECT doc_id, source, rn
+        FROM (SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+              FROM documents)
+        WHERE rn <= {_QUOTA}
+    """,
+    "c03_label_centroids": """
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               count(*) AS n_vecs,
+               CAST(CAST(ROUND(SUM(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,18))), 10)
+                         AS DECIMAL(38,10)) AS DOUBLE)
+                 / count(*) AS centroid_val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        GROUP BY label, i
+    """,
+}

@@ -1,0 +1,55 @@
+"""Smoke + plan-shape tests for the TPC-H suite and the round-2
+pipeline extensions (value-level correctness is the DuckDB oracle gate).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_relative_io_spark.operators import pipeline_ext as P
+from iceberg_relative_io_spark.operators import tpch as H
+
+
+@pytest.mark.parametrize("name", sorted(H.QUERIES))
+def test_tpch_query_runs(spark, sf_dir, name):
+    df = H.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(P.QUERIES))
+def test_pipeline_query_runs(spark, sf_dir, name):
+    df = P.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_every_query_has_oracle():
+    assert set(H.QUERIES) == set(H.ORACLE)
+    assert set(P.QUERIES) == set(P.ORACLE)
+
+
+def test_q3_compiles_to_top_k(spark, sf_dir):
+    plan = H.q_tpch_q3(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = H.q_tpch_q5(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushes_filters_to_scan(spark, sf_dir):
+    plan = H.q_tpch_q6(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_repetition_ratio_is_shuffle_free(spark, sf_dir):
+    plan = P.q_repetition_ratio(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quota_sample_single_exchange(spark, sf_dir):
+    plan = P.q_source_quota_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
