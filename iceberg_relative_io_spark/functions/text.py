@@ -91,6 +91,34 @@ def shingle_codes_sql(codes: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# generalized k-gram codes (polynomial combine of k consecutive token codes)
+# ---------------------------------------------------------------------------
+
+def gram_codes(codes: Column, k: int) -> Column:
+    """Array of k-gram codes: each run of k token codes combined with the
+    per-step-mod polynomial (acc*31 + c) % MOD. Empty array when fewer
+    than k tokens (guarding Spark's descending sequence())."""
+
+    def one(i: Column) -> Column:
+        acc = F.element_at(codes, i)
+        for j in range(1, k):
+            acc = (acc * 31 + F.element_at(codes, i + j)) % MOD
+        return acc
+
+    expr = F.transform(F.sequence(F.lit(1), F.size(codes) - (k - 1)), one)
+    return F.when(F.size(codes) >= k, expr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def gram_codes_sql(codes: str, k: int) -> str:
+    acc = f"({codes})[i]"
+    for j in range(1, k):
+        acc = f"((({acc}) * 31 + ({codes})[i+{j}]) % {MOD})"
+    return f"[{acc} FOR i IN range(1, len({codes}) - {k - 2})]"
+
+
+# ---------------------------------------------------------------------------
 # minhash signature + LSH bands
 # ---------------------------------------------------------------------------
 
@@ -191,6 +219,57 @@ def _py_shingles(text: str, memo: dict) -> list[int]:
         ((codes[i] * 31 + codes[i + 1]) * 31 + codes[i + 2]) % MOD
         for i in range(len(codes) - (SHINGLE - 1))
     ]
+
+
+def _py_gram_codes(text: str, k: int, memo: dict) -> list[int]:
+    """Python mirror of gram_codes(): per-step-mod polynomial combine."""
+    codes = [_py_token_code(t, memo) for t in text.split(" ")]
+    out = []
+    for i in range(len(codes) - k + 1):
+        acc = codes[i]
+        for j in range(1, k):
+            acc = (acc * 31 + codes[i + j]) % MOD
+        out.append(acc)
+    return out
+
+
+def make_gram_stats_udf(k: int):
+    """pandas UDF: text -> struct(n_grams, n_repeats) over k-gram codes —
+    the Arrow-batched mirror of size/array_distinct over gram_codes()."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_grams", IntegerType()),
+            StructField("n_repeats", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def gram_stats(text: pd.Series) -> pd.DataFrame:
+        memo: dict = {}
+        totals, repeats = [], []
+        for t in text:
+            g = _py_gram_codes(t, k, memo)
+            totals.append(len(g))
+            repeats.append(len(g) - len(set(g)))
+        return pd.DataFrame({"n_grams": totals, "n_repeats": repeats})
+
+    return gram_stats
+
+
+def make_distinct_gram_codes_udf(k: int):
+    """pandas UDF: text -> sorted distinct k-gram codes (Arrow-batched
+    mirror of array_distinct(gram_codes()) — order irrelevant because the
+    consumer explodes)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def distinct_grams(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return pd.Series([sorted(set(_py_gram_codes(t, k, memo))) for t in text])
+
+    return distinct_grams
 
 
 def make_minhash_udf():

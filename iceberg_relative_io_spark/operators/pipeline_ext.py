@@ -12,11 +12,10 @@ Scale design notes (100 TB):
 
 - Repetition scoring is map-only (per-row array expressions inside
   whole-stage codegen) — no shuffle at all.
-- Contamination explodes word 5-grams but shuffles only DISTINCT
-  (gram, doc) pairs map-side-combined; at 100 TB the gram string would be
-  xxhash64-compressed before the exchange and the train-side set carried
-  as a bloom filter broadcast, turning the semi join into a map-side
-  filter (noted inline; the raw-string form keeps the oracle exact).
+- Contamination explodes word 5-grams as BIGINT codes (per-doc
+  array_distinct in codegen, no global DISTINCT shuffle); at 100 TB the
+  train-side gram set becomes a broadcast bloom filter, turning the semi
+  join into a map-side filter.
 - Quota sampling is one hash-partition by source + in-partition top-N —
   the canonical skew-safe "cap any single source's contribution" step
   before mixing weights are applied.
@@ -37,71 +36,55 @@ _QUOTA = 25  # docs kept per source by the quota sampler
 _CONTAM_K = 5  # word n-gram width for contamination detection
 
 
-def _word_grams(text_col: str, k: int):
-    """Array of k-token grams (space-joined) from a text column (named by
-    its SQL identifier); empty when the doc is shorter than k tokens.
-    Codegen-only — no UDF, no shuffle."""
-    toks = f"split({text_col}, ' ')"
-    return F.expr(
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(1, size({toks}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {k}))) "
-        f"ELSE CAST(array() AS array<string>) END"
-    )
-
-
-def _word_grams_sql(tok_list: str, k: int) -> str:
-    return (
-        f"[array_to_string(({tok_list})[i : i + {k - 1}], ' ') "
-        f"FOR i IN range(1, len({tok_list}) - {k - 2})]"
-    )
-
-
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 (quality): intra-document repetition — fraction of word
     trigrams that are repeats of an earlier trigram in the same doc
     (the 'repeated n-grams' filter of Gopher/FineWeb-style cleaning).
-    Pure per-row array math, no shuffle, no UDF."""
+    Trigrams live in the integer gram-code space of functions/text.py
+    (polynomial token hash — the same approximation every sketch operator
+    uses, exactly mirrored in the oracle). The hashing runs as an
+    Arrow-batched pandas UDF like the minhash pipeline: the equivalent
+    Column expression (aggregate-inside-transform) falls out of
+    whole-stage codegen and evaluates interpreted, ~20× slower. Map-only;
+    no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _word_grams("text", 3)
-    total = F.size(grams)
-    repeats = total - F.size(F.array_distinct(grams))
+    stats = T.make_gram_stats_udf(3)
+    sized = docs.select("doc_id", stats(F.col("text")).alias("s")).select(
+        "doc_id", F.col("s.n_grams").alias("n_grams"), F.col("s.n_repeats").alias("n_repeats")
+    )
     # raw double from exact integer division: IEEE division is correctly
     # rounded, so both engines emit the identical bits — no round() step
     # whose half-way ties could diverge (e.g. 128-gram docs).
     ratio = F.when(
-        total > 0, repeats.cast("double") / total.cast("double")
+        F.col("n_grams") > 0,
+        F.col("n_repeats").cast("double") / F.col("n_grams").cast("double"),
     ).otherwise(F.lit(0.0))
-    return docs.select(
-        "doc_id",
-        total.alias("n_grams"),
-        repeats.alias("n_repeats"),
-        ratio.alias("rep_ratio"),
-    )
+    return sized.select("doc_id", "n_grams", "n_repeats", ratio.alias("rep_ratio"))
 
 
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 (eval hygiene): train→test contamination — test-split documents
     sharing any word 5-gram with any train-split document, per language.
     Splits reuse the content-hash assignment of c06_train_split, so the
-    check composes with the split it audits. The distinct (gram, doc)
-    explosion is map-side combined; the train gram set joins as a
-    left-semi (at 100 TB: xxhash64 the grams and broadcast a bloom filter
-    of the train side instead of shuffling it)."""
+    check composes with the split it audits. Grams are integer 5-gram
+    codes (functions/text.py — the same polynomial-hash approximation
+    every sketch operator uses, mirrored exactly in the oracle), so the
+    explosion and the semi join carry BIGINTs, not strings. Intra-doc
+    duplicate grams are dropped per-row inside the Arrow-batched hashing
+    UDF instead of a global DISTINCT shuffle; the one wide exchange left
+    is the gram-keyed semi join (at 100 TB: broadcast a bloom filter of
+    the train side instead)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = T.fingerprint(F.col("text")) % 100
+    grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))
     with_grams = docs.select(
-        "doc_id", "lang", bucket.alias("bucket"), _word_grams("text", _CONTAM_K).alias("grams")
+        "doc_id", "lang", bucket.alias("bucket"), grams.alias("grams")
     )
     test_docs = with_grams.filter(F.col("bucket") >= 90)
-    train_grams = (
-        with_grams.filter(F.col("bucket") < 80)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
+    train_grams = with_grams.filter(F.col("bucket") < 80).select(
+        F.explode("grams").alias("gram")
     )
-    test_grams = test_docs.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).distinct()
+    test_grams = test_docs.select("doc_id", F.explode("grams").alias("gram"))
     hit_docs = (
         test_grams.join(train_grams, "gram", "left_semi").select("doc_id").distinct()
     )
@@ -169,19 +152,19 @@ QUERIES = {
 }
 
 
-_TOK_SQL = "string_split(text, ' ')"
+_CODES_SQL = T.token_codes_sql("text")
 
 
-def _grams_cte(k: int) -> str:
+def _gram_cte(k: int) -> str:
     return (
         "WITH g AS (SELECT doc_id, lang, text, "
-        f"{_word_grams_sql(_TOK_SQL, k)} AS grams FROM documents)"
+        f"{T.gram_codes_sql(_CODES_SQL, k)} AS grams FROM documents)"
     )
 
 
 ORACLE = {
     "c04_repetition_ratio": f"""
-        {_grams_cte(3)}
+        {_gram_cte(3)}
         SELECT doc_id,
                CAST(len(grams) AS INT) AS n_grams,
                CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_repeats,
@@ -194,7 +177,7 @@ ORACLE = {
     "c06_contamination_check": f"""
         WITH g AS (SELECT doc_id, lang,
                           ({T.fingerprint_sql('text')}) % 100 AS bucket,
-                          {_word_grams_sql(_TOK_SQL, _CONTAM_K)} AS grams
+                          list_distinct({T.gram_codes_sql(_CODES_SQL, _CONTAM_K)}) AS grams
                    FROM documents),
         train_grams AS (
             SELECT DISTINCT gram FROM g, UNNEST(grams) AS u(gram) WHERE bucket < 80),
