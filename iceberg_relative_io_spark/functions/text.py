@@ -272,6 +272,50 @@ def make_distinct_gram_codes_udf(k: int):
     return distinct_grams
 
 
+def make_char_gram_codes_udf(k: int):
+    """pandas UDF: text -> array of char k-gram rolling-hash codes.
+
+    h(i) = (sum_j c[i+j] * 31^(k-1-j)) mod MOD, computed O(n) per doc by
+    rolling removal of the leading char. The SQL twin
+    (char_gram_codes_sql) folds each k-slice — O(n*k), fine at oracle
+    scale — and lands on the identical integers because per-step-mod
+    folding and the rolling form both reduce the same polynomial mod MOD.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    lead = pow(31, k - 1, MOD)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def char_gram_codes(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            n = len(t)
+            if n < k:
+                out.append([])
+                continue
+            cs = [ord(ch) for ch in t]
+            h = 0
+            for j in range(k):
+                h = (h * 31 + cs[j]) % MOD
+            hs = [h]
+            for i in range(1, n - k + 1):
+                h = ((h - cs[i - 1] * lead) * 31 + cs[i + k - 1]) % MOD
+                hs.append(h)
+            out.append(hs)
+        return pd.Series(out)
+
+    return char_gram_codes
+
+
+def char_gram_codes_sql(text: str, k: int) -> str:
+    codes = f"list_transform(string_split({text}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), ({codes})[i : i + {k - 1}]), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )
+    return f"[{fold} FOR i IN range(1, greatest(len({codes}) - {k - 1}, 0) + 1)]"
+
+
 def make_minhash_udf():
     """pandas UDF: text -> array of NUM_HASHES minhash values."""
     from pyspark.sql.types import ArrayType, LongType

@@ -677,18 +677,15 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (exact substring dedup): per-document count of character
     k-gram occurrences shared with at least one OTHER document — the
     cross-document duplicated-substring signal the 'deduplicate training
-    data' line of work removes. All JVM-side: k-grams come from
-    sequence+transform+explode inside codegen; the only shuffle carries
-    (gram, doc) pairs. At 100 TB the gram column would be compacted to
-    a 64-bit hash before the shuffle (collision-tolerable counting); the
-    raw-string form here keeps the oracle exact."""
+    data' line of work removes. Grams are O(n)-per-doc rolling-hash
+    codes (functions/text.py, Arrow-batched; the oracle folds the same
+    polynomial per slice), so the one wide shuffle carries 8-byte BIGINTs
+    instead of k-char strings — the compaction a 100 TB run would apply
+    anyway, here with the oracle mirroring the code space exactly."""
     k = _SUBSTR_K
     docs = load_table(spark, sf_dir, "documents")
-    gram_arr = F.when(
-        F.length("text") >= k,
-        F.expr(f"transform(sequence(0, length(text) - {k}), i -> substring(text, i + 1, {k}))"),
-    ).otherwise(F.expr("array()"))
-    grams = docs.select("doc_id", F.explode(gram_arr).alias("gram"))
+    gram_codes = T.make_char_gram_codes_udf(k)
+    grams = docs.select("doc_id", F.explode(gram_codes("text")).alias("gram"))
     # One wide shuffle total: partial (map-side) aggregation collapses the
     # exploded pairs to per-(gram, doc) occurrence counts before exchange;
     # a window over the already-gram-clustered rows then counts documents
@@ -1269,10 +1266,11 @@ ORACLE = {
 
 ORACLE["c02_duplicate_ngrams"] = f"""
     WITH grams AS (
-        SELECT doc_id,
-               substring(text, CAST(u.i + 1 AS INT), {_SUBSTR_K}) AS gram
-        FROM documents,
-        LATERAL unnest(range(0, greatest(length(text) - {_SUBSTR_K} + 1, 0))) AS u(i)
+        SELECT doc_id, gram
+        FROM (SELECT doc_id,
+                     {T.char_gram_codes_sql('text', _SUBSTR_K)} AS gs
+              FROM documents),
+        UNNEST(gs) AS u(gram)
     ),
     dup AS (
         SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
