@@ -1233,6 +1233,62 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_density("text", "n_chars").alias("token_density"))
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 (UDTF surface): a Python user-defined TABLE function applied
+    per row via LATERAL — each document expands to its fixed-size token
+    chunks (the row-multiplying shape sequence-chunking pipelines use
+    when a plain explode can't carry per-row generator logic). Arrow-
+    batched like every Python boundary here; the chunk math is integer,
+    so the oracle is exact."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_tokens int")
+    class Chunker:
+        def eval(self, text: str):
+            n = len(text.split(" "))
+            for i in range(0, n, 10):
+                yield i // 10, min(10, n - i)
+
+    spark.udtf.register("doc_chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_tokens "
+        "FROM udtf_docs d, LATERAL doc_chunker(d.text) c"
+    )
+
+
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 (grouped-map surface): groupBy().applyInPandas — each language
+    group arrives as one pandas DataFrame (the UDAF-style escape hatch
+    for per-group logic Spark aggregates can't express). Integer
+    delta-from-group-min keeps the oracle exact. One shuffle on the
+    group key; group size bounds executor memory, which is why the
+    grouping column at 100 TB must be a bounded domain (lang is)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def delta(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["n_chars"].min()
+        return pdf.assign(delta_chars=(pdf["n_chars"] - m).astype("int64"))
+
+    return docs.groupBy("lang").applyInPandas(
+        delta, schema="doc_id long, lang string, n_chars long, delta_chars long"
+    )
+
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 (VARIANT surface, Spark 4): parse the events props JSON into
+    the open VARIANT type and extract a typed field — the
+    schema-on-read path for semi-structured columns (vs from_json's
+    fixed schema in b27_json_funs). Extraction happens on the binary
+    variant encoding, no re-parsing per field at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+    )
+
+
 QUERIES = {
     "b01_scan_count": q_scan_count,
     "b01_csv_source": q_csv_source,
@@ -1291,6 +1347,9 @@ QUERIES = {
     "b06_systematic_sample": q_systematic_sample,
     "b27_json_funs": q_json_funs,
     "b32_pandas_udf": q_pandas_udf,
+    "b32_python_udtf": q_python_udtf,
+    "b32_apply_in_pandas": q_apply_in_pandas,
+    "b27_variant_json": q_variant_json,
     "b33_recursive_cte": q_recursive_cte,
 }
 
@@ -1804,6 +1863,21 @@ ORACLE = {
                ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6)
                    AS token_density
         FROM documents
+    """,
+    "b32_python_udtf": """
+        SELECT doc_id,
+               CAST(u.i AS INT) AS chunk_idx,
+               CAST(least(10, n - 10 * u.i) AS INT) AS chunk_tokens
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+             UNNEST(range(0, CAST(ceil(n / 10.0) AS BIGINT))) AS u(i)
+    """,
+    "b32_apply_in_pandas": """
+        SELECT doc_id, lang, n_chars,
+               n_chars - min(n_chars) OVER (PARTITION BY lang) AS delta_chars
+        FROM documents
+    """,
+    "b27_variant_json": """
+        SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val FROM events
     """,
     "b33_recursive_cte": """
         WITH RECURSIVE months(m) AS (
