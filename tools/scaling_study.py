@@ -35,6 +35,11 @@ MEASURED = [
     "b15_cms_heavy_hitters",
     "c04_sequence_packing",
     "c06_train_split",
+    "b34_tpch_q3",
+    "b34_tpch_q18",
+    "c04_repetition_ratio",
+    "c06_contamination_check",
+    "c02_duplicate_ngrams",
 ]
 
 
