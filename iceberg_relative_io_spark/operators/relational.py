@@ -1233,6 +1233,64 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_density("text", "n_chars").alias("token_density"))
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 (event analytics): batch sessionization — a new session starts
+    after a >30-minute gap per user; emits per-user session count, event
+    count, and total session span in seconds. The classic
+    lag + cumulative-sum-of-boundaries window pair: one shuffle on
+    user_id, everything else stays in-partition (at 100 TB the same two
+    windows run per user partition; the μs→second math is integer)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = (
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        # floor division in both engines (DuckDB uses `//`): Spark's long
+        # cast truncates while DuckDB's BIGINT cast rounds — never let a
+        # fractional double reach the cast.
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long").alias("span_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("span_s").alias("total_span_s"),
+    )
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 (CDC compaction): keep-latest dedup — collapse an append log
+    to each user's most recent event per event type, the canonical
+    upsert-compaction a merge-on-read table performs at read time.
+    row_number over (key, ts desc) with a unique tiebreak; one shuffle,
+    rank filter in-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+        )
+    )
+
+
 def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32 (UDTF surface): a Python user-defined TABLE function applied
     per row via LATERAL — each document expands to its fixed-size token
@@ -1351,6 +1409,8 @@ QUERIES = {
     "b32_apply_in_pandas": q_apply_in_pandas,
     "b27_variant_json": q_variant_json,
     "b33_recursive_cte": q_recursive_cte,
+    "b13_sessionization": q_sessionization,
+    "b14_dedup_keep_latest": q_dedup_keep_latest,
 }
 
 
@@ -1878,6 +1938,40 @@ ORACLE = {
     """,
     "b27_variant_json": """
         SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val FROM events
+    """,
+    "b13_sessionization": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events),
+        flagged AS (
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+            SELECT user_id, event_id, ts_us,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged),
+        per_session AS (
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   (max(ts_us) - min(ts_us)) // 1000000 AS span_s
+            FROM sess GROUP BY user_id, session_id)
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(span_s) AS BIGINT) AS total_span_s
+        FROM per_session GROUP BY user_id
+    """,
+    "b14_dedup_keep_latest": """
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
     """,
     "b33_recursive_cte": """
         WITH RECURSIVE months(m) AS (
