@@ -440,6 +440,38 @@ class RelativeTable:
         _, entries = self._write_snapshot_files(merged)
         return self._commit_snapshot("merge", entries)
 
+    def merge_latest(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+    ) -> dict:
+        """Ordered upsert: for each key keep the row with the greatest
+        (order_cols) tuple across target ∪ source — MERGE's
+        ``WHEN MATCHED AND source is newer THEN UPDATE`` in its
+        batch-order-independent form, which is what a CDC sink needs when
+        micro-batches can arrive out of ts order. Copy-on-write rewrite
+        (one snapshot per call); a 100 TB sink would pair equality
+        deletes on the batch's keys with an append instead
+        (``delete_where_mor`` + ``append``) to make the commit
+        O(batch), not O(table)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        target = self.read(spark)
+        combined = target.unionByName(source)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _, entries = self._write_snapshot_files(latest)
+        return self._commit_snapshot("merge", entries)
+
     # -- branches (refs) -----------------------------------------------------------
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
         """Create a named ref at a snapshot (default: current head)."""

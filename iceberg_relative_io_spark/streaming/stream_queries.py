@@ -198,6 +198,53 @@ def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30/B31 (CDC upsert sink): the stream lands in the relative-format
+    table as an ordered upsert — each micro-batch merges on
+    (user_id, event_type) keeping the greatest (ts, event_id), so the
+    table converges to keep-latest state regardless of batch arrival
+    order (foreachBatch + RelativeTable.merge_latest, one snapshot per
+    batch). The oracle states the same keep-latest over the raw log —
+    what is checked is stream -> merge commits -> catalog scan."""
+    import tempfile as _tf
+
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+
+    src = _stage_events(spark, sf_dir, parts=3)
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    cat = FsCatalog(_tf.mkdtemp(prefix="stream_upsert_wh_"))
+    cat.create_namespace(("stream",))
+    ops = cat.create_table(("stream",), "latest_events", ev_schema.jsonValue())
+    table = RelativeTable(ops)
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: table.merge_latest(
+                spark, batch, ["user_id", "event_type"], ["ts", "event_id"]
+            )
+        )
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    table.ops._should_refresh = True
+    n_snaps = len(table.ops.current()["snapshots"])
+    assert n_snaps == 3, f"expected one merge snapshot per micro-batch, got {n_snaps}"
+    return table.read(spark).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+
+
 def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30 (custom stateful operator): per-user running aggregate via
     applyInPandasWithState — the escape hatch for semantics the built-in
@@ -358,9 +405,18 @@ QUERIES = {
     "b30_stream_stream_join": q_stream_stream_join,
     "b30_session_window": q_session_window,
     "b30_stream_to_table": q_stream_to_table,
+    "b31_stream_upsert_to_table": q_stream_upsert_to_table,
 }
 
 ORACLE = {
+    "b31_stream_upsert_to_table": """
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     "b30_stream_to_table": """
         SELECT event_type,
                count(*) AS n_events,
