@@ -108,6 +108,42 @@ def resize_stage(
     return df.mapInPandas(run, schema="item_id long, payload binary, mime string, n_bytes int")
 
 
+def audio_energy_stage(
+    df: DataFrame, frame: int = 256, hop: int = 128
+) -> DataFrame:
+    """The audio feature-extraction stage (decode → overlapping analysis
+    windows → per-window energy): a 1→N mapInPandas explosion emitting
+    one row per hop-spaced window. 'Decode' here treats the payload as
+    8-bit PCM samples (the deterministic stand-in for a soundfile/ffmpeg
+    decoder, which this container lacks); energy is the integer
+    sum((s-128)^2) over the window, so the oracle restates it exactly.
+    The batch shape — decode and window entirely inside Arrow batches,
+    partial trailing windows included — is what must hold at 100 TB."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, energies = [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                i = 0
+                while i * hop < n:
+                    w = s[i * hop : i * hop + frame]
+                    ids.append(item_id)
+                    idxs.append(i)
+                    lens.append(len(w))
+                    energies.append(int(((w - 128) ** 2).sum()))
+                    i += 1
+            yield pd.DataFrame(
+                {"item_id": ids, "win_idx": idxs, "n_samples": lens, "energy": energies}
+            )
+
+    return df.mapInPandas(
+        run, schema="item_id long, win_idx int, n_samples int, energy long"
+    )
+
+
 def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 2) -> DataFrame:
     """The frame-sampling stage (video → every ``stride``-th frame): a
     1→N mapInPandas explosion emitting one row per sampled frame with a

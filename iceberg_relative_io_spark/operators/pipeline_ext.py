@@ -144,11 +144,24 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (audio feature extraction): binary payload → 8-bit PCM decode
+    (deterministic stub; this container has no audio codec) → overlapping
+    256-sample windows at hop 128 → integer per-window energy, all
+    inside Arrow batches via mapInPandas (functions/multimodal.py).
+    The same stage with a real soundfile decoder is the 100 TB shape."""
+    from iceberg_relative_io_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_energy_stage(M.to_multimodal(docs))
+
+
 QUERIES = {
     "c04_repetition_ratio": q_repetition_ratio,
     "c06_contamination_check": q_contamination_check,
     "c06_source_quota_sample": q_source_quota_sample,
     "c03_label_centroids": q_label_centroids,
+    "c05_audio_energy": q_audio_energy,
 }
 
 
@@ -199,6 +212,20 @@ ORACLE = {
                      CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
               FROM documents)
         WHERE rn <= {_QUOTA}
+    """,
+    "c05_audio_energy": """
+        WITH p AS (
+            SELECT doc_id AS item_id,
+                   list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS s
+            FROM documents),
+        w AS (
+            SELECT item_id, CAST(u.i AS INT) AS win_idx,
+                   s[CAST(u.i * 128 + 1 AS BIGINT) : CAST(u.i * 128 + 256 AS BIGINT)] AS win
+            FROM p, UNNEST(range(0, CAST(ceil(len(s) / 128.0) AS BIGINT))) AS u(i))
+        SELECT item_id, win_idx,
+               CAST(len(win) AS INT) AS n_samples,
+               CAST(list_sum([ (c - 128) * (c - 128) FOR c IN win ]) AS BIGINT) AS energy
+        FROM w
     """,
     "c03_label_centroids": """
         SELECT label, CAST(i - 1 AS INT) AS pos,
