@@ -171,8 +171,61 @@ class RelativeTable:
                 # file's physical columns onto a renamed/evolved schema
                 entry["column-ids"] = dict(column_ids)
             entry.update(self._file_stats(fi.location))
+            bloom_cols = self._bloom_columns()
+            if bloom_cols:
+                entry.update(self._file_blooms(fi.location, bloom_cols))
             entries.append(entry)
         return snap_dir, entries
+
+    # -- bloom filters (manifest-level, Iceberg write.*.bloom-filter parity) ------
+    _BLOOM_M = 8192  # bits per (file, column)
+    _BLOOM_K = 6
+
+    @staticmethod
+    def _bloom_bits(value) -> list[int]:
+        """The k bit positions a value sets/tests. Deterministic across
+        processes (blake2b — never Python's salted hash()); numpy scalars
+        normalize through .item() so write side and predicate side hash
+        the same bytes."""
+        import hashlib
+
+        v = value.item() if hasattr(value, "item") else value
+        d = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        m = RelativeTable._BLOOM_M
+        return [(h1 + i * h2) % m for i in range(RelativeTable._BLOOM_K)]
+
+    def _bloom_columns(self) -> list[str]:
+        prop = self.ops.current().get("properties", {}).get(
+            "write.bloom-filter-columns", ""
+        )
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
+    def _file_blooms(self, rel_path: str, cols: list[str]) -> dict:
+        """Per-column bloom bitsets for one data file (hex-encoded in the
+        manifest entry). Equality predicates on high-cardinality columns
+        can then skip files even when footer min/max spans everything —
+        e.g. randomly-distributed keys. A false positive only keeps a
+        file (never wrong); a missing bloom keeps the file too."""
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(self.ops.io.absolute(rel_path), columns=cols)
+            blooms = {}
+            for c in cols:
+                if c not in tbl.column_names:
+                    continue
+                bits = bytearray(self._BLOOM_M // 8)
+                for v in tbl.column(c).to_pylist():
+                    if v is None or not isinstance(v, (int, float, str)):
+                        continue
+                    for pos in self._bloom_bits(v):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                blooms[c] = bytes(bits).hex()
+            return {"bloom": blooms} if blooms else {}
+        except Exception:
+            return {}
 
     def _file_stats(self, rel_path: str) -> dict:
         """Per-file row count + per-column min/max from the parquet footer
@@ -717,6 +770,23 @@ class RelativeTable:
                 return True  # missing stats => cannot skip, never wrong
 
             entries = [f for f in entries if may_match(f)]
+
+            def bloom_match(f: dict) -> bool:
+                # equality predicates test the manifest bloom: definite
+                # absence skips the file even when min/max spans the value
+                # (high-cardinality keys in randomly-distributed files);
+                # false positives / missing blooms keep it — never wrong
+                blooms = f.get("bloom", {})
+                for col, (lo, hi) in column_ranges.items():
+                    if lo is None or lo != hi or col not in blooms:
+                        continue
+                    bits = bytes.fromhex(blooms[col])
+                    for pos in self._bloom_bits(lo):
+                        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                            return False
+                return True
+
+            entries = [f for f in entries if bloom_match(f)]
         return entries
 
     def read(

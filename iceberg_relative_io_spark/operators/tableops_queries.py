@@ -129,6 +129,35 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark, partition_filter={"l_returnflag": "A"})
 
 
+def q_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest bloom-filter file skipping (Iceberg write.*.bloom-filter
+    parity): orders is written in 8 randomly-distributed files with a
+    bloom on the high-cardinality o_orderkey — footer min/max spans the
+    whole key range in every file, so range pruning can't skip anything;
+    the equality scan skips the files whose bloom proves absence (the
+    test suite asserts the file-list shrink; the oracle checks values).
+    A false positive only keeps a file, so the read is never wrong."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8)  # random distribution: min/max useless, bloom not
+    )
+    ops = cat.create_table(("ns",), "orders_bloom", src.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.set_properties({"write.bloom-filter-columns": "o_orderkey"})
+    table.append(src)
+    keys = [42, 4242, 9000]
+    out = None
+    for k in keys:
+        part = table.read(spark, column_ranges={"o_orderkey": (k, k)}).filter(
+            F.col("o_orderkey") == k
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning (Iceberg partition-transform parity): orders is
     written through the catalog laid out by month(o_orderdate); a range
@@ -403,6 +432,7 @@ QUERIES = {
     "a_row_delete": q_row_delete,
     "a_merge_upsert": q_merge_upsert,
     "a32_partition_pruning": q_partition_pruning,
+    "a32_bloom_pruning": q_bloom_pruning,
     "a32_hidden_partitioning": q_hidden_partitioning,
     "a_cdc_incremental_read": q_cdc_incremental_read,
     "a32_zorder_pruning": q_zorder_pruning,
@@ -430,6 +460,10 @@ ORACLE = {
     "a32_partition_pruning": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    "a32_bloom_pruning": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey IN (42, 4242, 9000)
     """,
     "a32_hidden_partitioning": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

@@ -275,6 +275,36 @@ def test_jdbc_commit_cas(spark, tmp_path):
 
 # -- partitioned tables, compaction, schema evolution ------------------------------
 
+def test_bloom_filter_skips_files(spark, catalog, sf_dir):
+    """Equality on a high-cardinality key must skip files via the manifest
+    bloom even though every randomly-distributed file's min/max spans the
+    whole key range (range pruning alone keeps all of them)."""
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).repartition(8)
+    catalog.create_namespace(("bl",))
+    ops = catalog.create_table(("bl",), "orders_bloom", orders.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.set_properties({"write.bloom-filter-columns": "o_orderkey"})
+    table.append(orders)
+
+    all_files = table.scan_files()
+    assert len(all_files) == 8
+    assert all("o_orderkey" in f.get("bloom", {}) for f in all_files)
+    hit = table.scan_files(column_ranges={"o_orderkey": (42, 42)})
+    assert 0 < len(hit) < len(all_files), "bloom must skip most files"
+    # the file(s) kept must actually contain the key; the read is exact
+    got = table.read(spark, column_ranges={"o_orderkey": (42, 42)}).filter(
+        "o_orderkey = 42"
+    )
+    assert got.count() == 1
+    # range-only predicate (not equality) must NOT consult the bloom
+    rng = table.scan_files(column_ranges={"o_orderkey": (40, 45)})
+    assert len(rng) == len(all_files)
+
+
 def test_partitioned_write_and_manifest_pruning(spark, catalog, sf_dir):
     from iceberg_relative_io_spark.sources.tables import load_table
 
