@@ -140,6 +140,26 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 (right outer): per-nation supplier stats keeping supplier-less
+    nations — the right-outer mirror of q_join_left (aggregate first so
+    the preserved side streams)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.count("*").alias("cnt"), _dsum(F.col("s_acctbal")).alias("bsum")
+    )
+    return (
+        per_nation.join(nation, per_nation.s_nationkey == nation.n_nationkey, "right")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_suppliers"),
+            F.round(F.coalesce(F.col("bsum"), F.lit(0.0)), 4).alias("total_bal"),
+        )
+    )
+
+
 def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 (full outer): nations seen from the supplier side vs the customer
     side; only ~10 suppliers exist so many nation keys appear on one side
@@ -1357,6 +1377,7 @@ QUERIES = {
     "b06_filter": q_filter,
     "b07_join_inner": q_join_inner,
     "b08_join_left": q_join_left,
+    "b08_join_right": q_join_right,
     "b08_join_full": q_join_full,
     "b09_join_semi": q_join_semi,
     "b09_join_anti": q_join_anti,
@@ -1938,6 +1959,15 @@ ORACLE = {
     """,
     "b27_variant_json": """
         SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val FROM events
+    """,
+    "b08_join_right": """
+        SELECT n_nationkey, n_name,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS n_suppliers,
+               ROUND(COALESCE(bsum, 0.0), 4) AS total_bal
+        FROM (SELECT s_nationkey, count(*) AS cnt,
+                     CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS bsum
+              FROM supplier GROUP BY s_nationkey) s
+        RIGHT JOIN nation ON s.s_nationkey = n_nationkey
     """,
     "b13_sessionization": """
         WITH e AS (
