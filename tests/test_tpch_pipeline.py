@@ -53,3 +53,33 @@ def test_repetition_ratio_is_shuffle_free(spark, sf_dir):
 def test_quota_sample_single_exchange(spark, sf_dir):
     plan = P.q_source_quota_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionization_single_user_shuffle(spark, sf_dir):
+    """Both windows and both aggregations must ride ONE hash exchange on
+    user_id — the whole pipeline stays user-partitioned."""
+    from iceberg_relative_io_spark.operators import relational as R
+
+    plan = (
+        R.q_sessionization(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_keep_latest_single_exchange(spark, sf_dir):
+    from iceberg_relative_io_spark.operators import relational as R
+
+    plan = (
+        R.q_dedup_keep_latest(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_ratio_runs_arrow_batched(spark, sf_dir):
+    plan = (
+        P.q_repetition_ratio(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan  # pandas UDF, not row-at-a-time Python
