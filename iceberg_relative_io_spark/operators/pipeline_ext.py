@@ -156,12 +156,68 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_energy_stage(M.to_multimodal(docs))
 
 
+_PQ_MOD = 64  # every 64th vector is a sub-codebook centroid
+_PQ_RES = 5
+_PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (compression): product quantization — each embedding split into
+    8 8-dim subvectors, each assigned to its nearest sub-codebook entry
+    by L2 (deterministic centroids = every 64th vector, standing in for
+    trained sub-codebooks; the assignment plumbing is identical). The
+    codebook broadcasts; assignment is one map-only pass vectorized over
+    centroids but dimension-SEQUENTIAL, so the oracle's per-centroid
+    fold reproduces the exact distances and the argmin (ties break to
+    the lowest centroid id on both engines). 8 small codes per vector ≈
+    32× compression — the memory step between int8 and full floats for
+    ANN at 100 TB."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % _PQ_MOD) == _PQ_RES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, C))
+    dim_per = C.shape[1] // _PQ_SUB
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def pq_assign(vec):
+        import pandas as pd
+
+        cids_l, C_l = bc.value
+        out = []
+        for v in vec:
+            x = np.asarray(v, dtype=np.float64)
+            codes = []
+            for s in range(_PQ_SUB):
+                d = np.zeros(len(cids_l), dtype=np.float64)
+                for j in range(dim_per):
+                    diff = x[s * dim_per + j] - C_l[:, s * dim_per + j]
+                    d = d + diff * diff
+                codes.append(int(cids_l[int(np.argmin(d))]))
+            out.append(codes)
+        return pd.Series(out)
+
+    return emb.select(
+        "vec_id", F.posexplode(pq_assign("embedding")).alias("subspace", "code")
+    )
+
+
 QUERIES = {
     "c04_repetition_ratio": q_repetition_ratio,
     "c06_contamination_check": q_contamination_check,
     "c06_source_quota_sample": q_source_quota_sample,
     "c03_label_centroids": q_label_centroids,
     "c05_audio_energy": q_audio_energy,
+    "c03_pq_codes": q_pq_codes,
 }
 
 
@@ -226,6 +282,27 @@ ORACLE = {
                CAST(len(win) AS INT) AS n_samples,
                CAST(list_sum([ (c - 128) * (c - 128) FOR c IN win ]) AS BIGINT) AS energy
         FROM w
+    """,
+    "c03_pq_codes": f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cemb
+            FROM embeddings WHERE vec_id % {_PQ_MOD} = {_PQ_RES}),
+        pairs AS (
+            SELECT e.vec_id, sub.s AS subspace, c.cid,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [ (CAST(e.embedding[sub.s * 8 + j] AS DOUBLE)
+                          - CAST(c.cemb[sub.s * 8 + j] AS DOUBLE))
+                         * (CAST(e.embedding[sub.s * 8 + j] AS DOUBLE)
+                            - CAST(c.cemb[sub.s * 8 + j] AS DOUBLE))
+                         FOR j IN range(1, 9) ]),
+                       (acc, x) -> acc + x) AS dist
+            FROM embeddings e, cent c,
+                 (SELECT CAST(u.i AS INT) AS s FROM UNNEST(range(0, {_PQ_SUB})) AS u(i)) sub)
+        SELECT vec_id, subspace, cid AS code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                           ORDER BY dist, cid) AS rn
+              FROM pairs)
+        WHERE rn = 1
     """,
     "c03_label_centroids": """
         SELECT label, CAST(i - 1 AS INT) AS pos,
