@@ -98,6 +98,54 @@ def lsh_bucket_sql(vec: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# bounded deterministic sampling — the centroid/seed/codebook source
+# ---------------------------------------------------------------------------
+#
+# Every trained-structure ANN operator (IVF cells, k-medoids seeds, PQ
+# sub-codebooks) needs a small centroid set on the driver. The set must be
+# (a) CONSTANT-SIZE in the corpus — a corpus-proportional collect is the
+# first thing that dies at 100 TB — and (b) deterministic and expressible
+# in both engines so the oracle reproduces it. We take the k rows with the
+# smallest multiplicative-hash key (vec_id * LCG mod 2^31): a uniform
+# pseudo-random sample, stable under corpus growth only in size (k), and
+# computed distributed as a per-partition top-k (TakeOrderedAndProject) —
+# the driver ever sees exactly k rows.
+
+def sample_key(vec_id: Column) -> Column:
+    """Deterministic sampling key: multiplicative hash of the id."""
+    return (vec_id.cast("long") * F.lit(_LCG)) % F.lit(_TWO31)
+
+
+def sample_key_sql(col: str) -> str:
+    return f"((CAST({col} AS BIGINT) * {_LCG}) % {_TWO31})"
+
+
+def bounded_sample(emb, k: int):
+    """The k-row hash-sample of (vec_id, embedding) — a distributed
+    ORDER BY hash LIMIT k (per-partition top-k, no full sort)."""
+    return (
+        emb.select("vec_id", "embedding")
+        .orderBy(sample_key(F.col("vec_id")), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def sample_cte_sql(k: int, id_alias: str = "cid", vec_alias: str = "cvec") -> str:
+    """DuckDB mirror of bounded_sample as a CTE body."""
+    return (
+        f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias} FROM embeddings "
+        f"ORDER BY {sample_key_sql('vec_id')}, vec_id LIMIT {k}"
+    )
+
+
+def collect_centroids(emb, k: int):
+    """Collect the bounded sample (exactly min(k, N) rows — constant in
+    the corpus) and pack it id-sorted for the nearest-centroid UDF."""
+    rows = sorted(bounded_sample(emb, k).collect(), key=lambda r: r.vec_id)
+    return pack_centroids([(r.vec_id, r.embedding) for r in rows])
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched fast path for per-pair dot products
 # ---------------------------------------------------------------------------
 

@@ -54,47 +54,60 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 (embedding-cosine near-dup): vector pairs with cosine >= 0.3.
-    Locally a triangular self-join; at scale the LSH bucketing of
-    q_ann_lsh becomes the blocking stage so the cross product never
-    materializes."""
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # blocked brute force: one side broadcast as a matrix, the other side
-    # streams through mapInPandas; each executor computes a (batch × N)
-    # cosine block with dimension-sequential accumulation so every value
-    # is bit-identical to the oracle's list_reduce. This is the broadcast-
-    # join shape: right for a corpus whose embedding matrix fits on an
-    # executor (2000×64 here); beyond that, the LSH bucketing of
-    # q_ann_lsh becomes the blocking stage.
-    rows = emb.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, M))
-
-    def blocks(batches):
-        bids, bM = bc.value
-        nb = np.zeros(len(bM))
-        for i in range(bM.shape[1]):
-            nb = nb + bM[:, i] * bM[:, i]
-        nb = np.sqrt(nb)
-        for pdf in batches:
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            aids = pdf["vec_id"].to_numpy()
-            S = np.zeros((len(A), len(bM)))
-            na = np.zeros(len(A))
-            for i in range(A.shape[1]):
-                S = S + np.outer(A[:, i], bM[:, i])
-                na = na + A[:, i] * A[:, i]
-            cos = S / np.outer(np.sqrt(na), nb)
-            keep = (cos >= 0.3) & (aids[:, None] < bids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": aids[ai], "vec_b": bids[bj], "cos_sim": cos[ai, bj]}
+    """C1 (embedding-cosine near-dup, LSH-blocked): pairs with cosine
+    >= 0.3 among LSH candidates. The 8-plane sign pattern splits into
+    two 4-bit band tables (the minhash-LSH banding trick applied to
+    hyperplane bits); a pair is a candidate iff it collides in EITHER
+    band, and candidates get an exact dimension-sequential cosine check.
+    Recall < 1 by design — the price of never materializing the cross
+    product; more/narrower bands raise recall, more planes shrink
+    buckets. At 100 TB: NO driver collect and no broadcast — the only
+    exchanges are the hash partition on (band, bucket) and the pair
+    dedup, and within-bucket work is quadratic only in the bucket size
+    (corpus/2^bits per band on uniform data)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    bucketed = emb.withColumn("bucket", V.make_bucket_udf()(F.col("embedding")))
+    bands = bucketed.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bk")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.floor(F.col("bucket") / 16).cast("int").alias("bk"),
+                ),
             )
-
-    return emb.mapInPandas(blocks, schema="vec_a long, vec_b long, cos_sim double")
+        ).alias("t"),
+    ).select("vec_id", "embedding", "nrm", F.col("t.band").alias("band"), F.col("t.bk").alias("bk"))
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "band",
+        "bk",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "band",
+        "bk",
+    )
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # a pair may collide in both bands
+    )
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,34 +394,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_MOD = 16  # nlist scales with the corpus: every 16th vector is a centroid
-_IVF_RES = 7
+_IVF_NLIST = 32  # FIXED nlist — the centroid set does NOT grow with the corpus
 _N_PROBE = 2
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (IVF scale path): inverted-file ANN. A deterministic coarse
-    quantizer (centroids = every ``_IVF_MOD``-th vector, a stand-in for
-    trained k-means centroids — the assignment/probe/search plumbing is
-    identical) assigns each corpus vector to its nearest-cosine cell in
-    one broadcast map-only pass; each query probes its ``_N_PROBE``
-    closest cells and scores only those cells' members. At 100 TB the
-    corpus is partitioned by cell id, so a query touches nprobe/nlist of
-    the data — the classic IVF trade (recall < 1, tunable via nprobe).
-    All float math is dimension-sequential so the oracle reproduces the
-    exact assignments, probes, and scores."""
+    quantizer (centroids = the ``_IVF_NLIST``-row bounded hash-sample of
+    the corpus, a stand-in for trained k-means centroids — the
+    assignment/probe/search plumbing is identical) assigns each corpus
+    vector to its nearest-cosine cell in one broadcast map-only pass;
+    each query probes its ``_N_PROBE`` closest cells and scores only
+    those cells' members. The centroid set is CONSTANT-SIZE: the sample
+    is a distributed per-partition top-k on a hash key, so the driver
+    collects exactly nlist rows however large the corpus is (at 100 TB
+    you'd raise nlist toward sqrt(N) and train with sampled k-means, but
+    the collect stays O(nlist), never O(N)). The corpus is partitioned
+    by cell id, so a query touches nprobe/nlist of the data — the
+    classic IVF trade (recall < 1, tunable via nprobe). All float math
+    is dimension-sequential so the oracle reproduces the exact
+    assignments, probes, and scores."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    cent_rows = (
-        emb.filter((F.col("vec_id") % _IVF_MOD) == _IVF_RES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cids, C, nc = V.pack_centroids([(r.vec_id, r.embedding) for r in cent_rows])
+    cids, C, nc = V.collect_centroids(emb, _IVF_NLIST)
     bc = spark.sparkContext.broadcast((cids, C, nc))
     cell_of = V.make_nearest_udf(bc)
 
@@ -483,30 +494,28 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_MOD = 16
-_KM_RES = 3
+_KM_K = 24  # FIXED k — seeds do not grow with the corpus
 
 
 def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (clustering iteration): one k-medoids refinement pass over the
     embedding corpus — the iterative-algorithm shape (Lloyd-style
     assign → update → reassign) behind semantic dedup and corpus
-    bucketing, with every step oracle-exact. Seeds are every
-    ``_KM_MOD``-th vector; each vector joins its max-cosine seed
-    (broadcast map-only pass); each cluster elects its minimum-vec_id
-    member as the new medoid; a second assignment pass runs against the
-    elected medoids. Per-cluster outputs are integer-exact (counts and
-    id sums), so the oracle checks both assignment passes bit-for-bit.
-    At 100 TB each pass stays a broadcast map-only scan (the medoid set
-    is tiny) — further iterations repeat the same two jobs."""
+    bucketing, with every step oracle-exact. Seeds are the ``_KM_K``-row
+    bounded hash-sample (constant in the corpus — the driver never
+    collects more than k seed rows, k elected-medoid ids, and k medoid
+    vectors, however large the corpus: each driver round-trip is O(k)).
+    Each vector joins its max-cosine seed (broadcast map-only pass);
+    each cluster elects its minimum-vec_id member as the new medoid; a
+    second assignment pass runs against the elected medoids. Per-cluster
+    outputs are integer-exact (counts and id sums), so the oracle checks
+    both assignment passes bit-for-bit. At 100 TB each pass stays a
+    broadcast map-only scan — further iterations repeat the same two
+    jobs."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = (
-        emb.filter((F.col("vec_id") % _KM_MOD) == _KM_RES).orderBy("vec_id").collect()
-    )
-    bc0 = spark.sparkContext.broadcast(
-        V.pack_centroids([(r.vec_id, r.embedding) for r in seed_rows])
-    )
+    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KM_K))
     assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
+    # elected medoids: a k-row agg (one per cluster) — O(k) driver rows
     rep_ids = sorted(
         r.rep_id
         for r in assign1.groupBy("c0").agg(F.min("vec_id").alias("rep_id")).collect()
@@ -945,10 +954,26 @@ ORACLE = {
         FROM doubled GROUP BY text
     """,
     "c01_embedding_neardup": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {V.cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {V.lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, 0 AS band, bucket % 16 AS bk FROM bucketed
+            UNION ALL
+            SELECT vec_id, 1 AS band, bucket // 16 AS bk FROM bucketed
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               {V.cosine_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE {V.cosine_sql('ea.embedding', 'eb.embedding')} >= 0.3
     """,
     "c02_minhash_signatures": (
         _docs_with_shingles_cte()
@@ -1063,8 +1088,7 @@ ORACLE = {
     """,
     "c03_ann_ivf": f"""
         WITH cents AS (
-            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-            WHERE vec_id % {_IVF_MOD} = {_IVF_RES}
+            {V.sample_cte_sql(_IVF_NLIST)}
         ),
         assign AS (
             SELECT vec_id, cid FROM (
@@ -1125,8 +1149,7 @@ ORACLE = {
     """,
     "c03_cluster_medoids": f"""
         WITH seeds AS (
-            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-            WHERE vec_id % {_KM_MOD} = {_KM_RES}
+            {V.sample_cte_sql(_KM_K)}
         ),
         a1 AS (
             SELECT vec_id, cid FROM (

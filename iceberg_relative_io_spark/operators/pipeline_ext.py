@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.functions import text as T
+from iceberg_relative_io_spark.functions import vectors as _V
 from iceberg_relative_io_spark.operators.relational import _dec
 from iceberg_relative_io_spark.sources.tables import load_table
 
@@ -156,35 +157,30 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_energy_stage(M.to_multimodal(docs))
 
 
-_PQ_MOD = 64  # every 64th vector is a sub-codebook centroid
-_PQ_RES = 5
+_PQ_NCENT = 32  # FIXED sub-codebook size — constant in the corpus
 _PQ_SUB = 8  # subspaces (64 dims -> 8 x 8-dim)
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (compression): product quantization — each embedding split into
     8 8-dim subvectors, each assigned to its nearest sub-codebook entry
-    by L2 (deterministic centroids = every 64th vector, standing in for
-    trained sub-codebooks; the assignment plumbing is identical). The
-    codebook broadcasts; assignment is one map-only pass vectorized over
-    centroids but dimension-SEQUENTIAL, so the oracle's per-centroid
-    fold reproduces the exact distances and the argmin (ties break to
-    the lowest centroid id on both engines). 8 small codes per vector ≈
-    32× compression — the memory step between int8 and full floats for
-    ANN at 100 TB."""
+    by L2. Sub-codebooks are the ``_PQ_NCENT``-row bounded hash-sample
+    of functions/vectors.py (standing in for trained sub-codebooks; the
+    assignment plumbing is identical) — the driver collects exactly
+    ncent rows however large the corpus is, never O(N). The codebook
+    broadcasts; assignment is ONE map-only pass vectorized across the
+    whole Arrow batch (a (rows × centroids) distance block per subspace,
+    accumulated dimension-SEQUENTIALLY so the oracle's per-centroid fold
+    reproduces the exact distances; np.argmin takes the first minimum
+    and centroids are id-sorted, matching the oracle's ORDER BY dist,
+    cid). 8 small codes per vector ≈ 32× compression — the memory step
+    between int8 and full floats for ANN at 100 TB."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType, LongType
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter((F.col("vec_id") % _PQ_MOD) == _PQ_RES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    cids, C, _nc = _V.collect_centroids(emb.select("vec_id", "embedding"), _PQ_NCENT)
     bc = spark.sparkContext.broadcast((cids, C))
     dim_per = C.shape[1] // _PQ_SUB
 
@@ -193,18 +189,15 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         cids_l, C_l = bc.value
-        out = []
-        for v in vec:
-            x = np.asarray(v, dtype=np.float64)
-            codes = []
-            for s in range(_PQ_SUB):
-                d = np.zeros(len(cids_l), dtype=np.float64)
-                for j in range(dim_per):
-                    diff = x[s * dim_per + j] - C_l[:, s * dim_per + j]
-                    d = d + diff * diff
-                codes.append(int(cids_l[int(np.argmin(d))]))
-            out.append(codes)
-        return pd.Series(out)
+        X = np.stack(vec.to_numpy()).astype(np.float64)  # (n, 64)
+        codes = np.empty((len(X), _PQ_SUB), dtype=np.int64)
+        for s in range(_PQ_SUB):
+            D = np.zeros((len(X), len(cids_l)), dtype=np.float64)
+            for j in range(dim_per):
+                diff = X[:, s * dim_per + j, None] - C_l[None, :, s * dim_per + j]
+                D = D + diff * diff
+            codes[:, s] = cids_l[np.argmin(D, axis=1)]
+        return pd.Series(list(codes))
 
     return emb.select(
         "vec_id", F.posexplode(pq_assign("embedding")).alias("subspace", "code")
@@ -285,8 +278,7 @@ ORACLE = {
     """,
     "c03_pq_codes": f"""
         WITH cent AS (
-            SELECT vec_id AS cid, embedding AS cemb
-            FROM embeddings WHERE vec_id % {_PQ_MOD} = {_PQ_RES}),
+            {_V.sample_cte_sql(_PQ_NCENT, 'cid', 'cemb')}),
         pairs AS (
             SELECT e.vec_id, sub.s AS subspace, c.cid,
                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

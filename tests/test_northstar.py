@@ -64,7 +64,35 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
             assert abs(knn[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-12
     assert len(per_query) == N._N_QUERIES
     assert all(len(v) == N._TOP_K for v in per_query.values())
-    assert n_vecs >= N._IVF_MOD  # the quantizer rule yields >= 1 centroid
+    assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
+
+
+def test_centroid_collect_is_constant_in_corpus_size(spark, sf_dir):
+    """THE 100 TB invariant for the trained-structure ANN family
+    (IVF/medoids/PQ): the centroid/seed/codebook sample the driver
+    collects is exactly k rows — constant in the corpus — and the same k
+    ids come back when the corpus grows (a hash-sample prefix property:
+    enlarging the corpus can only merge new ids in, never inflate the
+    count past k)."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    for k in (8, N._IVF_NLIST):
+        sample = V.bounded_sample(emb, k).collect()
+        assert len(sample) == min(k, n)
+    # doubling the corpus must not change the collected row count
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    assert len(V.bounded_sample(doubled, N._IVF_NLIST).collect()) == N._IVF_NLIST
+    # and the plan is a distributed top-k, not a global sort + collect
+    plan = (
+        V.bounded_sample(emb, N._IVF_NLIST)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_ivf_plan_broadcasts_probes(spark, sf_dir):
