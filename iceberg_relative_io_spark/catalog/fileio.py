@@ -39,10 +39,38 @@ class FileInfo:
     size: int
 
 
+_IO_IMPLS: dict[str, object] = {}
+
+
+def register_io_impl(name: str, factory) -> None:
+    """Register a delegate-FS factory: ``factory(warehouse) -> fs``. The
+    Python counterpart of the reference's ``relative.io-impl`` property
+    (reference RelativeFileIO.java:42-56): the relativizing layer wraps
+    ANY delegate IO, selected by name so the choice serializes with the
+    plain-data conf instead of a live filesystem object."""
+    _IO_IMPLS[name] = factory
+
+
+def _pyarrow_impl(warehouse: str):
+    """Default delegate — ``pyarrow.fs`` scheme resolution (posix, s3://,
+    hdfs://, gs://), the counterpart of the reference's ResolvingFileIO
+    default (RelativeFileIO.java:21-22)."""
+    from pyarrow import fs as pafs
+
+    fs, _root = pafs.FileSystem.from_uri(warehouse.rstrip("/"))
+    return fs
+
+
+register_io_impl("pyarrow", _pyarrow_impl)
+
+
 @dataclass
 class RelativeFileIO:
     warehouse: str
+    io_impl: str = "pyarrow"  # parity: relative.io-impl (RelativeFileIO.java:42-56)
+    lock_impl: str | None = None  # LockManager hook for non-atomic-rename stores
     _fs: object = field(default=None, repr=False, compare=False)
+    _lock: object = field(default=None, repr=False, compare=False)
 
     def __post_init__(self):
         self.warehouse = normalize_warehouse(self.warehouse)
@@ -51,10 +79,22 @@ class RelativeFileIO:
     @property
     def fs(self):
         if self._fs is None:
-            from pyarrow import fs as pafs
-
-            self._fs, self._root = pafs.FileSystem.from_uri(self.warehouse.rstrip("/"))
+            if self.io_impl not in _IO_IMPLS:
+                raise KeyError(
+                    f"unknown io-impl {self.io_impl!r}; registered: {sorted(_IO_IMPLS)}"
+                )
+            self._fs = _IO_IMPLS[self.io_impl](self.warehouse)
         return self._fs
+
+    @property
+    def lock_manager(self):
+        if self.lock_impl is None:
+            return None
+        if self._lock is None:
+            from iceberg_relative_io_spark.catalog.locks import resolve_lock_impl
+
+            self._lock = resolve_lock_impl(self.lock_impl, self.warehouse)
+        return self._lock
 
     def _fs_path(self, location: str) -> str:
         """Absolute location -> delegate-FS-native path (strips scheme)."""
@@ -133,16 +173,32 @@ class RelativeFileIO:
         On posix this is hard-link + unlink: ``link(2)`` fails atomically
         when dst exists, closing the TOCTOU window a check-then-rename
         would leave (plain ``rename(2)`` silently overwrites). On object
-        stores without atomic rename the exists+move fallback carries the
-        same caveat the reference documents for S3 (README.md:123-124) —
-        production deployments there need a lock manager or conditional
-        put, exactly as the reference's LockManager hook does.
+        stores without atomic rename, set ``lock_impl``: the CAS check +
+        move then runs under a named lock on the destination (the
+        reference's LockManager hook for exactly this S3 caveat,
+        README.md:123-124) so two racing committers always produce one
+        winner. With neither posix nor a lock, the bare exists+move
+        fallback carries the documented race.
         """
         import os
 
         from pyarrow import fs as pafs
 
         src_p, dst_p = self._fs_path(src), self._fs_path(dst)
+        lock = self.lock_manager
+        if lock is not None:
+            key = self.absolute(dst)
+            if not lock.acquire(key):
+                return False
+            try:
+                if self.exists(dst):
+                    return False
+                self.fs.move(src_p, dst_p)
+                return True
+            except OSError:
+                return False
+            finally:
+                lock.release(key)
         if isinstance(self.fs, pafs.LocalFileSystem):
             try:
                 os.link(src_p, dst_p)
@@ -162,8 +218,15 @@ class RelativeFileIO:
 
     # -- pickling ----------------------------------------------------------
     def __getstate__(self):
-        return {"warehouse": self.warehouse}
+        return {
+            "warehouse": self.warehouse,
+            "io_impl": self.io_impl,
+            "lock_impl": self.lock_impl,
+        }
 
     def __setstate__(self, state):
         self.warehouse = state["warehouse"]
+        self.io_impl = state.get("io_impl", "pyarrow")
+        self.lock_impl = state.get("lock_impl")
         self._fs = None
+        self._lock = None

@@ -39,9 +39,19 @@ class AlreadyExistsError(RuntimeError):
 class FsCatalog:
     """Path-based catalog over any pyarrow filesystem."""
 
-    def __init__(self, warehouse: str, name: str = "relative"):
+    def __init__(
+        self,
+        warehouse: str,
+        name: str = "relative",
+        io_impl: str = "pyarrow",
+        lock_impl: str | None = None,
+    ):
+        # io_impl / lock_impl are the catalog-property passthroughs of the
+        # reference's `relative.io-impl` (RelativeFileIO.java:42-56) and
+        # LockManager conf: object-store deployments pick a delegate FS and
+        # a commit lock without touching the relativizing layer.
         self.name = name
-        self.io = RelativeFileIO(warehouse)
+        self.io = RelativeFileIO(warehouse, io_impl=io_impl, lock_impl=lock_impl)
         self.warehouse = self.io.warehouse
 
     # -- identifiers ---------------------------------------------------------

@@ -132,10 +132,17 @@ class JdbcTableOperations:
 
 
 class JdbcCatalog:
-    def __init__(self, db_path: str, warehouse: str, name: str = "jdbc"):
+    def __init__(
+        self,
+        db_path: str,
+        warehouse: str,
+        name: str = "jdbc",
+        io_impl: str = "pyarrow",
+        lock_impl: str | None = None,
+    ):
         self.db_path = db_path
         self.name = name
-        self.io = RelativeFileIO(warehouse)
+        self.io = RelativeFileIO(warehouse, io_impl=io_impl, lock_impl=lock_impl)
         self.warehouse = self.io.warehouse
         with self._conn() as con:
             con.execute(_CATALOG_TABLE_DDL)  # reference initializeCatalogTables :119-155

@@ -1,0 +1,235 @@
+"""Object-store commit story: pluggable delegate FS (`io_impl`, parity
+with the reference's `relative.io-impl`, RelativeFileIO.java:42-56) and
+the LockManager hook for stores without atomic rename (parity with
+HadoopRelativeTableOperations.java:346-376 and the S3 caveat the
+reference documents, README.md:123-124).
+
+The mock filesystem here is deliberately NON-ATOMIC: `move` is
+copy+delete with a rendezvous barrier, so two racing committers that
+both pass the exists() check both "succeed" — the exact S3 hazard.
+With a lock manager configured, the CAS check + move serialize and
+exactly one committer wins, without any use of os.link.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import threading
+
+import pytest
+from pyarrow import fs as pafs
+
+from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO, register_io_impl
+from iceberg_relative_io_spark.catalog.locks import (
+    FileLockManager,
+    InMemoryLockManager,
+)
+from iceberg_relative_io_spark.catalog.table_ops import (
+    CommitFailedError,
+    TableOperations,
+    new_table_metadata,
+)
+
+
+class NonAtomicMemFS:
+    """In-memory object-store stand-in. No atomic rename-if-absent:
+    move() copies then deletes, and an optional barrier makes two racers
+    deterministically interleave AFTER their exists() checks."""
+
+    def __init__(self, move_barrier: threading.Barrier | None = None):
+        self.files: dict[str, bytes] = {}
+        self.move_barrier = move_barrier
+        self._mutex = threading.Lock()
+
+    # --- surface RelativeFileIO uses ---
+    def open_input_stream(self, path):
+        return _io.BytesIO(self.files[path])
+
+    def create_dir(self, path, recursive=True):
+        pass
+
+    class _Out(_io.BytesIO):
+        def __init__(self, fs, path):
+            super().__init__()
+            self._fs, self._path = fs, path
+
+        def close(self):
+            self._fs.files[self._path] = self.getvalue()
+            super().close()
+
+        def __exit__(self, *exc):
+            self.close()
+
+    def open_output_stream(self, path):
+        return self._Out(self, path)
+
+    def get_file_info(self, sel):
+        if isinstance(sel, pafs.FileSelector):
+            base = sel.base_dir.rstrip("/") + "/"
+            return [
+                pafs.FileInfo(p, pafs.FileType.File, size=len(b))
+                for p, b in sorted(self.files.items())
+                if p.startswith(base)
+            ]
+        if sel in self.files:
+            return pafs.FileInfo(sel, pafs.FileType.File, size=len(self.files[sel]))
+        return pafs.FileInfo(sel, pafs.FileType.NotFound)
+
+    def delete_file(self, path):
+        del self.files[path]
+
+    def delete_dir(self, path):
+        base = path.rstrip("/") + "/"
+        for p in [p for p in self.files if p.startswith(base)]:
+            del self.files[p]
+
+    def move(self, src, dst):
+        if self.move_barrier is not None:
+            try:
+                self.move_barrier.wait(timeout=1.0)
+            except threading.BrokenBarrierError:
+                pass
+        with self._mutex:
+            self.files[dst] = self.files[src]
+            del self.files[src]
+
+
+_FS_BY_WAREHOUSE: dict[str, NonAtomicMemFS] = {}
+register_io_impl("mem-test", lambda wh: _FS_BY_WAREHOUSE[wh])
+
+
+def _make_io(tag: str, barrier=None, lock_impl=None) -> RelativeFileIO:
+    warehouse = f"mem://{tag}/wh"
+    fsio = RelativeFileIO(warehouse, io_impl="mem-test", lock_impl=lock_impl)
+    _FS_BY_WAREHOUSE[fsio.warehouse] = NonAtomicMemFS(move_barrier=barrier)
+    return fsio
+
+
+def _race_rename(fsio: RelativeFileIO) -> list[bool]:
+    """Two committers race rename(srcX -> dst); returns their outcomes."""
+    fsio.write_bytes("t/srcA", b"A")
+    fsio.write_bytes("t/srcB", b"B")
+    results = {}
+    start = threading.Barrier(2, timeout=5)
+
+    def committer(name, src):
+        start.wait()
+        results[name] = fsio.rename(src, "t/dst")
+
+    ts = [
+        threading.Thread(target=committer, args=("A", "t/srcA")),
+        threading.Thread(target=committer, args=("B", "t/srcB")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=10)
+    return [results["A"], results["B"]]
+
+
+def test_nonatomic_fs_without_lock_double_commits():
+    """The hazard itself: both racers pass exists() before either move()
+    lands (the barrier forces that interleaving), so BOTH claim success —
+    one committed version silently vanishes. This is why the lock hook
+    exists."""
+    fsio = _make_io("race-nolock", barrier=threading.Barrier(2))
+    outcomes = _race_rename(fsio)
+    assert outcomes == [True, True]  # both "won" — data loss on a real store
+
+
+def test_lock_manager_yields_exactly_one_winner():
+    """With the in-memory lock manager the same interleaving is
+    impossible: check+move serialize per destination, exactly one wins,
+    and the surviving bytes are the winner's."""
+    for round_i in range(5):
+        fsio = _make_io(f"race-lock-{round_i}", lock_impl="in-memory")
+        outcomes = _race_rename(fsio)
+        assert sorted(outcomes) == [False, True]
+        winner = "A" if outcomes[0] else "B"
+        assert fsio.read_bytes("t/dst") == winner.encode()
+
+
+def test_lock_manager_commit_race_single_winner():
+    """Full commit-protocol race on the non-atomic store: two
+    TableOperations committers from the same base version; exactly one
+    v2 lands and the surviving metadata is the winner's."""
+    fsio = _make_io("commit-race", lock_impl="in-memory")
+    ops = TableOperations(fsio, "ns/tbl")
+    meta = new_table_metadata("ns/tbl", {"fields": [{"name": "x", "type": "long"}]})
+    tmp0 = "ns/tbl/metadata/bootstrap.tmp"
+    fsio.write_bytes(tmp0, b"{}")
+    import json
+
+    fsio.write_bytes("ns/tbl/metadata/v1.metadata.json", json.dumps(meta).encode())
+
+    results = {}
+    start = threading.Barrier(2, timeout=5)
+
+    def committer(name):
+        committer_ops = TableOperations(fsio, "ns/tbl")
+        base = committer_ops.current_version()
+        m = dict(committer_ops.current())
+        m = {**m, "properties": {"winner": name}}
+        start.wait()
+        try:
+            results[name] = committer_ops.commit(base, m)
+        except CommitFailedError:
+            results[name] = None
+
+    ts = [threading.Thread(target=committer, args=(n,)) for n in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=15)
+
+    wins = [n for n, v in results.items() if v == 2]
+    assert len(wins) == 1
+    final = TableOperations(fsio, "ns/tbl").current()
+    assert final["properties"]["winner"] == wins[0]
+
+
+def test_io_impl_and_lock_impl_survive_pickle():
+    import pickle
+
+    fsio = _make_io("pickle-rt", lock_impl="in-memory")
+    clone = pickle.loads(pickle.dumps(fsio))
+    assert clone.io_impl == "mem-test"
+    assert clone.lock_impl == "in-memory"
+    assert clone.warehouse == fsio.warehouse
+    # delegate resolves lazily post-unpickle via the registry
+    clone.write_bytes("t/x", b"hi")
+    assert clone.read_bytes("t/x") == b"hi"
+
+
+def test_unknown_io_impl_raises():
+    with pytest.raises(KeyError):
+        RelativeFileIO("mem://nope/wh", io_impl="no-such-impl").fs
+
+
+def test_file_lock_manager_mutual_exclusion(tmp_path):
+    lm = FileLockManager("file:///wh", scratch=str(tmp_path / "locks"), timeout=0.3)
+    assert lm.acquire("k1")
+    lm2 = FileLockManager("file:///wh", scratch=str(tmp_path / "locks"), timeout=0.3)
+    assert not lm2.acquire("k1")  # held elsewhere -> timeout
+    assert lm2.acquire("k2")  # distinct names don't contend
+    lm.release("k1")
+    assert lm2.acquire("k1")
+
+
+def test_in_memory_lock_blocks_until_release():
+    lm = InMemoryLockManager("mem://x/wh", timeout=0.2)
+    assert lm.acquire("k")
+    t0 = threading.Event()
+
+    got = {}
+
+    def second():
+        t0.set()
+        got["ok"] = lm.acquire("k")
+
+    t = threading.Thread(target=second)
+    t.start()
+    t0.wait()
+    lm.release("k")
+    t.join(timeout=5)
+    assert got["ok"] is True
