@@ -267,25 +267,30 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
-    their part's average quantity, for one brand. The correlated AVG is
-    a second hash-agg joined back broadcast; the threshold is computed
-    as exact-decimal-sum / count on both engines so the comparison can't
-    flip in the last ulp."""
+    their part's average quantity, for one brand. The brand semi-join
+    runs FIRST, so the correlated per-part AVG aggregates only the
+    brand's lineitems (a part's lineitems are exactly its partkey's, so
+    the average is unchanged) and the broadcast-back side is brand-sized
+    — O(|brand parts|), not O(|part|), at any scale. The threshold is
+    computed as exact-decimal-sum / count on both engines so the
+    comparison can't flip in the last ulp."""
     li = load_table(spark, sf_dir, "lineitem")
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    li_brand = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi"
+    )
+    per_part = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (
             F.sum(_dec(F.col("l_quantity"), 4)).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
     j = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        li_brand.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return j.agg(

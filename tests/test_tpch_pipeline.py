@@ -45,6 +45,27 @@ def test_q6_pushes_filters_to_scan(spark, sf_dir):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
 
 
+def test_q17_aggregates_only_brand_parts(spark, sf_dir):
+    """Q17's correlated per-part AVG must run AFTER the brand semi-join:
+    the aggregate's input carries the semi-join, so the broadcast-back
+    side is brand-sized (O(|brand parts|)), never O(|part|). In the plan
+    that means every HashAggregate sits above a semi join, and no
+    aggregate consumes the raw lineitem scan directly."""
+    df = H.q_tpch_q17(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the partial agg for avg_qty appears only downstream of the semi join:
+    # walking the tree bottom-up, the first lineitem scan feeds a semi join
+    # before any hashpartitioning on l_partkey happens
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    first_agg = optimized.find("Aggregate")
+    first_semi = optimized.find("LeftSemi")
+    assert first_semi != -1 and first_agg != -1
+    # in the optimized tree string, children print BELOW parents, so the
+    # semi join (child of the agg) must appear after the agg header line
+    assert optimized.index("LeftSemi", first_agg) > first_agg
+
+
 def test_repetition_ratio_is_shuffle_free(spark, sf_dir):
     plan = P.q_repetition_ratio(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
