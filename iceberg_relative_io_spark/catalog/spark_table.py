@@ -158,7 +158,13 @@ class RelativeTable:
             writer = writer.partitionBy(*layout_cols)
         writer.parquet(abs_dir)
         entries = []
-        column_ids = self.ops.current().get("column-ids")
+        current = self.ops.current()
+        column_ids = current.get("column-ids")
+        # resolved once per snapshot, not per file: _bloom_columns re-reads
+        # table metadata, and a per-file metadata read would turn every
+        # commit (including each streaming micro-batch) into O(files)
+        # extra metadata IO
+        bloom_cols = self._bloom_columns()
         for fi in self.ops.io.list_prefix(snap_dir):
             name = fi.location.rsplit("/", 1)[-1]
             if name.startswith("_") or name.startswith("."):
@@ -171,7 +177,6 @@ class RelativeTable:
                 # file's physical columns onto a renamed/evolved schema
                 entry["column-ids"] = dict(column_ids)
             entry.update(self._file_stats(fi.location))
-            bloom_cols = self._bloom_columns()
             if bloom_cols:
                 entry.update(self._file_blooms(fi.location, bloom_cols))
             entries.append(entry)
@@ -185,11 +190,19 @@ class RelativeTable:
     def _bloom_bits(value) -> list[int]:
         """The k bit positions a value sets/tests. Deterministic across
         processes (blake2b — never Python's salted hash()); numpy scalars
-        normalize through .item() so write side and predicate side hash
-        the same bytes."""
+        normalize through .item(), and NUMERICS CANONICALIZE before
+        hashing (bool -> int, integral float -> int) so a predicate typed
+        differently from the stored value (42.0 vs 42, True vs 1) still
+        hashes the same bytes — a repr() mismatch here would be a bloom
+        false NEGATIVE, i.e. silently wrong query results, not just a
+        missed skip."""
         import hashlib
 
         v = value.item() if hasattr(value, "item") else value
+        if isinstance(v, bool):
+            v = int(v)
+        elif isinstance(v, float) and v.is_integer():
+            v = int(v)
         d = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
         h1 = int.from_bytes(d[:8], "little")
         h2 = int.from_bytes(d[8:], "little") | 1
@@ -504,18 +517,28 @@ class RelativeTable:
         (order_cols) tuple across target ∪ source — MERGE's
         ``WHEN MATCHED AND source is newer THEN UPDATE`` in its
         batch-order-independent form, which is what a CDC sink needs when
-        micro-batches can arrive out of ts order. Copy-on-write rewrite
-        (one snapshot per call); a 100 TB sink would pair equality
-        deletes on the batch's keys with an append instead
-        (``delete_where_mor`` + ``append``) to make the commit
-        O(batch), not O(table)."""
+        micro-batches can arrive out of ts order. Rows tied on BOTH key
+        and order columns (e.g. redelivered CDC records) fall through to
+        a content-hash tiebreak over the remaining columns, so the
+        survivor is a pure function of the data — never of partition
+        layout or run-to-run scheduling. Copy-on-write rewrite (one
+        snapshot per call); a 100 TB sink would pair equality deletes on
+        the batch's keys with an append instead (``delete_where_mor`` +
+        ``append``) to make the commit O(batch), not O(table)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         target = self.read(spark)
         combined = target.unionByName(source)
+        tie_cols = [
+            c for c in combined.columns if c not in key_cols and c not in order_cols
+        ]
         w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+            *[F.col(c).desc() for c in order_cols],
+            # deterministic final tiebreak: exact ties on key+order pick
+            # the row with the greatest payload hash (identical payloads
+            # are interchangeable, so any pick is the same row)
+            *([F.xxhash64(*tie_cols).desc()] if tie_cols else []),
         )
         latest = (
             combined.withColumn("_rn", F.row_number().over(w))

@@ -65,14 +65,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges are the hash partition on (band, bucket) and the pair
     dedup, and within-bucket work is quadratic only in the bucket size
     (corpus/2^bits per band on uniform data)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucketed = emb.withColumn("bucket", V.make_bucket_udf()(F.col("embedding")))
     bands = bucketed.select(
         "vec_id",
         "embedding",
-        "nrm",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bk")),
@@ -82,32 +81,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("t"),
-    ).select("vec_id", "embedding", "nrm", F.col("t.band").alias("band"), F.col("t.bk").alias("bk"))
-    a = bands.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "band",
-        "bk",
+    ).select("vec_id", "embedding", F.col("t.band").alias("band"), F.col("t.bk").alias("bk"))
+
+    def per_bucket(pdf):
+        # dense within-bucket cosine block: 64 outer-product accumulations
+        # (dimension-sequential, the same bits as cosine_sql) — pair rows
+        # above threshold are the ONLY thing emitted, so the quadratic
+        # never leaves the executor
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        S = np.zeros((len(M), len(M)))
+        n2 = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            S = S + np.outer(M[:, i], M[:, i])
+            n2 = n2 + M[:, i] * M[:, i]
+        nrm = np.sqrt(n2)
+        cos = S / np.outer(nrm, nrm)
+        keep = (cos >= 0.3) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": cos[ai, bj]}
+        )
+
+    pairs = bands.groupBy("band", "bk").applyInPandas(
+        per_bucket, schema="vec_a long, vec_b long, cos_sim double"
     )
-    b = bands.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "band",
-        "bk",
-    )
-    cand = (
-        a.join(b, ["band", "bk"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])  # a pair may collide in both bands
-    )
-    dot_udf = V.make_dot_udf()
-    cos = dot_udf(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    # both-bands collisions emit the identical (pair, cos) twice; dedup
+    # shuffles only the few surviving 3-column rows
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
 # ---------------------------------------------------------------------------

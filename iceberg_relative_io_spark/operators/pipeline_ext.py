@@ -150,7 +150,14 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic stub; this container has no audio codec) → overlapping
     256-sample windows at hop 128 → integer per-window energy, all
     inside Arrow batches via mapInPandas (functions/multimodal.py).
-    The same stage with a real soundfile decoder is the 100 TB shape."""
+    The same stage with a real soundfile decoder is the 100 TB shape.
+
+    Oracle parity invariant: the Spark stage samples the UTF-8 BYTES of
+    the payload while the SQL oracle samples per-CHARACTER codepoints
+    (DuckDB has no blob-byte iteration) — identical only while the
+    documents fixture is pure ASCII, which
+    tests/test_northstar.py::test_documents_fixture_is_ascii enforces so
+    a regenerated non-ASCII fixture fails loudly instead of hash-flaking."""
     from iceberg_relative_io_spark.functions import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")

@@ -304,6 +304,23 @@ def test_bloom_filter_skips_files(spark, catalog, sf_dir):
     rng = table.scan_files(column_ranges={"o_orderkey": (40, 45)})
     assert len(rng) == len(all_files)
 
+    # cross-type equality: a float-typed predicate over an int column
+    # must canonicalize before the bloom test — the stored int 42 and the
+    # predicate 42.0 hash identically, so the file with the key is KEPT
+    # (a repr mismatch here would be a silent false negative = wrong rows)
+    hit_f = table.scan_files(column_ranges={"o_orderkey": (42.0, 42.0)})
+    assert {f["path"] for f in hit} == {f["path"] for f in hit_f}
+    got_f = table.read(spark, column_ranges={"o_orderkey": (42.0, 42.0)}).filter(
+        "o_orderkey = 42"
+    )
+    assert got_f.count() == 1
+    import numpy as np
+
+    hit_np = table.scan_files(
+        column_ranges={"o_orderkey": (np.float64(42.0), np.float64(42.0))}
+    )
+    assert {f["path"] for f in hit} == {f["path"] for f in hit_np}
+
 
 def test_partitioned_write_and_manifest_pruning(spark, catalog, sf_dir):
     from iceberg_relative_io_spark.sources.tables import load_table
@@ -545,6 +562,32 @@ def test_merge_upsert(spark, catalog):
     table.ops._should_refresh = True
     got = dict((r.id, r.name) for r in table.read(spark).collect())
     assert got == {1: "a", 2: "b2", 9: "z"}
+
+
+def test_merge_latest_tiebreak_is_deterministic(spark, catalog):
+    """Redelivered CDC records: rows identical on key AND order columns
+    but different in payload must elect the same survivor on every run
+    (content-hash tiebreak), not whichever partition Spark scheduled
+    first."""
+    catalog.create_namespace(("mgt",))
+    seed = spark.createDataFrame([(1, "seed", 0)], "id long, name string, ts long")
+    ops = catalog.create_table(("mgt",), "t", seed.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(seed)
+    # two same-key same-ts payloads, deliberately delivered twice
+    src = spark.createDataFrame(
+        [(7, "payload-a", 5), (7, "payload-b", 5)],
+        "id long, name string, ts long",
+    ).repartition(4)
+    got = set()
+    for _ in range(3):
+        t = RelativeTable(table.ops)
+        t.merge_latest(spark, src, key_cols=["id"], order_cols=["ts"])
+        t.ops._should_refresh = True
+        row = [r for r in t.read(spark).collect() if r.id == 7]
+        assert len(row) == 1
+        got.add(row[0].name)
+    assert len(got) == 1  # same survivor all three runs
 
 
 def test_branches_isolate_writes(spark, catalog):

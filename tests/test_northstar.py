@@ -67,6 +67,17 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
     assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
 
 
+def test_documents_fixture_is_ascii(spark, sf_dir):
+    """c05_audio_energy's oracle iterates CODEPOINTS while the Spark
+    stage iterates UTF-8 BYTES; they agree only on ASCII text. Enforce
+    the invariant the oracle depends on (see pipeline_ext.q_audio_energy)
+    so a regenerated fixture with non-ASCII text fails here, loudly,
+    instead of as a value-hash flake."""
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(~F.col("text").rlike(r"^[\x00-\x7F]*$")).count()
+    assert non_ascii == 0
+
+
 def test_centroid_collect_is_constant_in_corpus_size(spark, sf_dir):
     """THE 100 TB invariant for the trained-structure ANN family
     (IVF/medoids/PQ): the centroid/seed/codebook sample the driver
