@@ -45,14 +45,20 @@ class FsCatalog:
         name: str = "relative",
         io_impl: str = "pyarrow",
         lock_impl: str | None = None,
+        suppress_permission_error: bool = False,
     ):
         # io_impl / lock_impl are the catalog-property passthroughs of the
         # reference's `relative.io-impl` (RelativeFileIO.java:42-56) and
         # LockManager conf: object-store deployments pick a delegate FS and
         # a commit lock without touching the relativizing layer.
+        # suppress_permission_error mirrors the reference's
+        # `suppress-permission-error` option (HadoopRelativeCatalog.java:49,
+        # 117-124): listings skip subtrees the caller cannot read instead
+        # of failing the whole walk.
         self.name = name
         self.io = RelativeFileIO(warehouse, io_impl=io_impl, lock_impl=lock_impl)
         self.warehouse = self.io.warehouse
+        self.suppress_permission_error = suppress_permission_error
 
     # -- identifiers ---------------------------------------------------------
     @staticmethod
@@ -65,14 +71,39 @@ class FsCatalog:
         return self._ident_path(namespace, name)
 
     # -- table dir test (A14) --------------------------------------------------
-    def is_table_dir(self, rel_path: str) -> bool:
+    @staticmethod
+    def _is_permission_error(exc: Exception) -> bool:
+        """Mirror of shouldSuppressPermissionError
+        (HadoopRelativeCatalog.java:117-124): posix EACCES /
+        PermissionError, or the Azure AuthorizationPermissionMismatch
+        message the reference special-cases."""
+        import errno
+
+        if isinstance(exc, PermissionError):
+            return True
+        if isinstance(exc, OSError) and exc.errno == errno.EACCES:
+            return True
+        return "AuthorizationPermissionMismatch" in str(exc)
+
+    def _probe_table_dir(self, rel_path: str) -> bool | None:
+        """True/False = readable verdict; None = permission-suppressed
+        (caller skips the subtree). Unsuppressed permission errors
+        propagate — silently mislabeling an unreadable table dir as a
+        namespace would corrupt listings."""
         try:
             listing = self.io.list_prefix(f"{rel_path}/metadata")
-        except Exception:
+        except Exception as exc:
+            if self._is_permission_error(exc):
+                if self.suppress_permission_error:
+                    return None
+                raise
             return False
         return any(
             fi.location.rsplit("/", 1)[-1].endswith(_METADATA_GLOB_RE) for fi in listing
         )
+
+    def is_table_dir(self, rel_path: str) -> bool:
+        return bool(self._probe_table_dir(rel_path))
 
     def _child_dirs(self, rel_path: str) -> list[str]:
         from pyarrow import fs as pafs
@@ -80,7 +111,13 @@ class FsCatalog:
         base = self.io._fs_path(rel_path if rel_path else ".")
         sel = pafs.FileSelector(base, recursive=False, allow_not_found=True)
         out = []
-        for info in self.io.fs.get_file_info(sel):
+        try:
+            infos = self.io.fs.get_file_info(sel)
+        except Exception as exc:
+            if self.suppress_permission_error and self._is_permission_error(exc):
+                return []
+            raise
+        for info in infos:
             if info.type == pafs.FileType.Directory:
                 out.append(info.base_name)
         return sorted(out)
@@ -109,7 +146,10 @@ class FsCatalog:
         out = []
         for child in self._child_dirs(rel):
             child_rel = posixpath.join(rel, child) if rel else child
-            if not self.is_table_dir(child_rel):
+            verdict = self._probe_table_dir(child_rel)
+            if verdict is None:
+                continue  # unreadable subtree, suppressed: skip, don't guess
+            if not verdict:
                 out.append(tuple(namespace) + (child,))
         return out
 
@@ -168,7 +208,7 @@ class FsCatalog:
         return [
             child
             for child in self._child_dirs(rel)
-            if self.is_table_dir(posixpath.join(rel, child) if rel else child)
+            if self._probe_table_dir(posixpath.join(rel, child) if rel else child)
         ]
 
     def drop_table(self, namespace, name: str, purge: bool = False) -> bool:

@@ -55,6 +55,14 @@ CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
 """
 _NAMESPACE_EXISTS_PROP = "exists"  # reserved marker (reference :53)
 
+# V0 -> V1 in-place upgrade (reference updateSchemaIfRequired,
+# JdbcRelativeCatalog.java:157-188): V0 predates views and has no
+# record_type column; the upgrade adds it, defaulting every existing row
+# to TABLE — exactly what V0 rows were.
+_V1_MIGRATE_SQL = (
+    "ALTER TABLE iceberg_tables ADD COLUMN record_type TEXT NOT NULL DEFAULT 'TABLE'"
+)
+
 
 def _ns_str(namespace) -> str:
     return "/".join(namespace)  # slash-joined like the reference (:55)
@@ -82,7 +90,7 @@ class JdbcTableOperations:
     def _pointer(self) -> str | None:
         row = self.catalog._fetchone(
             "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? "
-            "AND table_namespace=? AND table_name=? AND record_type='TABLE'",
+            "AND table_namespace=? AND table_name=?" + self.catalog._t,
             (self.catalog.name, _ns_str(self.namespace), self.name),
         )
         return row[0] if row else None
@@ -103,9 +111,18 @@ class JdbcTableOperations:
         with self.catalog._conn() as con:
             if base_pointer is None:
                 try:
+                    if self.catalog.schema_version == "V1":
+                        ins = (
+                            "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
+                            "table_name, metadata_location, record_type) VALUES (?,?,?,?,'TABLE')"
+                        )
+                    else:
+                        ins = (
+                            "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
+                            "table_name, metadata_location) VALUES (?,?,?,?)"
+                        )
                     con.execute(
-                        "INSERT INTO iceberg_tables (catalog_name, table_namespace, "
-                        "table_name, metadata_location, record_type) VALUES (?,?,?,?,'TABLE')",
+                        ins,
                         (self.catalog.name, _ns_str(self.namespace), self.name, new_loc),
                     )
                 except sqlite3.IntegrityError as err:
@@ -139,6 +156,7 @@ class JdbcCatalog:
         name: str = "jdbc",
         io_impl: str = "pyarrow",
         lock_impl: str | None = None,
+        schema_version: str = "V1",
     ):
         self.db_path = db_path
         self.name = name
@@ -147,6 +165,36 @@ class JdbcCatalog:
         with self._conn() as con:
             con.execute(_CATALOG_TABLE_DDL)  # reference initializeCatalogTables :119-155
             con.execute(_NAMESPACE_TABLE_DDL)
+        # reference updateSchemaIfRequired (:157-188): a pre-existing V0
+        # catalog (no record_type column) upgrades in place when V1 is
+        # requested, else stays V0 with views unavailable. Fresh DBs are
+        # created V1 by the DDL above. (Deviation noted: the reference
+        # defaults the property to V0; here V1 is the default because the
+        # SQL front-end exposes views out of the box.)
+        self.schema_version = self._update_schema_if_required(schema_version)
+
+    def _update_schema_if_required(self, requested: str) -> str:
+        with self._conn() as con:
+            cols = [r[1] for r in con.execute("PRAGMA table_info(iceberg_tables)")]
+            if "record_type" in cols:
+                return "V1"
+            if requested.upper() == "V1":
+                con.execute(_V1_MIGRATE_SQL)
+                return "V1"
+            return "V0"
+
+    @property
+    def _t(self) -> str:
+        """Version-aware TABLE-row predicate: V0 has no record_type."""
+        return " AND record_type='TABLE'" if self.schema_version == "V1" else ""
+
+    def _require_views(self) -> None:
+        if self.schema_version != "V1":
+            raise NotImplementedError(
+                "view operations require schema V1; reopen the catalog with "
+                "schema_version='V1' to upgrade in place (reference "
+                "JdbcRelativeCatalog view warning)"
+            )
 
     def _conn(self):
         return sqlite3.connect(self.db_path)
@@ -212,7 +260,8 @@ class JdbcCatalog:
 
     def drop_namespace(self, namespace) -> None:
         ns = _ns_str(namespace)
-        if self.list_tables(namespace) or self.list_views(namespace) or self.list_namespaces(namespace):
+        views = self.list_views(namespace) if self.schema_version == "V1" else []
+        if self.list_tables(namespace) or views or self.list_namespaces(namespace):
             raise ValueError(f"namespace {ns} is not empty")  # reference :394-397
         with self._conn() as con:
             con.execute(
@@ -261,8 +310,8 @@ class JdbcCatalog:
         properties: dict | None = None,
         sort_order: list[str] | None = None,
     ) -> JdbcTableOperations:
-        if self._view_pointer(namespace, name):
-            # view-aware replace guard (reference :674-691)
+        if self.schema_version == "V1" and self._view_pointer(namespace, name):
+            # view-aware replace guard (reference :674-691); V0 has no views
             raise ValueError(f"a view named {name} already exists")
         ops = self.new_table_ops(namespace, name)
         meta = new_table_metadata(
@@ -281,7 +330,7 @@ class JdbcCatalog:
         return (
             self._fetchone(
                 "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND "
-                "table_namespace=? AND table_name=? AND record_type='TABLE'",
+                "table_namespace=? AND table_name=?" + self._t,
                 (self.name, _ns_str(namespace), name),
             )
             is not None
@@ -292,7 +341,7 @@ class JdbcCatalog:
             r[0]
             for r in self._fetchall(
                 "SELECT table_name FROM iceberg_tables WHERE catalog_name=? AND "
-                "table_namespace=? AND record_type='TABLE' ORDER BY table_name",
+                "table_namespace=?" + self._t + " ORDER BY table_name",
                 (self.name, _ns_str(namespace)),
             )
         ]
@@ -305,7 +354,7 @@ class JdbcCatalog:
         with self._conn() as con:
             con.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
-                "AND table_name=? AND record_type='TABLE'",
+                "AND table_name=?" + self._t,
                 (self.name, _ns_str(namespace), name),
             )
         if purge:
@@ -327,8 +376,8 @@ class JdbcCatalog:
         with self._conn() as con:
             cur = con.execute(
                 "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
-                "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
-                "AND record_type='TABLE'",
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?"
+                + self._t,
                 (
                     _ns_str(dst_namespace),
                     dst_name,
@@ -340,8 +389,9 @@ class JdbcCatalog:
             if cur.rowcount != 1:
                 raise NoSuchTableError(f"no such table {src_name}")
 
-    # -- views (A39) --------------------------------------------------------------
+    # -- views (A39; V1-only, reference newViewOps guard) -------------------------
     def _view_pointer(self, namespace, name: str) -> str | None:
+        self._require_views()
         row = self._fetchone(
             "SELECT metadata_location FROM iceberg_tables WHERE catalog_name=? AND "
             "table_namespace=? AND table_name=? AND record_type='VIEW'",
@@ -350,6 +400,7 @@ class JdbcCatalog:
         return row[0] if row else None
 
     def create_view(self, namespace, name: str, sql: str, replace: bool = False) -> None:
+        self._require_views()
         if self._fetchone(
             "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
             "AND table_name=? AND record_type='TABLE'",
@@ -387,6 +438,7 @@ class JdbcCatalog:
         return json.loads(self.io.read_bytes(ptr))["sql"]
 
     def list_views(self, namespace) -> list[str]:
+        self._require_views()
         return [
             r[0]
             for r in self._fetchall(
@@ -397,6 +449,7 @@ class JdbcCatalog:
         ]
 
     def drop_view(self, namespace, name: str) -> bool:
+        self._require_views()
         with self._conn() as con:
             cur = con.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name=? AND table_namespace=? "
@@ -406,6 +459,7 @@ class JdbcCatalog:
             return cur.rowcount > 0
 
     def rename_view(self, src_namespace, src_name: str, dst_namespace, dst_name: str) -> None:
+        self._require_views()
         with self._conn() as con:
             cur = con.execute(
                 "UPDATE iceberg_tables SET table_namespace=?, table_name=? "

@@ -273,6 +273,104 @@ def test_jdbc_commit_cas(spark, tmp_path):
         ops_b.commit(ptr_b, meta_b)
 
 
+_V0_DDL = """
+CREATE TABLE iceberg_tables (
+    catalog_name TEXT NOT NULL,
+    table_namespace TEXT NOT NULL,
+    table_name TEXT NOT NULL,
+    metadata_location TEXT,
+    previous_metadata_location TEXT,
+    PRIMARY KEY (catalog_name, table_namespace, table_name)
+)
+"""
+
+
+def test_jdbc_v0_catalog_upgrades_in_place(spark, tmp_path):
+    """A pre-existing V0 catalog (no record_type column — created by an
+    older deployment) must upgrade in place when opened with V1
+    (reference updateSchemaIfRequired): V0 rows stay readable as tables,
+    and views become available after the upgrade."""
+    import os
+    import sqlite3
+
+    wh = str(tmp_path / "jwh0")
+    os.makedirs(wh)
+    db = str(tmp_path / "cat0.db")
+
+    # seed a genuine V0 catalog: V0 schema + a table row written by the
+    # V0-mode catalog itself
+    with sqlite3.connect(db) as con:
+        con.execute(_V0_DDL)
+    cat0 = JdbcCatalog(db, wh, schema_version="V0")
+    assert cat0.schema_version == "V0"
+    cat0.create_namespace(("db1",))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    ops = cat0.create_table(("db1",), "t", df.schema.jsonValue())
+    RelativeTable(ops).append(df)
+    assert cat0.list_tables(("db1",)) == ["t"]
+    with pytest.raises(NotImplementedError):
+        cat0.create_view(("db1",), "v", "SELECT 1 AS one")
+    with pytest.raises(NotImplementedError):
+        cat0.list_views(("db1",))
+
+    # reopen requesting V1: in-place ALTER, old rows readable, views work
+    cat1 = JdbcCatalog(db, wh, schema_version="V1")
+    assert cat1.schema_version == "V1"
+    with sqlite3.connect(db) as con:
+        cols = [r[1] for r in con.execute("PRAGMA table_info(iceberg_tables)")]
+    assert "record_type" in cols
+    assert cat1.list_tables(("db1",)) == ["t"]
+    t = RelativeTable(cat1.load_table(("db1",), "t"))
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    cat1.create_view(("db1",), "v", "SELECT 1 AS one")
+    assert cat1.list_views(("db1",)) == ["v"]
+    assert cat1.load_view_sql(("db1",), "v") == "SELECT 1 AS one"
+
+    # V0-mode reopen of an already-V1 catalog just reports V1 (the column
+    # exists; there is nothing to downgrade)
+    assert JdbcCatalog(db, wh, schema_version="V0").schema_version == "V1"
+
+
+def test_fs_catalog_suppress_permission_error(spark, tmp_path):
+    """Reference `suppress-permission-error` (HadoopRelativeCatalog.java:
+    117-124): with the option on, listings skip unreadable subtrees; with
+    it off (default), the permission error propagates so a partial
+    listing can't masquerade as complete."""
+    import os
+
+    from iceberg_relative_io_spark.catalog.fs_catalog import FsCatalog
+
+    wh = str(tmp_path / "permwh")
+    os.makedirs(wh)
+    open_cat = FsCatalog(wh, suppress_permission_error=True)
+    open_cat.create_namespace(("ok",))
+    open_cat.create_namespace(("locked",))
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    RelativeTable(open_cat.create_table(("ok",), "t", df.schema.jsonValue())).append(df)
+
+    # simulate the locked-down subtree (tests run as root, so chmod 000
+    # wouldn't deny): every metadata probe under locked/ raises EACCES
+    def deny_locked(io):
+        real = io.list_prefix
+
+        def guarded(prefix):
+            if prefix.startswith("locked"):
+                raise PermissionError(13, "Permission denied", prefix)
+            return real(prefix)
+
+        io.list_prefix = guarded
+
+    strict = FsCatalog(wh)
+    deny_locked(strict.io)
+    with pytest.raises(PermissionError):
+        strict.list_namespaces()
+
+    lax = FsCatalog(wh, suppress_permission_error=True)
+    deny_locked(lax.io)
+    assert lax.list_namespaces() == [("ok",)]  # locked/ skipped, not listed
+    assert lax.list_tables(("ok",)) == ["t"]
+
+
 # -- partitioned tables, compaction, schema evolution ------------------------------
 
 def test_bloom_filter_skips_files(spark, catalog, sf_dir):
