@@ -34,7 +34,7 @@ PRIORITY_ORDER = [
     "c01_exact_dedup", "c01_embedding_neardup", "c02_minhash_signatures",
     "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c02_simhash",
     "c02_ngram_jaccard_topk", "c03_knn_bruteforce", "c03_ann_ivf",
-    "c04_langid", "c04_quality_score", "c04_token_count",
+    "c03_cluster_medoids", "c03_pq_codes", "c04_langid",
     "c05_multimodal_schema", "c05_binary_ingest", "c06_pipeline_capstone",
 ]
 

@@ -536,6 +536,56 @@ def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 16  # FIXED k — the trained-centroid set is constant in the corpus
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (distributed k-means training): one full Lloyd iteration —
+    seed → assign → DISTRIBUTED centroid update → reassign — the actual
+    training loop that the IVF coarse quantizer and PQ sub-codebooks
+    stand on. Seeds are the fixed-k bounded hash-sample; assignment is a
+    broadcast map-only pass; the update is a distributed mean per
+    (cluster, dimension) — the shuffle carries k·64 partial rows however
+    large the corpus is, and the driver collects exactly k·64 means (the
+    new centroid matrix) before the second broadcast assignment. Every
+    arithmetic step is oracle-exact: means go through the
+    float→VARCHAR→DECIMAL(38,18) exact-ingest trick, one ROUND to scale
+    10, then a single decimal→double conversion (both engines correctly
+    rounded at that scale), and all cosines are dimension-sequential.
+    At 100 TB further iterations repeat the same two jobs — O(k·dim)
+    driver traffic per iteration, never O(N)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KMEANS_K))
+    assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
+
+    # distributed centroid update: decimal-exact per-(cluster, dim) means
+    term = F.col("val").cast("string").cast("decimal(38,18)")
+    mean = F.sum(term).cast("decimal(38,10)").cast("double") / F.count("*")
+    cent = (
+        assign1.select("c0", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("c0", "pos")
+        .agg(mean.alias("cval"))
+    )
+    rows = cent.collect()  # exactly k·64 rows — constant in corpus size
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.c0, {})[r.pos] = r.cval
+    packed = [
+        (cid, [dims[i] for i in range(len(dims))])
+        for cid, dims in sorted(by_cluster.items())
+    ]
+    bc1 = spark.sparkContext.broadcast(V.pack_centroids(packed))
+    return (
+        emb.withColumn("cluster", V.make_nearest_udf(bc1)(F.col("embedding")))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.sum("vec_id").alias("sum_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 — text analysis
 # ---------------------------------------------------------------------------
@@ -919,6 +969,7 @@ QUERIES = {
     "c03_ann_lsh": q_ann_lsh,
     "c03_ann_ivf": q_ann_ivf,
     "c03_cluster_medoids": q_cluster_medoids,
+    "c03_kmeans_lloyd": q_kmeans_lloyd,
     "c03_quantize_int8": q_quantize_int8,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
@@ -1184,6 +1235,48 @@ ORACLE = {
                min(vec_id) AS min_member,
                CAST(sum(vec_id) AS BIGINT) AS sum_members
         FROM a2 GROUP BY rep_id
+    """,
+    "c03_kmeans_lloyd": f"""
+        WITH seeds AS (
+            {V.sample_cte_sql(_KMEANS_K)}
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, s.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
+                       ) AS rn
+                FROM embeddings e, seeds s
+            ) WHERE rn = 1
+        ),
+        cent AS (
+            SELECT a1.cid, CAST(r.i AS INT) AS pos,
+                   CAST(CAST(ROUND(SUM(CAST(CAST(e.embedding[r.i] AS VARCHAR)
+                                            AS DECIMAL(38,18))), 10)
+                             AS DECIMAL(38,10)) AS DOUBLE) / count(*) AS cval
+            FROM a1, embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+            WHERE e.vec_id = a1.vec_id
+            GROUP BY a1.cid, r.i
+        ),
+        cvecs AS (
+            SELECT cid, list(cval ORDER BY pos) AS cvec FROM cent GROUP BY cid
+        ),
+        a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cvecs c
+            ) WHERE rn = 1
+        )
+        SELECT cid AS cluster,
+               count(*) AS n_members,
+               min(vec_id) AS min_member,
+               CAST(sum(vec_id) AS BIGINT) AS sum_members
+        FROM a2 GROUP BY cid
     """,
     "c04_term_frequency": """
         SELECT token, cnt,

@@ -205,6 +205,20 @@ def test_distributed_cc_on_lsh_edges(spark, sf_dir):
         assert uf[node] == comp
 
 
+def test_kmeans_lloyd_partitions_corpus(spark, sf_dir):
+    """One distributed Lloyd iteration: clusters partition the corpus
+    exactly, every cluster key is a seed id from the bounded sample, and
+    the distributed centroid update only ever hands the driver k*dim
+    mean rows."""
+    from iceberg_relative_io_spark.operators.northstar import _KMEANS_K, q_kmeans_lloyd
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    out = q_kmeans_lloyd(spark, sf_dir).collect()
+    n_vectors = lt(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_vectors
+    assert len(out) <= _KMEANS_K  # clusters keyed by the k seed ids
+
+
 def test_cluster_medoids_partitions_corpus(spark, sf_dir):
     """One k-medoids pass: clusters partition the corpus exactly, every
     cluster id is a corpus member, and the medoid belongs to its own
