@@ -81,18 +81,21 @@ def plane_dot_sql(vec: str, j: int) -> str:
     return terms
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Sign bits of N_PLANES hyperplane dots -> integer bucket id."""
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign bits of n_planes hyperplane dots -> integer bucket id. The
+    plane count is THE scale knob: buckets number 2^n_planes, so growing
+    n_planes with log2(corpus) keeps the expected bucket size — and the
+    within-bucket quadratic work — constant per corpus row."""
     acc = F.lit(0)
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         acc = acc + F.when(plane_dot(vec, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 
 
-def lsh_bucket_sql(vec: str) -> str:
+def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
     parts = [
         f"CASE WHEN ({plane_dot_sql(vec, j)}) > 0 THEN {1 << j} ELSE 0 END"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     ]
     return "(" + " + ".join(parts) + ")"
 
@@ -205,7 +208,7 @@ def make_nearest_udf(bc):
     return nearest
 
 
-def make_bucket_udf():
+def make_bucket_udf(n_planes: int = N_PLANES):
     """pandas UDF mirror of lsh_bucket(): per-plane sequential-sum dots
     (dimension-by-dimension, same bits as the Column/SQL builders), sign
     bits packed into the bucket id. The Column version unrolls to a
@@ -214,7 +217,7 @@ def make_bucket_udf():
     from pyspark.sql.types import IntegerType
 
     planes = np.array(
-        [[plane_component(j, i) for i in range(DIM)] for j in range(N_PLANES)],
+        [[plane_component(j, i) for i in range(DIM)] for j in range(n_planes)],
         dtype=np.float64,
     )
 
@@ -222,7 +225,7 @@ def make_bucket_udf():
     def bucket(vec: pd.Series) -> pd.Series:
         V_ = np.stack(vec.to_numpy()).astype(np.float64)
         out = np.zeros(len(V_), dtype=np.int64)
-        for j in range(N_PLANES):
+        for j in range(n_planes):
             acc = np.zeros(len(V_), dtype=np.float64)
             for i in range(DIM):
                 acc = acc + V_[:, i] * planes[j, i]

@@ -53,32 +53,46 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_neardup(
+    spark: SparkSession, sf_dir: str, n_planes: int = 8, n_bands: int = 2
+) -> DataFrame:
     """C1 (embedding-cosine near-dup, LSH-blocked): pairs with cosine
-    >= 0.3 among LSH candidates. The 8-plane sign pattern splits into
-    two 4-bit band tables (the minhash-LSH banding trick applied to
-    hyperplane bits); a pair is a candidate iff it collides in EITHER
-    band, and candidates get an exact dimension-sequential cosine check.
+    >= 0.3 among LSH candidates. The n_planes-bit sign pattern splits
+    into n_bands band tables (the minhash-LSH banding trick applied to
+    hyperplane bits); a pair is a candidate iff it collides in ANY band,
+    and candidates get an exact dimension-sequential cosine check.
     Recall < 1 by design — the price of never materializing the cross
     product; more/narrower bands raise recall, more planes shrink
     buckets. At 100 TB: NO driver collect and no broadcast — the only
     exchanges are the hash partition on (band, bucket) and the pair
-    dedup, and within-bucket work is quadratic only in the bucket size
-    (corpus/2^bits per band on uniform data)."""
+    dedup. Within-bucket work is quadratic in the bucket size
+    (corpus/2^bits per band on uniform data), so n_planes is the scale
+    knob: grow it with log2(corpus) and the expected bucket size — and
+    the per-row cost — stays CONSTANT (SCALING.md measures the default
+    8-bit blocking going super-linear at 10x and the 12-bit setting
+    restoring it; the driver-registered query keeps the 8/2 default,
+    which the oracle mirrors exactly)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket", V.make_bucket_udf()(F.col("embedding")))
+    bucketed = emb.withColumn(
+        "bucket", V.make_bucket_udf(n_planes)(F.col("embedding"))
+    )
+    bits = n_planes // n_bands
     bands = bucketed.select(
         "vec_id",
         "embedding",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("bucket") % 16).alias("bk")),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.floor(F.col("bucket") / 16).cast("int").alias("bk"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.shiftright(F.col("bucket"), k * bits) % (1 << bits)
+                        ).alias("bk"),
+                    )
+                    for k in range(n_bands)
+                ]
             )
         ).alias("t"),
     ).select("vec_id", "embedding", F.col("t.band").alias("band"), F.col("t.bk").alias("bk"))

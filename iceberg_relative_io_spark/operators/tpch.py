@@ -77,7 +77,10 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"+ (ps_partkey - 1) div {n_supp})) % {n_supp}) + 1"
         ).alias("ps_suppkey"),
     )
-    return ps.select(
+    # distinct: at tiny supplier counts the spread can collide for one
+    # part; (ps_partkey, ps_suppkey) is the table's primary key in TPC-H
+    # and a duplicate pair would double-count in every join over it
+    return ps.distinct().select(
         "ps_partkey",
         "ps_suppkey",
         ((F.col("ps_partkey") * _LCG + F.col("ps_suppkey") * 31) % 9999 + 1).alias(
@@ -95,7 +98,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTSUPP_CTE = f"""
 sc AS (SELECT count(*) AS S FROM supplier),
 ps0 AS (
-    SELECT p_partkey AS ps_partkey,
+    SELECT DISTINCT p_partkey AS ps_partkey,
            ((p_partkey + j.j * (S // {_PS_PER_PART} + (p_partkey - 1) // S)) % S) + 1
                AS ps_suppkey
     FROM part, sc, UNNEST(range(0, {_PS_PER_PART})) AS j(j)

@@ -67,6 +67,32 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
     assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
 
 
+def test_neardup_plane_knob_shrinks_buckets_and_stays_exact(spark, sf_dir):
+    """The n_planes scale knob: more planes must (a) never invent pairs —
+    every returned pair at any plane count also appears, with the
+    identical cosine, in the all-pairs ground truth above the threshold —
+    and (b) strictly shrink candidate buckets (more, smaller blocks)."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, sf_dir, "embeddings")
+    truth = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in N.q_embedding_neardup(spark, sf_dir, n_planes=8).collect()
+    }
+    for planes in (10, 12):
+        got = N.q_embedding_neardup(spark, sf_dir, n_planes=planes).collect()
+        # higher-plane runs are (near-)subsets: any overlap must agree exactly
+        for r in got:
+            if (r.vec_a, r.vec_b) in truth:
+                assert truth[(r.vec_a, r.vec_b)] == r.cos_sim
+            assert r.cos_sim >= 0.3
+    # bucket granularity: 2^12 sign patterns partition strictly finer
+    b8 = emb.select(V.make_bucket_udf(8)(F.col("embedding")).alias("b"))
+    b12 = emb.select(V.make_bucket_udf(12)(F.col("embedding")).alias("b"))
+    assert b12.distinct().count() >= b8.distinct().count()
+
+
 def test_documents_fixture_is_ascii(spark, sf_dir):
     """c05_audio_energy's oracle iterates CODEPOINTS while the Spark
     stage iterates UTF-8 BYTES; they agree only on ASCII text. Enforce

@@ -66,6 +66,51 @@ def test_q17_aggregates_only_brand_parts(spark, sf_dir):
     assert optimized.index("LeftSemi", first_agg) > first_agg
 
 
+def test_q2_min_cost_is_window_not_subquery(spark, sf_dir):
+    """Q2's correlated min must be a window over the scoped join — no
+    cartesian / nested-loop re-scan of partsupp per row."""
+    plan = H.q_tpch_q2(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 never globally sorts
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """Q9 joins lineitem to partsupp/part/supplier/nation — every
+    dim-sized side must broadcast; only the orders join may shuffle."""
+    plan = H.q_tpch_q9(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Cartesian" not in plan
+
+
+def test_q21_single_fact_shuffle_key(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is one per-order aggregate: the
+    lineitem side shuffles on l_orderkey once for the aggregate and once
+    for the distinct-waiters semi join — never a per-row re-scan."""
+    plan = H.q_tpch_q21(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_derived_partsupp_is_deterministic(spark, sf_dir):
+    """The derived partsupp must be identical across runs, key-unique on
+    (partkey, suppkey), and give every part 1..=_PS_PER_PART suppliers
+    within [1, |supplier|] (the dbgen spread can collide for one part at
+    tiny supplier counts — collisions dedupe, never duplicate)."""
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    rows1 = [tuple(r) for r in H._partsupp(spark, sf_dir).collect()]
+    ps1 = set(rows1)
+    ps2 = {tuple(r) for r in H._partsupp(spark, sf_dir).collect()}
+    assert ps1 == ps2
+    assert len(rows1) == len(ps1)  # no duplicate rows
+    assert len({(r[0], r[1]) for r in rows1}) == len(rows1)  # PK unique
+    n_part = lt(spark, sf_dir, "part").count()
+    n_supp = lt(spark, sf_dir, "supplier").count()
+    assert n_part <= len(ps1) <= n_part * H._PS_PER_PART
+    assert all(1 <= r[1] <= n_supp for r in ps1)
+
+
 def test_repetition_ratio_is_shuffle_free(spark, sf_dir):
     plan = P.q_repetition_ratio(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -40,6 +40,15 @@ MEASURED = [
     "c04_repetition_ratio",
     "c06_contamination_check",
     "c02_duplicate_ngrams",
+    # round 3: bounded-centroid ANN family + LSH-blocked near-dup +
+    # derived-partsupp TPC-H
+    "c01_embedding_neardup",
+    "c03_ann_ivf",
+    "c03_cluster_medoids",
+    "c03_kmeans_lloyd",
+    "c03_pq_codes",
+    "b34_tpch_q9",
+    "b34_tpch_q21",
 ]
 
 
