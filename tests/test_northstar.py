@@ -67,6 +67,44 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
     assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
 
 
+def test_ivf_serving_layout_prunes_files(spark, sf_dir, tmp_path):
+    """The 100 TB IVF serving story end-to-end: the corpus written as a
+    relative-format table PARTITIONED BY cell id, so a query's nprobe
+    cells map to manifest-level file pruning — the scan plans only
+    nprobe/nlist of the data files, which is what 'a query touches
+    nprobe/nlist of the corpus' means once the table format is involved."""
+    from iceberg_relative_io_spark.catalog.fs_catalog import FsCatalog
+    from iceberg_relative_io_spark.catalog.spark_table import RelativeTable
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.northstar import _IVF_NLIST
+    from iceberg_relative_io_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = spark.sparkContext.broadcast(V.collect_centroids(emb, _IVF_NLIST))
+    assigned = emb.withColumn("cell", V.make_nearest_udf(bc)(F.col("embedding")))
+
+    cat = FsCatalog(str(tmp_path / "ivf_wh"))
+    cat.create_namespace(("ann",))
+    ops = cat.create_table(
+        ("ann",), "corpus", assigned.schema.jsonValue(), partition_by=["cell"]
+    )
+    table = RelativeTable(ops)
+    table.append(assigned)
+
+    all_files = table.scan_files()
+    probe_cells = [r.cell for r in assigned.select("cell").distinct().limit(2).collect()]
+    probed = [
+        f
+        for c in probe_cells
+        for f in table.scan_files(partition_filter={"cell": str(c)})
+    ]
+    assert 0 < len(probed) < len(all_files), "probing 2 cells must skip most files"
+    # the probed read returns exactly those cells' members
+    got = table.read(spark, partition_filter={"cell": str(probe_cells[0])})
+    want = assigned.filter(F.col("cell") == probe_cells[0])
+    assert got.count() == want.count() > 0
+
+
 def test_neardup_plane_knob_shrinks_buckets_and_stays_exact(spark, sf_dir):
     """The n_planes scale knob: more planes must (a) never invent pairs —
     every returned pair at any plane count also appears, with the
