@@ -206,9 +206,16 @@ def fingerprint_sql(text: str) -> str:
 def _py_token_code(tok: str, _memo: dict) -> int:
     c = _memo.get(tok)
     if c is None:
-        c = SEED
-        for ch in tok:
-            c = (c * 31 + ord(ch)) % MOD
+        if tok == "":
+            # both engines split '' into [''] and hash ascii('') = 0, so an
+            # empty token folds ONE zero char: (SEED*31 + 0) % MOD — not the
+            # bare seed a no-op loop would leave (property-tested vs the
+            # Column builder in tests/test_northstar.py)
+            c = (SEED * 31) % MOD
+        else:
+            c = SEED
+            for ch in tok:
+                c = (c * 31 + ord(ch)) % MOD
         _memo[tok] = c
     return c
 

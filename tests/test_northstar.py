@@ -67,6 +67,42 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
     assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
 
 
+def test_python_hash_mirrors_equal_column_builders(spark):
+    """The Arrow fast path's load-bearing claim: the Python mirrors in
+    functions/text.py compute the SAME integers as the Column builders
+    (which the oracle SQL twins restate). Property-checked over random
+    ASCII documents, including the <k-token edge cases."""
+    import random
+
+    from iceberg_relative_io_spark.functions import text as T
+
+    rng = random.Random(0xC0FFEE)
+    words = ["the", "a", "red", "widget", "x1", "zz9", "", "q"]
+    docs = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    codes = T.token_codes(F.col("text"))
+    got = {
+        r.i: (r.fp, r.sh, r.g5)
+        for r in df.select(
+            "i",
+            T.fingerprint(F.col("text")).alias("fp"),
+            T.shingle_codes(codes).alias("sh"),
+            T.gram_codes(codes, 5).alias("g5"),
+        ).collect()
+    }
+    memo: dict = {}
+    for i, d in enumerate(docs):
+        fp = T._py_token_code(d, {})
+        sh = T._py_shingles(d, memo)
+        g5 = T._py_gram_codes(d, 5, memo)
+        assert got[i][0] == fp, f"fingerprint mismatch on {d!r}"
+        assert list(got[i][1]) == sh, f"shingles mismatch on {d!r}"
+        assert list(got[i][2]) == g5, f"5-gram mismatch on {d!r}"
+
+
 def test_ivf_serving_layout_prunes_files(spark, sf_dir, tmp_path):
     """The 100 TB IVF serving story end-to-end: the corpus written as a
     relative-format table PARTITIONED BY cell id, so a query's nprobe
