@@ -103,6 +103,37 @@ def test_python_hash_mirrors_equal_column_builders(spark):
         assert list(got[i][2]) == g5, f"5-gram mismatch on {d!r}"
 
 
+def test_vector_mirrors_equal_column_builders(spark):
+    """The ANN family's load-bearing equivalence: the Arrow-batched dot
+    and LSH-bucket UDFs must produce bit-identical doubles / identical
+    buckets to the Column builders (which the oracle SQL restates), over
+    random float vectors including negatives and denormal-ish values."""
+    import random
+
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    rng = random.Random(0xBEEF)
+    vecs = [
+        [rng.uniform(-2, 2) * (10 ** rng.randrange(-3, 2)) for _ in range(V.DIM)]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v, vecs[(i + 1) % len(vecs)]) for i, v in enumerate(vecs)],
+        "i long, a array<double>, b array<double>",
+    )
+    dot_udf = V.make_dot_udf()
+    rows = df.select(
+        "i",
+        V.dot(F.col("a"), F.col("b")).alias("dot_col"),
+        dot_udf(F.col("a"), F.col("b")).alias("dot_arrow"),
+        V.lsh_bucket(F.col("a")).alias("bk_col"),
+        V.make_bucket_udf()(F.col("a")).alias("bk_arrow"),
+    ).collect()
+    for r in rows:
+        assert r.dot_col == r.dot_arrow, f"dot bits diverge at row {r.i}"
+        assert r.bk_col == r.bk_arrow, f"bucket diverges at row {r.i}"
+
+
 def test_ivf_serving_layout_prunes_files(spark, sf_dir, tmp_path):
     """The 100 TB IVF serving story end-to-end: the corpus written as a
     relative-format table PARTITIONED BY cell id, so a query's nprobe
