@@ -44,6 +44,7 @@ def merged_queries() -> dict:
         relational,
         northstar,
         pipeline_ext,
+        roundthree,
         tableops_queries,
         tpch,
     )
@@ -55,6 +56,7 @@ def merged_queries() -> dict:
         tpch,
         northstar,
         pipeline_ext,
+        roundthree,
         tableops_queries,
         stream_queries,
     ):
@@ -70,6 +72,7 @@ def merged_oracle() -> dict:
         relational,
         northstar,
         pipeline_ext,
+        roundthree,
         tableops_queries,
         tpch,
     )
@@ -81,6 +84,7 @@ def merged_oracle() -> dict:
         tpch,
         northstar,
         pipeline_ext,
+        roundthree,
         tableops_queries,
         stream_queries,
     ):

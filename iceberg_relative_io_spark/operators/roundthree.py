@@ -1,0 +1,807 @@
+"""Round-3 LLM-pipeline additions (SURVEY.md §2.C extensions).
+
+Operators a 100 TB training-data pipeline runs between "crawl" and
+"train" that the earlier §2.C batch didn't cover:
+
+- **semantic dedup** (SemDeDup-style): centroid-cell blocking + within-
+  cell cosine threshold, keep-lowest-id — the published semantic-dedup
+  recipe (cluster, then prune near-identical members per cluster);
+- **BM25 ranking** — the standard probabilistic retrieval score over the
+  same inverted-index shape as c04_boolean_search;
+- **bigram-LM scoring** — a corpus-trained bigram language model scoring
+  each document's log-probability (the cheap stand-in for the perplexity
+  filters used to quality-gate web corpora);
+- **deterministic shard shuffle** — hash-shuffle documents into training
+  shards with a stable within-shard order (what a dataloader consumes);
+- **ANN recall evaluation** — recall@k of the LSH ANN path against the
+  brute-force exact top-k (the eval loop that tunes nprobe/planes);
+- **temperature mixture weights** — per-source sampling weights
+  n_s^alpha / sum(n_s^alpha) (the data-mixing step before training).
+
+All six carry exact DuckDB oracles. Float aggregation is made
+order-deterministic by folding per-key value lists in an explicit sort
+order (array_sort + sequential fold on the Spark side, ``list(x ORDER
+BY k)`` + list_reduce on the DuckDB side) — float addition is not
+associative, so an unordered SUM() would hash-flake.
+
+Scale design (100 TB):
+- semantic dedup touches (cell-size)^2 pairs per cell, never the cross
+  product; the centroid set is a bounded sample (constant driver
+  traffic, same story as c03_ann_ivf);
+- BM25 and bigram-LM are one explode + one shuffle-join on integer-ish
+  keys + one per-doc fold; the model tables (df per term, bigram
+  counts) are corpus-aggregates computed map-side-partial first;
+- the shard shuffle is a hash partition + within-partition sort — the
+  exact physical shape Spark executes for free, no global sort;
+- recall eval joins two already-pruned top-k tables (k rows per query);
+- mixture weights aggregate to |sources| rows before any float math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# C3 — semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEM_K = 32  # FIXED cell count — centroid collect is constant in the corpus
+_SEM_TAU = 0.3  # fixture cosines top out ≈ 0.4 (see northstar.py header)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C1 (semantic dedup): assign every embedding to its nearest
+    centroid cell (bounded-sample centroids, the c03_ann_ivf coarse
+    quantizer), then within each cell drop any vector that has a
+    lower-id neighbour with cosine >= tau — keep-lowest-id semantics,
+    the SemDeDup recipe (cluster, then prune near-identical members
+    inside each cluster; pruning never crosses cells, so recall of the
+    dedup is traded for never materializing the cross product).
+
+    At 100 TB: the centroid collect is O(k) (constant); assignment is
+    one broadcast map-only pass; the quadratic lives inside a cell
+    (corpus/k rows on uniform data — k grows toward sqrt(N) like IVF's
+    nlist, keeping per-cell work flat); output is one row per vector.
+    All cosine math is dimension-sequential, matching the oracle's
+    fold bit-for-bit."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cids, C, _nc = V.collect_centroids(emb, _SEM_K)
+    bc = spark.sparkContext.broadcast((cids, C, _nc))
+    cell_of = V.make_nearest_udf(bc)
+    assigned = emb.withColumn("cell", cell_of(F.col("embedding")))
+
+    def per_cell(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        # dimension-sequential accumulation — same bits as cosine_sql
+        S = np.zeros((len(M), len(M)))
+        n2 = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            S = S + np.outer(M[:, i], M[:, i])
+            n2 = n2 + M[:, i] * M[:, i]
+        nrm = np.sqrt(n2)
+        cos = S / np.outer(nrm, nrm)
+        # duplicate iff ANY lower-id row in the cell is >= tau
+        dup = ((cos >= _SEM_TAU) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "kept": (~dup).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, schema="vec_id long, cell long, kept int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — BM25 ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (ranked retrieval): disjunctive BM25 over the inverted-index
+    shape of c04_boolean_search. idf uses the +1 ("Lucene") form so
+    scores stay positive; per-(doc, term) partial scores are folded in
+    term order (array_sort + sequential fold) because float addition is
+    not associative and the oracle must reproduce the exact double.
+
+    At 100 TB: postings are one explode + one partial-agg shuffle on
+    (doc, term); df and avgdl are tiny corpus aggregates broadcast into
+    the scorer; the top-n compiles to TakeOrderedAndProject (no global
+    sort), and the final row_number ranks only n rows.
+
+    idf is computed DRIVER-side from the collected per-term df (a
+    |query terms|-row collect — exactly what a search coordinator does
+    with index stats at query time): JVM Math.log disagrees with libm
+    by 1 ulp on some inputs, while CPython's math.log and DuckDB's ln
+    both call the host libm, so the driver-computed literal is the only
+    placement where ln stays bit-identical to the oracle. Every other
+    op in the score (+,-,*,/) is IEEE-exact in both engines."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+
+    # corpus stats: N docs + avgdl (one tiny agg), df per query term
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").cast("double").alias("dl"))
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    n_docs = float(docs.count())
+    idf_rows = [
+        (r.term, math.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5)))
+        for r in df_t.collect()  # |query terms| rows — constant
+    ]
+    idf_t = spark.createDataFrame(idf_rows, "term string, idf double")
+
+    scored = (
+        postings.join(F.broadcast(idf_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("s")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    topn = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOPN)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topn.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "doc_id", "n_terms", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — bigram language-model scoring (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w1, w2) for every adjacent token pair, via a
+    codegen higher-order expression (no Python)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col("toks")[i].alias("w1"),
+                    F.col("toks")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.pos", "bg.w1", "bg.w2")
+    return pairs
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (LM quality scoring): train a bigram MLE model on the corpus
+    (c(w1,w2) and c(w1) counts), then score every document's
+    log-probability sum(ln(c12/c1)) over its bigrams **in position
+    order** — the cheap, exact-oracle stand-in for the KenLM perplexity
+    filters that quality-gate web-scale corpora. Docs with fewer than 2
+    tokens score 0 over 0 bigrams.
+
+    At 100 TB: the model is two partial-agg shuffles (bigram and unigram
+    counts); scoring is one shuffle-join of the exploded corpus against
+    the model (both sides hash-partitioned on the join key — the model
+    table is vocabulary-sized, broadcast when it fits); the per-doc fold
+    is an ordered array aggregate. ln runs on the MODEL table (once per
+    bigram type, not per occurrence) through a libm-backed pandas UDF:
+    JVM Math.log drifts a ulp from the host libm that both CPython's
+    math.log and DuckDB's ln call, so JVM-side F.log would hash-diverge
+    while this stays bit-identical AND does strictly less work."""
+    import math
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ln(x: pd.Series) -> pd.Series:
+        return x.map(math.log)
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(docs)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    model = c12.join(c1, "w1").withColumn(
+        "lp", _ln(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    )
+
+    lp = bg.join(model, ["w1", "w2"])
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("lp")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("logprob"), F.lit(0.0)).alias("logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — deterministic shard shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHUF_A = 1103515245
+_SHUF_C = 12345
+_SHUF_M = 2147483647
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (training shuffle): deterministically shuffle the corpus into
+    ``_N_SHARDS`` shards with a stable within-shard order — the layout a
+    dataloader reads. The shuffle key is an LCG hash of doc_id (exact
+    64-bit integer math, mirrored verbatim in the oracle), so the split
+    is reproducible across runs and engines; shard = key mod n_shards,
+    position = rank of the key within the shard.
+
+    At 100 TB this is the plan Spark already wants: hash-partition on
+    shard, sort within partitions — NO global sort, no driver state. A
+    re-shuffle for the next epoch is a different LCG constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(_SHUF_A) + F.lit(_SHUF_C)) % F.lit(_SHUF_M)
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", F.col("shuffle_key") % _N_SHARDS)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select("doc_id", "shard", "shard_pos", "shuffle_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — ANN recall evaluation (LSH vs exact)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (eval harness): recall@k of the LSH-bucketed ANN path against
+    the brute-force exact top-k, per query — the measurement loop that
+    tunes n_planes/nprobe before anyone trusts an ANN index. Joins two
+    k-row-per-query tables; integer counts plus one final division, so
+    the oracle is exact.
+
+    At 100 TB the eval runs on a sampled query set (here: the same
+    _N_QUERIES both paths already use) — cost is two index probes plus
+    a k-row join per query, independent of corpus size."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_ann_lsh,
+        q_knn_bruteforce,
+    )
+
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — temperature-weighted source mixing
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5
+_MIX_BUDGET = 10000
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (data mixing): per-source sampling weights w_s =
+    n_s^alpha / sum_s n_s^alpha (temperature alpha < 1 upweights small
+    sources — the standard multi-source mixing rule) plus the integer
+    document quota for a fixed training budget. The normalizer folds the
+    per-source terms in source order so the float sum is deterministic;
+    alpha = 0.5 so the temperature op is sqrt — correctly-rounded IEEE
+    in both engines, unlike pow (JVM Math.pow vs libm can differ a ulp).
+
+    At 100 TB: one partial-agg shuffle to |sources| rows; everything
+    after is constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    pw = counts.withColumn("pw", F.sqrt(F.col("n_docs").cast("double")))
+    total = pw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("pw")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["pw"],
+        ).alias("total_pw")
+    )
+    return (
+        pw.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("pw") / F.col("total_pw")).alias("weight"),
+            F.floor(F.col("pw") / F.col("total_pw") * _MIX_BUDGET)
+            .cast("long")
+            .alias("quota_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — distributed connected components (hash-min label propagation)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 50
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (scale path for dedup survivorship): connected components over
+    the LSH-candidate edge graph, computed ENTIRELY distributed —
+    hash-min label propagation (each node repeatedly takes the minimum
+    label among itself and its neighbours) iterated to fixpoint. This is
+    the large-graph alternative the c02_dedup_survivors docstring names:
+    survivors' driver-side union-find is right when the post-LSH edge
+    set is tiny; this operator is what runs when it isn't. Same output
+    contract (component = min reachable doc_id, survivor = key holder),
+    same recursive-CTE oracle.
+
+    At 100 TB: O(component diameter) rounds — near-dup graphs are
+    dense clusters with tiny diameters, so a handful — each round one
+    shuffle join on node id + one partial-agg min; labels are
+    localCheckpoint'ed per round to cut lineage, and the driver sees one
+    scalar (the label sum, a monotone convergence witness) per round,
+    never the graph."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_lsh_candidate_pairs,
+    )
+
+    threshold = 0.3
+    pairs = (
+        q_lsh_candidate_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+        .cast("int")
+        .alias("survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — duplicated-span removal (exact-substring dedup as a TRANSFORM)
+# ---------------------------------------------------------------------------
+
+_RM_K = 5
+
+
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (substring dedup transform): REMOVE every token covered by a
+    word-``_RM_K``-gram that occurs in two or more distinct documents,
+    and reassemble the surviving tokens in order — the
+    exact-substring-removal step web-corpus pipelines apply after
+    detection (c02_duplicate_ngrams is the detector; this is the
+    rewrite). Grams ride the shared rolling-hash code space
+    (functions/text.py), so the duplicated-gram table and the oracle
+    agree exactly.
+
+    At 100 TB: one gram explode + partial-agg shuffle on the int64 code
+    to find cross-doc grams, one semi-join back (the duplicated-gram
+    table is a small fraction of the gram stream), one per-doc ordered
+    reassembly — no Python, no driver state."""
+    from iceberg_relative_io_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.posexplode(T.gram_codes(T.token_codes(F.col("text")), _RM_K)).alias(
+            "g0", "code"
+        ),
+    ).select("doc_id", (F.col("g0") + 1).alias("gpos"), "code")
+    dup = (
+        g.groupBy("code")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("code")
+    )
+    covered = (
+        g.join(dup, "code")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (_RM_K - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    surv = tok.join(covered, ["doc_id", "tpos"], "left_anti")
+    cleaned = surv.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "c03_semantic_dedup": q_semantic_dedup,
+    "c04_bm25_search": q_bm25_search,
+    "c04_bigram_logprob": q_bigram_logprob,
+    "c06_shard_shuffle": q_shard_shuffle,
+    "c03_ann_recall_eval": q_ann_recall_eval,
+    "c06_mixture_weights": q_mixture_weights,
+    "c02_connected_components": q_connected_components,
+    "c02_substring_removal": q_substring_removal,
+}
+
+
+def _sem_oracle() -> str:
+    return f"""
+        WITH cents AS (
+            {V.sample_cte_sql(_SEM_K)}
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.cid AS cell,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM assign b
+                   JOIN embeddings eb ON eb.vec_id = b.vec_id
+                   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                   WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                     AND {V.cosine_sql('ea.embedding', 'eb.embedding')} >= {_SEM_TAU}
+               ) THEN 0 ELSE 1 END AS kept
+        FROM assign a
+    """
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        postings AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                   CAST(min(dl) AS DOUBLE) AS dl
+            FROM toks WHERE term IN ({terms})
+            GROUP BY doc_id, term
+        ),
+        df_t AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term
+        ),
+        scored AS (
+            SELECT p.doc_id, p.term,
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1.0))
+                   / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+                       AS s
+            FROM postings p JOIN df_t d USING (term) CROSS JOIN stats s
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, x) -> a + x)
+                       AS score,
+                   count(*) AS n_terms
+            FROM scored GROUP BY doc_id
+        )
+        SELECT * FROM (
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+                   doc_id, n_terms, score
+            FROM per_doc
+        ) WHERE rnk <= {_BM25_TOPN}
+    """
+
+
+def _bigram_oracle() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, b.pos, b.w1, b.w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> struct_pack(pos := i - 1, w1 := t[i], w2 := t[i + 1])
+                       )) AS b
+                FROM toks
+            )
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        lp AS (
+            SELECT b.doc_id, b.pos,
+                   ln(CAST(j.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS lp
+            FROM bg b JOIN c12 j ON b.w1 = j.w1 AND b.w2 = j.w2
+            JOIN c1 u ON b.w1 = u.w1
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   list_reduce(list_prepend(0.0, list(lp ORDER BY pos)), (a, x) -> a + x)
+                       AS logprob
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(p.logprob, 0.0) AS logprob
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+
+
+def _shard_oracle() -> str:
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   (doc_id * {_SHUF_A} + {_SHUF_C}) % {_SHUF_M} AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id,
+               shuffle_key % {_N_SHARDS} AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shuffle_key % {_N_SHARDS}
+                   ORDER BY shuffle_key, doc_id
+               ) AS INT) AS shard_pos,
+               shuffle_key
+        FROM keyed
+    """
+
+
+def _recall_oracle() -> str:
+    from iceberg_relative_io_spark.operators.northstar import ORACLE as NS
+
+    return f"""
+        WITH exact AS (
+            SELECT query_id, vec_id FROM ({NS['c03_knn_bruteforce']})
+        ),
+        approx AS (
+            SELECT query_id, vec_id FROM ({NS['c03_ann_lsh']})
+        ),
+        base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+        hits AS (
+            SELECT e.query_id, count(*) AS n_hit
+            FROM exact e
+            WHERE EXISTS (SELECT 1 FROM approx a
+                          WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id)
+            GROUP BY e.query_id
+        )
+        SELECT b.query_id, b.n_exact,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE)
+                   AS recall
+        FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+    """
+
+
+def _mixture_oracle() -> str:
+    return f"""
+        WITH counts AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        pw AS (
+            SELECT source, n_docs,
+                   sqrt(CAST(n_docs AS DOUBLE)) AS pw
+            FROM counts
+        ),
+        total AS (
+            SELECT list_reduce(list_prepend(0.0, list(pw ORDER BY source)), (a, x) -> a + x)
+                       AS total_pw
+            FROM pw
+        )
+        SELECT p.source, p.n_docs,
+               p.pw / t.total_pw AS weight,
+               CAST(floor(p.pw / t.total_pw * {_MIX_BUDGET}) AS BIGINT) AS quota_docs
+        FROM pw p CROSS JOIN total t
+    """
+
+
+def _cc_oracle() -> str:
+    # identical answer contract to the driver-side-union-find operator:
+    # reuse its recursive transitive-closure oracle verbatim
+    from iceberg_relative_io_spark.operators.northstar import ORACLE as NS
+
+    return NS["c02_dedup_survivors"]
+
+
+def _removal_oracle() -> str:
+    from iceberg_relative_io_spark.functions import text as T
+
+    codes = T.token_codes_sql("text")
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text, {codes} AS codes FROM documents
+        ),
+        g AS (
+            SELECT doc_id, e.gpos AS gpos, e.code AS code FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(gr)),
+                           i -> struct_pack(gpos := i, code := gr[i])
+                       )) AS e
+                FROM (SELECT doc_id, {T.gram_codes_sql('codes', _RM_K)} AS gr FROM c)
+            )
+        ),
+        dup AS (
+            SELECT code FROM g GROUP BY code HAVING count(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, tpos FROM (
+                SELECT doc_id,
+                       unnest(generate_series(gpos, gpos + {_RM_K - 1})) AS tpos
+                FROM g JOIN dup USING (code)
+            )
+        ),
+        tk AS (
+            SELECT doc_id, e.tpos AS tpos, e.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t)),
+                           i -> struct_pack(tpos := i, tok := t[i])
+                       )) AS e
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ),
+        surv AS (
+            SELECT t.doc_id, t.tpos, t.tok FROM tk t
+            WHERE NOT EXISTS (SELECT 1 FROM covered v
+                              WHERE v.doc_id = t.doc_id AND v.tpos = t.tpos)
+        ),
+        cl AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+            FROM surv GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               CAST(len(string_split(d.text, ' ')) - COALESCE(cl.n_kept, 0) AS INT)
+                   AS n_removed,
+               COALESCE(cl.cleaned_text, '') AS cleaned_text
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    """
+
+
+ORACLE = {
+    "c03_semantic_dedup": _sem_oracle(),
+    "c04_bm25_search": _bm25_oracle(),
+    "c04_bigram_logprob": _bigram_oracle(),
+    "c06_shard_shuffle": _shard_oracle(),
+    "c03_ann_recall_eval": _recall_oracle(),
+    "c06_mixture_weights": _mixture_oracle(),
+    "c02_connected_components": _cc_oracle(),
+    "c02_substring_removal": _removal_oracle(),
+}

@@ -1,0 +1,165 @@
+"""Round-3 operator tests: invariants the oracle can't express, plus the
+scale-shape guarantees (bounded driver collects, no global sort in the
+shard shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.operators import roundthree as R
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+@pytest.mark.parametrize("name", sorted(R.QUERIES))
+def test_roundthree_query_runs(spark, sf_dir, name):
+    df = R.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_semantic_dedup_covers_corpus_and_keeps_cell_minimum(spark, sf_dir):
+    """Every vector gets exactly one keep/drop decision, and the
+    lowest-id member of each cell is always kept (it has no lower-id
+    neighbour to defer to)."""
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    out = R.q_semantic_dedup(spark, sf_dir)
+    assert out.count() == n_vecs
+    rows = out.collect()
+    lowest = {}
+    for r in rows:
+        if r.cell not in lowest or r.vec_id < lowest[r.cell]:
+            lowest[r.cell] = r.vec_id
+    kept = {(r.cell, r.vec_id) for r in rows if r.kept == 1}
+    for cell, vid in lowest.items():
+        assert (cell, vid) in kept
+    # the fixture's embedding space has near-dups above tau — the op
+    # must actually drop something, not degenerate to keep-all
+    assert any(r.kept == 0 for r in rows)
+
+
+def test_semantic_dedup_centroid_collect_is_bounded(spark, sf_dir, monkeypatch):
+    """The only driver collect is the centroid sample — exactly _SEM_K
+    rows however large the corpus is (the SemDeDup scale contract)."""
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    seen = []
+    real = V.collect_centroids
+
+    def spy(emb, k):
+        out = real(emb, k)
+        seen.append(len(out[0]))
+        return out
+
+    monkeypatch.setattr(V, "collect_centroids", spy)
+    monkeypatch.setattr(
+        "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
+    )
+    R.q_semantic_dedup(spark, sf_dir).count()
+    assert seen == [R._SEM_K]
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    rows = R.q_bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= R._BM25_TOPN
+    scores = [r.score for r in sorted(rows, key=lambda r: r.rnk)]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # disjunctive retrieval: every hit matched at least one query term
+    assert all(1 <= r.n_terms <= len(R._BM25_TERMS) for r in rows)
+
+
+def test_bigram_logprob_is_nonpositive_and_total(spark, sf_dir):
+    """MLE bigram probabilities are <= 1, so every document's log-prob
+    is <= 0; every document appears exactly once (including any too
+    short to have bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.q_bigram_logprob(spark, sf_dir)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("logprob") > 1e-12).count() == 0
+    assert out.filter((F.col("n_bigrams") == 0) & (F.col("logprob") != 0.0)).count() == 0
+
+
+def test_shard_shuffle_is_a_permutation_with_dense_positions(spark, sf_dir):
+    """Shards partition the corpus; positions within a shard are dense
+    1..n; the assignment is deterministic across runs."""
+    out1 = R.q_shard_shuffle(spark, sf_dir).collect()
+    out2 = R.q_shard_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out1) == n_docs
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(R._N_SHARDS))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_shuffle_plan_has_no_global_sort(spark, sf_dir):
+    """The shuffle is hash-partition + within-partition sort: the plan
+    must contain a partial (non-global) Sort and no single-partition
+    global Exchange for ordering."""
+    plan = R.q_shard_shuffle(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """recall in [0, 1] per query; n_hit <= n_exact; every evaluated
+    query comes from the shared _N_QUERIES sample."""
+    from iceberg_relative_io_spark.operators import northstar as N
+
+    rows = R.q_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == N._N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall - r.n_hit / r.n_exact) < 1e-15
+
+
+def test_connected_components_matches_driver_union_find(spark, sf_dir):
+    """The distributed hash-min iteration must produce the exact same
+    component assignment as the driver-side union-find operator — same
+    graph, two execution strategies."""
+    from iceberg_relative_io_spark.operators import northstar as N
+
+    want = {(r.doc_id, r.component, r.survivor)
+            for r in N.q_dedup_survivors(spark, sf_dir).collect()}
+    got = {(r.doc_id, r.component, r.survivor)
+           for r in R.q_connected_components(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_substring_removal_only_rewrites_covered_tokens(spark, sf_dir):
+    """Every document keeps its row; n_removed is consistent with the
+    reassembled text's token count; documents shorter than the gram
+    width are untouched; and the fixture's shared vocabulary actually
+    triggers removals (the op is not a no-op)."""
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = R.q_substring_removal(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    total_removed = 0
+    for r in rows:
+        n_clean = len(r.cleaned_text.split(" ")) if r.cleaned_text else 0
+        assert r.n_tokens - r.n_removed == n_clean
+        total_removed += r.n_removed
+        orig = docs[r.doc_id].split(" ")
+        assert r.n_tokens == len(orig)
+        if len(orig) < R._RM_K:
+            assert r.n_removed == 0 and r.cleaned_text == docs[r.doc_id]
+        # surviving tokens are a subsequence of the original
+        it = iter(orig)
+        assert all(tok in it for tok in (r.cleaned_text.split(" ") if r.cleaned_text else []))
+    assert total_removed > 0
+
+
+def test_mixture_weights_sum_to_one_and_respect_temperature(spark, sf_dir):
+    rows = R.q_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    # alpha < 1 compresses the range: the weight ratio between the
+    # largest and smallest source is strictly smaller than the count
+    # ratio (the point of temperature mixing)
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs > small.n_docs:
+        assert big.weight / small.weight < big.n_docs / small.n_docs
+    assert all(r.quota_docs <= R._MIX_BUDGET for r in rows)
