@@ -265,6 +265,22 @@ def make_gram_stats_udf(k: int):
     return gram_stats
 
 
+def make_gram_codes_udf(k: int):
+    """pandas UDF: text -> ORDERED k-gram codes (index i covers tokens
+    i..i+k-1) — the Arrow-batched mirror of gram_codes() for consumers
+    that need gram positions (e.g. span removal). The Column-expression
+    twin evaluates interpreted (nested higher-order exprs fall out of
+    codegen) at ~50x this cost on corpus-sized inputs."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ordered_grams(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return pd.Series([_py_gram_codes(t, k, memo) for t in text])
+
+    return ordered_grams
+
+
 def make_distinct_gram_codes_udf(k: int):
     """pandas UDF: text -> sorted distinct k-gram codes (Arrow-batched
     mirror of array_distinct(gram_codes()) — order irrelevant because the

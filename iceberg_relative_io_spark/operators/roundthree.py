@@ -452,7 +452,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence aggregate below is the round's single
+            # action; it materializes the checkpoint as a side effect
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -491,13 +493,16 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one gram explode + partial-agg shuffle on the int64 code
     to find cross-doc grams, one semi-join back (the duplicated-gram
     table is a small fraction of the gram stream), one per-doc ordered
-    reassembly — no Python, no driver state."""
+    reassembly. Gram codes come from the Arrow-batched mirror UDF — the
+    Column-expression twin is interpreted (nested higher-order exprs
+    fall out of codegen) and measured ~50x slower on this, the hot
+    per-token stage; the integers are identical (property-tested)."""
     from iceberg_relative_io_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id",
-        F.posexplode(T.gram_codes(T.token_codes(F.col("text")), _RM_K)).alias(
+        F.posexplode(T.make_gram_codes_udf(_RM_K)(F.col("text"))).alias(
             "g0", "code"
         ),
     ).select("doc_id", (F.col("g0") + 1).alias("gpos"), "code")
@@ -541,6 +546,36 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C5 — resize/transcode stage as a driver query
+# ---------------------------------------------------------------------------
+
+_RESIZE_BYTES = 64
+
+
+def q_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (multimodal transform): the resize/transcode mapInPandas stage
+    end-to-end — payload in, smaller payload out, metadata updated. The
+    default stand-in resizer truncates to ``_RESIZE_BYTES`` (codecs are
+    stubbed in this container; a Pillow/ffmpeg resizer drops in without
+    touching the plan), and the output carries the truncated payload as
+    hex so the oracle verifies CONTENT byte-for-byte, not just lengths
+    — byte-based on both sides, no ASCII assumption.
+
+    At 100 TB this stage is the bulk of a media pipeline's compute:
+    map-only, Arrow-batched, no shuffle — exactly what the plan shows."""
+    from iceberg_relative_io_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.resize_stage(M.to_multimodal(docs), _RESIZE_BYTES)
+    return resized.select(
+        "item_id",
+        "mime",
+        "n_bytes",
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -553,6 +588,7 @@ QUERIES = {
     "c06_mixture_weights": q_mixture_weights,
     "c02_connected_components": q_connected_components,
     "c02_substring_removal": q_substring_removal,
+    "c05_resize_pipeline": q_resize_pipeline,
 }
 
 
@@ -804,4 +840,12 @@ ORACLE = {
     "c06_mixture_weights": _mixture_oracle(),
     "c02_connected_components": _cc_oracle(),
     "c02_substring_removal": _removal_oracle(),
+    "c05_resize_pipeline": f"""
+        SELECT doc_id AS item_id,
+               'application/octet-stream' AS mime,
+               CAST(least(octet_length(encode(text)), {_RESIZE_BYTES}) AS INT)
+                   AS n_bytes,
+               substring(hex(encode(text)), 1, {2 * _RESIZE_BYTES}) AS payload_hex
+        FROM documents
+    """,
 }

@@ -85,12 +85,13 @@ def test_python_hash_mirrors_equal_column_builders(spark):
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
     codes = T.token_codes(F.col("text"))
     got = {
-        r.i: (r.fp, r.sh, r.g5)
+        r.i: (r.fp, r.sh, r.g5, r.gu)
         for r in df.select(
             "i",
             T.fingerprint(F.col("text")).alias("fp"),
             T.shingle_codes(codes).alias("sh"),
             T.gram_codes(codes, 5).alias("g5"),
+            T.make_gram_codes_udf(5)(F.col("text")).alias("gu"),
         ).collect()
     }
     memo: dict = {}
@@ -101,6 +102,7 @@ def test_python_hash_mirrors_equal_column_builders(spark):
         assert got[i][0] == fp, f"fingerprint mismatch on {d!r}"
         assert list(got[i][1]) == sh, f"shingles mismatch on {d!r}"
         assert list(got[i][2]) == g5, f"5-gram mismatch on {d!r}"
+        assert list(got[i][3]) == g5, f"ordered-gram UDF mismatch on {d!r}"
 
 
 def test_vector_mirrors_equal_column_builders(spark):

@@ -152,6 +152,17 @@ def test_substring_removal_only_rewrites_covered_tokens(spark, sf_dir):
     assert total_removed > 0
 
 
+def test_resize_pipeline_is_map_only_and_truncates(spark, sf_dir):
+    """The resize stage must stay shuffle-free (pure mapInPandas over the
+    scan) and cap every payload at the target size."""
+    df = R.q_resize_pipeline(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = df.collect()
+    assert all(r.n_bytes <= R._RESIZE_BYTES for r in rows)
+    assert all(len(r.payload_hex) == 2 * r.n_bytes for r in rows)
+
+
 def test_mixture_weights_sum_to_one_and_respect_temperature(spark, sf_dir):
     rows = R.q_mixture_weights(spark, sf_dir).collect()
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9

@@ -49,6 +49,13 @@ MEASURED = [
     "c03_pq_codes",
     "b34_tpch_q9",
     "b34_tpch_q21",
+    # round 3 batch 2: new training-pipeline operators
+    "c03_semantic_dedup",
+    "c04_bm25_search",
+    "c04_bigram_logprob",
+    "c06_shard_shuffle",
+    "c02_connected_components",
+    "c02_substring_removal",
 ]
 
 
