@@ -546,6 +546,81 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C6 — bloom-filter contamination audit (the 100 TB variant, made real)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # FIXED bit-space — bounded however large train is
+_BLOOM_K = 3
+_CONTAM_K = 5
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (eval hygiene at scale): the bloom-filter variant of
+    c06_contamination_check — that operator's docstring names 'broadcast
+    a bloom filter of the train side' as the 100 TB path; this IS that
+    path, with exact bloom semantics. Train word-5-grams set
+    ``_BLOOM_K`` positions in a FIXED ``_BLOOM_M``-bit space (affine
+    integer hash family of functions/text.py); a test gram is flagged
+    iff ALL its positions are set — including bloom false positives,
+    which the oracle reproduces exactly because the bit positions are
+    pure integer math in both engines.
+
+    The bit set is represented relationally (distinct position rows,
+    <= M rows however large the corpus — at 100 TB you'd fold the same
+    positions into an M-bit array and broadcast it; the flagged set is
+    identical by construction). Flagging is one explode + one
+    hash-join against the bounded position table, replacing the
+    train-sized gram semi-join of the exact check."""
+    from iceberg_relative_io_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = T.fingerprint(F.col("text")) % 100
+    grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))
+    wg = docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), grams.alias("grams")
+    )
+
+    def positions(g):
+        out = []
+        for j in range(_BLOOM_K):
+            a, b = T.hash_params(j)
+            out.append(((g * a + b) % T.MOD) % _BLOOM_M)
+        return F.array(*out)
+
+    train_bits = (
+        wg.filter(F.col("bucket") < 80)
+        .select(F.explode("grams").alias("gram"))
+        .select(F.explode(positions(F.col("gram"))).alias("pos"))
+        .distinct()
+    )
+    test_docs = wg.filter(F.col("bucket") >= 90)
+    te_pos = test_docs.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos"))
+    per_gram = (
+        te_pos.join(train_bits.withColumn("present", F.lit(1)), "pos", "left")
+        .groupBy("doc_id", "gram")
+        .agg(F.min(F.coalesce("present", F.lit(0))).alias("all_present"))
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("all_present").alias("n_flagged")
+    )
+    return (
+        test_docs.select("doc_id", "lang", F.size("grams").alias("n_grams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+            (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # C5 — resize/transcode stage as a driver query
 # ---------------------------------------------------------------------------
 
@@ -589,6 +664,7 @@ QUERIES = {
     "c02_connected_components": q_connected_components,
     "c02_substring_removal": q_substring_removal,
     "c05_resize_pipeline": q_resize_pipeline,
+    "c06_contamination_bloom": q_contamination_bloom,
 }
 
 
@@ -831,6 +907,46 @@ def _removal_oracle() -> str:
     """
 
 
+def _bloom_oracle() -> str:
+    from iceberg_relative_io_spark.functions import text as T
+
+    codes = T.token_codes_sql("text")
+    pos_list = "[" + ", ".join(
+        f"((g * {T.hash_params(j)[0]} + {T.hash_params(j)[1]}) % {T.MOD}) % {_BLOOM_M}"
+        for j in range(_BLOOM_K)
+    ) + "]"
+    return f"""
+        WITH c AS (
+            SELECT doc_id, lang, ({T.fingerprint_sql('text')}) % 100 AS bucket,
+                   {codes} AS codes
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, lang, bucket,
+                   list_distinct({T.gram_codes_sql('codes', _CONTAM_K)}) AS grams
+            FROM c
+        ),
+        tr_g AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE bucket < 80),
+        bits AS (SELECT DISTINCT unnest({pos_list}) AS pos FROM tr_g),
+        te AS (SELECT doc_id, lang, grams FROM t WHERE bucket >= 90),
+        te_g AS (SELECT doc_id, unnest(grams) AS g FROM te),
+        te_p AS (SELECT doc_id, g, unnest({pos_list}) AS pos FROM te_g),
+        pg AS (
+            SELECT tp.doc_id, tp.g,
+                   min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_present
+            FROM te_p tp LEFT JOIN bits b ON tp.pos = b.pos
+            GROUP BY tp.doc_id, tp.g
+        ),
+        pd AS (SELECT doc_id, CAST(sum(all_present) AS BIGINT) AS n_flagged
+               FROM pg GROUP BY doc_id)
+        SELECT te.doc_id, te.lang,
+               CAST(len(te.grams) AS INT) AS n_grams,
+               COALESCE(pd.n_flagged, 0) AS n_flagged,
+               CAST(COALESCE(pd.n_flagged, 0) > 0 AS INT) AS contaminated
+        FROM te LEFT JOIN pd ON te.doc_id = pd.doc_id
+    """
+
+
 ORACLE = {
     "c03_semantic_dedup": _sem_oracle(),
     "c04_bm25_search": _bm25_oracle(),
@@ -840,6 +956,7 @@ ORACLE = {
     "c06_mixture_weights": _mixture_oracle(),
     "c02_connected_components": _cc_oracle(),
     "c02_substring_removal": _removal_oracle(),
+    "c06_contamination_bloom": _bloom_oracle(),
     "c05_resize_pipeline": f"""
         SELECT doc_id AS item_id,
                'application/octet-stream' AS mime,

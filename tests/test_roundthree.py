@@ -152,6 +152,25 @@ def test_substring_removal_only_rewrites_covered_tokens(spark, sf_dir):
     assert total_removed > 0
 
 
+def test_bloom_contamination_has_no_false_negatives(spark, sf_dir):
+    """A bloom filter can only over-flag: per language, the bloom audit's
+    contaminated-doc count must be >= the exact semi-join audit's count,
+    and every test-split doc appears exactly once."""
+    from iceberg_relative_io_spark.operators import pipeline_ext as P
+
+    exact = {r.lang: r.n_contaminated
+             for r in P.q_contamination_check(spark, sf_dir).collect()}
+    rows = R.q_contamination_bloom(spark, sf_dir).collect()
+    n_test = sum(r.n_test_docs for r in P.q_contamination_check(spark, sf_dir).collect())
+    assert len(rows) == n_test
+    bloom = {}
+    for r in rows:
+        bloom[r.lang] = bloom.get(r.lang, 0) + r.contaminated
+        assert 0 <= r.n_flagged <= r.n_grams
+    for lang, n_exact in exact.items():
+        assert bloom.get(lang, 0) >= n_exact
+
+
 def test_resize_pipeline_is_map_only_and_truncates(spark, sf_dir):
     """The resize stage must stay shuffle-free (pure mapInPandas over the
     scan) and cap every payload at the target size."""
