@@ -413,7 +413,9 @@ _IVF_NLIST = 32  # FIXED nlist — the centroid set does NOT grow with the corpu
 _N_PROBE = 2
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(
+    spark: SparkSession, sf_dir: str, nlist: int = _IVF_NLIST
+) -> DataFrame:
     """C3 (IVF scale path): inverted-file ANN. A deterministic coarse
     quantizer (centroids = the ``_IVF_NLIST``-row bounded hash-sample of
     the corpus, a stand-in for trained k-means centroids — the
@@ -426,7 +428,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd raise nlist toward sqrt(N) and train with sampled k-means, but
     the collect stays O(nlist), never O(N)). The corpus is partitioned
     by cell id, so a query touches nprobe/nlist of the data — the
-    classic IVF trade (recall < 1, tunable via nprobe). All float math
+    classic IVF trade (recall < 1, tunable via nprobe). ``nlist`` is the
+    SCALE KNOB: fixed nlist means 10x corpus -> 10x cell size -> 10x
+    probe-scoring work per query; growing nlist with the corpus keeps
+    cells constant-size (SCALING.md measures the fixed default going
+    super-linear at 10x and a 10x nlist restoring it). All float math
     is dimension-sequential so the oracle reproduces the exact
     assignments, probes, and scores."""
     import numpy as np
@@ -434,7 +440,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    cids, C, nc = V.collect_centroids(emb, _IVF_NLIST)
+    cids, C, nc = V.collect_centroids(emb, nlist)
     bc = spark.sparkContext.broadcast((cids, C, nc))
     cell_of = V.make_nearest_udf(bc)
 

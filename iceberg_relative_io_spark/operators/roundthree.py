@@ -55,7 +55,9 @@ _SEM_K = 32  # FIXED cell count — centroid collect is constant in the corpus
 _SEM_TAU = 0.3  # fixture cosines top out ≈ 0.4 (see northstar.py header)
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_cells: int = _SEM_K
+) -> DataFrame:
     """C3/C1 (semantic dedup): assign every embedding to its nearest
     centroid cell (bounded-sample centroids, the c03_ann_ivf coarse
     quantizer), then within each cell drop any vector that has a
@@ -66,14 +68,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the centroid collect is O(k) (constant); assignment is
     one broadcast map-only pass; the quadratic lives inside a cell
-    (corpus/k rows on uniform data — k grows toward sqrt(N) like IVF's
-    nlist, keeping per-cell work flat); output is one row per vector.
-    All cosine math is dimension-sequential, matching the oracle's
-    fold bit-for-bit."""
+    (corpus/k rows on uniform data). ``n_cells`` is the SCALE KNOB: the
+    per-cell pair work is (N/k)^2 per cell, so k must grow ~linearly
+    with the corpus (toward sqrt(N)) to keep per-row cost constant —
+    SCALING.md measures the fixed default going super-linear at 10x and
+    a 10x k restoring it (the same knob discipline as
+    c01_embedding_neardup's plane count and IVF's nlist). The
+    driver-registered query keeps the default, which the oracle mirrors
+    exactly. All cosine math is dimension-sequential, matching the
+    oracle's fold bit-for-bit."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cids, C, _nc = V.collect_centroids(emb, _SEM_K)
+    cids, C, _nc = V.collect_centroids(emb, n_cells)
     bc = spark.sparkContext.broadcast((cids, C, _nc))
     cell_of = V.make_nearest_udf(bc)
     assigned = emb.withColumn("cell", cell_of(F.col("embedding")))

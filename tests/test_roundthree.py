@@ -56,6 +56,14 @@ def test_semantic_dedup_centroid_collect_is_bounded(spark, sf_dir, monkeypatch):
     )
     R.q_semantic_dedup(spark, sf_dir).count()
     assert seen == [R._SEM_K]
+    # the scale knob: n_cells drives the (bounded) collect directly, and
+    # the finer blocking still covers the whole corpus one row per vector
+    seen.clear()
+    n = R.q_semantic_dedup(spark, sf_dir, n_cells=64).count()
+    assert seen == [64]
+    from iceberg_relative_io_spark.sources.tables import load_table as _lt
+
+    assert n == _lt(spark, sf_dir, "embeddings").count()
 
 
 def test_bm25_scores_positive_and_ranked(spark, sf_dir):
