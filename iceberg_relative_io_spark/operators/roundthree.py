@@ -553,6 +553,113 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C2 — containment dedup (subset-document detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (containment dedup): LSH candidate pairs scored by Jaccard
+    CONTAINMENT |A∩B| / min(|A|,|B|) instead of plain Jaccard — the
+    asymmetric metric that catches a short document embedded inside a
+    longer one, which union-normalized Jaccard dilutes below threshold.
+    Reuses the shared minhash featurization and the banded-LSH candidate
+    join (only (band, signature) tuples shuffle; the cross product never
+    exists); emits the shingle-set sizes so the score is auditable.
+
+    At 100 TB: identical plan shape to c02_lsh_candidate_pairs — one
+    band-keyed shuffle join over the persisted signature table plus the
+    pair dedup."""
+    from iceberg_relative_io_spark.functions import text as T
+    from iceberg_relative_io_spark.operators.northstar import _signatures
+
+    sigs = _signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "sh", "bs.band", "bs.bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.col("a.sh")).alias("n_a"),
+            F.size(F.col("b.sh")).alias("n_b"),
+            inter.alias("n_inter"),
+        )
+        .distinct()
+    )
+    containment = F.col("n_inter").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return pairs.withColumn("containment", containment).filter(
+        F.col("containment") >= _CONTAIN_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — dataset card (per source x lang corpus profile)
+# ---------------------------------------------------------------------------
+
+_SHORT_DOC_TOKENS = 20
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (reporting): the per-(source, lang) dataset card a pipeline
+    publishes with a corpus release — document and token counts, exact
+    duplicate documents, and the short-document fraction. One partial-agg
+    shuffle on (source, lang) plus one hash-agg on text for the dup
+    counts; every measure is integer or a single exact division.
+
+    At 100 TB the dup-count side aggregates text HASHES, not text — here
+    text itself is the key so the oracle is trivially exact (the
+    fingerprint-hash variant is what c01_exact_dedup already shows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dups = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("text")
+    )
+    toks = F.size(F.split("text", " "))
+    flagged = docs.join(
+        dups.withColumn("is_dup", F.lit(1)), "text", "left"
+    ).select(
+        "source",
+        "lang",
+        toks.alias("n_tok"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    return flagged.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum((F.col("n_tok") < _SHORT_DOC_TOKENS).cast("int"))
+        .cast("long")
+        .alias("n_short_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # C6 — bloom-filter contamination audit (the 100 TB variant, made real)
 # ---------------------------------------------------------------------------
 
@@ -672,6 +779,8 @@ QUERIES = {
     "c02_substring_removal": q_substring_removal,
     "c05_resize_pipeline": q_resize_pipeline,
     "c06_contamination_bloom": q_contamination_bloom,
+    "c02_doc_containment": q_doc_containment,
+    "c06_dataset_card": q_dataset_card,
 }
 
 
@@ -914,6 +1023,44 @@ def _removal_oracle() -> str:
     """
 
 
+def _containment_oracle() -> str:
+    from iceberg_relative_io_spark.functions import text as T
+    from iceberg_relative_io_spark.operators.northstar import (
+        _MINS,
+        _docs_with_shingles_cte,
+    )
+
+    bands_cte = (
+        _docs_with_shingles_cte()
+        + ", bands AS (SELECT doc_id, shingles, band, sig FROM sh, "
+        + "LATERAL (VALUES "
+        + ", ".join(f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS))
+        + ") AS t(band, sig))"
+    )
+    return (
+        bands_cte
+        + f"""
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_distinct(a.shingles)) AS n_a,
+                   len(list_distinct(b.shingles)) AS n_b,
+                   len(list_intersect(list_distinct(a.shingles),
+                                      list_distinct(b.shingles))) AS n_inter
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+               CAST(n_inter AS INT) AS n_inter,
+               CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+                   AS containment
+        FROM pairs
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+              >= {_CONTAIN_T}
+    """
+    )
+
+
 def _bloom_oracle() -> str:
     from iceberg_relative_io_spark.functions import text as T
 
@@ -964,6 +1111,25 @@ ORACLE = {
     "c02_connected_components": _cc_oracle(),
     "c02_substring_removal": _removal_oracle(),
     "c06_contamination_bloom": _bloom_oracle(),
+    "c02_doc_containment": _containment_oracle(),
+    "c06_dataset_card": f"""
+        WITH dups AS (
+            SELECT text FROM documents GROUP BY text HAVING count(*) > 1
+        ),
+        f AS (
+            SELECT d.source, d.lang,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   CASE WHEN p.text IS NULL THEN 0 ELSE 1 END AS is_dup
+            FROM documents d LEFT JOIN dups p ON d.text = p.text
+        )
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(sum(CASE WHEN n_tok < {_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short_docs
+        FROM f GROUP BY source, lang
+    """,
     "c05_resize_pipeline": f"""
         SELECT doc_id AS item_id,
                'application/octet-stream' AS mime,

@@ -179,6 +179,40 @@ def test_bloom_contamination_has_no_false_negatives(spark, sf_dir):
         assert bloom.get(lang, 0) >= n_exact
 
 
+def test_containment_dominates_jaccard_on_shared_pairs(spark, sf_dir):
+    """Containment >= Jaccard for every pair (I/min >= I/union), so every
+    LSH candidate above the Jaccard threshold must reappear in the
+    containment output when the thresholds coincide; scores bound in
+    (0, 1]."""
+    from iceberg_relative_io_spark.operators import northstar as N
+
+    jacc = {(r.doc_a, r.doc_b): r.jaccard
+            for r in N.q_lsh_candidate_pairs(spark, sf_dir).collect()}
+    rows = R.q_doc_containment(spark, sf_dir).collect()
+    cont = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    assert rows, "fixture should produce containment pairs"
+    for r in rows:
+        assert 0 < r.containment <= 1.0 + 1e-15
+        assert r.n_inter <= min(r.n_a, r.n_b)
+        j = jacc.get((r.doc_a, r.doc_b))
+        if j is not None:
+            assert r.containment >= j - 1e-12
+    for pair, j in jacc.items():
+        if j >= R._CONTAIN_T:
+            assert pair in cont
+
+
+def test_dataset_card_totals_match_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = R.q_dataset_card(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_tok = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r.total_tokens for r in rows) == total_tok
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.n_short_docs <= r.n_docs
+
+
 def test_resize_pipeline_is_map_only_and_truncates(spark, sf_dir):
     """The resize stage must stay shuffle-free (pure mapInPandas over the
     scan) and cap every payload at the target size."""
