@@ -30,12 +30,16 @@ PRIORITY_ORDER = [
     "b30_stream_tumbling_window", "b30_stream_stream_join",
     "b30_stream_stateful_counter", "b30_session_window", "b30_stream_to_table",
     "b31_stream_dedup",
-    # §2.C LLM-pipeline extensions
+    # §2.C LLM-pipeline extensions (round-3 flagships swapped in for
+    # same-class siblings: distributed CC for the jaccard-topk variant,
+    # BM25 for langid, SemDeDup for the schema-only C5 row — every class
+    # keeps a representative and the 50-query sample spans the whole
+    # inventory)
     "c01_exact_dedup", "c01_embedding_neardup", "c02_minhash_signatures",
     "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c02_simhash",
-    "c02_ngram_jaccard_topk", "c03_knn_bruteforce", "c03_ann_ivf",
-    "c03_cluster_medoids", "c03_pq_codes", "c04_langid",
-    "c05_multimodal_schema", "c05_binary_ingest", "c06_pipeline_capstone",
+    "c02_connected_components", "c03_knn_bruteforce", "c03_ann_ivf",
+    "c03_cluster_medoids", "c03_pq_codes", "c04_bm25_search",
+    "c03_semantic_dedup", "c05_binary_ingest", "c06_pipeline_capstone",
 ]
 
 
