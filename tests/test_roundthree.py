@@ -111,6 +111,24 @@ def test_shard_shuffle_plan_has_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_bm25_plan_is_topk_not_global_sort(spark, sf_dir):
+    """The top-n must compile to TakeOrderedAndProject (no global sort
+    materializes the full hit list) and every join must broadcast — a
+    sort-merge join on the tiny df/stats sides would mean a misplanned
+    shuffle."""
+    plan = R.q_bm25_search(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_plan_has_single_exchange(spark, sf_dir):
+    """Blocked semantic dedup costs exactly one shuffle: the hash
+    partition on the cell id feeding applyInPandas. Anything more means
+    the assignment or the output sprouted an extra exchange."""
+    plan = R.q_semantic_dedup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
 def test_ann_recall_bounds(spark, sf_dir):
     """recall in [0, 1] per query; n_hit <= n_exact; every evaluated
     query comes from the shared _N_QUERIES sample."""
