@@ -464,6 +464,23 @@ def _cms_params() -> list[tuple[int, int]]:
     return [hash_params(j) for j in range(_CMS_D)]
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 (exact sibling of the quantile sketch): per-returnflag exact
+    median and p95 via full-sort percentile — the ground-truth pass a
+    pipeline runs (typically on a sample) to validate its sketches. Both
+    engines use linear interpolation on float64 rank neighbours, and the
+    interpolation arithmetic is IEEE-exact, so the oracle matches
+    bit-for-bit (verified on this fixture). At 100 TB the approx variant
+    above is the production path (bounded memory); this one costs a
+    per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 (frequency sketch): count-min-sketch heavy hitters over
     lineitem.l_partkey. The sketch is a d×W integer table built by one
@@ -1390,6 +1407,7 @@ QUERIES = {
     "b14_distinct": q_distinct,
     "b15_approx_distinct": q_approx_distinct,
     "b15_approx_quantile": q_approx_quantile,
+    "b15_exact_percentiles": q_exact_percentiles,
     "b16_rollup": q_rollup,
     "b16_cube": q_cube,
     "b16_grouping_sets": q_grouping_sets,
@@ -1744,6 +1762,13 @@ ORACLE = {
     """,
     "b15_approx_quantile": """
         SELECT l_returnflag, count(*) AS n_rows, 1 AS median_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "b15_exact_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price,
+               quantile_cont(l_extendedprice, 0.95) AS p95_price,
+               count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
     "b16_rollup": """
