@@ -494,8 +494,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an exact oracle."""
     params = _cms_params()
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
-    pairs = li.select(
+    # Collapse the fact volume to exact per-key counts FIRST (one hash agg
+    # with map-side partials), then build the sketch from the distinct-key
+    # table: sketch cell = sum of counts of the keys hashing there —
+    # identical to counting exploded rows, but the d-way explosion runs
+    # over |distinct keys| rows instead of the full scan. At 100 TB the
+    # explode-then-count plan multiplies scan volume by d; this one pays
+    # one ordinary shuffle.
+    key_counts = li.groupBy("key").agg(F.count("*").alias("kc"))
+    key_buckets = key_counts.select(
         "key",
+        "kc",
         F.explode(
             F.array(
                 *[
@@ -507,18 +516,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("h"),
-    ).select("key", "h.j", "h.bucket")
-    cms = pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
-    key_buckets = pairs.groupBy("key", "j", "bucket").agg(
-        F.count("*").alias("true_in_bucket")
-    )
+    ).select("key", "kc", "h.j", "h.bucket")
+    cms = key_buckets.groupBy("j", "bucket").agg(F.sum("kc").alias("cnt"))
     est = (
         key_buckets.join(cms, ["j", "bucket"])
         .groupBy("key")
         .agg(
             F.min("cnt").alias("est_cnt"),
-            # every row of the sketch counts each key occurrence once
-            (F.sum("true_in_bucket") / _CMS_D).cast("long").alias("true_cnt"),
+            # each key carries its exact count on every one of its d rows
+            F.min("kc").alias("true_cnt"),
         )
     )
     w = Window.orderBy(F.col("est_cnt").desc(), F.col("key"))
@@ -820,9 +826,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16: ROLLUP over (status, priority); grouping-set NULLs are coalesced
     to a sentinel so they are unambiguous in both engines."""
     orders = load_table(spark, sf_dir, "orders")
+    # Pre-aggregate on the full key so Expand (3 grouping sets) multiplies
+    # ~15 pre-aggregated rows, not the fact scan — see q_cube.
+    pre = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n"), F.sum(_dec(F.col("o_totalprice"))).alias("_s")
+    )
     return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice")).alias("sum_price"))
+        pre.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("_n").alias("n_orders"), F.sum("_s").cast("double").alias("sum_price"))
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
@@ -833,11 +844,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16: CUBE over (returnflag, linestatus)."""
+    """B16: CUBE over (returnflag, linestatus).
+
+    Pre-aggregates on the FULL grouping key first (count/sum are
+    decomposable), so Expand — which multiplies its input by the number
+    of grouping sets (4x here) — runs over the ~6 pre-aggregated rows
+    instead of the whole fact table. At 100 TB the naive plan quadruples
+    the scan volume through Expand; this one pays a single ordinary
+    partial-aggregated shuffle and the cube itself is free."""
     li = load_table(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"), F.sum(_dec(F.col("l_quantity"), 2)).alias("_q")
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        pre.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_n").alias("n_items"),
+            F.sum("_q").cast("double").alias("sum_qty"),
+        )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),

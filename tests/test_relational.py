@@ -114,6 +114,26 @@ def test_retention_distinct_pairs_before_self_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cube_preaggregates_before_expand(spark, sf_dir):
+    # CUBE must Expand the PRE-AGGREGATED groups, not the fact scan:
+    # everything below the Expand node must include a HashAggregate, so
+    # the 4x grouping-set multiplication applies to ~6 rows, not 100 TB.
+    for q in (R.q_cube, R.q_rollup):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan
+        below_expand = plan.split("Expand", 1)[1]
+        assert "HashAggregate" in below_expand
+
+
+def test_cms_explodes_distinct_keys_not_scan(spark, sf_dir):
+    # the d-way hash explosion must run over the per-key count table
+    # (below the Generate there is a HashAggregate), never the raw scan
+    plan = R.q_cms_heavy_hitters(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    below_last_generate = plan.rsplit("Generate explode", 1)[1]
+    assert "HashAggregate" in below_last_generate
+
+
 def test_cms_partial_aggregation(spark, sf_dir):
     # sketch construction must combine map-side (partial_count before the
     # exchange) — the property that makes CMS state fixed-size at scale
