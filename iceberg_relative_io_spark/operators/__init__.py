@@ -49,6 +49,7 @@ def merged_queries() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        corpus,
         tableops_queries,
         tpch,
     )
@@ -61,6 +62,7 @@ def merged_queries() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        corpus,
         tableops_queries,
         stream_queries,
     ):
@@ -77,6 +79,7 @@ def merged_oracle() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        corpus,
         tableops_queries,
         tpch,
     )
@@ -89,6 +92,7 @@ def merged_oracle() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        corpus,
         tableops_queries,
         stream_queries,
     ):

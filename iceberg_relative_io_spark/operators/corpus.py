@@ -1,0 +1,286 @@
+"""Corpus-preparation operators (SURVEY.md §2.C extensions, round 3).
+
+Three steps every large-scale training-data pipeline runs that the
+earlier §2.C batches didn't cover:
+
+- **vocabulary build** (``c04_vocab_build``): the classic distributed
+  wordcount → frequency cutoff → contiguous id assignment. The id
+  ordering (count desc, token asc) is the deterministic tie-break every
+  tokenizer trainer uses so two runs over the same corpus produce the
+  same vocab file.
+- **token-id encoding** (``c04_token_ids``): encode each document as its
+  ordered sequence of vocab ids (OOV → 0/UNK) — the tokenize step that
+  turns a text corpus into model input. The oracle compares a
+  polynomial fingerprint of the ordered id sequence per document plus
+  token/UNK counts, so the sequence ORDER is verified, not just the
+  multiset.
+- **incremental dedup** (``c02_incremental_dedup``): the production
+  near-dup path — a small incoming batch (the day's crawl) checked
+  against the standing corpus index by MinHash band join, verified with
+  exact Jaccard. Unlike ``c02_lsh_candidate_pairs`` (all-pairs within
+  one corpus) this is the asymmetric batch-vs-index shape: only the
+  incoming side's bands broadcast; the index is never self-joined.
+
+Scale design (100 TB):
+- vocab build is one hash aggregation with map-side partials; the id
+  assignment window runs over the POST-cutoff vocab (vocabularies
+  saturate at millions of rows — driver-safe, and the single-partition
+  window touches only that), never the token stream;
+- token-id encoding joins the exploded token stream against the vocab
+  with a broadcast hash join (vocab ≪ corpus); the per-doc fold is one
+  partial-aggregated groupBy on doc_id — no window, no global sort;
+- incremental dedup shuffles only (band, signature) tuples of the two
+  sides; with a daily-batch incoming side the band join is
+  broadcastable, making the whole check a map-only pass over the index.
+
+Reference parity: the reference (lightmelodies/iceberg-relative-io)
+delegates its query surface to Spark/Iceberg; these are the §2.C
+pipeline extensions the task brief asks for on top, expressed
+DataFrame-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import text as T
+from iceberg_relative_io_spark.sources.tables import load_table
+
+MIN_COUNT = 30  # vocabulary frequency cutoff (tokens below become UNK=0)
+
+
+# ---------------------------------------------------------------------------
+# C4 — vocabulary build
+# ---------------------------------------------------------------------------
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= MIN_COUNT)
+    )
+    # The window is intentionally unpartitioned: contiguous global ids
+    # require a total order. It runs over the post-cutoff vocab (bounded
+    # — vocabularies saturate), never the token stream.
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.withColumn("token_id", F.row_number().over(w))
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: corpus vocabulary — wordcount, frequency cutoff, deterministic
+    contiguous ids by (count desc, token asc). One shuffle with map-side
+    partials; the id window sees only the aggregated vocab."""
+    return _vocab(spark, sf_dir).select("token_id", "token", "n_occurrences")
+
+
+# ---------------------------------------------------------------------------
+# C4 — token-id encoding
+# ---------------------------------------------------------------------------
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: encode each document as its ordered vocab-id sequence (OOV→0).
+    Exploded tokens broadcast-join the vocab; the ordered fingerprint
+    (acc*31+id mod p over ids in position order) verifies the sequence
+    byte-for-byte against the oracle without hashing an array column."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _vocab(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    mapped = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    folded = (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("tid") == 0).cast("long")).alias("n_unk"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tid"))
+            ).alias("seq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unk",
+            F.aggregate(
+                F.transform("seq", lambda s: s["tid"]),
+                F.lit(T.SEED).cast("long"),
+                lambda acc, x: (acc * 31 + x) % T.MOD,
+            ).alias("ids_fingerprint"),
+        )
+    )
+    return folded
+
+
+# ---------------------------------------------------------------------------
+# C2 — incremental dedup (incoming batch vs standing index)
+# ---------------------------------------------------------------------------
+
+def _side_bands(spark: SparkSession, sf_dir: str, incoming: bool) -> DataFrame:
+    from iceberg_relative_io_spark.operators.northstar import _signatures
+
+    sigs = _signatures(spark, sf_dir)
+    side = sigs.filter(
+        (F.col("doc_id") % 10 == 0) if incoming else (F.col("doc_id") % 10 != 0)
+    )
+    return side.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "sh", "bs.band", "bs.bsig")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: asymmetric batch-vs-index MinHash dedup. Incoming docs
+    (doc_id % 10 == 0 — "today's crawl") probe the standing index (the
+    other 90%) via the band join; band collisions are verified with
+    exact Jaccard >= 0.3 over distinct shingle sets. Output: one row per
+    incoming doc with its duplicate verdict and best index match.
+
+    The incoming side is broadcast (a daily batch ≪ the corpus), so at
+    100 TB this is one map-only pass over the index bands — no index
+    self-join, no corpus shuffle."""
+    inc = _side_bands(spark, sf_dir, incoming=True)
+    idx = _side_bands(spark, sf_dir, incoming=False)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jacc = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    matches = (
+        F.broadcast(inc.alias("a"))
+        .join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            jacc.alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= 0.3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("match_id").alias("first_match"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    incoming_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    # matches ≤ |incoming batch| rows — broadcast keeps the verdict join
+    # shuffle-free too
+    return incoming_docs.join(F.broadcast(matches), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        F.coalesce("first_match", F.lit(-1)).alias("first_match"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("n_matches", F.lit(0)) > 0).cast("int").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "c04_vocab_build": q_vocab_build,
+    "c04_token_ids": q_token_ids,
+    "c02_incremental_dedup": q_incremental_dedup,
+}
+
+_VOCAB_CTE = f"""
+    vocab AS (
+        SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+               token, n_occurrences
+        FROM (
+            SELECT tok AS token, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok HAVING count(*) >= {MIN_COUNT}
+        )
+    )
+"""
+
+
+def _incremental_oracle() -> str:
+    from iceberg_relative_io_spark.operators.northstar import (
+        _MINS,
+        _docs_with_shingles_cte,
+    )
+
+    band_vals = ", ".join(
+        f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS)
+    )
+    return (
+        _docs_with_shingles_cte()
+        + f", bands AS (SELECT doc_id, shingles, band, sig FROM sh, "
+        f"LATERAL (VALUES {band_vals}) AS t(band, sig))"
+        + """
+        , verified AS (
+            SELECT DISTINCT a.doc_id, b.doc_id AS match_id,
+                   CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+                   / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                      - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) AS jaccard
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+        ),
+        matches AS (
+            SELECT doc_id, count(*) AS n_matches, min(match_id) AS first_match,
+                   max(jaccard) AS max_jaccard
+            FROM verified WHERE jaccard >= 0.3 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(m.n_matches, 0) AS n_matches,
+               COALESCE(m.first_match, -1) AS first_match,
+               COALESCE(m.max_jaccard, 0.0) AS max_jaccard,
+               CAST(COALESCE(m.n_matches, 0) > 0 AS INT) AS is_dup
+        FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+        WHERE d.doc_id % 10 = 0
+        """
+    )
+
+
+ORACLE = {
+    "c04_vocab_build": f"WITH {_VOCAB_CTE} SELECT token_id, token, n_occurrences FROM vocab",
+    "c04_token_ids": f"""
+        WITH {_VOCAB_CTE},
+        toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   unnest(range(0, len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ),
+        mapped AS (
+            SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+            FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+               list_reduce(
+                   list_prepend(CAST({T.SEED} AS BIGINT), list(tid ORDER BY pos)),
+                   (acc, x) -> (acc * 31 + x) % {T.MOD}
+               ) AS ids_fingerprint
+        FROM mapped GROUP BY doc_id
+    """,
+    "c02_incremental_dedup": _incremental_oracle(),
+}

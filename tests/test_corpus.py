@@ -1,0 +1,111 @@
+"""Corpus-preparation operator tests: plan-shape guarantees (broadcast
+vocab join, partial-aggregated wordcount, broadcast incoming side) and
+invariants the oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.operators import corpus as C
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+@pytest.mark.parametrize("name", sorted(C.QUERIES))
+def test_corpus_query_runs(spark, sf_dir, name):
+    df = C.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_corpus_every_query_has_oracle():
+    assert set(C.QUERIES) == set(C.ORACLE)
+
+
+def test_vocab_ids_contiguous_and_rank_ordered(spark, sf_dir):
+    rows = C.q_vocab_build(spark, sf_dir).orderBy("token_id").collect()
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    # ids follow count desc (ties broken by token asc)
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n_occurrences >= C.MIN_COUNT for r in rows)
+
+
+def test_vocab_wordcount_partial_aggregates_before_window(spark, sf_dir):
+    # the token-stream aggregation must combine map-side, and the global
+    # id window must sit ABOVE the aggregate (windowing the vocab, not
+    # the token stream)
+    plan = (
+        C.q_vocab_build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "Window" in plan
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window
+
+
+def test_token_ids_broadcasts_vocab(spark, sf_dir):
+    plan = (
+        C.q_token_ids(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_ids_fingerprint_is_order_sensitive(spark, sf_dir):
+    # two docs with the same token multiset but different order must
+    # fingerprint differently; verify against a direct recompute
+    out = {r.doc_id: r for r in C.q_token_ids(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    vocab = {
+        r.token: r.token_id for r in C.q_vocab_build(spark, sf_dir).collect()
+    }
+    from iceberg_relative_io_spark.functions.text import MOD, SEED
+
+    for doc_id, text in list(docs.items())[:50]:
+        ids = [vocab.get(t, 0) for t in text.split(" ")]
+        acc = SEED
+        for i in ids:
+            acc = (acc * 31 + i) % MOD
+        r = out[doc_id]
+        assert r.ids_fingerprint == acc
+        assert r.n_tokens == len(ids)
+        assert r.n_unk == sum(1 for i in ids if i == 0)
+
+
+def test_incremental_dedup_broadcasts_incoming_side(spark, sf_dir):
+    plan = (
+        C.q_incremental_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the band join must not sort-merge the index side
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_covers_every_incoming_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_incoming = docs.filter(F.col("doc_id") % 10 == 0).count()
+    rows = C.q_incremental_dedup(spark, sf_dir).collect()
+    assert len(rows) == n_incoming
+    for r in rows:
+        # verdict coherence: matches imply a real index doc and a
+        # passing jaccard; no matches imply the sentinel values
+        if r.is_dup:
+            assert r.n_matches > 0
+            assert r.first_match >= 0 and r.first_match % 10 != 0
+            assert r.max_jaccard >= 0.3
+        else:
+            assert r.n_matches == 0
+            assert r.first_match == -1
+            assert r.max_jaccard == 0.0
