@@ -233,3 +233,30 @@ def make_bucket_udf(n_planes: int = N_PLANES):
         return pd.Series(out.astype(np.int32))
 
     return bucket
+
+
+def make_pq_assign_udf(bc, n_sub: int):
+    """pandas UDF: product-quantization codes for each vector from a
+    broadcast (ids, matrix) sub-codebook pair. Each of ``n_sub``
+    subspaces is assigned to its nearest sub-codebook entry by L2, with
+    the (rows × centroids) distance block accumulated dimension-
+    SEQUENTIALLY so the oracle's per-centroid fold reproduces the exact
+    distances; np.argmin takes the first minimum and centroids are
+    id-sorted, matching ORDER BY dist, cid."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def pq_assign(vec: pd.Series) -> pd.Series:
+        cids_l, C_l = bc.value
+        X = np.stack(vec.to_numpy()).astype(np.float64)
+        dim_per = C_l.shape[1] // n_sub
+        codes = np.empty((len(X), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            D = np.zeros((len(X), len(cids_l)), dtype=np.float64)
+            for j in range(dim_per):
+                diff = X[:, s * dim_per + j, None] - C_l[None, :, s * dim_per + j]
+                D = D + diff * diff
+            codes[:, s] = cids_l[np.argmin(D, axis=1)]
+        return pd.Series(list(codes))
+
+    return pq_assign

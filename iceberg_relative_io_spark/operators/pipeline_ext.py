@@ -182,29 +182,10 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     and centroids are id-sorted, matching the oracle's ORDER BY dist,
     cid). 8 small codes per vector ≈ 32× compression — the memory step
     between int8 and full floats for ANN at 100 TB."""
-    import numpy as np
-
-    from pyspark.sql.types import ArrayType, LongType
-
     emb = load_table(spark, sf_dir, "embeddings")
     cids, C, _nc = _V.collect_centroids(emb.select("vec_id", "embedding"), _PQ_NCENT)
     bc = spark.sparkContext.broadcast((cids, C))
-    dim_per = C.shape[1] // _PQ_SUB
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def pq_assign(vec):
-        import pandas as pd
-
-        cids_l, C_l = bc.value
-        X = np.stack(vec.to_numpy()).astype(np.float64)  # (n, 64)
-        codes = np.empty((len(X), _PQ_SUB), dtype=np.int64)
-        for s in range(_PQ_SUB):
-            D = np.zeros((len(X), len(cids_l)), dtype=np.float64)
-            for j in range(dim_per):
-                diff = X[:, s * dim_per + j, None] - C_l[None, :, s * dim_per + j]
-                D = D + diff * diff
-            codes[:, s] = cids_l[np.argmin(D, axis=1)]
-        return pd.Series(list(codes))
+    pq_assign = _V.make_pq_assign_udf(bc, _PQ_SUB)
 
     return emb.select(
         "vec_id", F.posexplode(pq_assign("embedding")).alias("subspace", "code")

@@ -765,6 +765,123 @@ def q_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C3 — IVF+PQ composed ANN (the production serving path)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (IVF+PQ): the full large-scale ANN serving path — coarse IVF
+    quantizer for cell pruning composed with product-quantization ADC
+    scoring inside the probed cells (what FAISS IndexIVFPQ does).
+
+    One map-only corpus pass assigns each vector its IVF cell AND its 8
+    PQ codes (both from bounded constant-size centroid samples — the
+    same collects q_ann_ivf/q_pq_codes already bound). Queries probe
+    their _N_PROBE nearest cells; candidates in probed cells are scored
+    WITHOUT touching their float vectors: per query a (subspace ×
+    codebook) ADC lookup table of exact sub-distances is built driver-
+    side (O(n_queries · 8 · ncent) — constant in the corpus) and
+    broadcast, and each candidate's approximate distance is the fold of
+    its 8 code lookups. At 100 TB the scored side carries 8 int codes
+    per vector instead of 64 floats — the ~32× memory cut that makes
+    cell-resident scoring fit in RAM. All float math is dimension-/
+    subspace-sequential, so the oracle reproduces the exact assignments,
+    codes, tables, and totals bit-for-bit."""
+    import numpy as np
+
+    from iceberg_relative_io_spark.operators.northstar import (
+        _IVF_NLIST,
+        _N_PROBE,
+        _N_QUERIES,
+        _TOP_K,
+    )
+    from iceberg_relative_io_spark.operators.pipeline_ext import _PQ_NCENT, _PQ_SUB
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    cids, C, nc = V.collect_centroids(emb, _IVF_NLIST)
+    bc_cells = spark.sparkContext.broadcast((cids, C, nc))
+    cell_of = V.make_nearest_udf(bc_cells)
+
+    pcids, PC, _pnc = V.collect_centroids(emb.select("vec_id", "embedding"), _PQ_NCENT)
+    bc_pq = spark.sparkContext.broadcast((pcids, PC))
+    pq_assign = V.make_pq_assign_udf(bc_pq, _PQ_SUB)
+    dim_per = PC.shape[1] // _PQ_SUB
+
+    # Driver-side query prep (the query batch is tiny by definition):
+    # probe cells + per-query ADC tables, same sequential math as the SQL.
+    q_rows = (
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    probe_rows = []
+    adc_tables = {}
+    for r in q_rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        s_acc = np.zeros(len(C), dtype=np.float64)
+        nv = 0.0
+        for i in range(len(v)):
+            s_acc = s_acc + v[i] * C[:, i]
+            nv = nv + v[i] * v[i]
+        cos = s_acc / (np.sqrt(nv) * nc)
+        order = np.lexsort((cids, -cos))
+        for cid in cids[order[:_N_PROBE]]:
+            probe_rows.append((int(r.vec_id), int(cid)))
+        tab = np.zeros((_PQ_SUB, len(pcids)), dtype=np.float64)
+        for s in range(_PQ_SUB):
+            D = np.zeros(len(pcids), dtype=np.float64)
+            for j in range(dim_per):
+                diff = v[s * dim_per + j] - PC[:, s * dim_per + j]
+                D = D + diff * diff
+            tab[s] = D
+        adc_tables[int(r.vec_id)] = tab
+    pq_index = {int(c): i for i, c in enumerate(pcids)}
+    bc_adc = spark.sparkContext.broadcast((adc_tables, pq_index))
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def adc_score(query_id: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        tabs, idx = bc_adc.value
+        qids = sorted(tabs)
+        T3 = np.stack([tabs[q] for q in qids])  # (nq, SUB, ncent)
+        qpos = {q: i for i, q in enumerate(qids)}
+        qi = query_id.map(qpos).to_numpy(dtype=np.int64)
+        code_mat = np.stack(codes.to_numpy()).astype(np.int64)  # (n, SUB)
+        lut = np.full(max(idx) + 1, -1, dtype=np.int64)
+        for cid, i in idx.items():
+            lut[cid] = i
+        cidx = lut[code_mat]
+        tot = np.zeros(len(qi), dtype=np.float64)
+        for s in range(T3.shape[1]):  # subspace-sequential: oracle fold order
+            tot = tot + T3[qi, s, cidx[:, s]]
+        return pd.Series(tot)
+
+    corpus = emb.select(
+        "vec_id",
+        cell_of(F.col("embedding")).alias("cell"),
+        pq_assign(F.col("embedding")).alias("codes"),
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, probe_cell long")
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        adc_score(F.col("query_id"), F.col("codes")).alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "vec_id", "rnk", "approx_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -781,7 +898,98 @@ QUERIES = {
     "c06_contamination_bloom": q_contamination_bloom,
     "c02_doc_containment": q_doc_containment,
     "c06_dataset_card": q_dataset_card,
+    "c03_ann_ivfpq": q_ann_ivfpq,
 }
+
+
+def _ivfpq_oracle() -> str:
+    from iceberg_relative_io_spark.operators.northstar import (
+        _IVF_NLIST,
+        _N_PROBE,
+        _N_QUERIES,
+        _TOP_K,
+    )
+    from iceberg_relative_io_spark.operators.pipeline_ext import _PQ_NCENT, _PQ_SUB
+
+    def subdist(vec: str, cvec: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[ (CAST({vec}[sub.s * 8 + j] AS DOUBLE) - CAST({cvec}[sub.s * 8 + j] AS DOUBLE)) "
+            f"* (CAST({vec}[sub.s * 8 + j] AS DOUBLE) - CAST({cvec}[sub.s * 8 + j] AS DOUBLE)) "
+            "FOR j IN range(1, 9) ]), (acc, x) -> acc + x)"
+        )
+
+    sub_cte = (
+        f"(SELECT CAST(u.i AS INT) AS s FROM UNNEST(range(0, {_PQ_SUB})) AS u(i)) sub"
+    )
+    return f"""
+        WITH cents AS (
+            {V.sample_cte_sql(_IVF_NLIST)}
+        ),
+        pcent AS (
+            {V.sample_cte_sql(_PQ_NCENT, 'pcid', 'pvec')}
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT e.vec_id, sub.s AS subspace, p.pcid,
+                   {subdist('e.embedding', 'p.pvec')} AS dist
+            FROM embeddings e, pcent p, {sub_cte}
+        ),
+        codes AS (
+            SELECT vec_id, subspace, pcid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                             ORDER BY dist, pcid) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cid FROM (
+                SELECT q.vec_id AS query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql('q.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings q, cents c WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rn <= {_N_PROBE}
+        ),
+        adc AS (
+            SELECT q.vec_id AS query_id, p.pcid, sub.s AS subspace,
+                   {subdist('q.embedding', 'p.pvec')} AS d
+            FROM embeddings q, pcent p, {sub_cte}
+            WHERE q.vec_id < {_N_QUERIES}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(adc.d ORDER BY k.subspace)),
+                       (acc, x) -> acc + x) AS approx_dist
+            FROM cand c
+            JOIN codes k ON k.vec_id = c.vec_id
+            JOIN adc ON adc.query_id = c.query_id
+                    AND adc.subspace = k.subspace AND adc.pcid = k.code
+            GROUP BY c.query_id, c.vec_id
+        )
+        SELECT query_id, vec_id, rnk, approx_dist FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, vec_id) AS rnk,
+                   approx_dist
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """
 
 
 def _sem_oracle() -> str:
@@ -1112,6 +1320,7 @@ ORACLE = {
     "c02_substring_removal": _removal_oracle(),
     "c06_contamination_bloom": _bloom_oracle(),
     "c02_doc_containment": _containment_oracle(),
+    "c03_ann_ivfpq": _ivfpq_oracle(),
     "c06_dataset_card": f"""
         WITH dups AS (
             SELECT text FROM documents GROUP BY text HAVING count(*) > 1

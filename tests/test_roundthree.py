@@ -253,3 +253,67 @@ def test_mixture_weights_sum_to_one_and_respect_temperature(spark, sf_dir):
     if big.n_docs > small.n_docs:
         assert big.weight / small.weight < big.n_docs / small.n_docs
     assert all(r.quota_docs <= R._MIX_BUDGET for r in rows)
+
+
+def test_ivfpq_centroid_collects_bounded_and_plan_broadcasts(
+    spark, sf_dir, monkeypatch
+):
+    """IVF+PQ: the only driver collects are the two bounded centroid
+    samples (nlist coarse + ncent sub-codebook) and the tiny query
+    batch; the candidate join broadcasts probes, never sort-merges."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.northstar import _IVF_NLIST
+    from iceberg_relative_io_spark.operators.pipeline_ext import _PQ_NCENT
+
+    seen = []
+    real = V.collect_centroids
+
+    def spy(emb, k):
+        out = real(emb, k)
+        seen.append(len(out[0]))
+        return out
+
+    monkeypatch.setattr(V, "collect_centroids", spy)
+    monkeypatch.setattr(
+        "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
+    )
+    df = R.q_ann_ivfpq(spark, sf_dir)
+    assert sorted(seen) == sorted([_IVF_NLIST, _PQ_NCENT])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_scores_are_adc_distances(spark, sf_dir):
+    """Each returned approx_dist must equal the ADC reconstruction:
+    sum over subspaces of ||q_sub - codebook[code_s]||^2 — recomputed
+    here independently from the PQ codes and raw vectors."""
+    import numpy as np
+
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.pipeline_ext import (
+        _PQ_NCENT,
+        _PQ_SUB,
+        q_pq_codes,
+    )
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    codes = {}
+    for r in q_pq_codes(spark, sf_dir).collect():
+        codes.setdefault(r.vec_id, {})[r.subspace] = r.code
+    dim_per = len(next(iter(vecs.values()))) // _PQ_SUB
+    rows = R.q_ann_ivfpq(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        q = vecs[r.query_id]
+        tot = 0.0
+        for s in range(_PQ_SUB):
+            c = vecs[codes[r.vec_id][s]]
+            d = 0.0
+            for j in range(dim_per):
+                diff = q[s * dim_per + j] - c[s * dim_per + j]
+                d = d + diff * diff
+            tot = tot + d
+        assert r.approx_dist == tot
