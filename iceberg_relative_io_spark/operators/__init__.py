@@ -35,9 +35,9 @@ PRIORITY_ORDER = [
     # BM25 for langid, SemDeDup for the schema-only C5 row — every class
     # keeps a representative and the 50-query sample spans the whole
     # inventory)
-    "c01_exact_dedup", "c01_embedding_neardup", "c02_minhash_signatures",
-    "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c02_simhash",
-    "c02_connected_components", "c03_knn_bruteforce", "c03_ann_ivf",
+    "c01_exact_dedup", "c01_embedding_neardup", "c02_incremental_dedup",
+    "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c04_vocab_build",
+    "c02_connected_components", "c03_knn_bruteforce", "c03_ann_ivfpq",
     "c03_cluster_medoids", "c03_pq_codes", "c04_bm25_search",
     "c03_semantic_dedup", "c05_binary_ingest", "c06_pipeline_capstone",
 ]

@@ -198,6 +198,64 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4 — hashed-linear quality-classifier inference
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 1 << 16  # feature-hash space (the "hashing trick")
+_CLS_A = 2_654_435_761  # weight generator: w(h) = ((h*A+B) mod M)/M - 0.5
+_CLS_B = 11
+_CLS_THRESHOLD = 0.0
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: quality-classifier inference — the model-based filter step
+    (fastText-style) every web-corpus pipeline runs after the heuristic
+    gates. Each document is scored by a linear model over hashed
+    bag-of-words features: token → feature bucket (hash trick, 2^16
+    buckets) → per-bucket weight → ordered sum → mean-per-token score →
+    keep/drop verdict.
+
+    Weights here are generated from the bucket id by a deterministic
+    affine hash (a stand-in for trained weights — integer-exact in both
+    engines); a TRAINED model is the same shape with the 2^16-float
+    weight vector broadcast into the expression. Everything runs inside
+    whole-stage codegen (higher-order array functions — no UDF, no
+    explode, no shuffle): at 100 TB this is a pure map over the corpus,
+    the cheapest possible inference plan. The per-token fold is
+    position-sequential so the float sum is bit-identical in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = T.token_codes(F.col("text"))
+    weights = F.transform(
+        codes,
+        lambda c: (
+            ((c % _CLS_BUCKETS) * _CLS_A + _CLS_B) % T.MOD
+        ).cast("double")
+        / F.lit(float(T.MOD))
+        - F.lit(0.5),
+    )
+    # Stage the expensive fold behind per-stage aliases: CollapseProject
+    # refuses to inline non-cheap expressions referenced more than once,
+    # so the tokenize+hash+fold chain is evaluated ONCE per row, not once
+    # per output column.
+    staged = docs.select("doc_id", weights.alias("ws"))
+    scored = staged.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        (
+            F.aggregate("ws", F.lit(0.0), lambda acc, w: acc + w)
+            / F.size("ws").cast("double")
+        ).alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (F.col("score") > _CLS_THRESHOLD).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -205,6 +263,7 @@ QUERIES = {
     "c04_vocab_build": q_vocab_build,
     "c04_token_ids": q_token_ids,
     "c02_incremental_dedup": q_incremental_dedup,
+    "c04_classifier_score": q_classifier_score,
 }
 
 _VOCAB_CTE = f"""
@@ -283,4 +342,22 @@ ORACLE = {
         FROM mapped GROUP BY doc_id
     """,
     "c02_incremental_dedup": _incremental_oracle(),
+    "c04_classifier_score": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_transform(
+                       {T.token_codes_sql('text')},
+                       c -> CAST(((c % {_CLS_BUCKETS}) * {_CLS_A} + {_CLS_B}) % {T.MOD} AS DOUBLE)
+                            / {float(T.MOD)!r} - 0.5
+                   ) AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS n_tokens,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws), (acc, x) -> acc + x)
+                   / CAST(len(ws) AS DOUBLE) AS score,
+               CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws), (acc, x) -> acc + x)
+                    / CAST(len(ws) AS DOUBLE) > {_CLS_THRESHOLD} AS INT) AS keep
+        FROM w
+    """,
 }

@@ -109,3 +109,27 @@ def test_incremental_dedup_covers_every_incoming_doc(spark, sf_dir):
             assert r.n_matches == 0
             assert r.first_match == -1
             assert r.max_jaccard == 0.0
+
+
+def test_classifier_score_is_map_only_codegen(spark, sf_dir):
+    # model inference must be a pure map: no shuffle, no Python workers
+    plan = (
+        C.q_classifier_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time or Arrow UDF stage
+    assert "*(" in plan  # whole-stage-codegen'd scan feeding the project
+    # the expensive tokenize+hash fold must be staged and evaluated once
+    # per row, not inlined into every output column
+    assert plan.count("ascii(") == 1
+
+
+def test_classifier_score_verdict_matches_threshold(spark, sf_dir):
+    rows = C.q_classifier_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == int(r.score > C._CLS_THRESHOLD)
+        assert -0.5 <= r.score <= 0.5
