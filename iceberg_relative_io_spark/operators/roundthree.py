@@ -849,10 +849,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         qpos = {q: i for i, q in enumerate(qids)}
         qi = query_id.map(qpos).to_numpy(dtype=np.int64)
         code_mat = np.stack(codes.to_numpy()).astype(np.int64)  # (n, SUB)
-        lut = np.full(max(idx) + 1, -1, dtype=np.int64)
-        for cid, i in idx.items():
-            lut[cid] = i
-        cidx = lut[code_mat]
+        # centroid id -> codebook position via binary search over the
+        # id-sorted codebook: O(ncent) memory. (A dense value-indexed
+        # LUT would be sized by the LARGEST centroid id — an id drawn
+        # from the corpus id space, i.e. O(corpus) memory at scale.)
+        sorted_cids = np.array(sorted(idx), dtype=np.int64)
+        cidx = np.searchsorted(sorted_cids, code_mat)
         tot = np.zeros(len(qi), dtype=np.float64)
         for s in range(T3.shape[1]):  # subspace-sequential: oracle fold order
             tot = tot + T3[qi, s, cidx[:, s]]

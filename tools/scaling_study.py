@@ -56,6 +56,12 @@ MEASURED = [
     "c06_shard_shuffle",
     "c02_connected_components",
     "c02_substring_removal",
+    # round 3 batch 3: corpus-prep + composed-ANN operators
+    "c04_vocab_build",
+    "c04_token_ids",
+    "c04_classifier_score",
+    "c02_incremental_dedup",
+    "c03_ann_ivfpq",
 ]
 
 
