@@ -50,6 +50,7 @@ def merged_queries() -> dict:
         pipeline_ext,
         roundthree,
         corpus,
+        retrieval_ext,
         tableops_queries,
         tpch,
     )
@@ -63,6 +64,7 @@ def merged_queries() -> dict:
         pipeline_ext,
         roundthree,
         corpus,
+        retrieval_ext,
         tableops_queries,
         stream_queries,
     ):
@@ -80,6 +82,7 @@ def merged_oracle() -> dict:
         pipeline_ext,
         roundthree,
         corpus,
+        retrieval_ext,
         tableops_queries,
         tpch,
     )
@@ -93,6 +96,7 @@ def merged_oracle() -> dict:
         pipeline_ext,
         roundthree,
         corpus,
+        retrieval_ext,
         tableops_queries,
         stream_queries,
     ):

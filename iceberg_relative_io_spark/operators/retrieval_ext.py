@@ -1,0 +1,356 @@
+"""Hybrid retrieval + multimodal near-dup (SURVEY.md §2.C extensions).
+
+Two operators every modern training-data / RAG pipeline runs that the
+earlier §2.C batches didn't cover:
+
+- **hybrid RRF retrieval** (``c03_hybrid_rrf``): fuse a lexical BM25
+  ranking with a semantic cosine ranking by reciprocal-rank fusion
+  (RRF, Cormack et al. SIGIR'09): ``score(d) = Σ 1/(K + rank_i(d))``
+  over the rankers that returned d. RRF is the standard production
+  fusion because it needs no score calibration — only ranks — which
+  also makes it integer-exact to oracle-check.
+- **image average-hash near-dup** (``c05_image_hash_neardup``): the
+  visual near-dup step of a multimodal pipeline. Each payload is
+  "decoded" to a deterministic 8×8 luminance grid (the container has
+  no codec libs, so decode is the documented deterministic stand-in:
+  64 evenly-spaced payload bytes — the Spark-side plumbing is the real
+  thing), average-hashed to 64 bits, and near-dups are found by banded
+  Hamming match (Manku et al., WWW'07): 8 exact-match bands of 8 bits
+  generate candidates (pigeonhole: Hamming ≤ 7 ⇒ at least one of 8
+  bands identical, so candidate generation is EXACT for the verify
+  threshold), then the full 64-bit Hamming distance verifies.
+
+Scale design (100 TB):
+- RRF fuses two already-top-k tables: k rows per ranker per query —
+  constant-size work independent of corpus size; the corpus passes are
+  inside the upstream rankers (one postings shuffle for BM25, one
+  map-only scan for the cosine top-k, which compiles to
+  TakeOrderedAndProject — no global sort). A multi-query batch is the
+  same plan partitioned by query_id.
+- average-hash is a pure map (whole-stage codegen, no UDF, no Python);
+  the band join shuffles only (band idx, band value, 8 band ints) per
+  row and probes 8 buckets per image. Band-value skew (many identical
+  images → one hot bucket) is the known hazard; the identical-hash
+  cluster is detected by the exact-dedup pass upstream, and the band
+  width must grow with log2(corpus) — exactly the LSH plane-count knob
+  (vectors.lsh_bucket docstring) — to keep expected bucket occupancy,
+  and with it the within-bucket quadratic verify, constant per row.
+
+Reference parity: the reference (lightmelodies/iceberg-relative-io)
+delegates its query surface to Spark/Iceberg; these are §2.C pipeline
+extensions the task brief asks for on top, expressed DataFrame-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# C3 — hybrid lexical+semantic retrieval via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the canonical RRF constant from the Cormack paper
+_RRF_TOPN = 20       # depth of each input ranking (matches _BM25_TOPN)
+
+
+def _semantic_topn(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
+    """Cosine top-n seeded by the BM25 top-1 document's embedding
+    (pseudo-relevance feedback: the lexical winner's vector is the
+    semantic query, the classic hybrid-retrieval expansion — and it
+    guarantees the two rankings overlap, so the fusion is exercised).
+
+    One broadcast of the single query row, one map-only corpus pass,
+    TakeOrderedAndProject top-n — the same shape as c03_knn_bruteforce
+    but for one query, so the fusion input is k rows."""
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top1 = lex.filter(F.col("lex_rank") == 1).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = emb.join(top1, "vec_id").select(F.col("embedding").alias("qvec"))
+    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cos.alias("cos_sim")
+    )
+    topn = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(_RRF_TOPN)
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return topn.withColumn("sem_rank", F.row_number().over(w)).select(
+        F.col("vec_id").alias("doc_id"), "sem_rank"
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (hybrid retrieval): reciprocal-rank fusion of the BM25 lexical
+    top-20 (query terms scan/join/window) and the cosine semantic top-20
+    (query embedding vec_id=0), doc_id ≡ vec_id. A doc absent from one
+    ranking contributes 0 for that ranker (standard RRF). Ranks are
+    integers, so 1.0/(K+rank) is the same IEEE double in both engines
+    and the fused score is exactly two exact terms added in a fixed
+    order — bit-identical to the oracle."""
+    from iceberg_relative_io_spark.operators.roundthree import q_bm25_search
+
+    lex = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lex_rank")
+    )
+    sem = _semantic_topn(spark, sf_dir, lex)
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return fused.withColumn("fused_rank", F.row_number().over(w)).select(
+        "fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — image average-hash near-dup
+# ---------------------------------------------------------------------------
+
+_AH_PIXELS = 64   # 8×8 grid
+_AH_BANDS = 8     # 8 bands × 8 bits (Manku et al. block-permuted tables)
+_AH_BITS = _AH_PIXELS // _AH_BANDS
+_AH_HAM_MAX = 7   # verify threshold; pigeonhole-complete with 8 bands
+
+
+def _pixels(text) -> F.Column:
+    """64 evenly-spaced sample points of the payload — the deterministic
+    stand-in for decode+resize-to-8×8 (no codec libs in the container;
+    c05_binary_ingest documents the same convention). Samples CHARACTER
+    codepoints via ascii(substr) — identical to payload bytes on the
+    ASCII documents fixture, which the c05 oracles assume and document."""
+    n = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_AH_PIXELS - 1)),
+        lambda i: F.ascii(
+            F.substring(text, (F.floor(i * n / _AH_PIXELS) + 1).cast("int"), 1)
+        ),
+    )
+
+
+def _hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3): pixel>mean sign bits packed into _AH_BANDS
+    integers of _AH_BITS bits (MSB-first fold acc*2+bit — small positive
+    values, no sign-bit hazard). px and mean are staged behind per-select
+    aliases so the sample/aggregate expressions evaluate once per row
+    (CollapseProject keeps non-cheap multiply-referenced expressions
+    staged), not once per packed bit."""
+    staged = docs.select("doc_id", _pixels(F.col("text")).alias("px")).select(
+        "doc_id",
+        "px",
+        (
+            F.aggregate("px", F.lit(0), lambda a, x: a + x).cast("double")
+            / float(_AH_PIXELS)
+        ).alias("mean"),
+    )
+    mean = F.col("mean")
+    bands = [
+        F.aggregate(
+            F.slice("px", b * _AH_BITS + 1, _AH_BITS),
+            F.lit(0),
+            lambda a, x: a * 2 + F.when(x.cast("double") > mean, 1).otherwise(0),
+        ).alias(f"h{b}")
+        for b in range(_AH_BANDS)
+    ]
+    return staged.select("doc_id", *bands)
+
+
+def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (visual near-dup): 64-bit average-hash per payload, banded
+    Hamming match. Candidates = pairs sharing any of the 8 exact 8-bit
+    bands (pigeonhole-exact for Hamming <= 7); verify = full Hamming
+    via bit_count(xor) over the 8 bands. Output is one row per document
+    (hash bands + near-dup stats), so every hash bit and the join are
+    both oracle-checked even when the fixture yields few matching pairs.
+
+    Plan: hashing is one codegen map pass (no UDF); the candidate join
+    shuffles (band_idx, band_val) keys; the per-doc verdict aggregation
+    is partial-aggregated before its exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = _hashed(docs)
+
+    hcols = [f"h{b}" for b in range(_AH_BANDS)]
+    bands = hashed.select(
+        "doc_id",
+        *hcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"h{b}").alias("band_val")
+                    )
+                    for b in range(_AH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", *hcols, "bv.band_idx", "bv.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}")).cast("long")
+        )
+        for i in range(_AH_BANDS)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            ham.alias("hamming"),
+        )
+        .distinct()  # a pair sharing several bands appears once
+        .filter(F.col("hamming") <= _AH_HAM_MAX)
+    )
+    # symmetrize so each doc reports matches on either side of the pair —
+    # via explode, which doubles ROWS, not the join subtree (a unionAll
+    # of pairs with itself would re-run the whole band join twice)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("match_id"), F.col("hamming")),
+                F.struct(
+                    F.col("match_id").alias("doc_id"),
+                    F.col("doc_id").alias("match_id"),
+                    F.col("hamming"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_id", "p.match_id", "p.hamming")
+    per_doc = sym.groupBy("doc_id").agg(
+        F.count("*").alias("n_neardups"),
+        F.min("match_id").alias("first_match"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return hashed.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        *hcols,
+        F.coalesce("n_neardups", F.lit(0)).alias("n_neardups"),
+        F.coalesce("first_match", F.lit(-1)).alias("first_match"),
+        F.coalesce("min_hamming", F.lit(-1)).alias("min_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "c03_hybrid_rrf": q_hybrid_rrf,
+    "c05_image_hash_neardup": q_image_hash_neardup,
+}
+
+
+def _rrf_oracle() -> str:
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.roundthree import _bm25_oracle
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rnk AS lex_rank FROM ({_bm25_oracle()})
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS sem_rank
+            FROM (
+                SELECT e.vec_id,
+                       {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+                FROM embeddings e,
+                     (SELECT qe.embedding AS qvec
+                      FROM embeddings qe JOIN lex ON qe.vec_id = lex.doc_id
+                      WHERE lex.lex_rank = 1) q
+            )
+            ORDER BY cos_sim DESC, vec_id LIMIT {_RRF_TOPN}
+        ),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   COALESCE(lex_rank, 0) AS lex_rank,
+                   COALESCE(sem_rank, 0) AS sem_rank,
+                   COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0) AS rrf_score
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank,
+               doc_id, lex_rank, sem_rank, rrf_score
+        FROM fused
+    """
+
+
+def _ah_oracle() -> str:
+    px = (
+        f"[ascii(substr(text, CAST((i * len(text)) // {_AH_PIXELS} AS INT) + 1, 1)) "
+        f"FOR i IN range(0, {_AH_PIXELS})]"
+    )
+    band_exprs = ", ".join(
+        f"list_reduce(list_prepend(0, "
+        f"[CASE WHEN CAST(px[i] AS DOUBLE) > mean THEN 1 ELSE 0 END "
+        f"FOR i IN range({b * _AH_BITS + 1}, {b * _AH_BITS + _AH_BITS + 1})]), "
+        f"(a, x) -> a * 2 + x) AS h{b}"
+        for b in range(_AH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(_AH_BANDS)
+    )
+    band_pred = " OR ".join(f"a.h{i} = b.h{i}" for i in range(_AH_BANDS))
+    return f"""
+        WITH px AS (
+            SELECT doc_id, {px} AS px FROM documents
+        ),
+        m AS (
+            SELECT doc_id, px,
+                   CAST(list_reduce(list_prepend(0, px), (a, x) -> a + x) AS DOUBLE)
+                       / {float(_AH_PIXELS)!r} AS mean
+            FROM px
+        ),
+        hashed AS (
+            SELECT doc_id, {band_exprs} FROM m
+        ),
+        pairs AS (
+            SELECT a.doc_id, b.doc_id AS match_id, {ham} AS hamming
+            FROM hashed a JOIN hashed b
+              ON ({band_pred}) AND a.doc_id < b.doc_id
+            WHERE {ham} <= {_AH_HAM_MAX}
+        ),
+        sym AS (
+            SELECT doc_id, match_id, hamming FROM pairs
+            UNION ALL
+            SELECT match_id AS doc_id, doc_id AS match_id, hamming FROM pairs
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_neardups, min(match_id) AS first_match,
+                   min(hamming) AS min_hamming
+            FROM sym GROUP BY doc_id
+        )
+        SELECT h.doc_id, {", ".join(f"h.h{b}" for b in range(_AH_BANDS))},
+               COALESCE(p.n_neardups, 0) AS n_neardups,
+               COALESCE(p.first_match, -1) AS first_match,
+               COALESCE(p.min_hamming, -1) AS min_hamming
+        FROM hashed h LEFT JOIN per_doc p ON h.doc_id = p.doc_id
+    """
+
+
+ORACLE = {
+    "c03_hybrid_rrf": _rrf_oracle(),
+    "c05_image_hash_neardup": _ah_oracle(),
+}

@@ -1,0 +1,108 @@
+"""Hybrid-RRF + image-hash near-dup tests: plan-shape guarantees
+(TakeOrderedAndProject for the semantic top-k, no-UDF codegen hashing)
+and invariants the oracle can't express (pigeonhole completeness,
+fusion arithmetic, self-match seeding)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_relative_io_spark.operators import retrieval_ext as R
+
+
+@pytest.mark.parametrize("name", sorted(R.QUERIES))
+def test_retrieval_query_runs(spark, sf_dir, name):
+    df = R.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_retrieval_every_query_has_oracle():
+    assert set(R.QUERIES) == set(R.ORACLE)
+
+
+def test_rrf_fusion_arithmetic_and_seed_self_match(spark, sf_dir):
+    rows = R.q_hybrid_rrf(spark, sf_dir).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # PRF seeding: the BM25 top-1 doc is its own embedding's nearest
+    # neighbour, so it must hold rank 1 in BOTH rankings and win fusion
+    top = min(rows, key=lambda r: r.fused_rank)
+    assert (top.lex_rank, top.sem_rank, top.fused_rank) == (1, 1, 1)
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank:
+            expect += 1.0 / (R._RRF_K + r.lex_rank)
+        if r.sem_rank:
+            expect += 1.0 / (R._RRF_K + r.sem_rank)
+        assert r.rrf_score == expect
+        assert r.lex_rank > 0 or r.sem_rank > 0
+    # fused_rank is a permutation of 1..n ordered by score desc
+    ordered = sorted(rows, key=lambda r: r.fused_rank)
+    assert [r.fused_rank for r in ordered] == list(range(1, len(rows) + 1))
+    scores = [r.rrf_score for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    assert len(by_doc) == len(rows)  # one row per doc
+
+
+def test_rrf_semantic_topk_avoids_global_sort(spark, sf_dir):
+    plan = (
+        R.q_hybrid_rrf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both top-k inputs must compile to TakeOrderedAndProject, never a
+    # full Sort+Limit over the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_image_hash_is_pure_codegen(spark, sf_dir):
+    plan = (
+        R.q_image_hash_neardup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # hashing + banding + verify all stay JVM-side (no Python eval node
+    # anywhere; the AQE pre-final plan hides WholeStageCodegen spans, so
+    # the absence of Python stages is the load-bearing assertion)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
+    # the sample/hash expressions are staged: mean appears once per scan
+    # of documents (final left side + the two self-join sides — NOT once
+    # per packed bit, and the pair join is not duplicated by the
+    # symmetrization)
+    assert plan.count("/ 64.0) AS mean") == 3
+
+
+def test_image_hash_band_candidates_are_pigeonhole_complete(spark, sf_dir):
+    # brute-force the full Hamming matrix over the hashed docs and check
+    # every pair within the verify threshold shares >= 1 exact band —
+    # i.e. the banded join can't miss a qualifying pair
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    hashed = R._hashed(load_table(spark, sf_dir, "documents")).collect()
+    hcols = [f"h{b}" for b in range(R._AH_BANDS)]
+    found = {
+        (r.doc_id, r.first_match)
+        for r in R.q_image_hash_neardup(spark, sf_dir).collect()
+        if r.n_neardups > 0
+    }
+    expected_docs = set()
+    for i, a in enumerate(hashed):
+        for b in hashed[i + 1 :]:
+            ham = sum(
+                bin(a[c] ^ b[c]).count("1") for c in hcols
+            )
+            if ham <= R._AH_HAM_MAX:
+                assert any(a[c] == b[c] for c in hcols)  # pigeonhole
+                expected_docs.add(a.doc_id)
+                expected_docs.add(b.doc_id)
+    assert {d for d, _ in found} == expected_docs
+
+
+def test_image_hash_bands_fit_width(spark, sf_dir):
+    rows = R.QUERIES["c05_image_hash_neardup"](spark, sf_dir).collect()
+    hi = (1 << R._AH_BITS) - 1
+    for r in rows:
+        for b in range(R._AH_BANDS):
+            assert 0 <= r[f"h{b}"] <= hi
