@@ -256,6 +256,69 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4 — phrase mining (word2phrase collocation scoring)
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 5       # discount: suppresses rare-accident collocations
+_PH_MIN_C12 = 10    # bigram support cutoff
+_PH_TOPN = 50
+
+
+def q_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (tokenizer prep): collocation mining with the word2phrase
+    score (Mikolov et al. 2013): score(w1,w2) = (c(w1,w2) - delta) /
+    (c(w1) * c(w2)) over corpus bigram/unigram counts — the step that
+    builds the phrase vocabulary ("new_york") a tokenizer or embedding
+    trainer consumes. Integer counts, one exact int64 product and one
+    IEEE division, so the score doubles are bit-identical in the oracle.
+
+    At 100 TB: bigram and unigram counting are two partial-aggregated
+    shuffles over the token stream; the unigram side is vocabulary-sized
+    so both score joins broadcast; the top-n compiles to
+    TakeOrderedAndProject (no global sort)."""
+    from iceberg_relative_io_spark.operators.roundthree import _doc_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(docs)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PH_MIN_C12)
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        c12.join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("c", "c1")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (
+                (F.col("c12") - F.lit(_PH_DELTA)).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("score"),
+        )
+    )
+    topn = scored.orderBy(F.col("score").desc(), "w1", "w2").limit(_PH_TOPN)
+    w = Window.orderBy(F.col("score").desc(), "w1", "w2")
+    return topn.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "w1", "w2", "c12", "c1", "c2", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -264,7 +327,37 @@ QUERIES = {
     "c04_token_ids": q_token_ids,
     "c02_incremental_dedup": q_incremental_dedup,
     "c04_classifier_score": q_classifier_score,
+    "c04_phrase_mining": q_phrase_mining,
 }
+
+_PHRASE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ),
+    c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        HAVING count(*) >= {_PH_MIN_C12}
+    ),
+    uni AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cw AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    scored AS (
+        SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+               CAST(b.c12 - {_PH_DELTA} AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE) AS score
+        FROM c12 b JOIN cw u1 ON b.w1 = u1.w JOIN cw u2 ON b.w2 = u2.w
+    )
+    SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY score DESC, w1, w2) AS rnk,
+               w1, w2, c12, c1, c2, score
+        FROM scored
+    ) WHERE rnk <= {_PH_TOPN}
+"""
 
 _VOCAB_CTE = f"""
     vocab AS (
@@ -342,6 +435,7 @@ ORACLE = {
         FROM mapped GROUP BY doc_id
     """,
     "c02_incremental_dedup": _incremental_oracle(),
+    "c04_phrase_mining": _PHRASE_ORACLE,
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

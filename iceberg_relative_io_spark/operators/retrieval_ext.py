@@ -1,6 +1,6 @@
 """Hybrid retrieval + multimodal near-dup (SURVEY.md §2.C extensions).
 
-Two operators every modern training-data / RAG pipeline runs that the
+Operators every modern training-data / RAG pipeline runs that the
 earlier §2.C batches didn't cover:
 
 - **hybrid RRF retrieval** (``c03_hybrid_rrf``): fuse a lexical BM25
@@ -9,6 +9,10 @@ earlier §2.C batches didn't cover:
   over the rankers that returned d. RRF is the standard production
   fusion because it needs no score calibration — only ranks — which
   also makes it integer-exact to oracle-check.
+- **two-stage ANN rerank** (``c03_ann_rerank``): coarse cosine over a
+  truncated dim prefix shortlists candidates; the exact full-dim
+  cosine reranks only the shortlist — the Matryoshka/truncated-index
+  serving pattern, where only the coarse pass touches the corpus.
 - **image average-hash near-dup** (``c05_image_hash_neardup``): the
   visual near-dup step of a multimodal pipeline. Each payload is
   "decoded" to a deterministic 8×8 luminance grid (the container has
@@ -116,6 +120,80 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
     return fused.withColumn("fused_rank", F.row_number().over(w)).select(
         "fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — two-stage coarse-to-fine ANN (truncated-dim shortlist + exact rerank)
+# ---------------------------------------------------------------------------
+
+_RR_COARSE_DIM = 32   # dims scored in the coarse pass (Matryoshka prefix)
+_RR_SHORTLIST = 100   # candidates per query surviving the coarse pass
+_RR_N_QUERIES = 5     # same query set as c03_knn_bruteforce
+_RR_TOP_K = 10
+# Defaults give recall 0.88 vs c03_knn_bruteforce on the fixture, whose
+# embeddings are ISOTROPIC — every dim carries equal energy, the
+# hardest case for a prefix index. Matryoshka-trained embeddings
+# concentrate energy in the prefix, so production recall at the same
+# (coarse_dim, shortlist) is far higher; both dials are module knobs
+# and c03_ann_recall_eval shows how any setting is measured.
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (two-stage retrieval): coarse cosine over the first
+    _RR_COARSE_DIM embedding dims shortlists _RR_SHORTLIST candidates
+    per query; the exact full-dim cosine then reranks ONLY the
+    shortlist — the Matryoshka / truncated-index serving pattern
+    (coarse index in RAM, full-precision vectors fetched per candidate).
+
+    At 100 TB: the coarse pass is the only corpus-wide stage and scores
+    a 4× narrower vector (broadcast query set, map-only, per-query top-s
+    shuffle of s·|queries| rows); the rerank fetches full vectors for
+    s·|queries| ids via a broadcast semi-join — constant-size work. The
+    recall/cost dial is (coarse_dim, shortlist): c03_ann_recall_eval
+    shows how the driver measures any such dial against the brute-force
+    truth."""
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse_vec = F.slice("embedding", 1, _RR_COARSE_DIM)
+    with_coarse = emb.select(
+        "vec_id", "embedding", coarse_vec.alias("cvec")
+    )
+    queries = with_coarse.filter(F.col("vec_id") < _RR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("cvec").alias("qcvec"),
+    )
+    coarse_cos = V.cosine(F.col("qcvec"), F.col("cvec"))
+    coarse_scored = (
+        with_coarse.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select("query_id", "vec_id", coarse_cos.alias("coarse_sim"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_sim").desc(), "vec_id"
+    )
+    shortlist = (
+        coarse_scored.withColumn("crnk", F.row_number().over(w_c))
+        .filter(F.col("crnk") <= _RR_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    # rerank: fetch full vectors for shortlist ids only (broadcast —
+    # s·|queries| rows), then exact cosine against the broadcast queries
+    candidates = emb.join(F.broadcast(shortlist), "vec_id")
+    exact_cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    reranked = candidates.join(
+        F.broadcast(queries.select("query_id", "qvec")), "query_id"
+    ).select("query_id", "vec_id", exact_cos.alias("cos_sim"))
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w_e))
+        .filter(F.col("rnk") <= _RR_TOP_K)
+        .select("query_id", "vec_id", "rnk", "cos_sim")
     )
 
 
@@ -258,8 +336,41 @@ def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "c03_hybrid_rrf": q_hybrid_rrf,
+    "c03_ann_rerank": q_ann_rerank,
     "c05_image_hash_neardup": q_image_hash_neardup,
 }
+
+
+def _rerank_oracle() -> str:
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    qslice = f"list_slice(q.embedding, 1, {_RR_COARSE_DIM})"
+    eslice = f"list_slice(e.embedding, 1, {_RR_COARSE_DIM})"
+    return f"""
+        WITH shortlist AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql(qslice, eslice)} DESC, e.vec_id
+                       ) AS crnk
+                FROM embeddings e
+                JOIN embeddings q
+                  ON q.vec_id < {_RR_N_QUERIES} AND e.vec_id != q.vec_id
+            ) WHERE crnk <= {_RR_SHORTLIST}
+        )
+        SELECT query_id, vec_id, rnk, cos_sim FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {V.cosine_sql('q.embedding', 'e.embedding')} DESC, s.vec_id
+                   ) AS rnk,
+                   {V.cosine_sql('q.embedding', 'e.embedding')} AS cos_sim
+            FROM shortlist s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN embeddings q ON q.vec_id = s.query_id
+        ) WHERE rnk <= {_RR_TOP_K}
+    """
 
 
 def _rrf_oracle() -> str:
@@ -352,5 +463,6 @@ def _ah_oracle() -> str:
 
 ORACLE = {
     "c03_hybrid_rrf": _rrf_oracle(),
+    "c03_ann_rerank": _rerank_oracle(),
     "c05_image_hash_neardup": _ah_oracle(),
 }

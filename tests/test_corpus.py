@@ -133,3 +133,35 @@ def test_classifier_score_verdict_matches_threshold(spark, sf_dir):
     for r in rows:
         assert r.keep == int(r.score > C._CLS_THRESHOLD)
         assert -0.5 <= r.score <= 0.5
+
+
+def test_phrase_mining_score_formula_and_ranking(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import (
+        _PH_DELTA,
+        _PH_MIN_C12,
+        _PH_TOPN,
+        q_phrase_mining,
+    )
+
+    rows = q_phrase_mining(spark, sf_dir).orderBy("rnk").collect()
+    assert 0 < len(rows) <= _PH_TOPN
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.c12 >= _PH_MIN_C12
+        assert r.score == (r.c12 - _PH_DELTA) / (r.c1 * r.c2)
+
+
+def test_phrase_mining_broadcasts_unigram_sides(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import q_phrase_mining
+
+    plan = (
+        q_phrase_mining(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

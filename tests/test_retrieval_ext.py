@@ -100,6 +100,51 @@ def test_image_hash_band_candidates_are_pigeonhole_complete(spark, sf_dir):
     assert {d for d, _ in found} == expected_docs
 
 
+def test_ann_rerank_scores_are_exact_and_recall_holds(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_knn_bruteforce,
+    )
+
+    rr = R.q_ann_rerank(spark, sf_dir).collect()
+    exact = q_knn_bruteforce(spark, sf_dir).collect()
+    # shape: top-k per query, ranks 1..k, scores descending
+    per_q: dict = {}
+    for r in rr:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(R._RR_N_QUERIES))
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, R._RR_TOP_K + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    # rerank scores are the EXACT full-dim cosine: any (query, vec) the
+    # two operators share must carry the identical double
+    truth = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+    shared = [r for r in rr if (r.query_id, r.vec_id) in truth]
+    assert shared, "rerank found none of the brute-force top-k"
+    for r in shared:
+        assert r.cos_sim == truth[(r.query_id, r.vec_id)]
+    # the coarse stage is lossy by design, but the isotropic-fixture
+    # floor should hold (defaults are tuned to ~0.88 here)
+    recall = len(shared) / len(exact)
+    assert recall >= 0.6
+
+
+def test_ann_rerank_fetches_candidates_by_broadcast(spark, sf_dir):
+    plan = (
+        R.q_ann_rerank(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # query set + shortlist + qvec fetch all broadcast; the corpus is
+    # never shuffled by a join key
+    assert plan.count("BroadcastHashJoin") >= 2 or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1
+    assert "SortMergeJoin" not in plan
+
+
 def test_image_hash_bands_fit_width(spark, sf_dir):
     rows = R.QUERIES["c05_image_hash_neardup"](spark, sf_dir).collect()
     hi = (1 << R._AH_BITS) - 1
