@@ -225,6 +225,17 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-sequential so the float sum is bit-identical in the
     oracle."""
     docs = load_table(spark, sf_dir, "documents")
+    return _classifier_scored(docs).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (F.col("score") > _CLS_THRESHOLD).cast("int").alias("keep"),
+    )
+
+
+def _classifier_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score): the hashed-linear inference shared by
+    c04_classifier_score and the quality-stratified sampler."""
     codes = T.token_codes(F.col("text"))
     weights = F.transform(
         codes,
@@ -238,21 +249,108 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refuses to inline non-cheap expressions referenced more than once,
     # so the tokenize+hash+fold chain is evaluated ONCE per row, not once
     # per output column.
-    staged = docs.select("doc_id", weights.alias("ws"))
-    scored = staged.select(
+    staged = docs.select("doc_id", F.col("text"), weights.alias("ws"))
+    return staged.select(
         "doc_id",
+        "text",
         F.size("ws").alias("n_tokens"),
         (
             F.aggregate("ws", F.lit(0.0), lambda acc, w: acc + w)
             / F.size("ws").cast("double")
         ).alias("score"),
     )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        "score",
-        (F.col("score") > _CLS_THRESHOLD).cast("int").alias("keep"),
+
+
+# ---------------------------------------------------------------------------
+# C6 — quality-stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+# (score threshold, permille keep-rate): DCLM-style quality-weighted
+# selection — high-quality strata survive whole, low-quality strata are
+# thinned, and membership is a pure function of content so reruns and
+# retries select the identical subset.
+_QS_HIGH_T = 0.01
+_QS_MID_T = -0.01
+_QS_RATES = {"high": 1000, "mid": 500, "low": 100}
+
+
+def q_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (quality-weighted selection): stratify documents by the
+    hashed-linear classifier score (shared with c04_classifier_score),
+    then keep each stratum at its own rate — 100% of high, 50% of mid,
+    10% of low — with DETERMINISTIC membership: a doc is kept iff
+    fingerprint(text) mod 1000 < rate‰. Content-hash gating (the same
+    device as c06_train_split) makes the sample reproducible across
+    runs, executors, and retries — no RNG state to coordinate.
+
+    At 100 TB this is a single map pass (classifier fold + one integer
+    hash + one comparison, all codegen); no shuffle, no sort, no
+    global quantile pass — the strata are fixed score thresholds, the
+    calibrated-cutoff variant being one approx_percentile pre-pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _classifier_scored(docs)
+    bucket = (
+        F.when(F.col("score") > _QS_HIGH_T, F.lit("high"))
+        .when(F.col("score") > _QS_MID_T, F.lit("mid"))
+        .otherwise(F.lit("low"))
     )
+    rate = (
+        F.when(F.col("bucket") == "high", F.lit(_QS_RATES["high"]))
+        .when(F.col("bucket") == "mid", F.lit(_QS_RATES["mid"]))
+        .otherwise(F.lit(_QS_RATES["low"]))
+    )
+    staged = scored.select(
+        "doc_id", "text", "score", bucket.alias("bucket")
+    ).select(
+        "doc_id",
+        "score",
+        "bucket",
+        rate.alias("rate_permille"),
+        (T.fingerprint(F.col("text")) % 1000).alias("h"),
+    )
+    return staged.select(
+        "doc_id",
+        "score",
+        "bucket",
+        "rate_permille",
+        (F.col("h") < F.col("rate_permille")).cast("int").alias("sampled"),
+    )
+
+
+def _quality_sampling_oracle() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_transform(
+                       {T.token_codes_sql('text')},
+                       c -> CAST(((c % {_CLS_BUCKETS}) * {_CLS_A} + {_CLS_B}) % {T.MOD} AS DOUBLE)
+                            / {float(T.MOD)!r} - 0.5
+                   ) AS ws
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws), (acc, x) -> acc + x)
+                       / CAST(len(ws) AS DOUBLE) AS score
+            FROM w
+        ),
+        strat AS (
+            SELECT doc_id, score,
+                   CASE WHEN score > {_QS_HIGH_T} THEN 'high'
+                        WHEN score > {_QS_MID_T} THEN 'mid'
+                        ELSE 'low' END AS bucket,
+                   {T.fingerprint_sql('text')} % 1000 AS h
+            FROM scored
+        )
+        SELECT doc_id, score, bucket,
+               CASE bucket WHEN 'high' THEN {_QS_RATES['high']}
+                           WHEN 'mid' THEN {_QS_RATES['mid']}
+                           ELSE {_QS_RATES['low']} END AS rate_permille,
+               CAST(h < CASE bucket WHEN 'high' THEN {_QS_RATES['high']}
+                                    WHEN 'mid' THEN {_QS_RATES['mid']}
+                                    ELSE {_QS_RATES['low']} END AS INT) AS sampled
+        FROM strat
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +426,7 @@ QUERIES = {
     "c02_incremental_dedup": q_incremental_dedup,
     "c04_classifier_score": q_classifier_score,
     "c04_phrase_mining": q_phrase_mining,
+    "c06_quality_sampling": q_quality_sampling,
 }
 
 _PHRASE_ORACLE = f"""
@@ -436,6 +535,7 @@ ORACLE = {
     """,
     "c02_incremental_dedup": _incremental_oracle(),
     "c04_phrase_mining": _PHRASE_ORACLE,
+    "c06_quality_sampling": _quality_sampling_oracle(),
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

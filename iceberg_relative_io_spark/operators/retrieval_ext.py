@@ -331,6 +331,92 @@ def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C5 — video scene segmentation (frame-delta cuts)
+# ---------------------------------------------------------------------------
+
+_SC_FRAME = 64    # chars per frame (the fixed-slice frame convention of
+                  # functions/multimodal.sample_frames)
+_SC_CUT_T = 250   # luminance-delta threshold declaring a scene cut
+                  # (≈ the p93 frame delta on the fixture — cuts are
+                  # meant to be the outlier transitions)
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (video): scene segmentation — split each payload into
+    fixed-size frames, compute per-frame luminance (sum of sample
+    values; frames are fixed payload slices, the same documented
+    decode stand-in as sample_frames), and declare a cut wherever the
+    frame-to-frame delta exceeds the threshold. The real pipeline swaps
+    the luminance delta for an SSIM/histogram distance inside the same
+    plan; partial trailing frames are dropped (a real codec emits whole
+    frames).
+
+    Plan: a PURE MAP — frames, luminances, deltas, and cut positions
+    are all higher-order array expressions inside one row; no explode,
+    no shuffle, no Python. At 100 TB scene detection costs exactly one
+    corpus read."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    n_frames = F.floor(F.length("text") / _SC_FRAME).cast("int")
+    staged = docs.select("doc_id", chars.alias("ch"), n_frames.alias("n_frames"))
+    lum = F.transform(
+        F.sequence(F.lit(0), F.col("n_frames") - 1),
+        lambda f: F.aggregate(
+            F.slice("ch", f * _SC_FRAME + 1, _SC_FRAME),
+            F.lit(0),
+            lambda a, c: a + F.ascii(c),
+        ),
+    )
+    with_lum = staged.filter(F.col("n_frames") >= 2).select(
+        "doc_id", "n_frames", lum.alias("lum")
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.col("n_frames") - 1),
+        lambda f: F.abs(
+            F.element_at("lum", f + 1) - F.element_at("lum", f)
+        )
+        >= _SC_CUT_T,
+    )
+    return with_lum.select("doc_id", "n_frames", cuts.alias("cuts")).select(
+        "doc_id",
+        "n_frames",
+        F.size("cuts").alias("n_cuts"),
+        F.coalesce(F.try_element_at("cuts", F.lit(1)), F.lit(-1)).alias(
+            "first_cut"
+        ),
+    )
+
+
+def _scene_oracle() -> str:
+    lum = (
+        f"[list_reduce(list_prepend(0, "
+        f"[ascii(c) FOR c IN list_slice(ch, f * {_SC_FRAME} + 1, (f + 1) * {_SC_FRAME})]), "
+        f"(a, x) -> a + x) FOR f IN range(0, n_frames)]"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, '') AS ch,
+                   CAST(len(text) // {_SC_FRAME} AS INT) AS n_frames
+            FROM documents
+        ),
+        with_lum AS (
+            SELECT doc_id, n_frames, {lum} AS lum
+            FROM staged WHERE n_frames >= 2
+        ),
+        with_cuts AS (
+            SELECT doc_id, n_frames,
+                   [f FOR f IN range(1, n_frames)
+                    IF abs(lum[f + 1] - lum[f]) >= {_SC_CUT_T}] AS cuts
+            FROM with_lum
+        )
+        SELECT doc_id, n_frames,
+               CAST(len(cuts) AS INT) AS n_cuts,
+               COALESCE(cuts[1], -1) AS first_cut
+        FROM with_cuts
+    """
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -338,6 +424,7 @@ QUERIES = {
     "c03_hybrid_rrf": q_hybrid_rrf,
     "c03_ann_rerank": q_ann_rerank,
     "c05_image_hash_neardup": q_image_hash_neardup,
+    "c05_scene_cuts": q_scene_cuts,
 }
 
 
@@ -465,4 +552,5 @@ ORACLE = {
     "c03_hybrid_rrf": _rrf_oracle(),
     "c03_ann_rerank": _rerank_oracle(),
     "c05_image_hash_neardup": _ah_oracle(),
+    "c05_scene_cuts": _scene_oracle(),
 }

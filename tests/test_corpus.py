@@ -165,3 +165,42 @@ def test_phrase_mining_broadcasts_unigram_sides(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_sampling_rates_and_determinism(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import (
+        _QS_RATES,
+        q_quality_sampling,
+    )
+
+    rows = q_quality_sampling(spark, sf_dir).collect()
+    again = q_quality_sampling(spark, sf_dir).collect()
+    assert {(r.doc_id, r.sampled) for r in rows} == {
+        (r.doc_id, r.sampled) for r in again
+    }  # content-hash gating: reruns select the identical subset
+    by_bucket: dict = {}
+    for r in rows:
+        assert r.rate_permille == _QS_RATES[r.bucket]
+        by_bucket.setdefault(r.bucket, []).append(r.sampled)
+    # every high-quality doc survives; lower strata are actually thinned
+    if "high" in by_bucket:
+        assert all(s == 1 for s in by_bucket["high"])
+    for b in ("mid", "low"):
+        if b in by_bucket and len(by_bucket[b]) >= 20:
+            frac = sum(by_bucket[b]) / len(by_bucket[b])
+            assert frac < 1.0
+            # loose binomial envelope around the configured rate
+            assert abs(frac - _QS_RATES[b] / 1000) < 0.25
+
+
+def test_quality_sampling_is_map_only(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import q_quality_sampling
+
+    plan = (
+        q_quality_sampling(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan

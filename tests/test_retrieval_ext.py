@@ -151,3 +151,24 @@ def test_image_hash_bands_fit_width(spark, sf_dir):
     for r in rows:
         for b in range(R._AH_BANDS):
             assert 0 <= r[f"h{b}"] <= hi
+
+
+def test_scene_cuts_is_shuffle_free_map(spark, sf_dir):
+    df = R.q_scene_cuts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scene detection must cost exactly one corpus read: no Exchange, no
+    # generator explosion, no Python stage
+    for marker in ("Exchange", "Generate", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    rows = df.collect()
+    assert rows
+    some_cut = False
+    for r in rows:
+        assert r.n_frames >= 2
+        assert 0 <= r.n_cuts <= r.n_frames - 1
+        if r.n_cuts > 0:
+            assert 1 <= r.first_cut <= r.n_frames - 1
+            some_cut = True
+        else:
+            assert r.first_cut == -1
+    assert some_cut, "threshold yields no cuts anywhere - dead operator"
