@@ -31,15 +31,14 @@ PRIORITY_ORDER = [
     "b30_stream_stateful_counter", "b30_session_window", "b30_stream_to_table",
     "b31_stream_dedup",
     # §2.C LLM-pipeline extensions (round-3 flagships swapped in for
-    # same-class siblings: distributed CC for the jaccard-topk variant,
-    # BM25 for langid, SemDeDup for the schema-only C5 row — every class
-    # keeps a representative and the 50-query sample spans the whole
-    # inventory)
+    # same-class siblings — every class keeps a representative and the
+    # 50-query sample spans the whole inventory; the judge's full rerun
+    # still covers every sibling this prefix rotates out)
     "c01_exact_dedup", "c01_embedding_neardup", "c02_incremental_dedup",
     "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c04_vocab_build",
     "c02_connected_components", "c03_knn_bruteforce", "c03_ann_ivfpq",
-    "c03_cluster_medoids", "c03_pq_codes", "c04_bm25_search",
-    "c03_semantic_dedup", "c05_binary_ingest", "c06_pipeline_capstone",
+    "c03_ann_rerank", "c03_hybrid_rrf", "c04_phrase_mining",
+    "c03_semantic_dedup", "c05_image_hash_neardup", "c06_pipeline_capstone",
 ]
 
 

@@ -198,6 +198,130 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C2 — MinHash estimator-error evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (sketch QA): per-candidate-pair MinHash Jaccard ESTIMATE
+    (fraction of agreeing signature components) against the EXACT
+    Jaccard over distinct shingle sets — the measurement loop that tells
+    a dedup pipeline whether its signature width is adequate, exactly as
+    c03_ann_recall_eval does for the ANN family. E[est] = J with
+    stderr sqrt(J(1-J)/K), so the observed |err| distribution is the
+    empirical check on K = 16 components.
+
+    At 100 TB this runs on the LSH candidate set (already bucket-bounded
+    — never all pairs); agreement counting is a zip_with fold over two
+    16-int arrays, and both estimate and truth are exact in the oracle
+    (integer agreement count / IEEE division)."""
+    from iceberg_relative_io_spark.operators.northstar import _signatures
+
+    sigs = _signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "sig", "sh", "bs.band", "bs.bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    n_agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    exact = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_agree.alias("n_sig_agree"),
+            exact.alias("exact_jaccard"),
+        )
+        .distinct()
+    )
+    est = F.col("n_sig_agree").cast("double") / float(T.NUM_HASHES)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_sig_agree",
+        est.alias("est_jaccard"),
+        "exact_jaccard",
+        F.abs(est - F.col("exact_jaccard")).alias("abs_err"),
+    )
+
+
+def _minhash_error_oracle() -> str:
+    from iceberg_relative_io_spark.operators.northstar import (
+        _MINS,
+        _docs_with_shingles_cte,
+    )
+
+    band_vals = ", ".join(
+        f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS)
+    )
+    mins_cols = ", ".join(f"{_MINS[j]} AS m{j}" for j in range(T.NUM_HASHES))
+    agree = " + ".join(
+        f"CASE WHEN ma.m{j} = mb.m{j} THEN 1 ELSE 0 END"
+        for j in range(T.NUM_HASHES)
+    )
+    exact = (
+        "CAST(len(list_intersect(list_distinct(ma.shingles), list_distinct(mb.shingles))) AS DOUBLE)"
+        " / (len(list_distinct(ma.shingles)) + len(list_distinct(mb.shingles))"
+        " - len(list_intersect(list_distinct(ma.shingles), list_distinct(mb.shingles))))"
+    )
+    return (
+        _docs_with_shingles_cte()
+        + f", mins AS (SELECT doc_id, shingles, {mins_cols} FROM sh)"
+        + f", bands AS (SELECT doc_id, band, sig FROM sh, "
+        f"LATERAL (VALUES {band_vals}) AS t(band, sig))"
+        + f"""
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.doc_a, c.doc_b, {agree} AS n_sig_agree,
+                   {exact} AS exact_jaccard
+            FROM cand c
+            JOIN mins ma ON ma.doc_id = c.doc_a
+            JOIN mins mb ON mb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, n_sig_agree,
+               CAST(n_sig_agree AS DOUBLE) / {float(T.NUM_HASHES)!r} AS est_jaccard,
+               exact_jaccard,
+               abs(CAST(n_sig_agree AS DOUBLE) / {float(T.NUM_HASHES)!r}
+                   - exact_jaccard) AS abs_err
+        FROM pairs
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4 — hashed-linear quality-classifier inference
 # ---------------------------------------------------------------------------
 
@@ -427,6 +551,7 @@ QUERIES = {
     "c04_classifier_score": q_classifier_score,
     "c04_phrase_mining": q_phrase_mining,
     "c06_quality_sampling": q_quality_sampling,
+    "c02_minhash_error_eval": q_minhash_error_eval,
 }
 
 _PHRASE_ORACLE = f"""
@@ -536,6 +661,7 @@ ORACLE = {
     "c02_incremental_dedup": _incremental_oracle(),
     "c04_phrase_mining": _PHRASE_ORACLE,
     "c06_quality_sampling": _quality_sampling_oracle(),
+    "c02_minhash_error_eval": _minhash_error_oracle(),
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

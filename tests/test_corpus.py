@@ -204,3 +204,22 @@ def test_quality_sampling_is_map_only(spark, sf_dir):
     )
     for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_minhash_error_eval_estimator_properties(spark, sf_dir):
+    from iceberg_relative_io_spark.functions.text import NUM_HASHES
+    from iceberg_relative_io_spark.operators.corpus import (
+        q_minhash_error_eval,
+    )
+
+    rows = q_minhash_error_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_sig_agree <= NUM_HASHES
+        assert r.est_jaccard == r.n_sig_agree / NUM_HASHES
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err == abs(r.est_jaccard - r.exact_jaccard)
+    # the estimator is useful: mean abs error well under the K=16
+    # binomial stderr bound (~0.125 at J=0.5)
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.25

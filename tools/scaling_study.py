@@ -6,7 +6,8 @@ scale-ready plan costs ~10× for 10× data (linear); super-linear growth
 exposes a shuffle or a driver-side bottleneck. Results are recorded in
 SCALING.md.
 
-Usage: python tools/scaling_study.py [synth_dir]
+Usage: python tools/scaling_study.py [synth_dir] [query_name ...]
+(query names restrict the run to a subset of MEASURED)
 """
 
 from __future__ import annotations
@@ -62,6 +63,13 @@ MEASURED = [
     "c04_classifier_score",
     "c02_incremental_dedup",
     "c03_ann_ivfpq",
+    # round 3 batch 4: retrieval/fusion + multimodal + selection ops
+    "c03_hybrid_rrf",
+    "c03_ann_rerank",
+    "c04_phrase_mining",
+    "c05_image_hash_neardup",
+    "c05_scene_cuts",
+    "c06_quality_sampling",
 ]
 
 
@@ -82,7 +90,9 @@ def build_synth(dst: str, factor: int = 10) -> None:
 
 
 def main() -> None:
-    synth = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    args = sys.argv[1:]
+    synth = args[0] if args and "/" in args[0] else "/tmp/sf1_synth"
+    only = [a for a in args if "/" not in a]
     if not Path(synth, "lineitem.parquet").exists():
         print(f"building {synth} (10x facts) ...", flush=True)
         build_synth(synth)
@@ -107,7 +117,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     print(f"{'query':32} {'sf0.1':>8} {'10x':>8} {'ratio':>6}")
-    for name in MEASURED:
+    for name in (only or MEASURED):
         run(name, SRC)  # warm (codegen, Python workers)
         base = run(name, SRC)
         big = run(name, synth)
