@@ -172,3 +172,43 @@ def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 2) -> DataF
     return df.mapInPandas(
         run, schema="item_id long, frame_idx int, frame_len int, frame_sha string"
     )
+
+
+def make_avghash_udf(n_bands: int, n_pixels: int = 64):
+    """Arrow-batched average-hash: text payload -> n_bands packed
+    sign-bit integers of (n_pixels/n_bands) bits. The exact integer
+    mirror of retrieval_ext's Column-expression builder and its DuckDB
+    oracle (64 evenly-spaced codepoint samples, mean threshold,
+    MSB-first pack) — property-tested equal in tests/test_retrieval_ext.
+
+    This is the hot path: the nested higher-order Column expression
+    evaluates INTERPRETED (it falls out of whole-stage codegen) and,
+    worse, un-materialized hash columns get inlined into the band-join
+    predicate and recomputed per candidate pair — measured ~20x the
+    total query time at sf0.1. The Arrow stage materializes the eight
+    ints once per row, exactly like the minhash pipeline
+    (functions/text.py)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bits = n_pixels // n_bands
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def avghash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            n = len(t)
+            if n == 0:
+                px = [0] * n_pixels
+            else:
+                px = [ord(t[(i * n) // n_pixels]) for i in range(n_pixels)]
+            mean = sum(px) / float(n_pixels)
+            hs = []
+            for b in range(n_bands):
+                acc = 0
+                for x in px[b * bits : (b + 1) * bits]:
+                    acc = acc * 2 + (1 if x > mean else 0)
+                hs.append(acc)
+            out.append(hs)
+        return pd.Series(out)
+
+    return avghash

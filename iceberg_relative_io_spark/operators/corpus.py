@@ -198,6 +198,124 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C6 — token-budget allocation (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 100_000  # training-token budget to apportion across sources
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (data mixing, the actionable step): turn the temperature
+    mixture weights of c06_mixture_weights into an INTEGER token
+    allocation that sums exactly to the budget — floor(w_s * B) per
+    source, then the leftover B - Σfloor distributed one token each to
+    the largest fractional remainders (largest-remainder apportionment,
+    ties by source asc), finally capped at the tokens the source
+    actually has (shortfall reported, not silently redistributed — the
+    pipeline operator re-mixes explicitly when a source runs dry).
+
+    All arithmetic is exact cross-engine: sqrt/division/multiply are
+    correctly-rounded IEEE, floor and x - floor(x) are exact, and the
+    normalizer folds per-source terms in source order. One |sources|-row
+    aggregation; everything after is constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
+    )
+    pw = counts.withColumn("pw", F.sqrt(F.col("n_docs").cast("double")))
+    total = pw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("pw")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["pw"],
+        ).alias("total_pw")
+    )
+    exact = (
+        pw.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            (F.col("pw") / F.col("total_pw") * _TB_BUDGET).alias("x"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            F.floor("x").cast("long").alias("base"),
+            (F.col("x") - F.floor("x")).alias("rem"),
+        )
+    )
+    leftover = exact.agg(
+        (F.lit(_TB_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    alloc = (
+        exact.crossJoin(F.broadcast(leftover))
+        .withColumn("rrank", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            (
+                F.col("base")
+                + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "alloc_tokens",
+        F.least("alloc_tokens", "avail_tokens").alias("alloc_final"),
+        F.greatest(
+            F.col("alloc_tokens") - F.col("avail_tokens"), F.lit(0)
+        ).cast("long").alias("shortfall"),
+    )
+
+
+_TB_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    pw AS (
+        SELECT source, n_docs, avail_tokens,
+               sqrt(CAST(n_docs AS DOUBLE)) AS pw
+        FROM counts
+    ),
+    total AS (
+        SELECT list_reduce(list_prepend(0.0, list(pw ORDER BY source)), (a, x) -> a + x)
+                   AS total_pw
+        FROM pw
+    ),
+    exact AS (
+        SELECT source, n_docs, avail_tokens,
+               CAST(floor(p.pw / t.total_pw * {_TB_BUDGET}) AS BIGINT) AS base,
+               p.pw / t.total_pw * {_TB_BUDGET}
+                   - floor(p.pw / t.total_pw * {_TB_BUDGET}) AS rem
+        FROM pw p CROSS JOIN total t
+    ),
+    leftover AS (
+        SELECT CAST({_TB_BUDGET} - sum(base) AS BIGINT) AS leftover FROM exact
+    ),
+    alloc AS (
+        SELECT source, n_docs, avail_tokens,
+               base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                           <= l.leftover THEN 1 ELSE 0 END AS alloc_tokens
+        FROM exact CROSS JOIN leftover l
+    )
+    SELECT source, n_docs, avail_tokens, alloc_tokens,
+           least(alloc_tokens, avail_tokens) AS alloc_final,
+           CAST(greatest(alloc_tokens - avail_tokens, 0) AS BIGINT) AS shortfall
+    FROM alloc
+"""
+
+
+# ---------------------------------------------------------------------------
 # C2 — MinHash estimator-error evaluation
 # ---------------------------------------------------------------------------
 
@@ -552,6 +670,7 @@ QUERIES = {
     "c04_phrase_mining": q_phrase_mining,
     "c06_quality_sampling": q_quality_sampling,
     "c02_minhash_error_eval": q_minhash_error_eval,
+    "c06_token_budget_allocation": q_token_budget_allocation,
 }
 
 _PHRASE_ORACLE = f"""
@@ -662,6 +781,7 @@ ORACLE = {
     "c04_phrase_mining": _PHRASE_ORACLE,
     "c06_quality_sampling": _quality_sampling_oracle(),
     "c02_minhash_error_eval": _minhash_error_oracle(),
+    "c06_token_budget_allocation": _TB_ORACLE,
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

@@ -31,8 +31,9 @@ Scale design (100 TB):
   map-only scan for the cosine top-k, which compiles to
   TakeOrderedAndProject — no global sort). A multi-query batch is the
   same plan partitioned by query_id.
-- average-hash is a pure map (whole-stage codegen, no UDF, no Python);
-  the band join shuffles only (band idx, band value, 8 band ints) per
+- average-hash is one Arrow-batched map pass (the materialized hot
+  path — see _hashed vs the _hashed_expr reference semantics); the
+  band join shuffles only (band idx, band value, 8 band ints) per
   row and probes 8 buckets per image. Band-value skew (many identical
   images → one hot bucket) is the known hazard; the identical-hash
   cluster is detected by the exact-dedup pass upstream, and the band
@@ -155,17 +156,22 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth."""
     from iceberg_relative_io_spark.functions import vectors as V
 
+    dot_udf = V.make_dot_udf()  # dimension-sequential, oracle-exact,
+    # Arrow-vectorized — the corpus-wide coarse pass must not run the
+    # interpreted zip_with cosine (SCALING.md measured that ~4x slower)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    coarse_vec = F.slice("embedding", 1, _RR_COARSE_DIM)
     with_coarse = emb.select(
-        "vec_id", "embedding", coarse_vec.alias("cvec")
-    )
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _RR_COARSE_DIM).alias("cvec"),
+    ).withColumn("cnrm", F.sqrt(dot_udf("cvec", "cvec")))
     queries = with_coarse.filter(F.col("vec_id") < _RR_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("cvec").alias("qcvec"),
+        F.col("cnrm").alias("qcnrm"),
     )
-    coarse_cos = V.cosine(F.col("qcvec"), F.col("cvec"))
+    coarse_cos = dot_udf("qcvec", "cvec") / (F.col("qcnrm") * F.col("cnrm"))
     coarse_scored = (
         with_coarse.join(
             F.broadcast(queries), F.col("vec_id") != F.col("query_id")
@@ -182,11 +188,16 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rerank: fetch full vectors for shortlist ids only (broadcast —
     # s·|queries| rows), then exact cosine against the broadcast queries
-    candidates = emb.join(F.broadcast(shortlist), "vec_id")
-    exact_cos = V.cosine(F.col("qvec"), F.col("embedding"))
-    reranked = candidates.join(
-        F.broadcast(queries.select("query_id", "qvec")), "query_id"
-    ).select("query_id", "vec_id", exact_cos.alias("cos_sim"))
+    candidates = emb.join(F.broadcast(shortlist), "vec_id").withColumn(
+        "nrm", F.sqrt(dot_udf("embedding", "embedding"))
+    )
+    qfull = queries.select("query_id", "qvec").withColumn(
+        "qnrm", F.sqrt(dot_udf("qvec", "qvec"))
+    )
+    exact_cos = dot_udf("qvec", "embedding") / (F.col("qnrm") * F.col("nrm"))
+    reranked = candidates.join(F.broadcast(qfull), "query_id").select(
+        "query_id", "vec_id", exact_cos.alias("cos_sim")
+    )
     w_e = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "vec_id"
     )
@@ -222,13 +233,34 @@ def _pixels(text) -> F.Column:
     )
 
 
-def _hashed(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h3): pixel>mean sign bits packed into _AH_BANDS
-    integers of _AH_BITS bits (MSB-first fold acc*2+bit — small positive
-    values, no sign-bit hazard). px and mean are staged behind per-select
-    aliases so the sample/aggregate expressions evaluate once per row
-    (CollapseProject keeps non-cheap multiply-referenced expressions
-    staged), not once per packed bit."""
+def _hashed(docs: DataFrame, n_bands: int = _AH_BANDS) -> DataFrame:
+    """(doc_id, h0..h{n_bands-1}): pixel>mean sign bits packed into
+    n_bands integers of 64/n_bands bits, via the Arrow-batched
+    average-hash UDF. The ArrowEvalPython stage MATERIALIZES the band
+    ints before the self-join — the Column-expression mirror below
+    (_hashed_expr, the reference semantics, property-tested equal)
+    evaluates interpreted AND gets re-inlined into the join predicate
+    per candidate pair, measured ~20x the whole query at sf0.1."""
+    from iceberg_relative_io_spark.functions.multimodal import make_avghash_udf
+
+    hv = make_avghash_udf(n_bands, _AH_PIXELS)(F.col("text"))
+    return docs.select("doc_id", hv.alias("hv")).select(
+        "doc_id",
+        *[
+            F.element_at("hv", b + 1).alias(f"h{b}")
+            for b in range(n_bands)
+        ],
+    )
+
+
+def _hashed_expr(docs: DataFrame, n_bands: int = _AH_BANDS) -> DataFrame:
+    """Column-expression twin of _hashed (MSB-first fold acc*2+bit —
+    small positive values, no sign-bit hazard): the engine-independent
+    reference semantics that the DuckDB oracle restates; kept for the
+    mirror property test, not the hot path. px and mean are staged
+    behind per-select aliases so the sample/aggregate expressions
+    evaluate once per row, not once per packed bit."""
+    bits = _AH_PIXELS // n_bands
     staged = docs.select("doc_id", _pixels(F.col("text")).alias("px")).select(
         "doc_id",
         "px",
@@ -240,30 +272,41 @@ def _hashed(docs: DataFrame) -> DataFrame:
     mean = F.col("mean")
     bands = [
         F.aggregate(
-            F.slice("px", b * _AH_BITS + 1, _AH_BITS),
+            F.slice("px", b * bits + 1, bits),
             F.lit(0),
             lambda a, x: a * 2 + F.when(x.cast("double") > mean, 1).otherwise(0),
         ).alias(f"h{b}")
-        for b in range(_AH_BANDS)
+        for b in range(n_bands)
     ]
     return staged.select("doc_id", *bands)
 
 
-def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_hash_neardup(
+    spark: SparkSession, sf_dir: str, n_bands: int = _AH_BANDS
+) -> DataFrame:
     """C5 (visual near-dup): 64-bit average-hash per payload, banded
-    Hamming match. Candidates = pairs sharing any of the 8 exact 8-bit
-    bands (pigeonhole-exact for Hamming <= 7); verify = full Hamming
-    via bit_count(xor) over the 8 bands. Output is one row per document
-    (hash bands + near-dup stats), so every hash bit and the join are
-    both oracle-checked even when the fixture yields few matching pairs.
+    Hamming match. Candidates = pairs sharing any of the n_bands exact
+    (64/n_bands)-bit bands (pigeonhole-exact for Hamming <= n_bands-1,
+    the verify threshold); verify = full Hamming via bit_count(xor)
+    over the bands. Output is one row per document (hash bands +
+    near-dup stats), so every hash bit and the join are both
+    oracle-checked even when the fixture yields few matching pairs.
+
+    ``n_bands`` is THE scale knob (the driver default 8 → 8-bit bands,
+    Hamming<=7, mirrored by the oracle): growing the corpus under a
+    fixed band width packs more images per band value and the
+    within-bucket verify goes quadratic — shrink n_bands (wider bands,
+    a stricter guaranteed threshold) as the corpus grows, exactly the
+    trade Manku et al. tabulate. SCALING.md measures both settings.
 
     Plan: hashing is one codegen map pass (no UDF); the candidate join
     shuffles (band_idx, band_val) keys; the per-doc verdict aggregation
     is partial-aggregated before its exchange."""
+    ham_max = n_bands - 1
     docs = load_table(spark, sf_dir, "documents")
-    hashed = _hashed(docs)
+    hashed = _hashed(docs, n_bands)
 
-    hcols = [f"h{b}" for b in range(_AH_BANDS)]
+    hcols = [f"h{b}" for b in range(n_bands)]
     bands = hashed.select(
         "doc_id",
         *hcols,
@@ -273,7 +316,7 @@ def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_idx"), F.col(f"h{b}").alias("band_val")
                     )
-                    for b in range(_AH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),
@@ -284,7 +327,7 @@ def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(
             F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}")).cast("long")
         )
-        for i in range(_AH_BANDS)
+        for i in range(n_bands)
     )
     pairs = (
         a.join(
@@ -299,7 +342,7 @@ def q_image_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .distinct()  # a pair sharing several bands appears once
-        .filter(F.col("hamming") <= _AH_HAM_MAX)
+        .filter(F.col("hamming") <= ham_max)
     )
     # symmetrize so each doc reports matches on either side of the pair —
     # via explode, which doubles ROWS, not the join subtree (a unionAll

@@ -223,3 +223,24 @@ def test_minhash_error_eval_estimator_properties(spark, sf_dir):
     # binomial stderr bound (~0.125 at J=0.5)
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.25
+
+
+def test_token_budget_allocation_sums_exactly(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import (
+        _TB_BUDGET,
+        q_token_budget_allocation,
+    )
+
+    rows = q_token_budget_allocation(spark, sf_dir).collect()
+    # largest-remainder apportionment: integer allocs sum EXACTLY to the
+    # budget, off-by-at-most-one from the exact real-valued share
+    assert sum(r.alloc_tokens for r in rows) == _TB_BUDGET
+    import math
+
+    n = len(rows)
+    tot = sum(math.sqrt(r.n_docs) for r in rows)
+    for r in rows:
+        exact = math.sqrt(r.n_docs) / tot * _TB_BUDGET
+        assert math.floor(exact) <= r.alloc_tokens <= math.floor(exact) + 1
+        assert r.alloc_final == min(r.alloc_tokens, r.avail_tokens)
+        assert r.shortfall == max(r.alloc_tokens - r.avail_tokens, 0)
