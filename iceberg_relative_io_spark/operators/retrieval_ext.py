@@ -72,12 +72,19 @@ def _semantic_topn(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFram
     but for one query, so the fusion input is k rows."""
     from iceberg_relative_io_spark.functions import vectors as V
 
+    dot_udf = V.make_dot_udf()  # corpus-wide vector math rides the
+    # Arrow path (SCALING.md batch-4: interpreted folds are for k-row
+    # tables only); numerics identical to the oracle's list_reduce
     emb = load_table(spark, sf_dir, "embeddings")
     top1 = lex.filter(F.col("lex_rank") == 1).select(
         F.col("doc_id").alias("vec_id")
     )
-    q = emb.join(top1, "vec_id").select(F.col("embedding").alias("qvec"))
-    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    q = emb.join(top1, "vec_id").select(
+        F.col("embedding").alias("qvec")
+    ).withColumn("qnrm", F.sqrt(dot_udf("qvec", "qvec")))
+    cos = dot_udf("qvec", "embedding") / (
+        F.col("qnrm") * F.sqrt(dot_udf("embedding", "embedding"))
+    )
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id", cos.alias("cos_sim")
     )
