@@ -223,6 +223,13 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
     )
+    return _apportion(counts)
+
+
+def _apportion(counts: DataFrame, budget: int = _TB_BUDGET) -> DataFrame:
+    """Largest-remainder apportionment over a (source, n_docs,
+    avail_tokens) table — shared by c06_token_budget_allocation (whole
+    corpus) and c06_selection_capstone (the sampled sub-corpus)."""
     pw = counts.withColumn("pw", F.sqrt(F.col("n_docs").cast("double")))
     total = pw.agg(
         F.aggregate(
@@ -237,7 +244,7 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "avail_tokens",
-            (F.col("pw") / F.col("total_pw") * _TB_BUDGET).alias("x"),
+            (F.col("pw") / F.col("total_pw") * budget).alias("x"),
         )
         .select(
             "source",
@@ -248,7 +255,7 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     leftover = exact.agg(
-        (F.lit(_TB_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
     )
     w = Window.orderBy(F.col("rem").desc(), "source")
     alloc = (
@@ -276,12 +283,10 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TB_ORACLE = f"""
-    WITH counts AS (
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-        FROM documents GROUP BY source
-    ),
+def _apportion_sql(budget: int = _TB_BUDGET) -> str:
+    """SQL twin of _apportion over a CTE named ``counts`` with columns
+    (source, n_docs, avail_tokens)."""
+    return f"""
     pw AS (
         SELECT source, n_docs, avail_tokens,
                sqrt(CAST(n_docs AS DOUBLE)) AS pw
@@ -294,13 +299,13 @@ _TB_ORACLE = f"""
     ),
     exact AS (
         SELECT source, n_docs, avail_tokens,
-               CAST(floor(p.pw / t.total_pw * {_TB_BUDGET}) AS BIGINT) AS base,
-               p.pw / t.total_pw * {_TB_BUDGET}
-                   - floor(p.pw / t.total_pw * {_TB_BUDGET}) AS rem
+               CAST(floor(p.pw / t.total_pw * {budget}) AS BIGINT) AS base,
+               p.pw / t.total_pw * {budget}
+                   - floor(p.pw / t.total_pw * {budget}) AS rem
         FROM pw p CROSS JOIN total t
     ),
     leftover AS (
-        SELECT CAST({_TB_BUDGET} - sum(base) AS BIGINT) AS leftover FROM exact
+        SELECT CAST({budget} - sum(base) AS BIGINT) AS leftover FROM exact
     ),
     alloc AS (
         SELECT source, n_docs, avail_tokens,
@@ -312,6 +317,60 @@ _TB_ORACLE = f"""
            least(alloc_tokens, avail_tokens) AS alloc_final,
            CAST(greatest(alloc_tokens - avail_tokens, 0) AS BIGINT) AS shortfall
     FROM alloc
+    """
+
+
+_TB_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    {_apportion_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# C6 — selection capstone: classifier → stratified sample → apportion
+# ---------------------------------------------------------------------------
+
+
+def q_selection_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (composed selection pipeline): the three new selection stages
+    chained end-to-end the way a release run uses them — score every
+    document with the hashed-linear classifier, keep the
+    quality-stratified content-hash sample (c06_quality_sampling's
+    gate), then apportion the token budget across sources over the
+    SURVIVING sub-corpus only (largest-remainder, capacity-capped).
+    One map pass for score+gate, one |sources|-row aggregation, then
+    constant-size apportionment — composition adds no new shuffle
+    class beyond its pieces."""
+    sampled = q_quality_sampling(spark, sf_dir).filter(
+        F.col("sampled") == 1
+    ).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.join(sampled, "doc_id")
+    counts = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
+    )
+    return _apportion(counts)
+
+
+def _selection_capstone_oracle() -> str:
+    # the quality-sampling oracle already produces (doc_id, ..., sampled);
+    # wrap it, keep survivors, recount per source, then apportion
+    return f"""
+    WITH sampled AS (
+        SELECT doc_id FROM ({_quality_sampling_oracle()}) WHERE sampled = 1
+    ),
+    counts AS (
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents d JOIN sampled s ON d.doc_id = s.doc_id
+        GROUP BY d.source
+    ),
+    {_apportion_sql()}
 """
 
 
@@ -671,6 +730,7 @@ QUERIES = {
     "c06_quality_sampling": q_quality_sampling,
     "c02_minhash_error_eval": q_minhash_error_eval,
     "c06_token_budget_allocation": q_token_budget_allocation,
+    "c06_selection_capstone": q_selection_capstone,
 }
 
 _PHRASE_ORACLE = f"""
@@ -782,6 +842,7 @@ ORACLE = {
     "c06_quality_sampling": _quality_sampling_oracle(),
     "c02_minhash_error_eval": _minhash_error_oracle(),
     "c06_token_budget_allocation": _TB_ORACLE,
+    "c06_selection_capstone": _selection_capstone_oracle(),
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

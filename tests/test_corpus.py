@@ -244,3 +244,31 @@ def test_token_budget_allocation_sums_exactly(spark, sf_dir):
         assert math.floor(exact) <= r.alloc_tokens <= math.floor(exact) + 1
         assert r.alloc_final == min(r.alloc_tokens, r.avail_tokens)
         assert r.shortfall == max(r.alloc_tokens - r.avail_tokens, 0)
+
+
+def test_selection_capstone_composes_its_stages(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import (
+        _TB_BUDGET,
+        q_quality_sampling,
+        q_selection_capstone,
+    )
+    from iceberg_relative_io_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    alloc = {r.source: r for r in q_selection_capstone(spark, sf_dir).collect()}
+    assert sum(r.alloc_tokens for r in alloc.values()) == _TB_BUDGET
+    # counts really are over the sampled sub-corpus
+    kept = {
+        r.doc_id
+        for r in q_quality_sampling(spark, sf_dir).collect()
+        if r.sampled == 1
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        if d.doc_id in kept:
+            n, t = by_src.get(d.source, (0, 0))
+            by_src[d.source] = (n + 1, t + d.nt)
+    assert {s: (r.n_docs, r.avail_tokens) for s, r in alloc.items()} == by_src
