@@ -260,3 +260,39 @@ def make_pq_assign_udf(bc, n_sub: int):
         return pd.Series(list(codes))
 
     return pq_assign
+
+
+def make_assign_udf(bc):
+    """pandas UDF: (cluster id, winning cosine) of the max-cosine
+    centroid per vector — make_nearest_udf plus the assignment QUALITY,
+    for operators that score the clustering (inertia/SSE) rather than
+    just label members. Same bits as the oracle: dimension-sequential
+    accumulation, dot/(sqrt(nv)*nc) grouping, first-maximum tie-break
+    over id-sorted centroids."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_t = StructType(
+        [StructField("cluster", LongType()), StructField("cos", DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def assign(vec: pd.Series) -> pd.DataFrame:
+        ids_, C_, nc_ = bc.value
+        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        S = np.zeros((len(V_), len(C_)), dtype=np.float64)
+        nv = np.zeros(len(V_), dtype=np.float64)
+        for i in range(V_.shape[1]):
+            S = S + np.outer(V_[:, i], C_[:, i])
+            nv = nv + V_[:, i] * V_[:, i]
+        cos = S / np.outer(np.sqrt(nv), nc_)
+        idx = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {"cluster": ids_[idx], "cos": cos[np.arange(len(V_)), idx]}
+        )
+
+    return assign

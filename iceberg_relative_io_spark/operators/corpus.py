@@ -375,6 +375,79 @@ def _selection_capstone_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# C6 — dataset version diff
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (dataset versioning): content-level diff report between two
+    corpus releases — per (source, status) counts of added / removed /
+    changed / unchanged documents. The a-layer CDC reads answer "which
+    FILES changed"; this answers the curation question "which DOCUMENTS
+    changed", keyed by doc id with CONTENT-FINGERPRINT comparison (the
+    two sides never compare full text — at 100 TB the join carries
+    (id, source, int64 fingerprint) only, one hash-partitioned full
+    outer join, pruned before the exchange).
+
+    Versions here are deterministic slices of the fixture (old = ids
+    not divisible by 7, new = ids not divisible by 5, with every 11th
+    doc's text edited), so the report covers all four statuses and the
+    oracle restates the construction exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.col("source").alias("o_source"),
+        T.fingerprint(F.col("text")).alias("o_fp"),
+    )
+    new_text = F.when(
+        F.col("doc_id") % 11 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.col("source").alias("n_source"),
+        T.fingerprint(new_text).alias("n_fp"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("o_fp").isNull(), F.lit("added"))
+        .when(F.col("n_fp").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("o_source", "n_source").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _dataset_diff_oracle() -> str:
+    return f"""
+        WITH old AS (
+            SELECT doc_id, source, {T.fingerprint_sql('text')} AS fp
+            FROM documents WHERE doc_id % 7 != 0
+        ),
+        new AS (
+            SELECT doc_id, source,
+                   {T.fingerprint_sql("CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END")} AS fp
+            FROM documents WHERE doc_id % 5 != 0
+        ),
+        j AS (
+            SELECT COALESCE(o.source, n.source) AS source,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp != n.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        )
+        SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status
+    """
+
+
+# ---------------------------------------------------------------------------
 # C2 — MinHash estimator-error evaluation
 # ---------------------------------------------------------------------------
 
@@ -731,6 +804,7 @@ QUERIES = {
     "c02_minhash_error_eval": q_minhash_error_eval,
     "c06_token_budget_allocation": q_token_budget_allocation,
     "c06_selection_capstone": q_selection_capstone,
+    "c06_dataset_diff": q_dataset_diff,
 }
 
 _PHRASE_ORACLE = f"""
@@ -843,6 +917,7 @@ ORACLE = {
     "c02_minhash_error_eval": _minhash_error_oracle(),
     "c06_token_budget_allocation": _TB_ORACLE,
     "c06_selection_capstone": _selection_capstone_oracle(),
+    "c06_dataset_diff": _dataset_diff_oracle(),
     "c04_classifier_score": f"""
         WITH w AS (
             SELECT doc_id,

@@ -606,6 +606,70 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (clustering quality): per-cluster cosine inertia — n members
+    and sum(1 - cos(v, centroid)) under the seed assignment — the SSE
+    metric a training loop watches to decide convergence/k. The sum is
+    order-independent via the repo's decimal discipline (scale-6 cast,
+    the cross-engine-safe width for arbitrary doubles), so even the
+    quality METRIC carries an exact oracle.
+
+    At 100 TB: one broadcast assignment pass (Arrow-batched, same bits
+    as the oracle) + one k-row aggregation; the metric costs exactly
+    one corpus read per Lloyd iteration it audits. Pytest separately
+    asserts the Lloyd update of c03_kmeans_lloyd REDUCES total inertia
+    — the eval and the trainer compose."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KMEANS_K))
+    a = emb.withColumn("a", V.make_assign_udf(bc0)(F.col("embedding")))
+    term = (F.lit(1.0) - F.col("a.cos")).cast("decimal(28,6)")
+    return a.groupBy(F.col("a.cluster").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(term).cast("double").alias("inertia"),
+    )
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (filtered vector search): per-query cosine top-k restricted to
+    corpus vectors sharing the QUERY's label — the metadata-predicate
+    ANN every serving stack needs (tenant/category/language filters)
+    and the classically hard case for graph indexes (post-filtering
+    collapses recall). Relationally it is simply the predicate pushed
+    BELOW the scorer: the label equi-join prunes candidates before any
+    dot product runs, recall stays exact by construction.
+
+    At 100 TB: same map-only shape as c03_knn_bruteforce — broadcast
+    query set, one corpus pass — but each row scores only against the
+    queries whose filter it satisfies (the join condition), so
+    selective filters make the pass CHEAPER, never recall-lossy."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("qvec"), F.col("embedding")) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "qlabel", "vec_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "qlabel", "vec_id", "rnk", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 — text analysis
 # ---------------------------------------------------------------------------
@@ -990,6 +1054,8 @@ QUERIES = {
     "c03_ann_ivf": q_ann_ivf,
     "c03_cluster_medoids": q_cluster_medoids,
     "c03_kmeans_lloyd": q_kmeans_lloyd,
+    "c03_kmeans_inertia": q_kmeans_inertia,
+    "c03_knn_filtered": q_knn_filtered,
     "c03_quantize_int8": q_quantize_int8,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
@@ -1121,6 +1187,41 @@ ORACLE = {
         ) WHERE rnk <= 5
         """
     ),
+    "c03_kmeans_inertia": f"""
+        WITH seeds AS ({V.sample_cte_sql(_KMEANS_K)}),
+        assign AS (
+            SELECT vec_id, cid, cos FROM (
+                SELECT e.vec_id, s.cid,
+                       {V.cosine_sql('e.embedding', 's.cvec')} AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
+                       ) AS rn
+                FROM embeddings e, seeds s
+            ) WHERE rn = 1
+        )
+        SELECT cid AS cluster, count(*) AS n_members,
+               CAST(SUM(CAST(1.0 - cos AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+        FROM assign GROUP BY cid
+    """,
+    "c03_knn_filtered": f"""
+        WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                          embedding AS qvec FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, q.qlabel, e.vec_id,
+                   {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+            FROM embeddings e
+            JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id
+        )
+        SELECT * FROM (
+            SELECT query_id, qlabel, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rnk,
+                   cos_sim
+            FROM scored
+        ) WHERE rnk <= {_TOP_K}
+    """,
     "c03_knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
                    WHERE vec_id < {_N_QUERIES}),

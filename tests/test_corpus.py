@@ -289,3 +289,33 @@ def test_every_registered_query_is_documented_in_coverage():
         cov += " " + " ".join(m.group(1) + x for x in m.group(2).split(","))
     missing = [n for n in e.queries() if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_dataset_diff_statuses_match_direct_recompute(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import q_dataset_diff
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    got = {
+        (r.source, r.status): r.n_docs
+        for r in q_dataset_diff(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    expect: dict = {}
+    for d in docs:
+        in_old = d.doc_id % 7 != 0
+        in_new = d.doc_id % 5 != 0
+        if not in_old and not in_new:
+            continue
+        if not in_old:
+            st = "added"
+        elif not in_new:
+            st = "removed"
+        elif d.doc_id % 11 == 0 and d.text != d.text.upper():
+            st = "changed"
+        else:
+            st = "unchanged"
+        expect[(d.source, st)] = expect.get((d.source, st), 0) + 1
+    assert got == expect
+    assert {s for _, s in got} == {"added", "removed", "changed", "unchanged"}
