@@ -319,3 +319,46 @@ def test_dataset_diff_statuses_match_direct_recompute(spark, sf_dir):
         expect[(d.source, st)] = expect.get((d.source, st), 0) + 1
     assert got == expect
     assert {s for _, s in got} == {"added", "removed", "changed", "unchanged"}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),   # n_docs
+            st.integers(min_value=0, max_value=1_000_000),  # avail_tokens
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=1_000_000),  # budget
+)
+@settings(max_examples=25, deadline=None)
+def test_apportionment_properties_hold_for_arbitrary_counts(counts, budget):
+    """Largest-remainder apportionment invariants on ARBITRARY source
+    tables, not just the fixture: allocs sum exactly to the budget and
+    each source gets floor(exact) or floor(exact)+1 (no source is ever
+    short- or over-changed by more than the indivisible remainder)."""
+    import math
+
+    from iceberg_relative_io_spark.operators.corpus import _apportion
+    from iceberg_relative_io_spark.session import get_spark
+
+    spark = get_spark(app_name="prop")
+    rows = [(f"s{i}", n, t) for i, (n, t) in enumerate(counts)]
+    df = spark.createDataFrame(
+        rows, "source string, n_docs long, avail_tokens long"
+    )
+    out = _apportion(df, budget).collect()
+    assert sum(r.alloc_tokens for r in out) == budget
+    tot = sum(math.sqrt(n) for _, n, _ in rows)
+    by_src = {r.source: r for r in out}
+    for s, n, t in rows:
+        exact = math.sqrt(n) / tot * budget
+        r = by_src[s]
+        assert math.floor(exact) <= r.alloc_tokens <= math.floor(exact) + 1
+        assert r.alloc_final == min(r.alloc_tokens, t)
+        assert r.shortfall == max(r.alloc_tokens - t, 0)
