@@ -711,26 +711,34 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     te_pos = test_docs.select(
         "doc_id", F.explode("grams").alias("gram")
     ).select("doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos"))
+    # the bit table is bounded by the FIXED bloom space (<= M rows however
+    # large train is) — broadcast it so flagging is a map-side probe, no
+    # shuffle of the test positions
     per_gram = (
-        te_pos.join(train_bits.withColumn("present", F.lit(1)), "pos", "left")
+        te_pos.join(
+            F.broadcast(train_bits.withColumn("present", F.lit(1))),
+            "pos",
+            "left",
+        )
         .groupBy("doc_id", "gram")
         .agg(F.min(F.coalesce("present", F.lit(0))).alias("all_present"))
     )
+    # per_gram has one row per distinct test gram, so count(*) IS n_grams
+    # — the reporting join below reads only (doc_id, lang) and never
+    # re-featurizes the test docs (no second gram-UDF pass)
     per_doc = per_gram.groupBy("doc_id").agg(
-        F.sum("all_present").alias("n_flagged")
+        F.count("*").alias("n_grams"),
+        F.sum("all_present").alias("n_flagged"),
     )
-    return (
-        test_docs.select("doc_id", "lang", F.size("grams").alias("n_grams"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "n_grams",
-            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
-            (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).cast("int").alias(
-                "contaminated"
-            ),
-        )
+    test_ids = docs.filter(bucket >= 90).select("doc_id", "lang")
+    return test_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+        F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).cast("int").alias(
+            "contaminated"
+        ),
     )
 
 
