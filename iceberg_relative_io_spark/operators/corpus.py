@@ -41,6 +41,7 @@ DataFrame-first.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -608,8 +609,58 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classifier_scored(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, score): the hashed-linear inference shared by
-    c04_classifier_score and the quality-stratified sampler."""
+    """(doc_id, text, n_tokens, score): the hashed-linear inference
+    shared by c04_classifier_score and the quality-stratified sampler —
+    Arrow-batched (the corpus-wide hot path; the Column-expression twin
+    below is the reference semantics the oracle restates,
+    property-tested equal). Same integers and the same left-fold float
+    sum: Python ints are exact, int→double conversion is exact below
+    2^53, and the per-token accumulation order matches the oracle's
+    list_reduce."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_relative_io_spark.functions.text import MOD, _py_token_code
+
+    out_t = StructType(
+        [StructField("n_tokens", IntegerType()), StructField("score", DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def cls(text: pd.Series) -> pd.DataFrame:
+        memo: dict = {}
+        wmemo: dict = {}
+        ns, ss = [], []
+        for t in text:
+            acc = 0.0
+            n = 0
+            for tok in t.split(" "):
+                c = _py_token_code(tok, memo)
+                w = wmemo.get(c)
+                if w is None:
+                    w = ((c % _CLS_BUCKETS) * _CLS_A + _CLS_B) % MOD / float(
+                        MOD
+                    ) - 0.5
+                    wmemo[c] = w
+                acc += w
+                n += 1
+            ns.append(n)
+            ss.append(acc / n)
+        return pd.DataFrame({"n_tokens": ns, "score": ss})
+
+    return docs.select("doc_id", "text", cls(F.col("text")).alias("s")).select(
+        "doc_id", "text", F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.score").alias("score"),
+    )
+
+
+def _classifier_scored_expr(docs: DataFrame) -> DataFrame:
+    """Column-expression twin of _classifier_scored (interpreted — for
+    the mirror property test, not the hot path)."""
     codes = T.token_codes(F.col("text"))
     weights = F.transform(
         codes,

@@ -111,8 +111,10 @@ def test_incremental_dedup_covers_every_incoming_doc(spark, sf_dir):
             assert r.max_jaccard == 0.0
 
 
-def test_classifier_score_is_map_only_codegen(spark, sf_dir):
-    # model inference must be a pure map: no shuffle, no Python workers
+def test_classifier_score_is_map_only_arrow(spark, sf_dir):
+    # model inference must be a pure map: no shuffle, one Arrow stage
+    # (the hot path — the interpreted fold is the mirror, not the plan),
+    # never row-at-a-time Python
     plan = (
         C.q_classifier_score(spark, sf_dir)
         ._jdf.queryExecution()
@@ -120,11 +122,8 @@ def test_classifier_score_is_map_only_codegen(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "EvalPython" not in plan  # no row-at-a-time or Arrow UDF stage
-    assert "*(" in plan  # whole-stage-codegen'd scan feeding the project
-    # the expensive tokenize+hash fold must be staged and evaluated once
-    # per row, not inlined into every output column
-    assert plan.count("ascii(") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_classifier_score_verdict_matches_threshold(spark, sf_dir):
@@ -202,8 +201,29 @@ def test_quality_sampling_is_map_only(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+    # one Arrow stage (the hot-path classifier), no shuffle, never
+    # row-at-a-time Python
+    for marker in ("Exchange", "BatchEvalPython"):
         assert marker not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_classifier_udf_mirrors_expression_semantics(spark, sf_dir):
+    from iceberg_relative_io_spark.operators.corpus import (
+        _classifier_scored,
+        _classifier_scored_expr,
+    )
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        r.doc_id: (r.n_tokens, r.score) for r in _classifier_scored(docs).collect()
+    }
+    ref = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in _classifier_scored_expr(docs).collect()
+    }
+    assert fast == ref  # bit-identical doubles, not approximately equal
 
 
 def test_minhash_error_eval_estimator_properties(spark, sf_dir):
