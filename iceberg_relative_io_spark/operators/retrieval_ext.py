@@ -48,6 +48,7 @@ extensions the task brief asks for on top, expressed DataFrame-first.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -401,10 +402,55 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan; partial trailing frames are dropped (a real codec emits whole
     frames).
 
-    Plan: a PURE MAP — frames, luminances, deltas, and cut positions
-    are all higher-order array expressions inside one row; no explode,
-    no shuffle, no Python. At 100 TB scene detection costs exactly one
-    corpus read."""
+    Plan: one Arrow-batched map pass, no shuffle — corpus-wide
+    featurization rides the Arrow path (SCALING.md batch-4 rule); the
+    Column-expression twin below (_scene_cuts_expr) is the reference
+    semantics the oracle restates, property-tested integer-equal. At
+    100 TB scene detection costs exactly one corpus read."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("n_frames", IntegerType()),
+            StructField("n_cuts", IntegerType()),
+            StructField("first_cut", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def scenes(text: pd.Series) -> pd.DataFrame:
+        nf_, nc_, fc_ = [], [], []
+        for t in text:
+            n_frames = len(t) // _SC_FRAME
+            lum = [
+                sum(ord(c) for c in t[f * _SC_FRAME : (f + 1) * _SC_FRAME])
+                for f in range(n_frames)
+            ]
+            cuts = [
+                f
+                for f in range(1, n_frames)
+                if abs(lum[f] - lum[f - 1]) >= _SC_CUT_T
+            ]
+            nf_.append(n_frames)
+            nc_.append(len(cuts))
+            fc_.append(cuts[0] if cuts else -1)
+        return pd.DataFrame(
+            {"n_frames": nf_, "n_cuts": nc_, "first_cut": fc_}
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", scenes(F.col("text")).alias("s")).select(
+        "doc_id",
+        F.col("s.n_frames").alias("n_frames"),
+        F.col("s.n_cuts").alias("n_cuts"),
+        F.col("s.first_cut").alias("first_cut"),
+    )
+    return out.filter(F.col("n_frames") >= 2)
+
+
+def _scene_cuts_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-expression twin of q_scene_cuts (interpreted — the mirror
+    test target, not the hot path)."""
     docs = load_table(spark, sf_dir, "documents")
     chars = F.split("text", "")
     n_frames = F.floor(F.length("text") / _SC_FRAME).cast("int")

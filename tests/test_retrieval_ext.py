@@ -164,9 +164,11 @@ def test_scene_cuts_is_shuffle_free_map(spark, sf_dir):
     df = R.q_scene_cuts(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # scene detection must cost exactly one corpus read: no Exchange, no
-    # generator explosion, no Python stage
-    for marker in ("Exchange", "Generate", "BatchEvalPython", "ArrowEvalPython"):
+    # generator explosion; one Arrow stage (the hot path), never
+    # row-at-a-time Python
+    for marker in ("Exchange", "Generate", "BatchEvalPython"):
         assert marker not in plan
+    assert "ArrowEvalPython" in plan
     rows = df.collect()
     assert rows
     some_cut = False
@@ -179,3 +181,15 @@ def test_scene_cuts_is_shuffle_free_map(spark, sf_dir):
         else:
             assert r.first_cut == -1
     assert some_cut, "threshold yields no cuts anywhere - dead operator"
+
+
+def test_scene_cuts_udf_mirrors_expression_semantics(spark, sf_dir):
+    fast = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.first_cut)
+        for r in R.q_scene_cuts(spark, sf_dir).collect()
+    }
+    ref = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.first_cut)
+        for r in R._scene_cuts_expr(spark, sf_dir).collect()
+    }
+    assert fast == ref
