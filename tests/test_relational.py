@@ -139,3 +139,34 @@ def test_cms_partial_aggregation(spark, sf_dir):
     # exchange) — the property that makes CMS state fixed-size at scale
     plan = R.q_cms_heavy_hitters(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_dynamic_partition_pruning_reaches_the_fact_scan(spark, sf_dir, tmp_path):
+    """Spark's DPP: a selective dim-side filter becomes a runtime
+    partition filter on the partitioned fact scan — the mechanism that
+    lets a 100 TB date/tenant-partitioned fact table read only the
+    partitions the dimension join can reach. Pinned here so a session
+    config regression (spark.sql.optimizer.dynamicPartitionPruning)
+    can't silently turn every such join into a full fact scan."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = str(tmp_path / "fact_parted")
+    li.withColumn("pk", (F.col("l_orderkey") % 20).cast("int")).write.partitionBy(
+        "pk"
+    ).mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select((F.col("o_orderkey") % 20).cast("int").alias("pk"))
+        .distinct()
+        .filter(F.col("pk") < 3)
+    )
+    q = fact.join(dim, ["pk"]).groupBy("pk").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    got = {r.pk for r in q.collect()}
+    assert got <= {0, 1, 2} and got  # only reachable partitions appear
