@@ -170,3 +170,56 @@ def test_dynamic_partition_pruning_reaches_the_fact_scan(spark, sf_dir, tmp_path
     assert "dynamicpruningexpression" in plan.lower()
     got = {r.pk for r in q.collect()}
     assert got <= {0, 1, 2} and got  # only reachable partitions appear
+
+
+def test_aqe_splits_the_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join handling: a hot join key whose shuffle partition
+    dwarfs the median gets SPLIT at runtime (AQEShuffleRead ... skewed)
+    instead of serializing one reducer — the runtime complement of the
+    explicit salting in b07_skew_salted_join. Note the join output must
+    not feed a same-key aggregation (that pins the join's distribution
+    and lawfully suppresses the split — which is why the salted variant
+    still exists for agg-above-join pipelines)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("v").alias("v")
+        )
+        q = big.join(small, "k").select(F.length("pad").alias("l")).agg(
+            F.sum("l").alias("s")
+        )
+        [row] = q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+        # correctness unchanged by the split
+        assert row.s == big.select(F.length("pad").alias("l")).agg(
+            F.sum("l")
+        ).collect()[0][0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
