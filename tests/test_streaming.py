@@ -57,3 +57,65 @@ def test_stream_ingest_into_relative_table(spark, sf_dir):
     assert got.count() == ev.count()
     snaps = table.snapshots(spark).collect()
     assert all(s.operation == "append" for s in snaps)
+
+
+def test_watermark_drops_late_rows_in_append_windows(spark):
+    """Late-data semantics the b30 windowed queries rely on: once the
+    watermark passes a window's end, an APPEND-mode windowed aggregate
+    has emitted the window and evicted its state — a later event for
+    that window is DROPPED, not double-counted and not re-emitted. Two
+    micro-batches: batch 1 advances the watermark far past the first
+    window; batch 2 replays a late event into it."""
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    src = Path(tempfile.mkdtemp(prefix="late_src_"))
+    sink = f"late_sink_{int(time.time() * 1000) % 10_000_000}"
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(rows) + "\n")
+
+    # batch 1: one event in window [0,10), one 10 minutes later
+    write_batch("b1.json", [
+        '{"ts": "2024-01-01T00:00:05", "v": 1}',
+        '{"ts": "2024-01-01T00:10:00", "v": 1}',
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .json(str(src))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="late_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event back in the long-finalized first window,
+        # plus an on-time one that keeps the stream moving
+        write_batch("b2.json", [
+            '{"ts": "2024-01-01T00:00:06", "v": 100}',
+            '{"ts": "2024-01-01T00:11:00", "v": 1}',
+        ])
+        q.processAllAvailable()
+        write_batch("b3.json", ['{"ts": "2024-01-01T00:20:00", "v": 1}'])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"select w.start, total from {sink}").collect()
+    by_start = {}
+    for r in rows:
+        key = r.start.strftime("%H:%M:%S")
+        assert key not in by_start, "a finalized window re-emitted"
+        by_start[key] = r.total
+    # the late v=100 must NOT appear: the first window keeps total=1
+    assert by_start.get("00:00:00") == 1
