@@ -223,3 +223,62 @@ def test_aqe_splits_the_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_without_a_shuffle(spark, sf_dir):
+    """Spark table bucketing: two tables bucketed AND sorted on the join
+    key at the same bucket count sort-merge-join with NO exchange below
+    the join — the co-located-join strategy a 100 TB warehouse uses for
+    its recurring fact⋈fact keys (pay the shuffle once at write, never
+    at read). The only exchange in this plan belongs to the downstream
+    groupBy on a different key."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # stale location
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_orders")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_cust")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_cust"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one exchange — the groupBy's, not the join's
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "c_mktsegment" in plan.split("Exchange hashpartitioning", 1)[1][:60]
+        got = {r.c_mktsegment: r.n for r in j.collect()}
+        want = {
+            r.c_mktsegment: r.n
+            for r in orders.join(
+                cust, F.col("o_custkey") == F.col("c_custkey")
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
