@@ -513,6 +513,123 @@ def _scene_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# C5 — keyframe selection (representative frame per scene)
+# ---------------------------------------------------------------------------
+
+
+def q_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (video): keyframe extraction — split each payload's frames
+    into scenes at the q_scene_cuts boundaries, then pick each scene's
+    representative frame (first luminance argmax; the thumbnail /
+    contact-sheet step every video pipeline runs after segmentation).
+    One row per (doc, scene) with the scene span and its keyframe.
+
+    Plan: one Arrow-batched pass emitting a per-doc scene array, one
+    Generate to rows — no shuffle; at 100 TB keyframing costs one
+    corpus read, same as the segmentation it composes with."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    item = StructType(
+        [
+            StructField("scene_idx", IntegerType()),
+            StructField("start_frame", IntegerType()),
+            StructField("end_frame", IntegerType()),
+            StructField("key_frame", IntegerType()),
+            StructField("key_lum", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(ArrayType(item))
+    def scenes(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            n_frames = len(t) // _SC_FRAME
+            if n_frames < 2:
+                out.append([])
+                continue
+            lum = [
+                sum(ord(c) for c in t[f * _SC_FRAME : (f + 1) * _SC_FRAME])
+                for f in range(n_frames)
+            ]
+            cuts = [
+                f
+                for f in range(1, n_frames)
+                if abs(lum[f] - lum[f - 1]) >= _SC_CUT_T
+            ]
+            starts = [0] + cuts
+            ends = cuts + [n_frames]
+            rows = []
+            for s, (a, b) in enumerate(zip(starts, ends)):
+                seg = lum[a:b]
+                mx = max(seg)
+                rows.append((s, a, b, a + seg.index(mx), mx))
+            out.append(rows)
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(scenes(F.col("text"))).alias("s"))
+        .select(
+            "doc_id",
+            "s.scene_idx",
+            "s.start_frame",
+            "s.end_frame",
+            "s.key_frame",
+            "s.key_lum",
+        )
+    )
+
+
+def _keyframes_oracle() -> str:
+    lum = (
+        f"[list_reduce(list_prepend(0, "
+        f"[ascii(c) FOR c IN list_slice(ch, f * {_SC_FRAME} + 1, (f + 1) * {_SC_FRAME})]), "
+        f"(a, x) -> a + x) FOR f IN range(0, n_frames)]"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, '') AS ch,
+                   CAST(len(text) // {_SC_FRAME} AS INT) AS n_frames
+            FROM documents
+        ),
+        with_lum AS (
+            SELECT doc_id, n_frames, {lum} AS lum
+            FROM staged WHERE n_frames >= 2
+        ),
+        with_cuts AS (
+            SELECT doc_id, n_frames, lum,
+                   [f FOR f IN range(1, n_frames)
+                    IF abs(lum[f + 1] - lum[f]) >= {_SC_CUT_T}] AS cuts
+            FROM with_lum
+        ),
+        bounds AS (
+            SELECT doc_id, lum,
+                   list_concat([0], cuts) AS starts,
+                   list_append(cuts, n_frames) AS ends
+            FROM with_cuts
+        ),
+        scenes AS (
+            SELECT doc_id, r.i - 1 AS scene_idx,
+                   starts[r.i] AS start_frame, ends[r.i] AS end_frame,
+                   list_slice(lum, starts[r.i] + 1, ends[r.i]) AS seg
+            FROM bounds, UNNEST(range(1, len(starts) + 1)) AS r(i)
+        )
+        SELECT doc_id, CAST(scene_idx AS INT) AS scene_idx,
+               CAST(start_frame AS INT) AS start_frame,
+               CAST(end_frame AS INT) AS end_frame,
+               CAST(start_frame + list_position(seg, list_aggregate(seg, 'max')) - 1 AS INT)
+                   AS key_frame,
+               CAST(list_aggregate(seg, 'max') AS INT) AS key_lum
+        FROM scenes
+    """
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -521,6 +638,7 @@ QUERIES = {
     "c03_ann_rerank": q_ann_rerank,
     "c05_image_hash_neardup": q_image_hash_neardup,
     "c05_scene_cuts": q_scene_cuts,
+    "c05_keyframes": q_keyframes,
 }
 
 
@@ -649,4 +767,5 @@ ORACLE = {
     "c03_ann_rerank": _rerank_oracle(),
     "c05_image_hash_neardup": _ah_oracle(),
     "c05_scene_cuts": _scene_oracle(),
+    "c05_keyframes": _keyframes_oracle(),
 }

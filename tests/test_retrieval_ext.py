@@ -193,3 +193,27 @@ def test_scene_cuts_udf_mirrors_expression_semantics(spark, sf_dir):
         for r in R._scene_cuts_expr(spark, sf_dir).collect()
     }
     assert fast == ref
+
+
+def test_keyframes_partition_scenes_and_pick_first_argmax(spark, sf_dir):
+    cuts = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.first_cut)
+        for r in R.q_scene_cuts(spark, sf_dir).collect()
+    }
+    per_doc: dict = {}
+    for r in R.q_keyframes(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(cuts)
+    for doc_id, rows in per_doc.items():
+        n_frames, n_cuts, first_cut = cuts[doc_id]
+        rows.sort(key=lambda r: r.scene_idx)
+        # scenes tile [0, n_frames) with one scene per cut boundary
+        assert len(rows) == n_cuts + 1
+        assert rows[0].start_frame == 0
+        assert rows[-1].end_frame == n_frames
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_frame == b.start_frame
+        if n_cuts:
+            assert rows[0].end_frame == first_cut
+        for r in rows:
+            assert r.start_frame <= r.key_frame < r.end_frame
