@@ -606,6 +606,48 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (embedding quality eval): 1-NN label agreement — for each
+    query vector, does its nearest neighbour share its label? The
+    classic intrinsic probe of embedding quality (kNN-classification
+    accuracy), reported per label with the overall row appended. Runs
+    on the c03_knn_bruteforce top-k table, so the eval is k-row work
+    per query on top of the one corpus pass the kNN already costs."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    top1 = q_knn_bruteforce(spark, sf_dir).filter(F.col("rnk") == 1)
+    scored = (
+        top1.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(emb.withColumnRenamed("label", "nlabel")), "vec_id")
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("nlabel") == F.col("qlabel")).cast("int").alias("hit"),
+        )
+    )
+    per_label = scored.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum("hit").alias("n_hits"),
+    )
+    overall = scored.groupBy(F.lit(-1).alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum("hit").alias("n_hits"),
+    )
+    return per_label.unionAll(overall).select(
+        "label",
+        "n_queries",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_queries")).alias("accuracy"),
+    )
+
+
 def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (clustering quality): per-cluster cosine inertia — n members
     and sum(1 - cos(v, centroid)) under the seed assignment — the SSE
@@ -1056,6 +1098,7 @@ QUERIES = {
     "c03_kmeans_lloyd": q_kmeans_lloyd,
     "c03_kmeans_inertia": q_kmeans_inertia,
     "c03_knn_filtered": q_knn_filtered,
+    "c03_knn_label_accuracy": q_knn_label_accuracy,
     "c03_quantize_int8": q_quantize_int8,
     "c04_term_frequency": q_term_frequency,
     "c04_langid": q_langid,
@@ -1203,6 +1246,38 @@ ORACLE = {
         SELECT cid AS cluster, count(*) AS n_members,
                CAST(SUM(CAST(1.0 - cos AS DECIMAL(28,6))) AS DOUBLE) AS inertia
         FROM assign GROUP BY cid
+    """,
+    "c03_knn_label_accuracy": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}),
+        top1 AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {V.cosine_sql('q.qvec', 'e.embedding')} DESC,
+                                    e.vec_id) AS rnk
+                FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+            ) WHERE rnk = 1
+        ),
+        scored AS (
+            SELECT t.query_id, ql.label AS qlabel,
+                   CAST(nl.label = ql.label AS INT) AS hit
+            FROM top1 t
+            JOIN embeddings ql ON ql.vec_id = t.query_id
+            JOIN embeddings nl ON nl.vec_id = t.vec_id
+        ),
+        both_lvls AS (
+            SELECT qlabel AS label, count(*) AS n_queries,
+                   CAST(sum(hit) AS BIGINT) AS n_hits
+            FROM scored GROUP BY qlabel
+            UNION ALL
+            SELECT -1 AS label, count(*) AS n_queries,
+                   CAST(sum(hit) AS BIGINT) AS n_hits
+            FROM scored
+        )
+        SELECT label, n_queries, n_hits,
+               CAST(n_hits AS DOUBLE) / n_queries AS accuracy
+        FROM both_lvls
     """,
     "c03_knn_filtered": f"""
         WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
