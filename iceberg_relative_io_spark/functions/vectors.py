@@ -133,11 +133,59 @@ def bounded_sample(emb, k: int):
     )
 
 
-def sample_cte_sql(k: int, id_alias: str = "cid", vec_alias: str = "cvec") -> str:
-    """DuckDB mirror of bounded_sample as a CTE body."""
+def sample_cte_sql(k, id_alias: str = "cid", vec_alias: str = "cvec") -> str:
+    """DuckDB mirror of bounded_sample as a CTE body. ``k`` is either an
+    int literal or a SQL expression string (DuckDB accepts a scalar
+    subquery in LIMIT) — the latter is how the corpus-derived knobs
+    (``derived_cells_sql`` / ``derived_sqrt_sql``) mirror the Spark-side
+    derivation exactly."""
+    limit = f"({k})" if isinstance(k, str) else str(k)
     return (
         f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias} FROM embeddings "
-        f"ORDER BY {sample_key_sql('vec_id')}, vec_id LIMIT {k}"
+        f"ORDER BY {sample_key_sql('vec_id')}, vec_id LIMIT {limit}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-derived granularity knobs
+# ---------------------------------------------------------------------------
+#
+# A blocked operator (IVF cells, SemDeDup cells) with a FIXED block count
+# goes super-linear the moment the corpus outgrows the blocks: 10x data ->
+# 10x rows per block -> 10x-100x per-row work (SCALING.md measured 18-19x
+# at 10x for the old fixed-32 defaults). The fix is to derive the block
+# count from the corpus size — n_cells ~ N/target (constant block size,
+# for quadratic-within-block ops) or ~ sqrt(N) (the IVF balance point
+# between assignment O(N*k) and probe O(nprobe*N/k)) — and mirror the
+# SAME derivation in the oracle SQL so the driver-registered query is the
+# scale-safe one. Both engines compute ceil on an IEEE double (exact for
+# counts < 2^53), so the derived k is bit-identical.
+
+def derived_cells(n_rows: int, target_cell: int, floor: int = 32) -> int:
+    """k ∝ N/target: constant expected cell size (quadratic-in-cell ops)."""
+    import math
+
+    return max(floor, math.ceil(n_rows / float(target_cell)))
+
+
+def derived_cells_sql(target_cell: int, floor: int = 32, table: str = "embeddings") -> str:
+    return (
+        f"GREATEST({floor}, CAST(ceil(CAST((SELECT count(*) FROM {table}) AS DOUBLE)"
+        f" / {float(target_cell)!r}) AS BIGINT))"
+    )
+
+
+def derived_sqrt(n_rows: int, floor: int = 32) -> int:
+    """k ∝ sqrt(N): the IVF nlist balance point."""
+    import math
+
+    return max(floor, math.ceil(math.sqrt(float(n_rows))))
+
+
+def derived_sqrt_sql(floor: int = 32, table: str = "embeddings") -> str:
+    return (
+        f"GREATEST({floor}, CAST(ceil(sqrt(CAST((SELECT count(*) FROM {table})"
+        f" AS DOUBLE))) AS BIGINT))"
     )
 
 

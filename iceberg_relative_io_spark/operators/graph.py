@@ -1,0 +1,136 @@
+"""Connected components over candidate-pair edge graphs — the shared
+survivorship engine behind fuzzy dedup (C2).
+
+Two execution strategies with one contract (component = min reachable
+node id):
+
+- ``label_propagation_components``: fully distributed hash-min label
+  propagation — O(component diameter) rounds, each one shuffle join on
+  node id plus one partial-agg min; the driver sees ONE scalar per round
+  (a monotone label-sum convergence witness), never the graph. This is
+  the 100 TB path: a crawl-scale corpus's near-dup edge set is billions
+  of rows and must never be collected.
+- ``union_find_components``: driver-side union-find — asymptotically
+  cheaper constants when the post-LSH edge set is genuinely tiny, but
+  it collects the edges, so it is only ever entered behind a COUNTED
+  size guard.
+
+``components`` is the policy: count the edges (one action on the
+persisted pair set), take union-find only when the count is under
+``max_collect_edges`` (a bounded, known-size collect), otherwise run
+label propagation. The two strategies are asserted identical in
+tests/test_roundthree.py::test_connected_components_matches_driver_union_find
+and both match the recursive-transitive-closure oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CC_MAX_ITERS = 50
+
+# Union-find is permitted to collect at most this many edges (a few MB on
+# the driver — a KNOWN bound, not corpus-proportional: beyond it the
+# distributed path runs). Fixture edge sets are a few hundred rows; a
+# pathological corpus blows past this and never touches the driver.
+UF_MAX_EDGES = 100_000
+
+
+def union_find_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Driver union-find over a SMALL edge list -> (node, label) rows.
+    Callers must bound the edge count before calling (see components)."""
+    edges = [(r[0], r[1]) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    if rows:
+        return spark.createDataFrame(rows, "node long, label long")
+    return spark.createDataFrame([], "node long, label long")
+
+
+def label_propagation_components(pairs: DataFrame) -> DataFrame:
+    """Distributed hash-min label propagation -> (node, label) rows.
+
+    Each round every node takes the minimum label among itself and its
+    neighbours; fixpoint = component minimum everywhere. Rounds are
+    bounded by the component diameter (near-dup graphs are dense
+    clusters — a handful). Labels are localCheckpoint'ed per round to
+    cut lineage; convergence is witnessed by a single label-sum scalar
+    per round (monotone non-increasing, so equality == fixpoint)."""
+    edges = (
+        pairs.toDF("a", "b")
+        .union(pairs.toDF("a", "b").select(F.col("b"), F.col("a")))
+        .toDF("src", "dst")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            # lazy: the convergence aggregate below is the round's single
+            # action; it materializes the checkpoint as a side effect
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+def components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    max_collect_edges: int | None = None,
+) -> DataFrame:
+    """(node, label) components with a counted size guard: union-find
+    only when the edge count is provably small, label propagation
+    otherwise. The count is one action on the persisted pair set — the
+    driver learns a scalar before deciding whether any row may ever be
+    collected."""
+    if max_collect_edges is None:
+        max_collect_edges = UF_MAX_EDGES
+    pairs = pairs.persist()
+    try:
+        n_edges = pairs.count()
+        if n_edges <= max_collect_edges:
+            return union_find_components(spark, pairs)
+        return label_propagation_components(pairs)
+    finally:
+        pairs.unpersist()

@@ -51,12 +51,12 @@ from iceberg_relative_io_spark.sources.tables import load_table
 # C3 — semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
 
-_SEM_K = 32  # FIXED cell count — centroid collect is constant in the corpus
+_SEM_TARGET_CELL = 256  # target rows per cell — n_cells = max(32, ceil(N/256))
 _SEM_TAU = 0.3  # fixture cosines top out ≈ 0.4 (see northstar.py header)
 
 
 def q_semantic_dedup(
-    spark: SparkSession, sf_dir: str, n_cells: int = _SEM_K
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
 ) -> DataFrame:
     """C3/C1 (semantic dedup): assign every embedding to its nearest
     centroid cell (bounded-sample centroids, the c03_ann_ivf coarse
@@ -66,20 +66,24 @@ def q_semantic_dedup(
     inside each cluster; pruning never crosses cells, so recall of the
     dedup is traded for never materializing the cross product).
 
-    At 100 TB: the centroid collect is O(k) (constant); assignment is
-    one broadcast map-only pass; the quadratic lives inside a cell
-    (corpus/k rows on uniform data). ``n_cells`` is the SCALE KNOB: the
-    per-cell pair work is (N/k)^2 per cell, so k must grow ~linearly
-    with the corpus (toward sqrt(N)) to keep per-row cost constant —
-    SCALING.md measures the fixed default going super-linear at 10x and
-    a 10x k restoring it (the same knob discipline as
-    c01_embedding_neardup's plane count and IVF's nlist). The
-    driver-registered query keeps the default, which the oracle mirrors
-    exactly. All cosine math is dimension-sequential, matching the
-    oracle's fold bit-for-bit."""
+    At 100 TB: the centroid collect is O(k); assignment is one broadcast
+    map-only pass; the quadratic lives inside a cell. ``n_cells`` is the
+    SCALE KNOB and now DERIVES FROM THE CORPUS: per-cell pair work is
+    (N/k)^2, so the default is k = max(32, ceil(N/256)) — k grows
+    linearly with N, holding the expected cell size (and so the per-row
+    cost) constant. The count that feeds the derivation is a
+    parquet-metadata count-star (one cheap job, no data scan); the
+    oracle mirrors the identical derivation via a scalar subquery in the
+    centroid CTE's LIMIT (``derived_cells_sql``), so the
+    driver-registered query IS the scale-safe one. SCALING.md round 3
+    measured the old fixed k=32 at 19.3x for 10x data and k ∝ N
+    restoring ~linear. All cosine math is dimension-sequential, matching
+    the oracle's fold bit-for-bit."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if n_cells is None:
+        n_cells = V.derived_cells(emb.count(), _SEM_TARGET_CELL)
     cids, C, _nc = V.collect_centroids(emb, n_cells)
     bc = spark.sparkContext.broadcast((cids, C, _nc))
     cell_of = V.make_nearest_udf(bc)
@@ -397,9 +401,6 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C2 — distributed connected components (hash-min label propagation)
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 50
-
-
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (scale path for dedup survivorship): connected components over
     the LSH-candidate edge graph, computed ENTIRELY distributed —
@@ -416,7 +417,12 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on node id + one partial-agg min; labels are
     localCheckpoint'ed per round to cut lineage, and the driver sees one
     scalar (the label sum, a monotone convergence witness) per round,
-    never the graph."""
+    never the graph. The loop itself lives in operators/graph.py, shared
+    with c02_dedup_survivors (which takes it whenever the counted edge
+    set exceeds the union-find guard)."""
+    from iceberg_relative_io_spark.operators.graph import (
+        label_propagation_components,
+    )
     from iceberg_relative_io_spark.operators.northstar import (
         q_lsh_candidate_pairs,
     )
@@ -427,47 +433,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("src"), F.col("label").alias("src_label")
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(F.min("src_label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            # lazy: the convergence aggregate below is the round's single
-            # action; it materializes the checkpoint as a side effect
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    labels = label_propagation_components(pairs)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
@@ -797,7 +763,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from iceberg_relative_io_spark.operators.northstar import (
-        _IVF_NLIST,
+        _IVF_FLOOR,
         _N_PROBE,
         _N_QUERIES,
         _TOP_K,
@@ -807,7 +773,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    cids, C, nc = V.collect_centroids(emb, _IVF_NLIST)
+    # corpus-derived nlist — same sqrt(N) derivation (and oracle mirror)
+    # as q_ann_ivf; the PQ codebook stays fixed-size (it quantizes the
+    # SPACE, not the corpus — its resolution is a quality knob, not a
+    # scale knob)
+    nlist = V.derived_sqrt(emb.count(), _IVF_FLOOR)
+    cids, C, nc = V.collect_centroids(emb, nlist)
     bc_cells = spark.sparkContext.broadcast((cids, C, nc))
     cell_of = V.make_nearest_udf(bc_cells)
 
@@ -914,7 +885,7 @@ QUERIES = {
 
 def _ivfpq_oracle() -> str:
     from iceberg_relative_io_spark.operators.northstar import (
-        _IVF_NLIST,
+        _IVF_FLOOR,
         _N_PROBE,
         _N_QUERIES,
         _TOP_K,
@@ -934,7 +905,7 @@ def _ivfpq_oracle() -> str:
     )
     return f"""
         WITH cents AS (
-            {V.sample_cte_sql(_IVF_NLIST)}
+            {V.sample_cte_sql(V.derived_sqrt_sql(_IVF_FLOOR))}
         ),
         pcent AS (
             {V.sample_cte_sql(_PQ_NCENT, 'pcid', 'pvec')}
@@ -1005,7 +976,7 @@ def _ivfpq_oracle() -> str:
 def _sem_oracle() -> str:
     return f"""
         WITH cents AS (
-            {V.sample_cte_sql(_SEM_K)}
+            {V.sample_cte_sql(V.derived_cells_sql(_SEM_TARGET_CELL))}
         ),
         assign AS (
             SELECT vec_id, cid FROM (

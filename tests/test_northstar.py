@@ -64,7 +64,7 @@ def test_ivf_partitions_corpus_and_scores_exactly(spark, sf_dir):
             assert abs(knn[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-12
     assert len(per_query) == N._N_QUERIES
     assert all(len(v) == N._TOP_K for v in per_query.values())
-    assert n_vecs >= N._IVF_NLIST  # the bounded sample yields a full centroid set
+    assert n_vecs >= N._IVF_FLOOR  # the bounded sample yields a full centroid set
 
 
 def test_python_hash_mirrors_equal_column_builders(spark):
@@ -145,11 +145,11 @@ def test_ivf_serving_layout_prunes_files(spark, sf_dir, tmp_path):
     from iceberg_relative_io_spark.catalog.fs_catalog import FsCatalog
     from iceberg_relative_io_spark.catalog.spark_table import RelativeTable
     from iceberg_relative_io_spark.functions import vectors as V
-    from iceberg_relative_io_spark.operators.northstar import _IVF_NLIST
+    from iceberg_relative_io_spark.operators.northstar import _IVF_FLOOR
     from iceberg_relative_io_spark.sources.tables import load_table as lt
 
     emb = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc = spark.sparkContext.broadcast(V.collect_centroids(emb, _IVF_NLIST))
+    bc = spark.sparkContext.broadcast(V.collect_centroids(emb, _IVF_FLOOR))
     assigned = emb.withColumn("cell", V.make_nearest_udf(bc)(F.col("embedding")))
 
     cat = FsCatalog(str(tmp_path / "ivf_wh"))
@@ -223,17 +223,17 @@ def test_centroid_collect_is_constant_in_corpus_size(spark, sf_dir):
 
     emb = lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    for k in (8, N._IVF_NLIST):
+    for k in (8, N._IVF_FLOOR):
         sample = V.bounded_sample(emb, k).collect()
         assert len(sample) == min(k, n)
     # doubling the corpus must not change the collected row count
     doubled = emb.unionByName(
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
     )
-    assert len(V.bounded_sample(doubled, N._IVF_NLIST).collect()) == N._IVF_NLIST
+    assert len(V.bounded_sample(doubled, N._IVF_FLOOR).collect()) == N._IVF_FLOOR
     # and the plan is a distributed top-k, not a global sort + collect
     plan = (
-        V.bounded_sample(emb, N._IVF_NLIST)
+        V.bounded_sample(emb, N._IVF_FLOOR)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan

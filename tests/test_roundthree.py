@@ -38,8 +38,9 @@ def test_semantic_dedup_covers_corpus_and_keeps_cell_minimum(spark, sf_dir):
 
 
 def test_semantic_dedup_centroid_collect_is_bounded(spark, sf_dir, monkeypatch):
-    """The only driver collect is the centroid sample — exactly _SEM_K
-    rows however large the corpus is (the SemDeDup scale contract)."""
+    """The only driver collect is the centroid sample — exactly the
+    corpus-derived n_cells = max(32, ceil(N/256)) rows (the SemDeDup
+    scale contract: the collect grows as N/256, never as N)."""
     from iceberg_relative_io_spark.functions import vectors as V
 
     seen = []
@@ -54,8 +55,11 @@ def test_semantic_dedup_centroid_collect_is_bounded(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(
         "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
     )
+    from iceberg_relative_io_spark.sources.tables import load_table as _lt0
+
+    n_corpus = _lt0(spark, sf_dir, "embeddings").count()
     R.q_semantic_dedup(spark, sf_dir).count()
-    assert seen == [R._SEM_K]
+    assert seen == [V.derived_cells(n_corpus, R._SEM_TARGET_CELL)]
     # the scale knob: n_cells drives the (bounded) collect directly, and
     # the finer blocking still covers the whole corpus one row per vector
     seen.clear()
@@ -262,8 +266,11 @@ def test_ivfpq_centroid_collects_bounded_and_plan_broadcasts(
     samples (nlist coarse + ncent sub-codebook) and the tiny query
     batch; the candidate join broadcasts probes, never sort-merges."""
     from iceberg_relative_io_spark.functions import vectors as V
-    from iceberg_relative_io_spark.operators.northstar import _IVF_NLIST
+    from iceberg_relative_io_spark.operators.northstar import _IVF_FLOOR
     from iceberg_relative_io_spark.operators.pipeline_ext import _PQ_NCENT
+    from iceberg_relative_io_spark.sources.tables import load_table as _lt0
+
+    nlist = V.derived_sqrt(_lt0(spark, sf_dir, "embeddings").count(), _IVF_FLOOR)
 
     seen = []
     real = V.collect_centroids
@@ -278,7 +285,7 @@ def test_ivfpq_centroid_collects_bounded_and_plan_broadcasts(
         "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
     )
     df = R.q_ann_ivfpq(spark, sf_dir)
-    assert sorted(seen) == sorted([_IVF_NLIST, _PQ_NCENT])
+    assert sorted(seen) == sorted([nlist, _PQ_NCENT])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -317,3 +324,69 @@ def test_ivfpq_scores_are_adc_distances(spark, sf_dir):
                 d = d + diff * diff
             tot = tot + d
         assert r.approx_dist == tot
+
+
+def test_derived_knobs_match_sql_mirror_and_grow_with_corpus():
+    """THE round-4 scale fix: the blocked-operator granularity knobs
+    (SemDeDup n_cells, IVF nlist) derive from the corpus size, and the
+    Python derivation is bit-identical to the DuckDB scalar-subquery
+    mirror the oracles embed — checked across five decades of N,
+    including the floor region and the exact-square sqrt boundary."""
+    import duckdb
+
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    con = duckdb.connect()
+    for n in (1, 31, 32, 500, 2000, 8192, 8193, 1_000_000, 10_000_001,
+              1024 * 1024, 123_456_789):
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        sql_cells = con.execute(
+            f"SELECT {V.derived_cells_sql(256)}").fetchone()[0]
+        sql_sqrt = con.execute(
+            f"SELECT {V.derived_sqrt_sql()}").fetchone()[0]
+        assert V.derived_cells(n, 256) == sql_cells, n
+        assert V.derived_sqrt(n) == sql_sqrt, n
+    # growth shape: cells ~ N/256 (constant cell size), nlist ~ sqrt(N)
+    assert V.derived_cells(10 * 8192, 256) == 10 * V.derived_cells(8192, 256)
+    assert V.derived_sqrt(100 * 10_000) == 10 * V.derived_sqrt(10_000)
+    # floor region: small corpora keep the fixture-friendly default
+    assert V.derived_cells(500, 256) == 32
+    assert V.derived_sqrt(500) == 32
+
+
+def test_survivorship_edge_collect_is_guarded(spark, sf_dir, monkeypatch):
+    """Round-4 verdict item: q_dedup_survivors must never collect an
+    unguarded edge list. Forcing the guard to 0 routes the SAME query
+    through the distributed label-propagation path, and the output is
+    identical to the union-find shortcut it replaces."""
+    from iceberg_relative_io_spark.operators import graph, northstar as N
+
+    want = {(r.doc_id, r.component, r.survivor)
+            for r in N.q_dedup_survivors(spark, sf_dir).collect()}
+
+    called = {"uf": 0, "lp": 0}
+    real_uf, real_lp = graph.union_find_components, graph.label_propagation_components
+
+    def spy_uf(spark_, pairs):
+        called["uf"] += 1
+        return real_uf(spark_, pairs)
+
+    def spy_lp(pairs):
+        called["lp"] += 1
+        return real_lp(pairs)
+
+    monkeypatch.setattr(graph, "union_find_components", spy_uf)
+    monkeypatch.setattr(graph, "label_propagation_components", spy_lp)
+
+    # fixture edge set is tiny -> the counted guard admits union-find
+    got = {(r.doc_id, r.component, r.survivor)
+           for r in N.q_dedup_survivors(spark, sf_dir).collect()}
+    assert got == want and called == {"uf": 1, "lp": 0}
+
+    # shrink the guard to zero -> the distributed path runs instead,
+    # same answer, and union-find (the only collector) never fires
+    monkeypatch.setattr(graph, "UF_MAX_EDGES", 0)
+    got_lp = {(r.doc_id, r.component, r.survivor)
+              for r in N.q_dedup_survivors(spark, sf_dir).collect()}
+    assert got_lp == want and called == {"uf": 1, "lp": 1}
