@@ -196,6 +196,8 @@ def make_avghash_udf(n_bands: int, n_pixels: int = 64):
     def avghash(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
+            if t is None:  # NULL payload -> empty-payload hash (all-zero bands)
+                t = ""
             n = len(t)
             if n == 0:
                 px = [0] * n_pixels

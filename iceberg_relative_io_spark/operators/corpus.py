@@ -636,6 +636,8 @@ def _classifier_scored(docs: DataFrame) -> DataFrame:
         wmemo: dict = {}
         ns, ss = [], []
         for t in text:
+            if t is None:  # NULL text scores like the empty string
+                t = ""
             acc = 0.0
             n = 0
             for tok in t.split(" "):

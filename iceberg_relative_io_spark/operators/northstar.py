@@ -1021,7 +1021,6 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table. At 100 TB the same reader fans out over an
     object-store listing; pathGlobFilter/recursiveFileLookup handle
     layout."""
-    import os
     import tempfile as _tf
 
     if sf_dir not in _BINARY_STAGE:
@@ -1029,9 +1028,19 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 10 == 0
         )
         d = _tf.mkdtemp(prefix="binary_assets_")
-        for r in docs.select("doc_id", "text").collect():
-            with open(os.path.join(d, f"{r.doc_id}.bin"), "wb") as fh:
-                fh.write(r.text.encode("utf-8"))
+
+        def _stage(rows):
+            # executor-side blob write: fixture staging runs distributed
+            # (foreachPartition), so no corpus-proportional driver
+            # collect remains anywhere in the repo; at scale the target
+            # would be an object-store prefix instead of a tempdir
+            import os as _os
+
+            for r in rows:
+                with open(_os.path.join(d, f"{r.doc_id}.bin"), "wb") as fh:
+                    fh.write(r.text.encode("utf-8"))
+
+        docs.select("doc_id", "text").foreachPartition(_stage)
         _BINARY_STAGE[sf_dir] = d
     blobs = (
         spark.read.format("binaryFile")

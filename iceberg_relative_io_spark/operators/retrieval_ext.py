@@ -223,7 +223,8 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AH_PIXELS = 64   # 8×8 grid
 _AH_BANDS = 8     # 8 bands × 8 bits (Manku et al. block-permuted tables)
 _AH_BITS = _AH_PIXELS // _AH_BANDS
-_AH_HAM_MAX = 7   # verify threshold; pigeonhole-complete with 8 bands
+_AH_HAM_MAX = _AH_BANDS - 1  # default-width verify threshold (= n_bands - 1,
+# pigeonhole-complete at every width; query and oracle both derive it)
 
 
 def _pixels(text) -> F.Column:
@@ -421,6 +422,8 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scenes(text: pd.Series) -> pd.DataFrame:
         nf_, nc_, fc_ = [], [], []
         for t in text:
+            if t is None:  # NULL payload -> zero frames, like empty text
+                t = ""
             n_frames = len(t) // _SC_FRAME
             lum = [
                 sum(ord(c) for c in t[f * _SC_FRAME : (f + 1) * _SC_FRAME])
@@ -548,6 +551,8 @@ def q_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scenes(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
+            if t is None:  # NULL payload -> no scenes, like a short text
+                t = ""
             n_frames = len(t) // _SC_FRAME
             if n_frames < 2:
                 out.append([])
@@ -709,7 +714,13 @@ def _rrf_oracle() -> str:
     """
 
 
-def _ah_oracle() -> str:
+def _ah_oracle(n_bands: int = _AH_BANDS) -> str:
+    """Oracle twin of q_image_hash_neardup, parametric in n_bands like
+    the query itself — so every band width the scale knob can take
+    (including the n_bands=4 setting SCALING.md measures) has an exact
+    correctness gate; tests/test_retrieval_ext.py pins the non-default
+    width against DuckDB directly."""
+    bits = _AH_PIXELS // n_bands
     px = (
         f"[ascii(substr(text, CAST((i * len(text)) // {_AH_PIXELS} AS INT) + 1, 1)) "
         f"FOR i IN range(0, {_AH_PIXELS})]"
@@ -717,14 +728,14 @@ def _ah_oracle() -> str:
     band_exprs = ", ".join(
         f"list_reduce(list_prepend(0, "
         f"[CASE WHEN CAST(px[i] AS DOUBLE) > mean THEN 1 ELSE 0 END "
-        f"FOR i IN range({b * _AH_BITS + 1}, {b * _AH_BITS + _AH_BITS + 1})]), "
+        f"FOR i IN range({b * bits + 1}, {b * bits + bits + 1})]), "
         f"(a, x) -> a * 2 + x) AS h{b}"
-        for b in range(_AH_BANDS)
+        for b in range(n_bands)
     )
     ham = " + ".join(
-        f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(_AH_BANDS)
+        f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(n_bands)
     )
-    band_pred = " OR ".join(f"a.h{i} = b.h{i}" for i in range(_AH_BANDS))
+    band_pred = " OR ".join(f"a.h{i} = b.h{i}" for i in range(n_bands))
     return f"""
         WITH px AS (
             SELECT doc_id, {px} AS px FROM documents
@@ -742,7 +753,7 @@ def _ah_oracle() -> str:
             SELECT a.doc_id, b.doc_id AS match_id, {ham} AS hamming
             FROM hashed a JOIN hashed b
               ON ({band_pred}) AND a.doc_id < b.doc_id
-            WHERE {ham} <= {_AH_HAM_MAX}
+            WHERE {ham} <= {n_bands - 1}
         ),
         sym AS (
             SELECT doc_id, match_id, hamming FROM pairs
@@ -754,7 +765,7 @@ def _ah_oracle() -> str:
                    min(hamming) AS min_hamming
             FROM sym GROUP BY doc_id
         )
-        SELECT h.doc_id, {", ".join(f"h.h{b}" for b in range(_AH_BANDS))},
+        SELECT h.doc_id, {", ".join(f"h.h{b}" for b in range(n_bands))},
                COALESCE(p.n_neardups, 0) AS n_neardups,
                COALESCE(p.first_match, -1) AS first_match,
                COALESCE(p.min_hamming, -1) AS min_hamming

@@ -5,6 +5,8 @@ invariants the oracle can't express."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.operators import corpus as C
@@ -341,8 +343,6 @@ def test_dataset_diff_statuses_match_direct_recompute(spark, sf_dir):
     assert {s for _, s in got} == {"added", "removed", "changed", "unchanged"}
 
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
 
 @given(

@@ -217,3 +217,26 @@ def test_keyframes_partition_scenes_and_pick_first_argmax(spark, sf_dir):
             assert rows[0].end_frame == first_cut
         for r in rows:
             assert r.start_frame <= r.key_frame < r.end_frame
+
+
+def test_image_hash_oracle_is_parametric_in_n_bands(spark, sf_dir):
+    """ADVICE r3: the n_bands scale knob must carry a correctness gate at
+    non-default widths too — run the Spark query and the parametric
+    DuckDB oracle twin at n_bands=4 (the SCALING.md setting) and compare
+    every value exactly."""
+    import duckdb
+
+    from iceberg_relative_io_spark.operators import retrieval_ext as X
+
+    got = {
+        tuple(r) for r in X.q_image_hash_neardup(spark, sf_dir, n_bands=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(X._ah_oracle(n_bands=4)).fetchall()}
+    assert got == want
+    # and a 4-band run produces 16-bit bands (values exceed 8-bit range
+    # somewhere on the fixture) — i.e. the knob actually changed the hash
+    assert any(any(v > 255 for v in t[1:5]) for t in got)
