@@ -64,11 +64,42 @@ def _pyarrow_impl(warehouse: str):
 register_io_impl("pyarrow", _pyarrow_impl)
 
 
+# -- JVM-plane path translation ---------------------------------------------
+#
+# The reference leans on Hadoop resolving the SAME URI on both planes
+# (metadata IO and the Spark scan, HadoopRelativeCatalog.java README
+# scenario). In Python the two planes resolve schemes independently:
+# pyarrow handles the metadata/manifest IO, the Spark JVM handles the
+# data scan. For schemes the JVM cannot resolve (a registered test/mock
+# object store), the io-impl registers a translator mapping the absolute
+# URI to a JVM-readable one; the default (None) passes URIs through
+# untouched, which is correct for posix, file://, hdfs://, s3a://-with-
+# connector — every production scheme.
+
+_SPARK_PATH_TRANSLATORS: dict[str, object] = {}
+
+
+def register_spark_path_translator(io_impl: str, fn) -> None:
+    """Register ``fn(absolute_uri) -> jvm_readable_uri`` for an io-impl."""
+    _SPARK_PATH_TRANSLATORS[io_impl] = fn
+
+
 @dataclass
 class RelativeFileIO:
     warehouse: str
     io_impl: str = "pyarrow"  # parity: relative.io-impl (RelativeFileIO.java:42-56)
     lock_impl: str | None = None  # LockManager hook for non-atomic-rename stores
+    # checksum toggles — the Python analogue of the reference's checksum
+    # enable/disable for mixed-protocol warehouses (reference
+    # HadoopRelativeCatalog.java:45-48, 88-91; README.md:123-124): Hadoop's
+    # ChecksumFileSystem writes .crc sidecars that go stale when a
+    # warehouse moves protocols out-of-band, so the reference exposes
+    # write/verify switches. Here: sha256 sidecars next to metadata files.
+    # Sidecar paths are RELATIVE like everything else, so an in-band
+    # warehouse move keeps them valid; verify is the toggle to drop when
+    # an out-of-band copy may have rewritten bytes (the reference's case).
+    checksum_write: bool = False
+    checksum_verify: bool = False
     _fs: object = field(default=None, repr=False, compare=False)
     _lock: object = field(default=None, repr=False, compare=False)
 
@@ -114,6 +145,13 @@ class RelativeFileIO:
     def relative(self, location: str) -> str:
         return relative_location(self.warehouse, location)
 
+    def spark_path(self, location: str) -> str:
+        """Absolute URI as the Spark JVM should read/write it. Identity
+        unless the io-impl registered a translator (mock object stores)."""
+        absolute = self.absolute(location)
+        fn = _SPARK_PATH_TRANSLATORS.get(self.io_impl)
+        return fn(absolute) if fn is not None else absolute
+
     # -- IO surface (A4-A9) ------------------------------------------------
     def new_input(self, location: str):
         """Open for read at the absolute path; caller keeps the relative
@@ -122,7 +160,23 @@ class RelativeFileIO:
 
     def read_bytes(self, location: str) -> bytes:
         with self.new_input(location) as f:
-            return f.read()
+            data = f.read()
+        if self.checksum_verify and not location.endswith(".sha256"):
+            import hashlib
+
+            sidecar = location + ".sha256"
+            if self.exists(sidecar):
+                with self.new_input(sidecar) as f:
+                    want = f.read().decode("ascii").strip()
+                got = hashlib.sha256(data).hexdigest()
+                if got != want:
+                    raise OSError(
+                        f"checksum mismatch for {location}: expected {want}, "
+                        f"got {got} (disable checksum_verify after an "
+                        "out-of-band warehouse copy — reference "
+                        "HadoopRelativeCatalog.java:45-48 semantics)"
+                    )
+        return data
 
     def new_output(self, location: str):
         """Create (overwrite) at the absolute path."""
@@ -134,6 +188,29 @@ class RelativeFileIO:
     def write_bytes(self, location: str, data: bytes) -> None:
         with self.new_output(location) as f:
             f.write(data)
+        if self.checksum_write:
+            import hashlib
+
+            with self.new_output(location + ".sha256") as f:
+                f.write(hashlib.sha256(data).hexdigest().encode("ascii"))
+
+    def parquet_table(self, location: str, columns=None):
+        """Read a parquet file THROUGH the delegate FS (stats/bloom
+        harvesting must work on any registered store, not just schemes
+        pyarrow's default resolver knows)."""
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            self._fs_path(location), columns=columns, filesystem=self.fs
+        )
+
+    def parquet_metadata(self, location: str):
+        """Parquet footer metadata through the delegate FS (random-access
+        open — footers are read by seeking, not streaming)."""
+        import pyarrow.parquet as pq
+
+        with self.fs.open_input_file(self._fs_path(location)) as f:
+            return pq.ParquetFile(f).metadata
 
     def exists(self, location: str) -> bool:
         from pyarrow import fs as pafs
@@ -142,6 +219,10 @@ class RelativeFileIO:
 
     def delete_file(self, location: str) -> None:
         self.fs.delete_file(self._fs_path(location))
+        if self.checksum_write and not location.endswith(".sha256"):
+            sidecar = location + ".sha256"
+            if self.exists(sidecar):  # best-effort: no orphaned sidecars
+                self.fs.delete_file(self._fs_path(sidecar))
 
     def delete_files(self, locations) -> None:
         for loc in locations:
@@ -166,6 +247,22 @@ class RelativeFileIO:
         return out
 
     def rename(self, src: str, dst: str) -> bool:
+        """rename-if-absent plus checksum-sidecar carry: the winner's
+        sidecar (when checksum_write is on) follows the main file so
+        verification keeps working across commit staging."""
+        won = self._rename_if_absent(src, dst)
+        if won and self.checksum_write and not src.endswith(".sha256"):
+            sidecar = src + ".sha256"
+            if self.exists(sidecar):
+                try:
+                    self.fs.move(
+                        self._fs_path(sidecar), self._fs_path(dst + ".sha256")
+                    )
+                except OSError:
+                    pass  # best-effort: a missing sidecar only skips verify
+        return won
+
+    def _rename_if_absent(self, src: str, dst: str) -> bool:
         """Atomic rename-if-absent; the commit protocol's linchpin
         (reference HadoopRelativeTableOperations.java:346-376). Returns
         False for the loser of a commit race.
@@ -222,11 +319,15 @@ class RelativeFileIO:
             "warehouse": self.warehouse,
             "io_impl": self.io_impl,
             "lock_impl": self.lock_impl,
+            "checksum_write": self.checksum_write,
+            "checksum_verify": self.checksum_verify,
         }
 
     def __setstate__(self, state):
         self.warehouse = state["warehouse"]
         self.io_impl = state.get("io_impl", "pyarrow")
         self.lock_impl = state.get("lock_impl")
+        self.checksum_write = state.get("checksum_write", False)
+        self.checksum_verify = state.get("checksum_verify", False)
         self._fs = None
         self._lock = None

@@ -129,7 +129,7 @@ class RelativeTable:
         manifest-level partition pruning on read (the same layering as
         Iceberg's partition-spec metadata, reference README.md:53-57)."""
         snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
-        abs_dir = self.ops.io.absolute(snap_dir)
+        abs_dir = self.ops.io.spark_path(snap_dir)
         spec = self.partition_spec
         fields = [parse_partition_field(e) for e in spec]
         layout_cols = [f["name"] for f in fields]
@@ -222,9 +222,7 @@ class RelativeTable:
         e.g. randomly-distributed keys. A false positive only keeps a
         file (never wrong); a missing bloom keeps the file too."""
         try:
-            import pyarrow.parquet as pq
-
-            tbl = pq.read_table(self.ops.io.absolute(rel_path), columns=cols)
+            tbl = self.ops.io.parquet_table(rel_path, columns=cols)
             blooms = {}
             for c in cols:
                 if c not in tbl.column_names:
@@ -247,9 +245,7 @@ class RelativeTable:
         in a cluster deployment executors would report these at write
         time instead."""
         try:
-            import pyarrow.parquet as pq
-
-            md = pq.read_metadata(self.ops.io.absolute(rel_path))
+            md = self.ops.io.parquet_metadata(rel_path)
             mins: dict = {}
             maxs: dict = {}
             for rg in range(md.num_row_groups):
@@ -432,7 +428,7 @@ class RelativeTable:
             self.read(spark).filter(condition).select(*equality_cols).distinct()
         )
         snap_dir = self.ops.data_location(f"snap-{uuid.uuid4()}")
-        abs_dir = self.ops.io.absolute(snap_dir)
+        abs_dir = self.ops.io.spark_path(snap_dir)
         keys.coalesce(1).write.mode("overwrite").parquet(abs_dir)
         deletes = []
         for fi in self.ops.io.list_prefix(snap_dir):
@@ -913,8 +909,8 @@ class RelativeTable:
         parts: list[DataFrame] = []
         for key, es in groups.items():
             file_ids, part_keys, applicable, prefix = json.loads(key)
-            files = [self.ops.io.absolute(f["path"]) for f in es]
-            base_path = self.ops.io.absolute(prefix) if prefix else None
+            files = [self.ops.io.spark_path(f["path"]) for f in es]
+            base_path = self.ops.io.spark_path(prefix) if prefix else None
             if not file_ids or not cur_ids:
                 # legacy entries: written with the current logical names
                 reader = spark.read.schema(schema)
@@ -940,7 +936,7 @@ class RelativeTable:
             for d in deletes:
                 if d["_snap"] not in applicable:
                     continue
-                keys = spark.read.parquet(self.ops.io.absolute(d["path"]))
+                keys = spark.read.parquet(self.ops.io.spark_path(d["path"]))
                 df = df.join(
                     F.broadcast(keys), on=list(d["equality-cols"]), how="left_anti"
                 )
