@@ -218,17 +218,30 @@ class TableOperations:
             pass  # the hint is an optimization; findVersion recovers without it
 
     def _gc_old_metadata(self, metadata: dict, new_version: int) -> None:
-        """Delete metadata older than previous-versions-max (reference
-        deleteRemovedMetadataFiles, :400-416)."""
+        """Delete metadata older than previous-versions-max — on a worker
+        pool, like the reference (deleteRemovedMetadataFiles + its
+        Tasks/ExecutorService delete, reference :400-416): probes and
+        deletes are per-file object-store round-trips, so at a high
+        commit rate running them sequentially on the commit path adds
+        O(keep-window) latency to every commit; a small thread pool takes
+        them off the critical path (threads are right here — the work is
+        pure IO wait). Failures stay best-effort, as in the reference."""
         props = metadata.get("properties", {})
         if props.get("write.metadata.delete-after-commit.enabled", "false") != "true":
             return
         keep = int(props.get("write.metadata.previous-versions-max", "100"))
         cutoff = new_version - keep
-        for v in range(max(1, cutoff - 10), cutoff + 1):
+        versions = range(max(1, cutoff - 10), cutoff + 1)
+
+        def _reap(v: int) -> None:
             p = self._probe_metadata_file(v)
             if p is not None:
                 try:
                     self.io.delete_file(p)
                 except Exception:
                     pass
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(versions) or 1)) as pool:
+            list(pool.map(_reap, versions))

@@ -8,37 +8,38 @@ contract in ``__spark_entry__.py`` merges them all.
 from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
-# bounded budget (round 1 recorded exactly the first 50 entries). Front-load
-# a set that spans every SURVEY.md §2 capability class — catalog/metadata
-# plane (a*), relational surface (b*), streaming (b30/b31), and the
-# LLM-pipeline extensions (c*) — so the recorded evidence covers the whole
-# inventory, not just the basic relational prefix.
+# bounded budget (it records exactly the first 50 entries). Rounds 1-3
+# recorded 98 distinct names, all green; this round front-loads 50 queries
+# the driver has NEVER graded (round-3 verdict item 6) — the full TPC-H
+# suite, the remaining relational/function surface, the c03 eval ops, the
+# c05 video ops, and the c06 curation ops — so driver-recorded evidence
+# converges toward the whole inventory. Everything rotated out stays in
+# the registry and in the judge's full rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # §2.A catalog / metadata / IO plane
-    "a02_warehouse_move", "a18_expire_snapshots", "a26_compaction",
-    "a32_partition_pruning", "a32_hidden_partitioning", "a32_zorder_pruning",
-    "a39_jdbc_view_roundtrip", "a_cdc_incremental_read", "a_merge_upsert",
-    "a_mor_delete", "a_row_delete",
-    # §2.B flagship relational / SQL / datasource surface
-    "b01_scan_count", "b01_python_datasource", "b02_catalog_insert_select",
-    "b04_sql_frontend", "b06_filter", "b07_join_inner", "b10_star_broadcast",
-    "b11_range_join", "b12_asof_join", "b13_agg_pricing_summary",
-    "b15_approx_distinct", "b16_rollup", "b17_window_rank", "b21_topk",
-    "b28_time_travel", "b29_snapshots_table", "b32_pandas_udf",
-    "b33_recursive_cte",
-    # §2.B streaming
-    "b30_stream_tumbling_window", "b30_stream_stream_join",
-    "b30_stream_stateful_counter", "b30_session_window", "b30_stream_to_table",
-    "b31_stream_dedup",
-    # §2.C LLM-pipeline extensions (round-3 flagships swapped in for
-    # same-class siblings — every class keeps a representative and the
-    # 50-query sample spans the whole inventory; the judge's full rerun
-    # still covers every sibling this prefix rotates out)
-    "c01_exact_dedup", "c01_embedding_neardup", "c02_incremental_dedup",
-    "c02_lsh_candidate_pairs", "c02_dedup_survivors", "c04_vocab_build",
-    "c02_connected_components", "c03_knn_bruteforce", "c03_ann_ivfpq",
-    "c03_ann_rerank", "c03_hybrid_rrf", "c04_phrase_mining",
-    "c03_semantic_dedup", "c05_image_hash_neardup", "c06_pipeline_capstone",
+    # §2.A / format plane, never sampled before
+    "a32_bloom_pruning", "b03_catalog_create_schema", "b04_sql_views",
+    # §2.B streaming, never sampled before
+    "b30_stream_sliding_window", "b31_stream_upsert_to_table",
+    # §2.B relational / function surface, never sampled before
+    "b08_join_right", "b13_sessionization", "b14_dedup_keep_latest",
+    "b15_exact_percentiles", "b25_math_funs", "b26_array_funs",
+    "b26_higher_order_funs", "b27_json_funs", "b27_variant_json",
+    "b32_python_udtf", "b32_apply_in_pandas", "b06_systematic_sample",
+    # the 18 TPC-H shapes the driver has not yet recorded
+    "b34_tpch_q2", "b34_tpch_q3", "b34_tpch_q5", "b34_tpch_q6",
+    "b34_tpch_q7", "b34_tpch_q8", "b34_tpch_q9", "b34_tpch_q10",
+    "b34_tpch_q11", "b34_tpch_q13", "b34_tpch_q15", "b34_tpch_q16",
+    "b34_tpch_q17", "b34_tpch_q18", "b34_tpch_q19", "b34_tpch_q20",
+    "b34_tpch_q21", "b34_tpch_q22",
+    # §2.C evaluation / vector ops
+    "c03_ann_lsh", "c03_cluster_medoids", "c03_kmeans_lloyd",
+    "c03_quantize_int8", "c03_pq_codes", "c03_ann_recall_eval",
+    # §2.C text ops
+    "c04_fingerprint", "c04_chunking", "c04_sequence_packing",
+    "c04_pii_redaction", "c04_bm25_search",
+    # §2.C multimodal/video + curation
+    "c05_scene_cuts", "c05_keyframes", "c05_audio_energy",
+    "c06_contamination_bloom",
 ]
 
 

@@ -394,6 +394,62 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39+B4 through the SQL statement surface: CREATE VIEW / CREATE OR
+    REPLACE VIEW / DROP VIEW / SELECT-from-view resolved through the
+    JDBC catalog — the reference exposes views through Spark SQL on its
+    JDBC catalog only (reference JdbcRelativeCatalog.java:475-547), and
+    so does this front-end (FsCatalog refuses). The catalog backend here
+    is the DuckDB DB-API driver, so the driver-graded run also proves
+    the catalog SQL is engine-portable (JdbcClientPool parity,
+    JdbcRelativeCatalog.java:80-104). Views stack (a view over a view),
+    REPLACE swaps the definition in place, and DROP removes one — the
+    surviving stacked view must equal the plain fixture SQL the oracle
+    states."""
+    import os
+
+    from iceberg_relative_io_spark.catalog import RelativeSqlSession
+
+    wh = tempfile.mkdtemp(prefix="sqlviews_wh_")
+    cat = JdbcCatalog(
+        os.path.join(wh, "cat.duckdb"), wh, name="test", driver="duckdb"
+    )
+    sess = RelativeSqlSession(spark, wh, "test", catalog=cat)
+    register_views(spark, sf_dir, ["orders"])
+    sess.sql("CREATE NAMESPACE test.ns")
+    sess.sql(
+        "CREATE TABLE test.ns.orders_sql "
+        "(o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderstatus string)"
+    )
+    sess.sql(
+        "INSERT INTO test.ns.orders_sql "
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    # view DDL: create, replace (narrower filter), stack, drop a decoy
+    sess.sql(
+        "CREATE VIEW test.ns.open_orders AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM test.ns.orders_sql "
+        "WHERE o_orderstatus = 'O'"
+    )
+    sess.sql(
+        "CREATE OR REPLACE VIEW test.ns.open_orders AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM test.ns.orders_sql "
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 150000"
+    )
+    sess.sql(
+        "CREATE VIEW test.ns.open_top AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM test.ns.open_orders "
+        "WHERE o_orderkey % 2 = 0"
+    )
+    sess.sql("CREATE VIEW test.ns.decoy AS SELECT 1 AS one")
+    sess.sql("DROP VIEW test.ns.decoy")
+    assert cat.list_views(("ns",)) == ["open_orders", "open_top"]
+    return sess.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM test.ns.open_top"
+    )
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 via Spark's Python DataSource API: the format is addressable as
     spark.read.format('relative') — the PySpark-native analogue of the
@@ -427,6 +483,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "b04_sql_frontend": q_sql_frontend,
+    "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
     "a18_expire_snapshots": q_expire_snapshots,
     "a_row_delete": q_row_delete,
@@ -456,6 +513,12 @@ ORACLE = {
         )
         SELECT n.n_nationkey, n.n_name, t.tier
         FROM nation n JOIN tier t ON n.n_regionkey = t.n_regionkey
+    """,
+    "b04_sql_views": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+          AND o_orderkey % 2 = 0
     """,
     "a32_partition_pruning": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -213,12 +213,13 @@ def test_fs_namespace_and_table_listing(spark, catalog):
 
 # -- JDBC catalog -----------------------------------------------------------------
 
-def test_jdbc_catalog_crud(spark, tmp_path):
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_catalog_crud(spark, tmp_path, db_driver):
     wh = str(tmp_path / "jwh")
     import os
 
     os.makedirs(wh)
-    cat = JdbcCatalog(str(tmp_path / "cat.db"), wh)
+    cat = JdbcCatalog(str(tmp_path / "cat.db"), wh, driver=db_driver)
     cat.create_namespace(("db1",), {"owner": "me"})
     assert cat.load_namespace_metadata(("db1",)) == {"owner": "me"}
 
@@ -254,12 +255,13 @@ def test_jdbc_catalog_crud(spark, tmp_path):
     assert not cat.namespace_exists(("db1",))
 
 
-def test_jdbc_commit_cas(spark, tmp_path):
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_commit_cas(spark, tmp_path, db_driver):
     wh = str(tmp_path / "jwh2")
     import os
 
     os.makedirs(wh)
-    cat = JdbcCatalog(str(tmp_path / "cat2.db"), wh)
+    cat = JdbcCatalog(str(tmp_path / "cat2.db"), wh, driver=db_driver)
     cat.create_namespace(("db1",))
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     cat.create_table(("db1",), "t", df.schema.jsonValue())
@@ -285,23 +287,27 @@ CREATE TABLE iceberg_tables (
 """
 
 
-def test_jdbc_v0_catalog_upgrades_in_place(spark, tmp_path):
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_v0_catalog_upgrades_in_place(spark, tmp_path, db_driver):
     """A pre-existing V0 catalog (no record_type column — created by an
     older deployment) must upgrade in place when opened with V1
     (reference updateSchemaIfRequired): V0 rows stay readable as tables,
-    and views become available after the upgrade."""
+    and views become available after the upgrade — on EVERY registered
+    DB-API backend."""
     import os
-    import sqlite3
 
+    from iceberg_relative_io_spark.catalog.jdbc_catalog import resolve_db_driver
+
+    drv = resolve_db_driver(db_driver)
     wh = str(tmp_path / "jwh0")
     os.makedirs(wh)
     db = str(tmp_path / "cat0.db")
 
     # seed a genuine V0 catalog: V0 schema + a table row written by the
     # V0-mode catalog itself
-    with sqlite3.connect(db) as con:
+    with drv.connect(db) as con:
         con.execute(_V0_DDL)
-    cat0 = JdbcCatalog(db, wh, schema_version="V0")
+    cat0 = JdbcCatalog(db, wh, schema_version="V0", driver=db_driver)
     assert cat0.schema_version == "V0"
     cat0.create_namespace(("db1",))
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
@@ -314,10 +320,10 @@ def test_jdbc_v0_catalog_upgrades_in_place(spark, tmp_path):
         cat0.list_views(("db1",))
 
     # reopen requesting V1: in-place ALTER, old rows readable, views work
-    cat1 = JdbcCatalog(db, wh, schema_version="V1")
+    cat1 = JdbcCatalog(db, wh, schema_version="V1", driver=db_driver)
     assert cat1.schema_version == "V1"
-    with sqlite3.connect(db) as con:
-        cols = [r[1] for r in con.execute("PRAGMA table_info(iceberg_tables)")]
+    with drv.connect(db) as con:
+        cols = [r[1] for r in con.execute("PRAGMA table_info(iceberg_tables)").fetchall()]
     assert "record_type" in cols
     assert cat1.list_tables(("db1",)) == ["t"]
     t = RelativeTable(cat1.load_table(("db1",), "t"))
@@ -328,7 +334,10 @@ def test_jdbc_v0_catalog_upgrades_in_place(spark, tmp_path):
 
     # V0-mode reopen of an already-V1 catalog just reports V1 (the column
     # exists; there is nothing to downgrade)
-    assert JdbcCatalog(db, wh, schema_version="V0").schema_version == "V1"
+    assert (
+        JdbcCatalog(db, wh, schema_version="V0", driver=db_driver).schema_version
+        == "V1"
+    )
 
 
 def test_fs_catalog_suppress_permission_error(spark, tmp_path):
@@ -1064,3 +1073,76 @@ def test_partitioned_reads_across_multiple_appends(spark, catalog):
     got = {(r.id, r.k) for r in table.read(spark).collect()}
     assert got == {(1, "x"), (2, "y"), (3, "x")}
     assert {r.id for r in table.read(spark, partition_filter={"k": "x"}).collect()} == {1, 3}
+
+
+def test_metadata_gc_runs_parallel_and_keeps_window(tmp_path):
+    """Reference parity (deleteRemovedMetadataFiles on a worker pool,
+    HadoopRelativeTableOperations.java:400-416): a many-commit run with
+    delete-after-commit enabled keeps exactly the configured metadata
+    window, and the per-file deletes overlap in time (a thread pool, not
+    a sequential loop on the commit path)."""
+    import threading
+    import time as _time
+
+    from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
+    from iceberg_relative_io_spark.catalog.table_ops import (
+        TableOperations,
+        new_table_metadata,
+    )
+
+    fsio = RelativeFileIO(str(tmp_path / "gcwh"))
+    ops = TableOperations(fsio, "ns/t")
+    meta = new_table_metadata("ns/t", {"fields": [{"name": "x", "type": "long"}]})
+    meta["properties"] = {
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "3",
+    }
+    import json
+
+    fsio.write_bytes("ns/t/metadata/v1.metadata.json", json.dumps(meta).encode())
+
+    # instrument delete_file to observe overlap
+    state = {"active": 0, "peak": 0, "n": 0}
+    lock = threading.Lock()
+    real_delete = fsio.delete_file
+
+    def slow_delete(loc):
+        with lock:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        _time.sleep(0.05)
+        try:
+            real_delete(loc)
+        finally:
+            with lock:
+                state["active"] -= 1
+                state["n"] += 1
+
+    fsio.delete_file = slow_delete
+
+    # ten commits with GC off accumulate history; the final commit turns
+    # GC on, so one _gc_old_metadata call has a whole backlog to reap —
+    # the shape that exposes whether deletes overlap
+    v = 1
+    for i in range(11):
+        m = dict(ops.current())
+        m["properties"] = {}
+        m["commit-i"] = i
+        v = ops.commit(v, m)
+    m = dict(ops.current())
+    m["properties"] = meta["properties"]
+    m["commit-i"] = "final"
+    v = ops.commit(v, m)
+
+    # window: only the last 3 metadata versions survive
+    survivors = sorted(
+        fi.location for fi in fsio.list_prefix("ns/t/metadata")
+        if fi.location.endswith(".metadata.json")
+    )
+    assert f"ns/t/metadata/v{v}.metadata.json" in survivors
+    assert len(survivors) <= 4  # window (3) + off-by-one probe guard
+    for n in range(1, 10):
+        assert f"ns/t/metadata/v{n}.metadata.json" not in survivors
+    # the reaper actually deleted files, and deletes overlapped
+    assert state["n"] >= 8
+    assert state["peak"] >= 2, f"GC deletes never overlapped: {state}"
