@@ -49,6 +49,7 @@ def merged_queries() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        roundfour,
         corpus,
         retrieval_ext,
         tableops_queries,
@@ -63,6 +64,7 @@ def merged_queries() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        roundfour,
         corpus,
         retrieval_ext,
         tableops_queries,
@@ -81,6 +83,7 @@ def merged_oracle() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        roundfour,
         corpus,
         retrieval_ext,
         tableops_queries,
@@ -95,6 +98,7 @@ def merged_oracle() -> dict:
         northstar,
         pipeline_ext,
         roundthree,
+        roundfour,
         corpus,
         retrieval_ext,
         tableops_queries,

@@ -1,0 +1,356 @@
+"""Round-4 LLM-pipeline additions (SURVEY.md §2.C extensions).
+
+Three pipeline stages the earlier §2.C batches didn't cover:
+
+- **video signature near-dup** (``c05_video_neardup``): scene-level
+  fingerprint matching — each video's signature is its sequence of
+  per-scene keyframe luminances (composing c05_scene_cuts +
+  c05_keyframes), candidates are pairs sharing ANY exact
+  (scene position, scene hash), and a containment ratio over aligned
+  scenes verifies. This is how video corpora are deduped in practice:
+  re-encoded/re-uploaded copies keep their scene structure even when
+  bytes differ, and scene-hash banding finds them without an all-pairs
+  comparison.
+- **embedding outlier filter** (``c03_outlier_filter``): distance-to-
+  assigned-centroid screening — vectors in the top decile of
+  within-cell distance are flagged (mislabeled/garbage embeddings
+  surface as cell outliers). The decile cut is RANK-based (not a float
+  mean/stddev), so both engines agree exactly.
+- **curriculum ordering** (``c06_curriculum_order``): order documents
+  by a difficulty proxy (token diversity) into quartile curriculum
+  buckets with a stable within-bucket position — the data-ordering
+  step curriculum-training recipes consume.
+
+Scale design (100 TB):
+- video near-dup shuffles (scene_idx, key_lum) keys only — banded
+  candidate generation, the same pigeonhole discipline as the minhash
+  and image-hash bands; the quadratic lives inside a (position, hash)
+  bucket. Signature extraction is the keyframe pass (one corpus read,
+  no shuffle).
+- the outlier filter reuses the bounded centroid sample (constant
+  driver traffic, corpus-derived cell count) + one broadcast map-only
+  assignment + one per-cell rank — a single shuffle on the cell id.
+- curriculum ordering is one map pass + one range-partitioned sort —
+  a global order IS the deliverable here, so the plan's single
+  rangepartitioning exchange is the work itself, not overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# C5 — video signature near-dup
+# ---------------------------------------------------------------------------
+
+_VN_CONTAIN = 0.5  # aligned-scene containment declaring a near-dup
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (video dedup): banded scene-fingerprint matching. Signature =
+    the per-scene keyframe luminance sequence (c05_keyframes); candidate
+    pairs share at least one exact (scene_idx, key_lum); verify =
+    aligned-scene containment |shared positions| / min(n_scenes) >=
+    tau. Output is one row per documented video (scene count + near-dup
+    stats) so the banding, the join, and the ratio are all
+    oracle-checked.
+
+    At 100 TB: the only shuffle keys are (scene_idx, key_lum) tuples —
+    one per scene, not per pair — and the verify ratio is computed from
+    the per-pair match count aggregated map-side first. The hash here is
+    the deterministic luminance stand-in; a production pipeline drops in
+    a perceptual keyframe hash with the identical plan."""
+    from iceberg_relative_io_spark.operators.retrieval_ext import q_keyframes
+
+    kf = q_keyframes(spark, sf_dir).select("doc_id", "scene_idx", "key_lum")
+    n_scenes = kf.groupBy("doc_id").agg(F.count("*").alias("n_scenes"))
+
+    a = kf.alias("a")
+    b = kf.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.scene_idx") == F.col("b.scene_idx"))
+            & (F.col("a.key_lum") == F.col("b.key_lum"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = n_scenes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_scenes").alias("na")
+    )
+    nb = n_scenes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_scenes").alias("nb")
+    )
+    pairs = (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .filter(F.col("containment") >= _VN_CONTAIN)
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("match_id"),
+                    F.col("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("match_id"),
+                    F.col("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_id", "p.match_id", "p.containment")
+    per_doc = sym.groupBy("doc_id").agg(
+        F.count("*").alias("n_neardups"),
+        F.min("match_id").alias("first_match"),
+        F.max("containment").alias("max_containment"),
+    )
+    return n_scenes.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_scenes",
+        F.coalesce("n_neardups", F.lit(0)).alias("n_neardups"),
+        F.coalesce("first_match", F.lit(-1)).alias("first_match"),
+        F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — embedding outlier filter (distance-to-centroid screening)
+# ---------------------------------------------------------------------------
+
+_OUT_TARGET_CELL = 256  # same corpus-derived granularity as semantic dedup
+_OUT_KEEP = 0.9         # keep the closest 90% of each cell; flag the rest
+
+
+def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (embedding QA): flag the worst-fitting vectors of each
+    centroid cell — the cheap screen for corrupt/garbage embeddings
+    before they poison retrieval or clustering. Assignment reuses the
+    bounded hash-sample quantizer (corpus-derived n_cells, the
+    c03_semantic_dedup knob); within each cell, vectors are ranked by
+    cosine-to-centroid ascending and the bottom decile (rank <=
+    floor(0.1 * n)) is flagged. The cut is RANK-based with a total
+    order (cos asc, vec_id asc), so no float mean/stddev crosses
+    engines. One broadcast map pass + one shuffle on the cell id."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_cells = V.derived_cells(emb.count(), _OUT_TARGET_CELL)
+    cids, C, nc = V.collect_centroids(emb, n_cells)
+    bc = spark.sparkContext.broadcast((cids, C, nc))
+    cell_of = V.make_nearest_udf(bc)
+    cvec = V.make_nearest_cos_udf(bc)
+    assigned = emb.select(
+        "vec_id",
+        cell_of(F.col("embedding")).alias("cell"),
+        cvec(F.col("embedding")).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cos_to_centroid").asc(), F.col("vec_id").asc()
+    )
+    wc = Window.partitionBy("cell")
+    return assigned.select(
+        "vec_id",
+        "cell",
+        "cos_to_centroid",
+        (
+            F.row_number().over(w)
+            <= F.floor((1.0 - _OUT_KEEP) * F.count("*").over(wc)).cast("int")
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — curriculum ordering
+# ---------------------------------------------------------------------------
+
+_CUR_BUCKETS = 4
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (data ordering): curriculum buckets by a difficulty proxy.
+    Difficulty = token diversity (distinct/total tokens — integer ratio,
+    engine-exact); documents are quartiled by ntile over (difficulty,
+    doc_id) and given a stable position inside their bucket — the
+    easy-to-hard shard order a curriculum dataloader consumes. The
+    global order is the deliverable, so the plan's single
+    range-partitioned sort is the work itself; everything else is one
+    map pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"))
+        .alias("difficulty"),
+    )
+    w = Window.orderBy(F.col("difficulty").asc(), F.col("doc_id").asc())
+    bucketed = scored.select(
+        "doc_id",
+        "difficulty",
+        F.ntile(_CUR_BUCKETS).over(w).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("difficulty").asc(), F.col("doc_id").asc()
+    )
+    return bucketed.select(
+        "doc_id", "difficulty", "bucket", F.row_number().over(wb).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "c05_video_neardup": q_video_neardup,
+    "c03_outlier_filter": q_outlier_filter,
+    "c06_curriculum_order": q_curriculum_order,
+}
+
+
+def _video_oracle() -> str:
+    from iceberg_relative_io_spark.operators.retrieval_ext import (
+        _SC_CUT_T,
+        _SC_FRAME,
+    )
+
+    lum = (
+        f"[list_reduce(list_prepend(0, "
+        f"[ascii(c) FOR c IN list_slice(ch, f * {_SC_FRAME} + 1, (f + 1) * {_SC_FRAME})]), "
+        f"(a, x) -> a + x) FOR f IN range(0, n_frames)]"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, '') AS ch,
+                   CAST(len(text) // {_SC_FRAME} AS INT) AS n_frames
+            FROM documents
+        ),
+        with_lum AS (
+            SELECT doc_id, n_frames, {lum} AS lum
+            FROM staged WHERE n_frames >= 2
+        ),
+        with_cuts AS (
+            SELECT doc_id, n_frames, lum,
+                   [f FOR f IN range(1, n_frames)
+                    IF abs(lum[f + 1] - lum[f]) >= {_SC_CUT_T}] AS cuts
+            FROM with_lum
+        ),
+        bounds AS (
+            SELECT doc_id, lum,
+                   list_concat([0], cuts) AS starts,
+                   list_append(cuts, n_frames) AS ends
+            FROM with_cuts
+        ),
+        kf AS (
+            SELECT doc_id, r.i - 1 AS scene_idx,
+                   list_aggregate(
+                       list_slice(lum, starts[r.i] + 1, ends[r.i]), 'max'
+                   ) AS key_lum
+            FROM bounds, UNNEST(range(1, len(starts) + 1)) AS r(i)
+        ),
+        n_scenes AS (
+            SELECT doc_id, count(*) AS n_scenes FROM kf GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM kf a JOIN kf b
+              ON a.scene_idx = b.scene_idx AND a.key_lum = b.key_lum
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT s.doc_a, s.doc_b,
+                   CAST(s.n_shared AS DOUBLE)
+                       / CAST(least(na.n_scenes, nb.n_scenes) AS DOUBLE)
+                       AS containment
+            FROM shared s
+            JOIN n_scenes na ON na.doc_id = s.doc_a
+            JOIN n_scenes nb ON nb.doc_id = s.doc_b
+        ),
+        hits AS (
+            SELECT * FROM pairs WHERE containment >= {_VN_CONTAIN}
+        ),
+        sym AS (
+            SELECT doc_a AS doc_id, doc_b AS match_id, containment FROM hits
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS match_id, containment FROM hits
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_neardups, min(match_id) AS first_match,
+                   max(containment) AS max_containment
+            FROM sym GROUP BY doc_id
+        )
+        SELECT n.doc_id, CAST(n.n_scenes AS BIGINT) AS n_scenes,
+               COALESCE(p.n_neardups, 0) AS n_neardups,
+               COALESCE(p.first_match, -1) AS first_match,
+               COALESCE(p.max_containment, 0.0) AS max_containment
+        FROM n_scenes n LEFT JOIN per_doc p ON n.doc_id = p.doc_id
+    """
+
+
+def _outlier_oracle() -> str:
+    return f"""
+        WITH cents AS (
+            {V.sample_cte_sql(V.derived_cells_sql(_OUT_TARGET_CELL))}
+        ),
+        assign AS (
+            SELECT vec_id, cid AS cell, cos FROM (
+                SELECT e.vec_id, c.cid,
+                       {V.cosine_sql('e.embedding', 'c.cvec')} AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, cell, cos AS cos_to_centroid,
+               CAST(row_number() OVER (
+                        PARTITION BY cell ORDER BY cos ASC, vec_id ASC
+                    ) <= CAST(floor({1.0 - _OUT_KEEP!r} * (count(*) OVER (PARTITION BY cell))) AS INT)
+                    AS INT) AS is_outlier
+        FROM assign
+    """
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS difficulty
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, difficulty,
+                   CAST(ntile({_CUR_BUCKETS}) OVER (ORDER BY difficulty ASC, doc_id ASC) AS INT)
+                       AS bucket
+            FROM scored
+        )
+        SELECT doc_id, difficulty, bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY bucket ORDER BY difficulty ASC, doc_id ASC
+               ) AS INT) AS pos
+        FROM bucketed
+    """
+
+
+ORACLE = {
+    "c05_video_neardup": _video_oracle(),
+    "c03_outlier_filter": _outlier_oracle(),
+    "c06_curriculum_order": _curriculum_oracle(),
+}
