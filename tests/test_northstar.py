@@ -298,7 +298,9 @@ def test_distributed_cc_matches_union_find(spark, sf_dir):
     """The distributed connected-components (scale path) must produce the
     same clustering as the driver-side union-find used by
     q_dedup_survivors."""
-    from iceberg_relative_io_spark.functions.graph import connected_components
+    from iceberg_relative_io_spark.operators.graph import (
+        label_propagation_components,
+    )
 
     # synthetic graph: two chains and an isolated pair, plus a triangle
     edges = spark.createDataFrame(
@@ -306,7 +308,7 @@ def test_distributed_cc_matches_union_find(spark, sf_dir):
         "src long, dst long",
     )
     got = {
-        r.node: r.component for r in connected_components(edges).collect()
+        r.node: r.label for r in label_propagation_components(edges).collect()
     }
     assert got == {
         1: 1, 2: 1, 3: 1, 4: 1,
@@ -318,16 +320,20 @@ def test_distributed_cc_matches_union_find(spark, sf_dir):
 def test_distributed_cc_on_lsh_edges(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from iceberg_relative_io_spark.functions.graph import connected_components
+    from iceberg_relative_io_spark.operators.graph import (
+        label_propagation_components,
+    )
     from iceberg_relative_io_spark.operators.northstar import (
         q_dedup_survivors,
         q_lsh_candidate_pairs,
     )
 
-    pairs = q_lsh_candidate_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.3)
+    pairs = q_lsh_candidate_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.3
+    ).select("doc_a", "doc_b")
     dist = {
-        r.node: r.component
-        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        r.node: r.label
+        for r in label_propagation_components(pairs).collect()
     }
     uf = {
         r.doc_id: r.component
