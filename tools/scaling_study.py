@@ -70,6 +70,12 @@ MEASURED = [
     "c05_image_hash_neardup",
     "c05_scene_cuts",
     "c06_quality_sampling",
+    # round 4 additions (the knob queries above now run their
+    # corpus-derived defaults — no manual override needed)
+    "c05_video_neardup",
+    "c03_outlier_filter",
+    "c06_curriculum_order",
+    "c02_dedup_survivors",
 ]
 
 
