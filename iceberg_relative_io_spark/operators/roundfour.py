@@ -354,3 +354,133 @@ ORACLE = {
     "c03_outlier_filter": _outlier_oracle(),
     "c06_curriculum_order": _curriculum_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# C5 — voice-activity detection (energy-gated segments)
+# ---------------------------------------------------------------------------
+
+_VAD_T = 390_000  # window-energy gate (≈ fixture median — see SCALING probe)
+_VAD_MIN = 2      # minimum consecutive windows forming a segment
+
+
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (audio segmentation): voice-activity detection over the
+    c05_audio_energy window stream — runs of >= _VAD_MIN consecutive
+    windows whose energy clears the gate become segments (the clip
+    boundaries a speech pipeline transcribes; the audio analogue of
+    c05_scene_cuts). Pure gaps-and-islands: flag, then group consecutive
+    window indices by the win_idx - row_number() constant — one window
+    shuffle on item_id, everything else stays in the partition. Integer
+    energies, so both engines agree exactly."""
+    from iceberg_relative_io_spark.operators.pipeline_ext import q_audio_energy
+
+    wins = q_audio_energy(spark, sf_dir).filter(F.col("energy") >= _VAD_T)
+    wi = Window.partitionBy("item_id").orderBy("win_idx")
+    grouped = wins.withColumn(
+        "grp", F.col("win_idx") - F.row_number().over(wi)
+    )
+    segs = (
+        grouped.groupBy("item_id", "grp")
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count("*").alias("n_windows"),
+            F.max("energy").alias("peak_energy"),
+        )
+        .filter(F.col("n_windows") >= _VAD_MIN)
+    )
+    ws = Window.partitionBy("item_id").orderBy("start_win")
+    return segs.select(
+        "item_id",
+        F.row_number().over(ws).alias("seg_idx"),
+        "start_win",
+        "end_win",
+        F.col("n_windows").cast("int").alias("n_windows"),
+        "peak_energy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — text normalization
+# ---------------------------------------------------------------------------
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (cleaning): canonical text normalization — lowercase, strip
+    every character outside [a-z0-9 ], collapse whitespace runs, trim —
+    the first map of every dedup/tokenize stage (normalized text is what
+    fingerprints and minhashes should see, or trivial casing/punctuation
+    variants defeat exact dedup). Map-only whole-stage-codegen pass, no
+    UDF, no shuffle; the regexes are RE2-safe so Spark (Java regex) and
+    DuckDB (RE2) rewrite identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(collapsed).alias("norm_len"),
+        F.size(F.split(collapsed, " ")).alias("norm_tokens"),
+        F.substring(collapsed, 1, 40).alias("norm_head"),
+        F.sha2(collapsed.cast("binary"), 256).alias("norm_digest"),
+    )
+
+
+def _vad_oracle() -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id AS item_id,
+                   list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS s
+            FROM documents),
+        w AS (
+            SELECT item_id, CAST(u.i AS INT) AS win_idx,
+                   s[CAST(u.i * 128 + 1 AS BIGINT) : CAST(u.i * 128 + 256 AS BIGINT)] AS win
+            FROM p, UNNEST(range(0, CAST(ceil(len(s) / 128.0) AS BIGINT))) AS u(i)),
+        e AS (
+            SELECT item_id, win_idx,
+                   CAST(list_sum([ (c - 128) * (c - 128) FOR c IN win ]) AS BIGINT) AS energy
+            FROM w),
+        flagged AS (
+            SELECT item_id, win_idx, energy,
+                   win_idx - row_number() OVER (
+                       PARTITION BY item_id ORDER BY win_idx) AS grp
+            FROM e WHERE energy >= {_VAD_T}),
+        segs AS (
+            SELECT item_id, grp,
+                   min(win_idx) AS start_win, max(win_idx) AS end_win,
+                   count(*) AS n_windows, max(energy) AS peak_energy
+            FROM flagged GROUP BY item_id, grp
+            HAVING count(*) >= {_VAD_MIN})
+        SELECT item_id,
+               CAST(row_number() OVER (
+                   PARTITION BY item_id ORDER BY start_win) AS INT) AS seg_idx,
+               start_win, end_win, CAST(n_windows AS INT) AS n_windows,
+               peak_energy
+        FROM segs
+    """
+
+
+def _normalize_oracle() -> str:
+    return """
+        WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               len(text) AS raw_len,
+               len(norm) AS norm_len,
+               len(string_split(norm, ' ')) AS norm_tokens,
+               substr(norm, 1, 40) AS norm_head,
+               sha256(norm) AS norm_digest
+        FROM n
+    """
+
+
+QUERIES["c05_audio_vad"] = q_audio_vad
+QUERIES["c04_text_normalize"] = q_text_normalize
+ORACLE["c05_audio_vad"] = _vad_oracle()
+ORACLE["c04_text_normalize"] = _normalize_oracle()

@@ -115,3 +115,62 @@ def test_curriculum_buckets_balanced_dense_and_monotone(spark, sf_dir):
         assert diffs == sorted(diffs)
         assert diffs[0] >= prev_max - 1e-15
         prev_max = diffs[-1]
+
+
+def test_audio_vad_segments_are_disjoint_gated_runs(spark, sf_dir):
+    """Every segment is a maximal run of gated windows: disjoint, ordered,
+    >= _VAD_MIN long, members all clear the gate, and the windows just
+    outside each segment don't — recomputed from the energy stream."""
+    from iceberg_relative_io_spark.operators.pipeline_ext import q_audio_energy
+
+    energy: dict = {}
+    for r in q_audio_energy(spark, sf_dir).collect():
+        energy.setdefault(r.item_id, {})[r.win_idx] = r.energy
+    segs: dict = {}
+    for r in R4.q_audio_vad(spark, sf_dir).collect():
+        segs.setdefault(r.item_id, []).append(r)
+    assert segs  # the gate sits at the fixture median — segments exist
+    for item, ss in segs.items():
+        ss.sort(key=lambda r: r.seg_idx)
+        prev_end = -2
+        for i, r in enumerate(ss):
+            assert r.seg_idx == i + 1
+            assert r.start_win > prev_end + 1 or prev_end == -2
+            assert r.n_windows == r.end_win - r.start_win + 1 >= R4._VAD_MIN
+            members = [energy[item][w] for w in range(r.start_win, r.end_win + 1)]
+            assert all(e >= R4._VAD_T for e in members)
+            assert r.peak_energy == max(members)
+            # maximality: neighbours outside the run fail the gate
+            left = energy[item].get(r.start_win - 1)
+            right = energy[item].get(r.end_win + 1)
+            assert left is None or left < R4._VAD_T
+            assert right is None or right < R4._VAD_T
+            prev_end = r.end_win
+
+
+def test_audio_vad_plan_has_single_exchange(spark, sf_dir):
+    """The run-grouping groupBy(item_id, grp) and both windows reuse the
+    item_id partitioning — one shuffle for the whole gaps-and-islands."""
+    plan = (
+        R4.q_audio_vad(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_text_normalize_is_map_only_and_canonical(spark, sf_dir):
+    rows = R4.q_text_normalize(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.norm_len <= r.raw_len
+        assert len(r.norm_digest) == 64
+        assert not r.norm_head.startswith(" ")  # trimmed (a 40-char
+        # substring may legitimately END on a word boundary space)
+        assert "  " not in r.norm_head
+        assert r.norm_head.lower() == r.norm_head
+    plan = (
+        R4.q_text_normalize(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
