@@ -95,6 +95,9 @@ def main() -> None:
         "c02_dedup_survivors", "c02_lsh_candidate_pairs",
         "c03_knn_bruteforce", "c03_ann_ivf", "c04_langid",
         "c04_token_count", "c06_pipeline_capstone",
+        # round-4 flagships
+        "b04_sql_views", "c05_video_neardup", "c03_outlier_filter",
+        "c05_audio_vad",
     ]
     def render(keys: list[str]) -> str:
         return json.dumps(

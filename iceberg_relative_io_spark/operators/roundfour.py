@@ -63,7 +63,11 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per scene, not per pair — and the verify ratio is computed from
     the per-pair match count aggregated map-side first. The hash here is
     the deterministic luminance stand-in; a production pipeline drops in
-    a perceptual keyframe hash with the identical plan."""
+    a perceptual keyframe hash with the identical plan. Hot-bucket skew
+    (a viral clip re-uploaded millions of times → one hot (position,
+    hash) key) is the same hazard as the image-hash bands
+    (retrieval_ext.py): the identical-signature cluster is collapsed by
+    exact dedup upstream, and the hash width is the occupancy knob."""
     from iceberg_relative_io_spark.operators.retrieval_ext import q_keyframes
 
     kf = q_keyframes(spark, sf_dir).select("doc_id", "scene_idx", "key_lum")
