@@ -1,6 +1,6 @@
 """Round-4 LLM-pipeline additions (SURVEY.md §2.C extensions).
 
-Three pipeline stages the earlier §2.C batches didn't cover:
+Six pipeline stages the earlier §2.C batches didn't cover:
 
 - **video signature near-dup** (``c05_video_neardup``): scene-level
   fingerprint matching — each video's signature is its sequence of
@@ -20,6 +20,15 @@ Three pipeline stages the earlier §2.C batches didn't cover:
   by a difficulty proxy (token diversity) into quartile curriculum
   buckets with a stable within-bucket position — the data-ordering
   step curriculum-training recipes consume.
+- **voice-activity detection** (``c05_audio_vad``): energy-gated
+  maximal window runs over the audio stream — the audio analogue of
+  scene cuts.
+- **text normalization** (``c04_text_normalize``): the canonical
+  lowercase/strip/collapse map every cleaning pipeline runs before
+  fingerprinting.
+- **quality-score propagation** (``c02_score_propagation``): two
+  rounds of graph smoothing over the LSH similarity graph — densifies
+  sparse per-page quality signals toward near-dup cluster consensus.
 
 Scale design (100 TB):
 - video near-dup shuffles (scene_idx, key_lum) keys only — banded
@@ -488,3 +497,157 @@ QUERIES["c05_audio_vad"] = q_audio_vad
 QUERIES["c04_text_normalize"] = q_text_normalize
 ORACLE["c05_audio_vad"] = _vad_oracle()
 ORACLE["c04_text_normalize"] = _normalize_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C2/C6 — quality-score propagation over the near-dup similarity graph
+# ---------------------------------------------------------------------------
+
+_SP_ROUNDS = 2
+_SP_ALPHA = 0.5  # self-weight per smoothing round
+
+
+def q_score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C6 (graph-smoothed quality): propagate a per-document quality
+    score through the LSH similarity graph — two rounds of
+    s' = 0.5*s + 0.5*mean(neighbor s), neighbors = jaccard>=0.3 LSH
+    candidates. This is how per-page quality signals get densified in
+    web-corpus curation: a page with no signal inherits its near-dup
+    cluster's, and noisy signals get smoothed toward cluster consensus.
+
+    Exactness discipline: the neighbor mean is an ORDERED fold (scores
+    folded in ascending neighbor-id order, sort_array over structs on
+    the Spark side, list(s ORDER BY a) + list_reduce in DuckDB), so the
+    float sums are bit-identical — the same determinism pattern as the
+    roundthree aggregates. At 100 TB: per round ONE shuffle join
+    (edges x scores on the source id) + one partial-agg groupBy on the
+    destination; rounds are a fixed constant. No driver traffic at all."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_lsh_candidate_pairs,
+    )
+
+    pairs = (
+        q_lsh_candidate_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").persist()
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("s"),
+    )
+    score0 = scores
+
+    for _ in range(_SP_ROUNDS):
+        nbr = (
+            edges.join(
+                scores.select(F.col("doc_id").alias("src"), F.col("s").alias("ss")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("src", "ss"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["ss"],
+                ).alias("fold"),
+            )
+        )
+        scores = (
+            scores.join(nbr, scores["doc_id"] == nbr["dst"], "left")
+            .select(
+                "doc_id",
+                F.when(F.col("cnt").isNull(), F.col("s"))
+                .otherwise(
+                    F.lit(_SP_ALPHA) * F.col("s")
+                    + F.lit(1.0 - _SP_ALPHA)
+                    * (F.col("fold") / F.col("cnt").cast("double"))
+                )
+                .alias("s"),
+            )
+        )
+
+    degrees = edges.groupBy("dst").agg(F.count("*").alias("n_neighbors"))
+    out = (
+        score0.withColumnRenamed("s", "score0")
+        .join(scores.withColumnRenamed("s", "score"), "doc_id")
+        .join(degrees.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score0",
+            "score",
+            F.coalesce("n_neighbors", F.lit(0)).cast("int").alias("n_neighbors"),
+        )
+    )
+    return out
+
+
+def _propagation_oracle() -> str:
+    from iceberg_relative_io_spark.functions import text as T
+    from iceberg_relative_io_spark.operators.northstar import _MINS, _SHINGLES
+
+    bands_values = ", ".join(
+        f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)"
+        " / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))"
+        " - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))))"
+    )
+
+    def round_cte(prev: str, name: str) -> str:
+        return f"""
+        {name}_n AS (
+            SELECT e.b AS doc_id, count(*) AS cnt,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(p.s ORDER BY e.a)), (acc, x) -> acc + x) AS fold
+            FROM edges e JOIN {prev} p ON p.doc_id = e.a
+            GROUP BY e.b
+        ),
+        {name} AS (
+            SELECT p.doc_id,
+                   CASE WHEN n.cnt IS NULL THEN p.s
+                        ELSE {_SP_ALPHA!r} * p.s
+                             + {1.0 - _SP_ALPHA!r} * (n.fold / CAST(n.cnt AS DOUBLE))
+                   END AS s
+            FROM {prev} p LEFT JOIN {name}_n n ON n.doc_id = p.doc_id
+        )"""
+
+    return f"""
+        WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+        bands AS (SELECT doc_id, shingles, band, sig FROM sh,
+                  LATERAL (VALUES {bands_values}) AS t(band, sig)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            WHERE {jac} >= 0.3
+        ),
+        edges AS (SELECT da AS a, db AS b FROM cand
+                  UNION SELECT db, da FROM cand),
+        s0 AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS s
+            FROM documents
+        ),{round_cte("s0", "r1")},{round_cte("r1", "r2")}
+        SELECT s0.doc_id, s0.s AS score0, r2.s AS score,
+               CAST(COALESCE(d.cnt, 0) AS INT) AS n_neighbors
+        FROM s0
+        JOIN r2 ON r2.doc_id = s0.doc_id
+        LEFT JOIN (SELECT b AS doc_id, count(*) AS cnt FROM edges GROUP BY b) d
+               ON d.doc_id = s0.doc_id
+    """
+
+
+QUERIES["c02_score_propagation"] = q_score_propagation
+ORACLE["c02_score_propagation"] = _propagation_oracle()

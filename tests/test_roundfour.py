@@ -174,3 +174,45 @@ def test_text_normalize_is_map_only_and_canonical(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_score_propagation_smooths_toward_neighbors(spark, sf_dir):
+    """Isolated documents keep their base score exactly; connected ones
+    move strictly toward (and stay within) their neighborhood's score
+    range; a Python recomputation over the collected graph pins the
+    round-2 values bit-for-bit."""
+    rows = {r.doc_id: r for r in R4.q_score_propagation(spark, sf_dir).collect()}
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_lsh_candidate_pairs,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q_lsh_candidate_pairs(spark, sf_dir).collect()
+        if r.jaccard >= 0.3
+    ]
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    assert nbrs  # the fixture has near-dups; the graph is non-empty
+    s = {d: r.score0 for d, r in rows.items()}
+    for _ in range(R4._SP_ROUNDS):
+        nxt = {}
+        for d in s:
+            ns = sorted(nbrs.get(d, ()))
+            if not ns:
+                nxt[d] = s[d]
+            else:
+                acc = 0.0
+                for n in ns:
+                    acc = acc + s[n]
+                nxt[d] = R4._SP_ALPHA * s[d] + (1.0 - R4._SP_ALPHA) * (
+                    acc / float(len(ns))
+                )
+        s = nxt
+    for d, r in rows.items():
+        assert r.n_neighbors == len(nbrs.get(d, ()))
+        assert r.score == s[d], d
+        if r.n_neighbors == 0:
+            assert r.score == r.score0
