@@ -76,6 +76,9 @@ MEASURED = [
     "c03_outlier_filter",
     "c06_curriculum_order",
     "c02_dedup_survivors",
+    "c05_audio_vad",
+    "c04_text_normalize",
+    "c02_score_propagation",
 ]
 
 
