@@ -397,6 +397,34 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (stream-static join): enrich the event stream against a
+    STATIC dimension — the canonical streaming-enrichment shape (click
+    stream x user table). The static side re-resolves per micro-batch
+    and Catalyst broadcasts it under the join, so the stream side never
+    shuffles for the join; only the windowless aggregate exchanges. At
+    100 TB/day the same plan holds with the dimension in the relative
+    table format (each micro-batch reads the CURRENT snapshot — slowly
+    changing dimensions come for free)."""
+    src = _stage_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .parquet(src)
+        .join(customer, "user_id")  # stream-static: static side broadcast
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(stream, "complete")
+
+
 QUERIES = {
     "b30_stream_tumbling_window": q_stream_tumbling_window,
     "b30_stream_sliding_window": q_stream_sliding_window,
@@ -406,9 +434,17 @@ QUERIES = {
     "b30_session_window": q_session_window,
     "b30_stream_to_table": q_stream_to_table,
     "b31_stream_upsert_to_table": q_stream_upsert_to_table,
+    "b30_stream_static_join": q_stream_static_join,
 }
 
 ORACLE = {
+    "b30_stream_static_join": """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "b31_stream_upsert_to_table": """
         SELECT user_id, event_type, event_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

@@ -119,3 +119,35 @@ def test_watermark_drops_late_rows_in_append_windows(spark):
         by_start[key] = r.total
     # the late v=100 must NOT appear: the first window keeps total=1
     assert by_start.get("00:00:00") == 1
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """The stream-static enrichment must produce exactly the batch
+    join+agg over the same inputs (stream-static joins are stateless:
+    each micro-batch joins against the current static snapshot)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.sources.tables import load_table
+    from iceberg_relative_io_spark.streaming.stream_queries import (
+        q_stream_static_join,
+    )
+
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value)
+        for r in q_stream_static_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
