@@ -22,7 +22,7 @@ PRIORITY_ORDER = [
     "b30_stream_sliding_window", "b31_stream_upsert_to_table",
     # §2.B relational / function surface, never sampled before
     "b08_join_right", "b13_sessionization", "b14_dedup_keep_latest",
-    "b15_exact_percentiles", "b25_math_funs", "b26_array_funs",
+    "b15_exact_percentiles", "c05_video_neardup", "c02_score_propagation",
     "b26_higher_order_funs", "b27_json_funs", "b27_variant_json",
     "b32_python_udtf", "b32_apply_in_pandas", "b06_systematic_sample",
     # the 18 TPC-H shapes the driver has not yet recorded
