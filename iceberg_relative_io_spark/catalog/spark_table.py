@@ -1120,6 +1120,22 @@ class RelativeTable:
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("replace", entries)
 
+    def rewrite_manifests(self) -> dict:
+        """Manifest compaction (Iceberg's `rewrite_manifests` procedure):
+        a METADATA-ONLY 'replace' snapshot that re-lists the current live
+        file set in one manifest — zero data movement, no Spark job. The
+        incremental-manifest design makes commits O(added files), but the
+        read-side `_data_files` walk is O(chain length) since the last
+        reset; at a high commit rate (streaming ingest lands one append
+        per micro-batch) this procedure bounds the walk again. Old
+        snapshots still time-travel through their own chains."""
+        meta = self.ops.current()
+        snap = self._resolve_snapshot(meta, None, None)
+        if snap is None:
+            return self._commit_snapshot("replace", [])
+        entries = self._data_files(meta, snap)
+        return self._commit_snapshot("replace", entries)
+
     def rewrite_zorder(
         self,
         spark: SparkSession,

@@ -371,6 +371,9 @@ class RelativeSqlSession:
             cols = [c.strip() for c in arg.strip().strip("'").split(",") if c.strip()]
             result = table.rewrite_zorder(self.spark, cols)
             rows = [(str(result["snapshot-id"]),)]
+        elif proc == "rewrite_manifests":
+            result = table.rewrite_manifests()
+            rows = [(str(result["snapshot-id"]),)]
         elif proc == "rollback_to_snapshot":
             table.rollback_to_snapshot(int(arg))
             rows = [("ok",)]

@@ -1146,3 +1146,38 @@ def test_metadata_gc_runs_parallel_and_keeps_window(tmp_path):
     # the reaper actually deleted files, and deletes overlapped
     assert state["n"] >= 8
     assert state["peak"] >= 2, f"GC deletes never overlapped: {state}"
+
+
+def test_rewrite_manifests_collapses_chain_without_moving_data(spark, tmp_path):
+    """Manifest compaction is metadata-only: after N appends the live
+    file set is reconstructed by an N-step chain walk; rewrite_manifests
+    commits one 'replace' snapshot re-listing the same files (same
+    paths, same row set, zero data movement), old snapshots still
+    time-travel, and the post-rewrite walk is one step."""
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+
+    cat = FsCatalog(str(tmp_path / "rm_wh"))
+    cat.create_namespace(("ns",))
+    df0 = spark.createDataFrame([(0, "z")], "id long, name string")
+    table = RelativeTable(cat.create_table(("ns",), "t", df0.schema.jsonValue()))
+    for i in range(5):
+        table.append(spark.createDataFrame([(i, chr(97 + i))], "id long, name string"))
+    meta = table.ops.current()
+    snap_before = table._resolve_snapshot(meta, None, None)
+    files_before = sorted(f["path"] for f in table._data_files(meta, snap_before))
+    assert len(meta["snapshots"]) == 5
+
+    result = table.rewrite_manifests()
+    meta2 = table.ops.current()
+    snap_after = table._resolve_snapshot(meta2, None, None)
+    entry = table._snapshot_entry(meta2, snap_after)
+    assert entry["operation"] == "replace"
+    files_after = sorted(f["path"] for f in table._data_files(meta2, snap_after))
+    assert files_after == files_before  # zero data movement, same paths
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(5))
+    # old snapshot still time-travels through its own chain
+    assert sorted(
+        r.id for r in table.read(spark, snapshot_id=snap_before).collect()
+    ) == list(range(5))
+    # the walk after the rewrite is one step: a replace resets the chain
+    assert result["snapshot-id"] == snap_after

@@ -390,3 +390,17 @@ def test_insert_overwrite_dynamic_mode(sess):
     sess.sql("INSERT OVERWRITE test.dpo.t VALUES (9, 'd1')")
     rows = {(r.id, r.day) for r in sess.sql("SELECT * FROM test.dpo.t").collect()}
     assert rows == {(9, "d1"), (2, "d2")}  # d2 untouched
+
+
+def test_call_rewrite_manifests(spark, tmp_path):
+    from iceberg_relative_io_spark.catalog import RelativeSqlSession
+
+    s = RelativeSqlSession(spark, str(tmp_path / "rm_sql_wh"), "test")
+    s.sql("CREATE NAMESPACE test.ns")
+    s.sql("CREATE TABLE test.ns.t (id bigint)")
+    for i in range(3):
+        s.sql(f"INSERT INTO test.ns.t VALUES ({i})")
+    out = s.sql("CALL test.system.rewrite_manifests('ns.t')").collect()
+    assert len(out) == 1 and out[0].result.isdigit()
+    got = sorted(r.id for r in s.sql("SELECT id FROM test.ns.t").collect())
+    assert got == [0, 1, 2]
