@@ -113,7 +113,14 @@ class _MockS3Handler(pafs.FileSystemHandler):
 def enable_mock_s3(root: str) -> str:
     """Register the ``mock-s3`` io-impl (and its JVM-plane translator)
     backed by ``root``. Returns the impl name. Warehouses then look like
-    ``s3://bucket/wh`` with bytes living at ``<root>/bucket/wh``."""
+    ``s3://bucket/wh`` with bytes living at ``<root>/bucket/wh``.
+
+    The io-impl registry is process-local: a pickled RelativeFileIO
+    carries only the impl NAME, and executors re-resolve it from their
+    own registry — on a real multi-node cluster the registering module
+    must be importable there too (ship the package, call enable_* in a
+    session-startup hook). In local[k] (this harness) driver and
+    executors share the process, so one call covers both planes."""
 
     def factory(_warehouse: str):
         return pafs.PyFileSystem(_MockS3Handler(root))
