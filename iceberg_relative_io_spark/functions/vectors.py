@@ -256,28 +256,6 @@ def make_nearest_udf(bc):
     return nearest
 
 
-def make_nearest_cos_udf(bc):
-    """pandas UDF: the COSINE VALUE of each vector's nearest centroid
-    (companion to make_nearest_udf, which returns the id) — identical
-    per-dimension sequential accumulation, so the value is bit-equal to
-    the oracle's cosine_sql of the rn=1 assignment row."""
-    from pyspark.sql.types import DoubleType
-
-    @F.pandas_udf(DoubleType())
-    def nearest_cos(vec: pd.Series) -> pd.Series:
-        ids_, C_, nc_ = bc.value
-        V_ = np.stack(vec.to_numpy()).astype(np.float64)
-        S = np.zeros((len(V_), len(C_)), dtype=np.float64)
-        nv = np.zeros(len(V_), dtype=np.float64)
-        for i in range(V_.shape[1]):
-            S = S + np.outer(V_[:, i], C_[:, i])
-            nv = nv + V_[:, i] * V_[:, i]
-        cos = S / np.outer(np.sqrt(nv), nc_)
-        return pd.Series(cos.max(axis=1))
-
-    return nearest_cos
-
-
 def make_bucket_udf(n_planes: int = N_PLANES):
     """pandas UDF mirror of lsh_bucket(): per-plane sequential-sum dots
     (dimension-by-dimension, same bits as the Column/SQL builders), sign

@@ -163,12 +163,15 @@ def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = V.derived_cells(emb.count(), _OUT_TARGET_CELL)
     cids, C, nc = V.collect_centroids(emb, n_cells)
     bc = spark.sparkContext.broadcast((cids, C, nc))
-    cell_of = V.make_nearest_udf(bc)
-    cvec = V.make_nearest_cos_udf(bc)
+    # fused (cluster, cos) assignment — ONE (rows x centroids) cosine
+    # block per batch; two separate UDFs would run it twice
+    assign = V.make_assign_udf(bc)
     assigned = emb.select(
+        "vec_id", assign(F.col("embedding")).alias("a")
+    ).select(
         "vec_id",
-        cell_of(F.col("embedding")).alias("cell"),
-        cvec(F.col("embedding")).alias("cos_to_centroid"),
+        F.col("a.cluster").alias("cell"),
+        F.col("a.cos").alias("cos_to_centroid"),
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("cos_to_centroid").asc(), F.col("vec_id").asc()
