@@ -216,3 +216,32 @@ def test_score_propagation_smooths_toward_neighbors(spark, sf_dir):
         assert r.score == s[d], d
         if r.n_neighbors == 0:
             assert r.score == r.score0
+
+
+def test_components_strategies_agree_on_random_graphs(spark):
+    """Property: the counted-guard policy's two strategies (driver
+    union-find, distributed label propagation) compute identical
+    components on arbitrary random graphs — chains, cliques, isolated
+    edges, self-loops, whatever the generator emits."""
+    import random
+
+    from iceberg_relative_io_spark.operators import graph
+
+    rng = random.Random(414)
+    for trial in range(4):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        uf = {
+            (r.node, r.label)
+            for r in graph.union_find_components(spark, pairs).collect()
+        }
+        lp = {
+            (r.node, r.label)
+            for r in graph.label_propagation_components(pairs).collect()
+        }
+        assert lp == uf, (trial, n_nodes, sorted(edges))
