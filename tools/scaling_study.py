@@ -82,18 +82,38 @@ MEASURED = [
 ]
 
 
-def build_synth(dst: str, factor: int = 10) -> None:
+_REKEY = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def build_synth(dst: str, factor: int = 10, rekey: bool = False) -> None:
+    """Duplicate facts ``factor``x. Two shapes, both legitimate:
+
+    - default (keys repeat): models a re-crawl corpus — groups get
+      deeper, id-joined fact-fact pairs multiply QUADRATICALLY (each of
+      k copies of a key matches all k copies on the other side). Right
+      for dedup/agg scaling, misleading for fact-fact join ratios.
+    - ``rekey`` (order keys offset per replica): models organic growth —
+      new orders with new ids, lineitems following their order. Join
+      output scales linearly; dims stay shared. Right for join scaling.
+    """
     import duckdb
 
     out = Path(dst)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for t in FACTS:
-        # duplicate rows; keys repeat, which only makes groups/joins heavier
-        con.execute(
-            f"COPY (SELECT t.* FROM read_parquet('{SRC}/{t}.parquet') t, "
-            f"range({factor})) TO '{out}/{t}.parquet' (FORMAT parquet)"
-        )
+        key = _REKEY.get(t) if rekey else None
+        if key:
+            sel = (
+                f"SELECT t.* REPLACE (t.{key} + r.range * 100000000 AS {key}) "
+                f"FROM read_parquet('{SRC}/{t}.parquet') t, range({factor}) r"
+            )
+        else:
+            sel = (
+                f"SELECT t.* FROM read_parquet('{SRC}/{t}.parquet') t, "
+                f"range({factor})"
+            )
+        con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT parquet)")
     for t in DIMS:
         shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
 
@@ -101,10 +121,15 @@ def build_synth(dst: str, factor: int = 10) -> None:
 def main() -> None:
     args = sys.argv[1:]
     synth = args[0] if args and "/" in args[0] else "/tmp/sf1_synth"
-    only = [a for a in args if "/" not in a]
+    only = [a for a in args if "/" not in a and not a.startswith("factor=")]
+    factor = next(
+        (int(a.split("=", 1)[1]) for a in args if a.startswith("factor=")), 10
+    )
+    rekey = any(a == "rekey" for a in args)
+    only = [a for a in only if a != "rekey"]
     if not Path(synth, "lineitem.parquet").exists():
-        print(f"building {synth} (10x facts) ...", flush=True)
-        build_synth(synth)
+        print(f"building {synth} ({factor}x facts, rekey={rekey}) ...", flush=True)
+        build_synth(synth, factor, rekey)
 
     import __spark_entry__ as e
     from iceberg_relative_io_spark.session import get_spark
