@@ -1,6 +1,6 @@
 """Round-4 LLM-pipeline additions (SURVEY.md §2.C extensions).
 
-Six pipeline stages the earlier §2.C batches didn't cover:
+Eight pipeline stages the earlier §2.C batches didn't cover:
 
 - **video signature near-dup** (``c05_video_neardup``): scene-level
   fingerprint matching — each video's signature is its sequence of
@@ -29,6 +29,10 @@ Six pipeline stages the earlier §2.C batches didn't cover:
 - **quality-score propagation** (``c02_score_propagation``): two
   rounds of graph smoothing over the LSH similarity graph — densifies
   sparse per-page quality signals toward near-dup cluster consensus.
+- **dedup tuning + release stats** (``c02_threshold_sweep``,
+  ``c02_cluster_size_histogram``): the Jaccard-cutoff sweep every
+  dedup deployment runs before fixing tau, and the component-size
+  distribution reviewers read off the dataset card.
 
 Scale design (100 TB):
 - video near-dup shuffles (scene_idx, key_lum) keys only — banded
@@ -654,3 +658,134 @@ def _propagation_oracle() -> str:
 
 QUERIES["c02_score_propagation"] = q_score_propagation
 ORACLE["c02_score_propagation"] = _propagation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C2 — dedup threshold sweep + cluster-size histogram (the tuning loop)
+# ---------------------------------------------------------------------------
+
+_SWEEP_TAUS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (eval): the dedup threshold-tuning curve — for each candidate
+    Jaccard cutoff, how many LSH pairs survive and how many documents
+    are implicated. Every dedup deployment sweeps this before fixing
+    tau (too low deletes distinct content, too high misses rewrites);
+    the dedup twin of c03_ann_recall_eval's nprobe loop. One pass over
+    the (already tiny) post-LSH pair set exploded by |taus| — constant
+    work per pair, no new corpus scan."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_lsh_candidate_pairs,
+    )
+
+    pairs = q_lsh_candidate_pairs(spark, sf_dir)
+    taus = F.array(*[F.lit(t) for t in _SWEEP_TAUS])
+    swept = pairs.select(
+        "doc_a", "doc_b", "jaccard", F.explode(taus).alias("tau")
+    ).filter(F.col("jaccard") >= F.col("tau"))
+    per_pair = swept.groupBy("tau").agg(F.count("*").alias("n_pairs"))
+    docs = swept.select(
+        "tau", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    per_doc = docs.groupBy("tau").agg(
+        F.count_distinct("doc_id").alias("n_docs_implicated")
+    )
+    base = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
+    return (
+        base.join(per_pair, "tau", "left")
+        .join(per_doc, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_implicated", F.lit(0)).alias("n_docs_implicated"),
+        )
+    )
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C6 (release stats): the near-dup CLUSTER SIZE distribution —
+    how many components of each size the survivorship pass found (size 1
+    = unique documents). The dataset-card number reviewers ask for
+    first: a heavy tail here means boilerplate floods the corpus.
+    Reuses c02_dedup_survivors' component assignment (guarded
+    union-find / distributed label propagation); two cheap aggregations
+    on top."""
+    from iceberg_relative_io_spark.operators.northstar import q_dedup_survivors
+
+    comp = q_dedup_survivors(spark, sf_dir).select("component")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _sweep_oracle() -> str:
+    from iceberg_relative_io_spark.functions import text as T
+    from iceberg_relative_io_spark.operators.northstar import _MINS, _SHINGLES
+
+    bands_values = ", ".join(
+        f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)"
+        " / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))"
+        " - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))))"
+    )
+    tau_values = ", ".join(f"({t!r})" for t in _SWEEP_TAUS)
+    return f"""
+        WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+        bands AS (SELECT doc_id, shingles, band, sig FROM sh,
+                  LATERAL (VALUES {bands_values}) AS t(band, sig)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        taus(tau) AS (VALUES {tau_values}),
+        swept AS (
+            SELECT t.tau, c.doc_a, c.doc_b FROM taus t
+            JOIN cand c ON c.jaccard >= t.tau
+        ),
+        per_pair AS (SELECT tau, count(*) AS n_pairs FROM swept GROUP BY tau),
+        per_doc AS (
+            SELECT tau, count(DISTINCT doc_id) AS n_docs_implicated FROM (
+                SELECT tau, doc_a AS doc_id FROM swept
+                UNION ALL SELECT tau, doc_b FROM swept
+            ) GROUP BY tau
+        )
+        SELECT t.tau,
+               COALESCE(p.n_pairs, 0) AS n_pairs,
+               COALESCE(d.n_docs_implicated, 0) AS n_docs_implicated
+        FROM taus t
+        LEFT JOIN per_pair p ON p.tau = t.tau
+        LEFT JOIN per_doc d ON d.tau = t.tau
+    """
+
+
+def _cluster_hist_oracle() -> str:
+    from iceberg_relative_io_spark.operators import northstar as _N
+
+    return f"""
+        WITH comp AS (
+            SELECT component FROM ({_N.ORACLE["c02_dedup_survivors"]})
+        ),
+        sizes AS (
+            SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+        )
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """
+
+
+QUERIES["c02_threshold_sweep"] = q_threshold_sweep
+QUERIES["c02_cluster_size_histogram"] = q_cluster_size_histogram
+ORACLE["c02_threshold_sweep"] = _sweep_oracle()
+ORACLE["c02_cluster_size_histogram"] = _cluster_hist_oracle()

@@ -245,3 +245,39 @@ def test_components_strategies_agree_on_random_graphs(spark):
             for r in graph.label_propagation_components(pairs).collect()
         }
         assert lp == uf, (trial, n_nodes, sorted(edges))
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
+    """Raising tau can only shrink both counts; the tau=0.3 row must
+    agree exactly with the survivorship pipeline's own pair set."""
+    rows = {r.tau: r for r in R4.q_threshold_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(R4._SWEEP_TAUS)
+    taus = sorted(rows)
+    for lo, hi in zip(taus, taus[1:]):
+        assert rows[hi].n_pairs <= rows[lo].n_pairs
+        assert rows[hi].n_docs_implicated <= rows[lo].n_docs_implicated
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_lsh_candidate_pairs,
+    )
+
+    pairs = q_lsh_candidate_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.3)
+    n_pairs = pairs.count()
+    n_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert rows[0.3].n_pairs == n_pairs
+    assert rows[0.3].n_docs_implicated == n_docs
+
+
+def test_cluster_size_histogram_accounts_for_every_document(spark, sf_dir):
+    rows = R4.q_cluster_size_histogram(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+    singles = {r.cluster_size: r.n_clusters for r in rows}
+    assert singles.get(1, 0) > 0  # unique documents exist
+    assert any(size > 1 for size in singles)  # and so do dup clusters
