@@ -61,14 +61,22 @@ def union_find_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 
 
 def label_propagation_components(pairs: DataFrame) -> DataFrame:
-    """Distributed hash-min label propagation -> (node, label) rows.
+    """Distributed hash-min label propagation WITH pointer jumping ->
+    (node, label) rows.
 
     Each round every node takes the minimum label among itself and its
-    neighbours; fixpoint = component minimum everywhere. Rounds are
-    bounded by the component diameter (near-dup graphs are dense
-    clusters — a handful). Labels are localCheckpoint'ed per round to
-    cut lineage; convergence is witnessed by a single label-sum scalar
-    per round (monotone non-increasing, so equality == fixpoint)."""
+    neighbours (one hop), then contracts through its current label
+    (``label <- min(label, label(label))`` — the pointer-jumping step),
+    which halves label-chain depth per round. Plain hash-min needs
+    O(diameter) rounds and a bounded loop would silently return
+    non-converged labels on a long path graph (caught by the round-4
+    chain stress — 120-node path, 69 wrong labels under the old loop);
+    with jumping, convergence is O(log diameter), so the iteration cap
+    is unreachable for any physical graph — and if it somehow is
+    reached, the function RAISES rather than return a wrong clustering.
+    Labels are localCheckpoint'ed per round to cut lineage; convergence
+    is witnessed by one label-sum scalar per round (monotone
+    non-increasing, so equality == fixpoint)."""
     edges = (
         pairs.toDF("a", "b")
         .union(pairs.toDF("a", "b").select(F.col("b"), F.col("a")))
@@ -83,6 +91,7 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(
@@ -94,12 +103,26 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("src_label").alias("nbr_min"))
         )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["dst"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label OF my label (always a node of
+        # the same component, so the min invariant holds) — label chains
+        # halve, giving O(log diameter) total rounds
+        hop = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            stepped.join(hop, stepped["label"] == hop["pnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
             # lazy: the convergence aggregate below is the round's single
@@ -108,9 +131,16 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds "
+            "(component diameter > 2^50 is not a physical graph; "
+            "investigate the edge set)"
+        )
     return labels
 
 

@@ -281,3 +281,22 @@ def test_cluster_size_histogram_accounts_for_every_document(spark, sf_dir):
     singles = {r.cluster_size: r.n_clusters for r in rows}
     assert singles.get(1, 0) > 0  # unique documents exist
     assert any(size > 1 for size in singles)  # and so do dup clusters
+
+
+def test_label_propagation_converges_on_long_chains(spark):
+    """Round-4 stress regression: a path graph whose diameter exceeds
+    the iteration cap must STILL converge (pointer jumping makes rounds
+    O(log diameter)); the old one-hop loop silently returned 69 wrong
+    labels out of 120 here."""
+    from iceberg_relative_io_spark.operators.graph import (
+        label_propagation_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    labels = {
+        r.node: r.label for r in label_propagation_components(edges).collect()
+    }
+    assert len(labels) == 200
+    assert all(l == 0 for l in labels.values())
