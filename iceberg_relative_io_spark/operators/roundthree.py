@@ -212,11 +212,18 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, w1, w2) for every adjacent token pair, via a
     codegen higher-order expression (no Python)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # guard: Spark's sequence(0, n) DESCENDS when n < 0, so a one-token
+    # document would emit [0, -1] and toks[i+1] would index out of
+    # bounds (found by tools/fuzz_oracle.py — the fixture has no
+    # one-token docs). Short docs contribute zero bigrams instead.
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     pairs = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
+                idx,
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.col("toks")[i].alias("w1"),
