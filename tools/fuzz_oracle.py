@@ -56,13 +56,38 @@ def build_fuzz_fixture(dst: Path, seed: int) -> None:
     dst.mkdir(parents=True, exist_ok=True)
     frac = 0.2 + (seed % 7) * 0.1  # 20%-80% subsamples
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "events"):
             continue
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
             f"USING SAMPLE {int(frac * 100)} PERCENT (bernoulli, {seed})) "
             f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
         )
+    # events: subsample + timestamp-tie mutations — as-of joins,
+    # sessionization, and window frames must tie-break deterministically
+    # when several events share (user_id, ts); fresh event_ids keep the
+    # pk unique while the ORDER keys collide
+    con.execute(
+        f"""
+        COPY (
+            WITH base AS (
+                SELECT * FROM read_parquet('{SRC}/events.parquet')
+                USING SAMPLE {int(frac * 100)} PERCENT (bernoulli, {seed})
+            ),
+            max_id AS (SELECT COALESCE(max(event_id), 0) AS m
+                       FROM read_parquet('{SRC}/events.parquet')),
+            ties AS (
+                SELECT m.m + 1 + row_number() OVER () AS event_id,
+                       b.ts, b.user_id, b.event_type,
+                       b.value + 0.5 AS value, b.props
+                FROM (SELECT * FROM base
+                      USING SAMPLE 30 PERCENT (bernoulli, {seed + 4})) b,
+                     max_id m
+            )
+            SELECT * FROM base UNION ALL SELECT * FROM ties
+        ) TO '{dst}/events.parquet' (FORMAT parquet)
+        """
+    )
     # documents: subsample + adversarial mutations under fresh ids
     con.execute(
         f"""
