@@ -1018,7 +1018,9 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     column). Here each staged file carries a document's utf-8 bytes (the
     container has no media codecs); the query lands path-derived ids,
     byte lengths, and content digests, which the oracle recomputes from
-    the documents table. At 100 TB the same reader fans out over an
+    the documents table. Contract note: Spark's binaryFile source skips
+    ZERO-BYTE files (no input splits), so empty assets never surface —
+    the oracle mirrors that. At 100 TB the same reader fans out over an
     object-store listing; pathGlobFilter/recursiveFileLookup handle
     layout."""
     import tempfile as _tf
@@ -1732,8 +1734,13 @@ ORACLE["c02_triangle_count"] = (
 )
 
 ORACLE["c05_binary_ingest"] = """
+    -- len(text) > 0 mirrors a REAL Spark source behavior the fuzzer
+    -- surfaced: the binaryFile reader silently skips zero-byte files
+    -- (they produce no input splits), so empty assets never surface —
+    -- the operator's documented contract (0-byte blobs are corrupt
+    -- uploads in any real ingest anyway)
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
            sha256(text) AS digest
-    FROM documents WHERE doc_id % 10 = 0
+    FROM documents WHERE doc_id % 10 = 0 AND len(text) > 0
 """

@@ -252,13 +252,16 @@ ORACLE = {
     """,
     "c05_audio_energy": """
         WITH p AS (
-            SELECT doc_id AS item_id,
+            SELECT doc_id AS item_id, len(text) AS n_chars0,
                    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS s
             FROM documents),
         w AS (
+            -- window count from len(text), NOT len(s): DuckDB's
+            -- string_split('', '') is [''] (one bogus element), while the
+            -- Spark stage sees zero bytes (fuzz seed 9 regression)
             SELECT item_id, CAST(u.i AS INT) AS win_idx,
                    s[CAST(u.i * 128 + 1 AS BIGINT) : CAST(u.i * 128 + 256 AS BIGINT)] AS win
-            FROM p, UNNEST(range(0, CAST(ceil(len(s) / 128.0) AS BIGINT))) AS u(i))
+            FROM p, UNNEST(range(0, CAST(ceil(n_chars0 / 128.0) AS BIGINT))) AS u(i))
         SELECT item_id, win_idx,
                CAST(len(win) AS INT) AS n_samples,
                CAST(list_sum([ (c - 128) * (c - 128) FOR c IN win ]) AS BIGINT) AS energy

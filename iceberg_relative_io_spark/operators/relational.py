@@ -1287,8 +1287,16 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def token_density(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
         n_tokens = text.str.split(" ").str.len().astype("float64")
-        return (n_tokens / n_chars.astype("float64")).round(6)
+        chars = n_chars.astype("float64")
+        # SQL division semantics on zero-length docs: undefined (NULL),
+        # not inf — keeps the Arrow path and the oracle identical
+        # (fuzz seed 9 regression: pandas 1/0.0 is inf, DuckDB is NULL)
+        return pd.Series(
+            np.where(chars == 0, np.nan, n_tokens / chars)
+        ).round(6)
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", token_density("text", "n_chars").alias("token_density"))
