@@ -193,6 +193,15 @@ class RelativeFileIO:
 
             with self.new_output(location + ".sha256") as f:
                 f.write(hashlib.sha256(data).hexdigest().encode("ascii"))
+        else:
+            # an overwrite with checksums off must not leave a STALE
+            # sidecar from an earlier checksummed write — a later
+            # checksum_verify=True reader would raise a false mismatch
+            # on valid data (round-4 ADVICE)
+            try:
+                self.fs.delete_file(self._fs_path(location + ".sha256"))
+            except Exception:
+                pass
 
     def parquet_table(self, location: str, columns=None):
         """Read a parquet file THROUGH the delegate FS (stats/bloom

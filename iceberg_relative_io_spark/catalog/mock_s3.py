@@ -122,6 +122,15 @@ def enable_mock_s3(root: str) -> str:
     session-startup hook). In local[k] (this harness) driver and
     executors share the process, so one call covers both planes."""
 
+    # one impl name per root: re-registering "mock-s3" with a different
+    # root would silently repoint every not-yet-resolved FileIO (and all
+    # JVM path translation) at the newest root (round-4 ADVICE). Keying
+    # the name by root makes concurrent mock stores independent; the
+    # same root re-registers idempotently.
+    import hashlib
+
+    name = "mock-s3-" + hashlib.sha1(root.encode()).hexdigest()[:8]
+
     def factory(_warehouse: str):
         return pafs.PyFileSystem(_MockS3Handler(root))
 
@@ -130,6 +139,6 @@ def enable_mock_s3(root: str) -> str:
             absolute = absolute.split("://", 1)[1]
         return "file://" + root.rstrip("/") + "/" + absolute.lstrip("/")
 
-    register_io_impl("mock-s3", factory)
-    register_spark_path_translator("mock-s3", to_jvm)
-    return "mock-s3"
+    register_io_impl(name, factory)
+    register_spark_path_translator(name, to_jvm)
+    return name

@@ -671,8 +671,13 @@ class RelativeTable:
         """Reconstruct a snapshot's live file set by walking its parent
         chain: 'append'/'delete-mor' contribute to the parent set;
         'overwrite' / 'replace' reset it to their own added files. Each
-        returned entry is annotated with its adding snapshot id (``_snap``,
-        in-memory only) so merge-on-read can scope delete files."""
+        returned entry is annotated with its data sequence number
+        (``_snap``, in-memory only) so merge-on-read can scope delete
+        files. The sequence is normally the adding snapshot id, but an
+        entry carried forward by a metadata-only rewrite (see
+        ``rewrite_manifests``) keeps its ORIGINAL sequence in a persisted
+        ``seq`` field — Iceberg's data-sequence-number inheritance — so
+        older equality deletes still apply after the rewrite."""
         chain: list[dict] = []
         sid: int | None = snapshot_id
         while sid is not None:
@@ -694,16 +699,20 @@ class RelativeTable:
                     if json.dumps(f.get("partition", {}), sort_keys=True) not in rep
                 ]
             files.extend(
-                dict(f, _snap=snap["snapshot-id"]) for f in man["added-files"]
+                dict(f, _snap=f.get("seq", snap["snapshot-id"]))
+                for f in man["added-files"]
             )
         return files
 
     def _delete_files(self, meta: dict, snapshot_id: int) -> list[dict]:
-        """Live equality-delete files for a snapshot: every delete-mor
-        manifest on the chain, annotated with its snapshot id. A delete
-        applies only to data files added STRICTLY BEFORE it (Iceberg's
-        sequence-number rule: re-inserting a deleted key later must
-        survive)."""
+        """Live equality-delete files for a snapshot: every delete-file
+        entry on the chain's manifests, annotated with its sequence
+        number. A delete applies only to data files with a STRICTLY
+        SMALLER sequence (Iceberg's sequence-number rule: re-inserting a
+        deleted key later must survive). Delete files are written by
+        'delete-mor' snapshots and carried forward — with their original
+        sequence persisted as ``seq`` — by metadata-only 'replace'
+        snapshots (``rewrite_manifests``), so both are collected here."""
         chain: list[dict] = []
         sid: int | None = snapshot_id
         while sid is not None:
@@ -714,12 +723,16 @@ class RelativeTable:
             sid = snap["parent-snapshot-id"]
         out: list[dict] = []
         for snap in chain:
-            if snap["operation"] != "delete-mor":
+            # only delete-mor and carried-forward replace manifests have a
+            # delete-files list; skip the manifest read for the rest
+            if snap["operation"] != "delete-mor" and not snap.get("summary", {}).get(
+                "carried-delete-files"
+            ):
                 continue
             for d in self._manifest_for(meta, snap["snapshot-id"]).get(
                 "delete-files", []
             ):
-                out.append(dict(d, _snap=snap["snapshot-id"]))
+                out.append(dict(d, _snap=d.get("seq", snap["snapshot-id"])))
         return out
 
     def _resolve_snapshot(
@@ -1128,13 +1141,35 @@ class RelativeTable:
         read-side `_data_files` walk is O(chain length) since the last
         reset; at a high commit rate (streaming ingest lands one append
         per micro-batch) this procedure bounds the walk again. Old
-        snapshots still time-travel through their own chains."""
+        snapshots still time-travel through their own chains.
+
+        Live merge-on-read equality-delete files are carried into the
+        replace manifest, and every carried entry (data AND delete)
+        persists its original sequence number as ``seq`` so the
+        delete-applies-to-strictly-older-data scoping survives the
+        rewrite — without this, a replace would reset the chain walk and
+        resurrect MOR-deleted rows (Iceberg solves the same problem with
+        manifest-entry sequence-number inheritance)."""
         meta = self.ops.current()
         snap = self._resolve_snapshot(meta, None, None)
         if snap is None:
             return self._commit_snapshot("replace", [])
-        entries = self._data_files(meta, snap)
-        return self._commit_snapshot("replace", entries)
+
+        def carry(f: dict) -> dict:
+            out = {k: v for k, v in f.items() if k != "_snap"}
+            out["seq"] = f["_snap"]
+            return out
+
+        entries = [carry(f) for f in self._data_files(meta, snap)]
+        deletes = [carry(d) for d in self._delete_files(meta, snap)]
+        return self._commit_snapshot(
+            "replace",
+            entries,
+            delete_files=deletes or None,
+            extra_summary=(
+                {"carried-delete-files": str(len(deletes))} if deletes else None
+            ),
+        )
 
     def rewrite_zorder(
         self,

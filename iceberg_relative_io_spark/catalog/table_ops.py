@@ -37,6 +37,34 @@ from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
 _VERSION_RE = re.compile(r"^v(\d+)(\.gz)?\.metadata\.json$")
 FORMAT_VERSION = "relative-spark-1"
 
+# shared daemon pool for the deferred metadata reap (reference's async
+# delete executor, HadoopRelativeTableOperations.java:400-416): commits
+# submit deletes here and return without awaiting them
+_GC_EXECUTOR = None
+_GC_PENDING: list = []
+
+
+def _gc_pool():
+    global _GC_EXECUTOR
+    if _GC_EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _GC_EXECUTOR = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="metadata-gc"
+        )
+    return _GC_EXECUTOR
+
+
+def drain_metadata_gc() -> None:
+    """Block until every submitted metadata reap has finished — for
+    tests and for shutdown hooks that must observe the final file set."""
+    pending, _GC_PENDING[:] = _GC_PENDING[:], []
+    for f in pending:
+        try:
+            f.result(timeout=30)
+        except Exception:
+            pass
+
 
 class CommitFailedError(RuntimeError):
     """Raised for the loser of an optimistic-concurrency commit race
@@ -223,9 +251,11 @@ class TableOperations:
         Tasks/ExecutorService delete, reference :400-416): probes and
         deletes are per-file object-store round-trips, so at a high
         commit rate running them sequentially on the commit path adds
-        O(keep-window) latency to every commit; a small thread pool takes
-        them off the critical path (threads are right here — the work is
-        pure IO wait). Failures stay best-effort, as in the reference."""
+        O(keep-window) latency to every commit. The reap is submitted to
+        a shared daemon pool and NOT awaited — the commit returns while
+        deletes drain in the background (the reference's async delete);
+        failures stay best-effort, as in the reference. Tests that need
+        determinism call ``drain_metadata_gc()``."""
         props = metadata.get("properties", {})
         if props.get("write.metadata.delete-after-commit.enabled", "false") != "true":
             return
@@ -241,7 +271,12 @@ class TableOperations:
                 except Exception:
                     pass
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(8, len(versions) or 1)) as pool:
-            list(pool.map(_reap, versions))
+        pool = _gc_pool()
+        try:
+            futures = [pool.submit(_reap, v) for v in versions]
+        except RuntimeError:  # interpreter shutdown: skip, best-effort
+            return
+        _GC_PENDING.extend(futures)
+        # bound the tracking list (done futures only help drain_metadata_gc)
+        if len(_GC_PENDING) > 256:
+            _GC_PENDING[:] = [f for f in _GC_PENDING if not f.done()]

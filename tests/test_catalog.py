@@ -1079,8 +1079,10 @@ def test_metadata_gc_runs_parallel_and_keeps_window(tmp_path):
     """Reference parity (deleteRemovedMetadataFiles on a worker pool,
     HadoopRelativeTableOperations.java:400-416): a many-commit run with
     delete-after-commit enabled keeps exactly the configured metadata
-    window, and the per-file deletes overlap in time (a thread pool, not
-    a sequential loop on the commit path)."""
+    window, the per-file deletes overlap in time (a thread pool, not
+    a sequential loop on the commit path), and — round-4 ADVICE — the
+    reap is genuinely DEFERRED: commit returns before the slow deletes
+    finish; drain_metadata_gc() makes them observable."""
     import threading
     import time as _time
 
@@ -1133,6 +1135,18 @@ def test_metadata_gc_runs_parallel_and_keeps_window(tmp_path):
     m["properties"] = meta["properties"]
     m["commit-i"] = "final"
     v = ops.commit(v, m)
+    # deferred: each delete sleeps 50ms, so if commit had awaited the
+    # reap, all ~9 deletes would be done by now — instead the commit
+    # returned with the backlog still in flight
+    deletes_done_at_return = state["n"]
+
+    from iceberg_relative_io_spark.catalog.table_ops import drain_metadata_gc
+
+    drain_metadata_gc()
+    assert deletes_done_at_return < state["n"], (
+        f"commit awaited the reap ({deletes_done_at_return} deletes "
+        "already finished when commit returned)"
+    )
 
     # window: only the last 3 metadata versions survive
     survivors = sorted(
@@ -1181,3 +1195,43 @@ def test_rewrite_manifests_collapses_chain_without_moving_data(spark, tmp_path):
     ) == list(range(5))
     # the walk after the rewrite is one step: a replace resets the chain
     assert result["snapshot-id"] == snap_after
+
+
+def test_rewrite_manifests_preserves_mor_deletes(spark, catalog):
+    """Round-4 ADVICE (high): a metadata-only 'replace' must carry live
+    equality-delete files with their ORIGINAL sequence numbers persisted
+    (``seq``), or MOR-deleted rows resurrect because the replace resets
+    the chain walk that would have found the delete-mor manifests."""
+    from pyspark.sql import functions as F
+
+    table = _make_table(
+        spark, catalog, [(i, f"n{i}") for i in range(5)], ns=("mor",), name="rm"
+    )
+    table.delete_where_mor(spark, F.col("id") == 2, equality_cols=["id"])
+    table.ops._should_refresh = True
+    assert sorted(r.id for r in table.read(spark).collect()) == [0, 1, 3, 4]
+
+    table.rewrite_manifests()
+    table.ops._should_refresh = True
+    # the deleted row must NOT resurrect (the reproduced round-4 bug)
+    assert sorted(r.id for r in table.read(spark).collect()) == [0, 1, 3, 4]
+
+    # re-insert AFTER the rewrite: the carried delete scopes to strictly
+    # older sequence numbers, so the new row survives
+    table.append(spark.createDataFrame([(2, "reborn")], "id long, name string"))
+    got = {r.id: r.name for r in table.read(spark).collect()}
+    assert got[2] == "reborn" and sorted(got) == [0, 1, 2, 3, 4]
+
+    # a second rewrite chains seq inheritance (carry of a carry)
+    table.rewrite_manifests()
+    table.ops._should_refresh = True
+    assert {r.id: r.name for r in table.read(spark).collect()} == got
+
+    # orphan sweep never reaps the carried delete file
+    assert table.remove_orphan_files() == []
+    assert {r.id: r.name for r in table.read(spark).collect()} == got
+
+    # a NEW delete after the rewrite applies to carried data files
+    table.delete_where_mor(spark, F.col("id") == 0, equality_cols=["id"])
+    table.ops._should_refresh = True
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3, 4]

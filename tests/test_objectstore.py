@@ -285,9 +285,9 @@ def test_mock_s3_full_lifecycle_and_warehouse_move(spark, tmp_path):
     from iceberg_relative_io_spark.catalog.mock_s3 import enable_mock_s3
 
     root = str(tmp_path / "s3root")
-    enable_mock_s3(root)
+    impl = enable_mock_s3(root)
 
-    cat = FsCatalog("s3://bucket-a/wh", io_impl="mock-s3", lock_impl="in-memory")
+    cat = FsCatalog("s3://bucket-a/wh", io_impl=impl, lock_impl="in-memory")
     cat.create_namespace(("ns",))
     schema = spark.createDataFrame([(1, "a")], "id long, name string").schema
     ops = cat.create_table(("ns",), "t", schema.jsonValue())
@@ -307,7 +307,7 @@ def test_mock_s3_full_lifecycle_and_warehouse_move(spark, tmp_path):
 
     # warehouse move = copy the bucket prefix; reopen under the new bucket
     shutil.copytree(f"{root}/bucket-a", f"{root}/bucket-b")
-    cat2 = FsCatalog("s3://bucket-b/wh", io_impl="mock-s3", lock_impl="in-memory")
+    cat2 = FsCatalog("s3://bucket-b/wh", io_impl=impl, lock_impl="in-memory")
     table2 = RelativeTable(cat2.load_table(("ns",), "t"))
     assert sorted(r.id for r in table2.read(spark).collect()) == [1, 2, 3]
     # the moved warehouse is live: commit through it, read back
@@ -326,8 +326,8 @@ def test_mock_s3_commit_race_single_winner(tmp_path):
     from iceberg_relative_io_spark.catalog.mock_s3 import enable_mock_s3
 
     root = str(tmp_path / "s3race")
-    enable_mock_s3(root)
-    fsio = RelativeFileIO("s3://bkt/wh", io_impl="mock-s3", lock_impl="in-memory")
+    impl = enable_mock_s3(root)
+    fsio = RelativeFileIO("s3://bkt/wh", io_impl=impl, lock_impl="in-memory")
     meta = new_table_metadata("ns/tbl", {"fields": [{"name": "x", "type": "long"}]})
     fsio.write_bytes("ns/tbl/metadata/v1.metadata.json", json.dumps(meta).encode())
 
@@ -362,8 +362,8 @@ def test_mock_s3_has_no_atomic_primitives(tmp_path):
     from iceberg_relative_io_spark.catalog.mock_s3 import enable_mock_s3
 
     root = str(tmp_path / "s3sem")
-    enable_mock_s3(root)
-    fsio = RelativeFileIO("s3://b/wh", io_impl="mock-s3")
+    impl = enable_mock_s3(root)
+    fsio = RelativeFileIO("s3://b/wh", io_impl=impl)
     fsio.write_bytes("x/src.txt", b"payload")
     with pytest.raises(NotImplementedError):
         fsio.fs.open_append_stream(fsio._fs_path("x/src.txt"))
@@ -412,3 +412,13 @@ def test_checksum_toggles_write_verify_and_detect_corruption(tmp_path):
 
     clone = pickle.loads(pickle.dumps(fsio))
     assert clone.checksum_write and clone.checksum_verify
+
+    # round-4 ADVICE: an overwrite with checksum_write OFF must remove a
+    # pre-existing sidecar — otherwise a later verify-on reader raises a
+    # false mismatch on valid data
+    fsio.write_bytes("t/plain.json", b"first")
+    assert fsio.exists("t/plain.json.sha256")
+    no_ck = RelativeFileIO(wh, checksum_write=False, checksum_verify=False)
+    no_ck.write_bytes("t/plain.json", b"second")
+    assert not fsio.exists("t/plain.json.sha256")
+    assert fsio.read_bytes("t/plain.json") == b"second"  # verify-on, clean
