@@ -8,38 +8,43 @@ contract in ``__spark_entry__.py`` merges them all.
 from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
-# bounded budget (it records exactly the first 50 entries). Rounds 1-3
-# recorded 98 distinct names, all green; this round front-loads 50 queries
-# the driver has NEVER graded (round-3 verdict item 6) — the full TPC-H
-# suite, the remaining relational/function surface, the c03 eval ops, the
-# c05 video ops, and the c06 curation ops — so driver-recorded evidence
-# converges toward the whole inventory. Everything rotated out stays in
-# the registry and in the judge's full rerun (tools/check_oracle.py).
+# bounded budget (it records exactly the first 50 entries). Rounds 1-4
+# recorded 148 distinct names, all green; this round front-loads the
+# FINAL 38 names the driver has never graded (round-4 verdict item 2) —
+# cumulative driver evidence then covers all 186 registry queries — and
+# uses the 12 spare slots to re-grade the four banded-LSH queries whose
+# physical plans changed this round (skew-proof chunked pair generation,
+# operators/skewpairs.py) plus new round-5 queries. Everything rotated
+# out stays in the registry and in the judge's full rerun
+# (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # §2.A / format plane, never sampled before
-    "a32_bloom_pruning", "b03_catalog_create_schema", "b04_sql_views",
-    # §2.B streaming, never sampled before
-    "b30_stream_sliding_window", "b31_stream_upsert_to_table",
-    # §2.B relational / function surface, never sampled before
-    "b08_join_right", "b13_sessionization", "b14_dedup_keep_latest",
-    "b15_exact_percentiles", "c05_video_neardup", "c02_score_propagation",
-    "b26_higher_order_funs", "b27_json_funs", "b27_variant_json",
-    "b32_python_udtf", "b32_apply_in_pandas", "b06_systematic_sample",
-    # the 18 TPC-H shapes the driver has not yet recorded
-    "b34_tpch_q2", "b34_tpch_q3", "b34_tpch_q5", "b34_tpch_q6",
-    "b34_tpch_q7", "b34_tpch_q8", "b34_tpch_q9", "b34_tpch_q10",
-    "b34_tpch_q11", "b34_tpch_q13", "b34_tpch_q15", "b34_tpch_q16",
-    "b34_tpch_q17", "b34_tpch_q18", "b34_tpch_q19", "b34_tpch_q20",
-    "b34_tpch_q21", "b34_tpch_q22",
-    # §2.C evaluation / vector ops
-    "c03_ann_lsh", "c03_cluster_medoids", "c03_kmeans_lloyd",
-    "c03_quantize_int8", "c03_pq_codes", "c03_ann_recall_eval",
-    # §2.C text ops
-    "c04_fingerprint", "c04_chunking", "c04_sequence_packing",
-    "c04_pii_redaction", "c04_bm25_search",
-    # §2.C multimodal/video + curation
-    "c05_scene_cuts", "c05_keyframes", "c05_audio_energy",
-    "c06_contamination_bloom",
+    # --- the last 38 never-driver-graded names ---
+    # §2.B function surface
+    "b25_math_funs", "b26_array_funs", "b26_map_funs",
+    "b30_stream_static_join",
+    # §2.C dedup tail
+    "c02_cluster_size_histogram", "c02_doc_containment",
+    "c02_duplicate_ngrams", "c02_minhash_error_eval",
+    "c02_substring_removal", "c02_threshold_sweep", "c02_triangle_count",
+    # §2.C vector eval tail
+    "c03_kmeans_inertia", "c03_knn_filtered", "c03_knn_label_accuracy",
+    "c03_label_centroids", "c03_outlier_filter",
+    # §2.C text tail
+    "c04_bigram_logprob", "c04_classifier_score", "c04_keyword_rarity",
+    "c04_normalize_editdist", "c04_repetition_ratio", "c04_term_frequency",
+    "c04_text_normalize", "c04_token_ids",
+    # §2.C multimodal tail
+    "c05_audio_vad", "c05_frame_sample", "c05_resize_pipeline",
+    # §2.C curation tail
+    "c06_contamination_check", "c06_curriculum_order", "c06_dataset_card",
+    "c06_dataset_diff", "c06_mixture_weights", "c06_quality_sampling",
+    "c06_selection_capstone", "c06_shard_shuffle",
+    "c06_source_quota_sample", "c06_token_budget_allocation",
+    "c06_train_split",
+    # --- re-grade: plans changed this round (skew-proof pair generation) ---
+    "c02_lsh_candidate_pairs", "c01_embedding_neardup",
+    "c05_image_hash_neardup", "c05_video_neardup",
+    # --- new round-5 queries fill the remaining slots (appended below) ---
 ]
 
 

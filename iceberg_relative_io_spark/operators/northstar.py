@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.functions import text as T
 from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
 
 
@@ -63,15 +64,17 @@ def q_embedding_neardup(
     and candidates get an exact dimension-sequential cosine check.
     Recall < 1 by design — the price of never materializing the cross
     product; more/narrower bands raise recall, more planes shrink
-    buckets. At 100 TB: NO driver collect and no broadcast — the only
-    exchanges are the hash partition on (band, bucket) and the pair
-    dedup. Within-bucket work is quadratic in the bucket size
-    (corpus/2^bits per band on uniform data), so n_planes is the scale
-    knob: grow it with log2(corpus) and the expected bucket size — and
-    the per-row cost — stays CONSTANT (SCALING.md measures the default
-    8-bit blocking going super-linear at 10x and the 12-bit setting
-    restoring it; the driver-registered query keeps the 8/2 default,
-    which the oracle mirrors exactly)."""
+    buckets. At 100 TB: NO driver collect; the only broadcast is the
+    (normally empty) hot-bucket occupancy list and the only exchanges
+    are the hash partition on (band, bucket, chunk) and the pair dedup.
+    Within-bucket work is quadratic in the bucket size (corpus/2^bits
+    per band on uniform data), so n_planes is the scale knob: grow it
+    with log2(corpus) and the EXPECTED bucket size stays constant; the
+    WORST bucket (boilerplate embeddings) is bounded by the skewpairs
+    chunking, which splits any bucket over cap rows into cap-bounded
+    cross-chunk tasks — exact semantics, no single-task quadratic
+    (SCALING.md measures both the knob and the adversarial hot
+    bucket)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -97,27 +100,58 @@ def q_embedding_neardup(
         ).alias("t"),
     ).select("vec_id", "embedding", F.col("t.band").alias("band"), F.col("t.bk").alias("bk"))
 
+    # Skew defense (operators/skewpairs.py): a boilerplate cluster of
+    # near-identical embeddings lands one (band, bk) bucket with m ~ 10^6
+    # members — an O(m^2) dense block in ONE grouped-map task (grouped-map
+    # keys are not AQE-splittable). Chunking re-keys the group by
+    # (band, bk, _cl, _cr) so no task ever sees more than cap rows per
+    # side; cold buckets (the normal case) stay one group per bucket.
+    tagged, gcols = skewpairs.chunked_grouped_sides(
+        bands, ["band", "bk"], "vec_id"
+    )
+
     def per_bucket(pdf):
-        # dense within-bucket cosine block: 64 outer-product accumulations
-        # (dimension-sequential, the same bits as cosine_sql) — pair rows
-        # above threshold are the ONLY thing emitted, so the quadratic
-        # never leaves the executor
-        ids = pdf["vec_id"].to_numpy()
-        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        S = np.zeros((len(M), len(M)))
-        n2 = np.zeros(len(M))
-        for i in range(M.shape[1]):
-            S = S + np.outer(M[:, i], M[:, i])
-            n2 = n2 + M[:, i] * M[:, i]
-        nrm = np.sqrt(n2)
-        cos = S / np.outer(nrm, nrm)
-        keep = (cos >= 0.3) & (ids[:, None] < ids[None, :])
+        # dense within-bucket cosine block between the L and R chunk
+        # sides: 64 outer-product accumulations (dimension-sequential,
+        # the same bits as cosine_sql) — pair rows above threshold are
+        # the ONLY thing emitted, so the quadratic never leaves the
+        # executor. Equal-chunk groups dedup by id order; cross-chunk
+        # groups take every L×R pair (unique by task key) and the ids
+        # are canonicalized min/max (cosine is symmetric).
+        L = pdf[pdf["_side"] == "l"]
+        R = pdf[pdf["_side"] == "r"]
+        if len(L) == 0 or len(R) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        ida = L["vec_id"].to_numpy()
+        idb = R["vec_id"].to_numpy()
+        A = np.stack(L["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(R["embedding"].to_numpy()).astype(np.float64)
+        S = np.zeros((len(A), len(B)))
+        na2 = np.zeros(len(A))
+        nb2 = np.zeros(len(B))
+        for i in range(A.shape[1]):
+            S = S + np.outer(A[:, i], B[:, i])
+            na2 = na2 + A[:, i] * A[:, i]
+            nb2 = nb2 + B[:, i] * B[:, i]
+        cos = S / np.outer(np.sqrt(na2), np.sqrt(nb2))
+        keep = cos >= 0.3
+        if pdf["_cl"].iat[0] == pdf["_cr"].iat[0]:
+            keep &= ida[:, None] < idb[None, :]
+        else:
+            keep &= ida[:, None] != idb[None, :]
         ai, bj = np.nonzero(keep)
+        va, vb = ida[ai], idb[bj]
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": cos[ai, bj]}
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": cos[ai, bj],
+            }
         )
 
-    pairs = bands.groupBy("band", "bk").applyInPandas(
+    pairs = tagged.groupBy(*gcols).applyInPandas(
         per_bucket, schema="vec_a long, vec_b long, cos_sim double"
     )
     # both-bands collisions emit the identical (pair, cos) twice; dedup
@@ -173,9 +207,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (LSH banding): candidate pairs = documents agreeing on at least
     one band signature; each candidate is then verified with exact
-    Jaccard over distinct shingle sets. Only (band, signature) tuples
-    shuffle — the corpus cross product never exists, which is the whole
-    point of LSH at 100 TB."""
+    Jaccard over distinct shingle sets. Only (band, signature, chunk)
+    tuples shuffle — the corpus cross product never exists, which is the
+    whole point of LSH at 100 TB. A boilerplate crawl (millions of
+    distinct docs, one shared signature) would make one (band, bsig)
+    join key quadratic in a single task; the skewpairs chunked self-join
+    caps any key at cap rows per side, spreading the quadratic over
+    C(C+1)/2 bounded tasks with exact pair semantics."""
     sigs = _signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -192,25 +230,17 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "sh", "bs.band", "bs.bsig")
-    a, b = bands.alias("a"), bands.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    joined = skewpairs.chunked_self_join(bands, ["band", "bsig"], "doc_id")
+    inter = F.size(F.array_intersect(F.col("_l.sh"), F.col("_r.sh")))
     jacc = inter.cast("double") / (
-        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+        F.size(F.col("_l.sh")) + F.size(F.col("_r.sh")) - inter
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("jaccard"),
-        )
-        .distinct()
+    doc_a, doc_b = skewpairs.canonical_pair(
+        F.col("_l.doc_id"), F.col("_r.doc_id")
     )
+    return joined.select(
+        doc_a.alias("doc_a"), doc_b.alias("doc_b"), jacc.alias("jaccard")
+    ).distinct()
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

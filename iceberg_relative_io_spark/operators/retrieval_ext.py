@@ -52,6 +52,7 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -331,23 +332,26 @@ def q_image_hash_neardup(
         ).alias("bv"),
     ).select("doc_id", *hcols, "bv.band_idx", "bv.band_val")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # skew defense: a hot (band_idx, band_val) bucket (near-identical
+    # boilerplate images with distinct doc_ids) would put m^2/2 pairs on
+    # one join key; the chunked self-join caps every key at cap rows per
+    # side (operators/skewpairs.py), with identical pair semantics
+    joined = skewpairs.chunked_self_join(
+        bands, ["band_idx", "band_val"], "doc_id"
+    )
     ham = sum(
         F.bit_count(
-            F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}")).cast("long")
+            F.col(f"_l.h{i}").bitwiseXOR(F.col(f"_r.h{i}")).cast("long")
         )
         for i in range(n_bands)
     )
+    id_a, id_b = skewpairs.canonical_pair(
+        F.col("_l.doc_id"), F.col("_r.doc_id")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("match_id"),
+        joined.select(
+            id_a.alias("doc_id"),
+            id_b.alias("match_id"),
             ham.alias("hamming"),
         )
         .distinct()  # a pair sharing several bands appears once

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -79,27 +80,29 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a perceptual keyframe hash with the identical plan. Hot-bucket skew
     (a viral clip re-uploaded millions of times → one hot (position,
     hash) key) is the same hazard as the image-hash bands
-    (retrieval_ext.py): the identical-signature cluster is collapsed by
-    exact dedup upstream, and the hash width is the occupancy knob."""
+    (retrieval_ext.py) and gets the same in-plan defense: the skewpairs
+    chunked self-join bounds every join key at cap rows per side, so no
+    single task ever owns the quadratic."""
     from iceberg_relative_io_spark.operators.retrieval_ext import q_keyframes
 
     kf = q_keyframes(spark, sf_dir).select("doc_id", "scene_idx", "key_lum")
     n_scenes = kf.groupBy("doc_id").agg(F.count("*").alias("n_scenes"))
 
-    a = kf.alias("a")
-    b = kf.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.scene_idx") == F.col("b.scene_idx"))
-            & (F.col("a.key_lum") == F.col("b.key_lum"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
+    # skew defense: a viral clip re-uploaded under millions of doc_ids
+    # makes one (scene_idx, key_lum) join key quadratic; the chunked
+    # self-join (operators/skewpairs.py) caps every key at cap rows per
+    # side. Each bucket still emits each colliding pair exactly once, so
+    # the per-pair shared-scene count is unchanged; ids are canonicalized
+    # (cross-chunk tasks see them in hash order) before the count agg.
+    joined = skewpairs.chunked_self_join(
+        kf, ["scene_idx", "key_lum"], "doc_id"
     )
+    id_a, id_b = skewpairs.canonical_pair(
+        F.col("_l.doc_id"), F.col("_r.doc_id")
+    )
+    shared = joined.groupBy(
+        id_a.alias("doc_a"), id_b.alias("doc_b")
+    ).agg(F.count("*").alias("n_shared"))
     na = n_scenes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_scenes").alias("na")
     )
