@@ -1,0 +1,593 @@
+"""Export a RelativeTable as a genuine Apache Iceberg v2 table.
+
+The repo's table format has Iceberg SEMANTICS (snapshots, manifests,
+hidden partitioning, schema ids) but its own metadata dialect —
+singular ``schema``, name-list ``partition-spec``, JSON manifests
+(table_ops.py:78-110). The reference's tables, by contrast, are real
+Iceberg v2 tables any Iceberg client can read (the full metadata shape
+in reference README.md:24-109). This module closes that format gap
+from the export side: ``export_iceberg(table, dest)`` writes
+
+- ``metadata/v1.metadata.json`` — format-version 2, ``schemas`` list
+  with schema-ids and per-field ids, ``partition-specs`` with
+  transforms + field-ids (1000+), ``sort-orders``, ``refs``,
+  ``snapshots`` with a manifest-list file, snapshot-log, metadata-log —
+  the exact key set of the reference example;
+- ``metadata/snap-<id>-1-<uuid>.avro`` — an Avro manifest list
+  (catalog/avro_ocf.py, written from the public Avro spec) whose
+  ``manifest_file`` records carry the spec field-ids (500-517);
+- ``metadata/<uuid>-m0.avro`` — an Avro manifest of ``manifest_entry``
+  records (status/snapshot_id/sequence_number/data_file with field-ids
+  per the Iceberg spec), one per live data file;
+- ``metadata/version-hint.text`` — the HadoopTableOperations version
+  hint, so path-based readers find the metadata without a catalog.
+
+Data files are NOT rewritten: manifests reference the table's existing
+parquet by absolute URI (valid Iceberg — locations may be absolute
+anywhere). Identity-partitioned columns are absent from those files
+(Spark's partitionBy lays them out as directories); the Iceberg spec
+covers exactly this: readers must fill identity partition columns from
+the manifest partition struct. ``read_iceberg`` below — an independent
+spec-path reader used by the round-trip gate — does so, as would any
+compliant client.
+
+Two honest deviations, both safe-by-construction:
+
+- **bucket[N] fields are exported as data columns, not partition
+  fields.** Our bucket transform is ``pmod(xxhash64(x), N)``; Iceberg's
+  is a Murmur3-based hash. Exporting the field as ``bucket[N]`` would
+  invite an external reader to prune by the WRONG hash (silent row
+  loss). The source column lives in the data files, so dropping the
+  field from the exported spec only widens scans, never loses rows.
+- **tables with live merge-on-read deletes are refused.** v2 could
+  express them as equality-delete manifests, but our delete-file
+  payload is a JSON predicate, not Iceberg's parquet delete format.
+  Callers run ``compact()`` first (the same answer Iceberg gives for
+  format-version downgrades).
+
+If this environment had pyiceberg or DuckDB's iceberg extension the
+export would be externally checkable; neither can be installed here
+(no network), so the gate is the independent reader below plus avro
+container round-trip tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from datetime import date, datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_relative_io_spark.catalog import avro_ocf
+from iceberg_relative_io_spark.catalog.spark_table import (
+    RelativeTable,
+    parse_partition_field,
+)
+
+_EPOCH = date(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Spark -> Iceberg schema
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+}
+
+
+def _iceberg_type(dt: T.DataType, alloc) -> object:
+    """Iceberg type JSON for a Spark type; ``alloc()`` hands out fresh
+    field ids for nested element/key/value ids."""
+    for cls, name in _PRIMITIVES.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"  # Spark timestamps are UTC-normalized
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": alloc(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, alloc),
+                }
+                for f in dt.fields
+            ],
+        }
+    raise ValueError(f"cannot export Spark type {dt} to Iceberg")
+
+
+def iceberg_schema(struct: T.StructType, column_ids: dict | None) -> tuple[dict, int]:
+    """(schema JSON with schema-id 0, last-column-id). Top-level ids come
+    from the table's stable column-ids map when available (renames kept
+    their id — the point of the id model); nested ids allocate after."""
+    ids = dict(column_ids or {})
+    top = {f.name: ids.get(f.name, 0) for f in struct.fields}
+    next_id = max([0, *top.values(), len(struct.fields)])
+    for f in struct.fields:  # fields the map doesn't know get fresh ids
+        if not top[f.name]:
+            next_id += 1
+            top[f.name] = next_id
+    counter = {"v": max(next_id, max(top.values(), default=0))}
+
+    def alloc() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
+    fields = [
+        {
+            "id": top[f.name],
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _iceberg_type(f.dataType, alloc),
+        }
+        for f in struct.fields
+    ]
+    return {"type": "struct", "schema-id": 0, "fields": fields}, counter["v"]
+
+
+# ---------------------------------------------------------------------------
+# partition spec + values
+# ---------------------------------------------------------------------------
+
+def _exportable_spec(table: RelativeTable, schema_fields: list[dict]) -> list[dict]:
+    """Iceberg partition-spec fields for the exportable transforms
+    (identity / truncate / day / month; bucket is dropped — see module
+    docstring). Field-ids start at 1000 per the spec convention."""
+    by_name = {f["name"]: f for f in schema_fields}
+    out = []
+    fid = 1000
+    for entry in table.partition_spec:
+        fdef = parse_partition_field(entry)
+        if fdef["kind"] == "bucket":
+            continue
+        src = by_name.get(fdef["source"])
+        if src is None:
+            continue
+        transform = {
+            "identity": "identity",
+            "day": "day",
+            "month": "month",
+            "truncate": f"truncate[{fdef['arg']}]",
+        }[fdef["kind"]]
+        out.append(
+            {
+                "name": fdef["name"],
+                "transform": transform,
+                "source-id": src["id"],
+                "field-id": fid,
+                "_kind": fdef["kind"],  # stripped before writing
+                "_source_type": src["type"],
+            }
+        )
+        fid += 1
+    return out
+
+
+def _partition_avro_type(spec_field: dict) -> object:
+    kind = spec_field["_kind"]
+    if kind in ("day", "month"):
+        return "int"
+    src = spec_field["_source_type"]
+    if kind == "truncate":
+        return "string" if src == "string" else "long"
+    return {
+        "int": "int",
+        "long": "long",
+        "string": "string",
+        "double": "double",
+        "float": "float",
+        "date": "int",
+        "boolean": "boolean",
+    }.get(src if isinstance(src, str) else "string", "string")
+
+
+def _partition_value(spec_field: dict, raw: str | None):
+    """Manifest partition value (our hive dir string) -> Iceberg typed
+    partition value: day -> days since epoch, month -> months since
+    epoch, identity -> source-typed."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    kind = spec_field["_kind"]
+    if kind == "day":
+        return (date.fromisoformat(raw) - _EPOCH).days
+    if kind == "month":
+        y, m = int(raw[:4]), int(raw[5:7])
+        return (y - 1970) * 12 + (m - 1)
+    if kind == "truncate":
+        return raw
+    t = _partition_avro_type(spec_field)
+    if t in ("int", "long"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# avro schemas (field names and ids from the Iceberg spec)
+# ---------------------------------------------------------------------------
+
+def _opt(t) -> list:
+    return ["null", t]
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": _opt(_partition_avro_type(f)),
+                "field-id": f["field-id"],
+            }
+            for f in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"), "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+def export_iceberg(
+    table: RelativeTable,
+    dest_dir: str,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Write ``dest_dir`` as a standalone Iceberg v2 table whose current
+    snapshot holds the source table's live data files (referenced by
+    absolute URI, zero-copy). Returns a summary dict (paths + counts).
+    Raises on live merge-on-read deletes — compact() first."""
+    ops = table.ops
+    meta = ops.current()
+    sid = table._resolve_snapshot(meta, snapshot_id, None)
+    if sid is None:
+        files: list[dict] = []
+    else:
+        if table._delete_files(meta, sid):
+            raise ValueError(
+                "table has live merge-on-read delete files; run compact() "
+                "before export (exported v2 metadata would silently "
+                "resurrect deleted rows otherwise)"
+            )
+        files = table._data_files(meta, sid)
+
+    struct = table.schema()
+    schema_json, last_col = iceberg_schema(struct, meta.get("column-ids"))
+    spec_fields = _exportable_spec(table, schema_json["fields"])
+    entry_schema = _manifest_entry_schema(spec_fields)
+
+    os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+
+    # --- manifest ----------------------------------------------------------
+    entries = []
+    total_rows = 0
+    for f in files:
+        rows = int(f.get("row-count", 0))
+        total_rows += rows
+        part = {
+            sf["name"]: _partition_value(
+                sf, (f.get("partition") or {}).get(sf["name"])
+            )
+            for sf in spec_fields
+        }
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": ops.io.spark_path(f["path"]),
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": rows,
+                    "file_size_in_bytes": int(f.get("size-bytes", 0)),
+                },
+            }
+        )
+    clean_spec = [
+        {k: v for k, v in sf.items() if not k.startswith("_")}
+        for sf in spec_fields
+    ]
+    manifest_name = f"{uuid.uuid4()}-m0.avro"
+    manifest_path = os.path.join(dest_dir, "metadata", manifest_name)
+    manifest_bytes = avro_ocf.write_ocf(
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": "0",
+            "partition-spec": json.dumps(clean_spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(manifest_bytes)
+
+    # --- manifest list -----------------------------------------------------
+    ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    ml_path = os.path.join(dest_dir, "metadata", ml_name)
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": 0,
+                "content": 0,  # data
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={"format-version": "2"},
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    # --- table metadata ----------------------------------------------------
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": dest_dir,
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": clean_spec}],
+        "last-partition-id": max(
+            [999, *[sf["field-id"] for sf in clean_spec]]
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "exported-from": meta.get("table-uuid", ""),
+            "write.format.default": "parquet",
+        },
+        "current-snapshot-id": snap_id,
+        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+        "snapshots": [
+            {
+                "sequence-number": 1,
+                "snapshot-id": snap_id,
+                "timestamp-ms": now_ms,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(total_rows),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(len(entries)),
+                    "total-delete-files": "0",
+                    "total-position-deletes": "0",
+                    "total-equality-deletes": "0",
+                },
+                "manifest-list": ml_path,
+                "schema-id": 0,
+            }
+        ],
+        "statistics": [],
+        "partition-statistics": [],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "metadata-log": [],
+    }
+    meta_path = os.path.join(dest_dir, "metadata", "v1.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    with open(
+        os.path.join(dest_dir, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("1")
+    return {
+        "metadata": meta_path,
+        "manifest-list": ml_path,
+        "manifest": manifest_path,
+        "data-files": len(entries),
+        "records": total_rows,
+    }
+
+
+# ---------------------------------------------------------------------------
+# independent spec-path reader (the round-trip gate)
+# ---------------------------------------------------------------------------
+
+_ICEBERG_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read an Iceberg v2 table the way a compliant client does:
+    version-hint -> metadata.json -> current snapshot -> avro manifest
+    list -> avro manifests (content == data) -> parquet data files,
+    filling identity-partition columns from the manifest partition
+    struct (the spec's rule for columns absent from data files).
+
+    Deliberately shares NOTHING with RelativeTable's read path — it
+    consumes only the exported spec artifacts, so a round-trip equality
+    against the source table checks the export end to end. Data files
+    are grouped by partition tuple and unioned; at production scale a
+    reader would instead push the constants into a per-file schema
+    mapping, but the gate here is correctness of the artifacts."""
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(
+        os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    ) as fh:
+        doc = json.load(fh)
+    if doc["format-version"] != 2:
+        raise ValueError("only format-version 2 supported")
+    snap = next(
+        s
+        for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, manifests = avro_ocf.read_ocf(fh.read())
+
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    fields_by_id = {f["id"]: f for f in schema["fields"]}
+    identity = [
+        (pf["name"], fields_by_id[pf["source-id"]])
+        for pf in spec["fields"]
+        if pf["transform"] == "identity"
+    ]
+
+    groups: dict[tuple, list[str]] = {}
+    for mf in manifests:
+        if mf["content"] != 0:
+            raise ValueError("delete manifests not supported by this reader")
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            key = tuple(
+                (name, df_rec["partition"].get(name)) for name, _ in identity
+            )
+            groups.setdefault(key, []).append(df_rec["file_path"])
+
+    out: DataFrame | None = None
+    for key, paths in groups.items():
+        part = spark.read.parquet(*paths)
+        for (name, src_field), (_, raw) in zip(identity, key):
+            dt = _ICEBERG_TO_SPARK.get(
+                src_field["type"]
+                if isinstance(src_field["type"], str)
+                else "string"
+            )
+            part = part.withColumn(name, F.lit(raw).cast(dt))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        struct = T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _ICEBERG_TO_SPARK.get(
+                        f["type"] if isinstance(f["type"], str) else "string",
+                        T.StringType(),
+                    ),
+                    not f["required"],
+                )
+                for f in schema["fields"]
+            ]
+        )
+        return spark.createDataFrame([], struct)
+    # present columns in schema order where available
+    names = [f["name"] for f in schema["fields"] if f["name"] in out.columns]
+    return out.select(*names)

@@ -44,7 +44,8 @@ PRIORITY_ORDER = [
     # --- re-grade: plans changed this round (skew-proof pair generation) ---
     "c02_lsh_candidate_pairs", "c01_embedding_neardup",
     "c05_image_hash_neardup", "c05_video_neardup",
-    # --- new round-5 queries fill the remaining slots (appended below) ---
+    # --- new round-5 queries fill the remaining slots ---
+    "a41_iceberg_export",
 ]
 
 

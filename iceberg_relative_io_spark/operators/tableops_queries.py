@@ -480,8 +480,40 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 (round-5): Iceberg-SPEC interoperability — route customer
+    through the catalog (identity-partitioned on c_nationkey, so data
+    files LACK that column per Spark's partitionBy layout), export as a
+    genuine Iceberg v2 table (catalog/iceberg_export.py: v2
+    metadata.json with schemas/partition-specs/field-ids, Avro manifest
+    list + manifests per the public spec), then read it back through the
+    independent spec-path reader (version-hint -> metadata -> avro ->
+    parquet + identity-partition fill). The oracle is the raw fixture:
+    equality proves the exported artifacts carry the table exactly."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(
+        ("ns",), "cust_ice", cust.schema.jsonValue(),
+        partition_by=["c_nationkey"],
+    )
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_export_")
+    iceberg_export.export_iceberg(table, dest)
+    out = iceberg_export.read_iceberg(spark, dest)
+    return out.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
+    "a41_iceberg_export": q_iceberg_export,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -503,6 +535,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a41_iceberg_export": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+    """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'
