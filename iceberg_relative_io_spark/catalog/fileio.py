@@ -291,6 +291,20 @@ class RelativeFileIO:
         from pyarrow import fs as pafs
 
         src_p, dst_p = self._fs_path(src), self._fs_path(dst)
+        # conditional put beats locking when the store offers it: one
+        # atomic CAS on the destination key (S3 If-None-Match, GA since
+        # late 2024) instead of acquire/check/move/release — fewer round
+        # trips, no lock service to operate, no stale-lock failure mode.
+        # The reference's LockManager hook predates conditional writes
+        # on S3; a delegate advertising put_if_absent doesn't need it.
+        handler = getattr(self.fs, "handler", None)
+        put = getattr(handler, "put_if_absent", None)
+        if put is not None:
+            data = self.read_bytes(src)
+            if not put(self._fs_path(dst), bytes(data)):
+                return False
+            self.fs.delete_file(src_p)
+            return True
         lock = self.lock_manager
         if lock is not None:
             key = self.absolute(dst)

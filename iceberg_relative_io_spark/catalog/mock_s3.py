@@ -101,13 +101,40 @@ class _MockS3Handler(pafs.FileSystemHandler):
     def move(self, src, dest):
         """Copy-then-delete — S3's real 'rename'. NOT atomic: a reader
         (or racing committer) can observe dest existing while src still
-        does. The commit protocol must therefore run under the
-        LockManager on this FS (fileio.RelativeFileIO.rename)."""
+        does. Commit correctness on this FS comes from put_if_absent
+        (preferred) or the LockManager (fileio.RelativeFileIO.rename)."""
         self._fs.copy_file(src, dest)
         self._fs.delete_file(src)
 
     def copy_file(self, src, dest):
         self._fs.copy_file(src, dest)
+
+    # -- conditional put ------------------------------------------------------
+    def put_if_absent(self, path, data: bytes) -> bool:
+        """S3 ``PutObject`` with ``If-None-Match: *`` (generally
+        available on real S3 since late 2024): atomically create the
+        object iff no object exists at the key; False = precondition
+        failed (someone else won). Modeled with O_CREAT|O_EXCL on the
+        backing store — the same all-or-nothing visibility, atomic even
+        across processes. This removes the LockManager requirement from
+        the commit protocol: the reference epoch needed a lock because
+        S3 of its day had no conditional write; modern object stores
+        make CAS-on-key native, and RelativeFileIO.rename prefers it."""
+        import os
+
+        full = os.path.join(self.root, path.lstrip("/"))
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        try:
+            fd = os.open(full, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+        except BaseException:
+            os.unlink(full)  # never leave a half-written winner
+            raise
+        return True
 
 
 def enable_mock_s3(root: str) -> str:

@@ -355,6 +355,69 @@ def test_mock_s3_commit_race_single_winner(tmp_path):
     assert TableOperations(fsio, "ns/tbl").current()["properties"]["winner"] == wins[0]
 
 
+def test_mock_s3_conditional_put_race_without_locks(tmp_path):
+    """Round-4 verdict item 4: modern S3 supports PutObject with
+    If-None-Match (conditional put), so the commit no longer needs the
+    LockManager — RelativeFileIO.rename must prefer the delegate's
+    put_if_absent and yield exactly one winner with NO lock manager
+    configured. Five rounds to shake interleavings."""
+    import json
+
+    from iceberg_relative_io_spark.catalog.mock_s3 import enable_mock_s3
+
+    for round_i in range(5):
+        root = str(tmp_path / f"s3cput{round_i}")
+        impl = enable_mock_s3(root)
+        fsio = RelativeFileIO("s3://bkt/wh", io_impl=impl, lock_impl=None)
+        assert fsio.lock_manager is None
+        meta = new_table_metadata(
+            "ns/tbl", {"fields": [{"name": "x", "type": "long"}]}
+        )
+        fsio.write_bytes(
+            "ns/tbl/metadata/v1.metadata.json", json.dumps(meta).encode()
+        )
+        results = {}
+        start = threading.Barrier(2, timeout=5)
+
+        def committer(name, fsio=fsio, start=start, results=results):
+            ops = TableOperations(fsio, "ns/tbl")
+            base = ops.current_version()
+            m = {**dict(ops.current()), "properties": {"winner": name}}
+            start.wait()
+            try:
+                results[name] = ops.commit(base, m)
+            except CommitFailedError:
+                results[name] = None
+
+        ts = [threading.Thread(target=committer, args=(n,)) for n in ("A", "B")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=15)
+        wins = [n for n, v in results.items() if v == 2]
+        assert len(wins) == 1, results
+        assert (
+            TableOperations(fsio, "ns/tbl").current()["properties"]["winner"]
+            == wins[0]
+        )
+
+
+def test_mock_s3_put_if_absent_primitive(tmp_path):
+    """The CAS primitive itself: first put creates, second put on the
+    same key fails precondition and leaves the first bytes intact."""
+    from pyarrow import fs as pafs
+
+    from iceberg_relative_io_spark.catalog.mock_s3 import enable_mock_s3
+
+    root = str(tmp_path / "s3prim")
+    impl = enable_mock_s3(root)
+    fsio = RelativeFileIO("s3://b/wh", io_impl=impl)
+    handler = fsio.fs.handler
+    assert handler.put_if_absent("b/wh/k.txt", b"first") is True
+    assert handler.put_if_absent("b/wh/k.txt", b"second") is False
+    assert fsio.read_bytes("k.txt") == b"first"
+
+
 def test_mock_s3_has_no_atomic_primitives(tmp_path):
     """The mock must actually be S3-shaped: append raises, and move is
     observably copy+delete (destination content equals source; source
