@@ -517,11 +517,21 @@ class RelativeTable:
         and order columns (e.g. redelivered CDC records) fall through to
         a content-hash tiebreak over the remaining columns, so the
         survivor is a pure function of the data — never of partition
-        layout or run-to-run scheduling. Copy-on-write rewrite (one
+        layout or run-to-run scheduling.
+
+        Plan (round-5 hot-key fix): keep-latest is a ``max_by`` HASH
+        AGGREGATION on the key, not a window — a window's
+        partitionBy(key) puts a hot key's ENTIRE history in one task and
+        sorts it (a viral user_id at 100 TB = one straggler sort),
+        whereas max_by partial-aggregates map-side: every task reduces
+        its slice of the hot key to ONE candidate row before the
+        exchange, so the shuffle carries one row per (task, key) no
+        matter how hot the key is. Struct comparison is lexicographic
+        with NULL smallest, matching the window's desc-nulls-last order.
+        Copy-on-write rewrite (one
         snapshot per call); a 100 TB sink would pair equality deletes on
         the batch's keys with an append instead (``delete_where_mor`` +
         ``append``) to make the commit O(batch), not O(table)."""
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         target = self.read(spark)
@@ -529,17 +539,17 @@ class RelativeTable:
         tie_cols = [
             c for c in combined.columns if c not in key_cols and c not in order_cols
         ]
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols],
+        rank = F.struct(
+            *[F.col(c) for c in order_cols],
             # deterministic final tiebreak: exact ties on key+order pick
             # the row with the greatest payload hash (identical payloads
             # are interchangeable, so any pick is the same row)
-            *([F.xxhash64(*tie_cols).desc()] if tie_cols else []),
+            *([F.xxhash64(*tie_cols)] if tie_cols else []),
         )
         latest = (
-            combined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            combined.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*combined.columns), rank).alias("_row"))
+            .select("_row.*")
         )
         _, entries = self._write_snapshot_files(latest)
         return self._commit_snapshot("merge", entries)

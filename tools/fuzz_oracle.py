@@ -49,20 +49,66 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_fuzz_fixture(dst: Path, seed: int) -> None:
+def build_fuzz_fixture(dst: Path, seed: int, nulls: bool = False) -> None:
     import duckdb
 
     con = duckdb.connect()
     dst.mkdir(parents=True, exist_ok=True)
     frac = 0.2 + (seed % 7) * 0.1  # 20%-80% subsamples
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "embeddings"):
             continue
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
             f"USING SAMPLE {int(frac * 100)} PERCENT (bernoulli, {seed})) "
             f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
         )
+    # embeddings: subsample; NULL mode adds rows with NULL vector/label —
+    # every similarity/clustering/quantization operator must agree with
+    # its oracle on what a missing vector contributes (round-4 verdict
+    # item 5: NULLs were never injected into embedding columns)
+    null_emb = (
+        f"""
+        UNION ALL
+        SELECT m.m + 1, NULL, 0 FROM max_id m
+        UNION ALL
+        SELECT m.m + 2, NULL, NULL FROM max_id m
+        UNION ALL
+        SELECT m.m + 3 + row_number() OVER (), b.embedding, NULL
+        FROM (SELECT * FROM base USING SAMPLE 10 PERCENT (bernoulli, {seed + 5})) b,
+             max_id m
+        """
+        if nulls
+        else ""
+    )
+    con.execute(
+        f"""
+        COPY (
+            WITH base AS (
+                SELECT * FROM read_parquet('{SRC}/embeddings.parquet')
+                USING SAMPLE {int(frac * 100)} PERCENT (bernoulli, {seed})
+            ),
+            max_id AS (SELECT COALESCE(max(vec_id), 0) AS m
+                       FROM read_parquet('{SRC}/embeddings.parquet'))
+            SELECT * FROM base {null_emb}
+        ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    # NULL mode: events rows with NULL event_type/value/props under
+    # fresh ids (ts and user_id stay real — the session/as-of ORDER keys)
+    null_ev = (
+        f"""
+        UNION ALL
+        SELECT m.m + 500000 + row_number() OVER (), b.ts, b.user_id,
+               CASE WHEN b.event_id % 3 = 0 THEN NULL ELSE b.event_type END,
+               CASE WHEN b.event_id % 3 = 1 THEN NULL ELSE b.value END,
+               CASE WHEN b.event_id % 3 = 2 THEN NULL ELSE b.props END
+        FROM (SELECT * FROM base USING SAMPLE 15 PERCENT (bernoulli, {seed + 6})) b,
+             max_id m
+        """
+        if nulls
+        else ""
+    )
     # events: subsample + timestamp-tie mutations — as-of joins,
     # sessionization, and window frames must tie-break deterministically
     # when several events share (user_id, ts); fresh event_ids keep the
@@ -84,9 +130,27 @@ def build_fuzz_fixture(dst: Path, seed: int) -> None:
                       USING SAMPLE 30 PERCENT (bernoulli, {seed + 4})) b,
                      max_id m
             )
-            SELECT * FROM base UNION ALL SELECT * FROM ties
+            SELECT * FROM base UNION ALL SELECT * FROM ties {null_ev}
         ) TO '{dst}/events.parquet' (FORMAT parquet)
         """
+    )
+    # NULL mode: documents with NULL text / NULL lang / NULL n_chars —
+    # tokenizers, language heuristics, hashes and length stats must all
+    # treat a missing document identically in both engines
+    null_doc = (
+        """
+        UNION ALL
+        SELECT m.m + 3000, NULL, 'en', 'fuzz-null', NULL FROM max_id m
+        UNION ALL
+        SELECT m.m + 3001, NULL, NULL, 'fuzz-null', NULL FROM max_id m
+        UNION ALL
+        SELECT m.m + 3002, 'text with null lang', NULL, 'fuzz-null', 19
+        FROM max_id m
+        UNION ALL
+        SELECT m.m + 3003, '', NULL, 'fuzz-null', NULL FROM max_id m
+        """
+        if nulls
+        else ""
     )
     # documents: subsample + adversarial mutations under fresh ids
     con.execute(
@@ -127,22 +191,28 @@ def build_fuzz_fixture(dst: Path, seed: int) -> None:
                       USING SAMPLE 30 PERCENT (bernoulli, {seed + 3})) b,
                      max_id m
             )
-            SELECT * FROM base UNION ALL SELECT * FROM mutated
+            SELECT * FROM base UNION ALL SELECT * FROM mutated {null_doc}
         ) TO '{dst}/documents.parquet' (FORMAT parquet)
         """
     )
 
 
 def main() -> int:
+    """fuzz_oracle.py [--nulls] [n_seeds] [query ...]
+
+    --nulls additionally injects NULLs into text/lang/embedding/label/
+    event_type/value/props columns (round-4 verdict item 5)."""
     args = sys.argv[1:]
+    nulls = "--nulls" in args
+    args = [a for a in args if a != "--nulls"]
     n_seeds = int(args[0]) if args and args[0].isdigit() else 3
     queries = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
 
     rc = 0
     for seed in range(1, n_seeds + 1):
         dst = Path(tempfile.mkdtemp(prefix=f"fuzz_fixture_{seed}_"))
-        build_fuzz_fixture(dst, seed)
-        print(f"=== seed {seed}: {dst} ===", flush=True)
+        build_fuzz_fixture(dst, seed, nulls=nulls)
+        print(f"=== seed {seed}: {dst} (nulls={nulls}) ===", flush=True)
         r = subprocess.run(
             [sys.executable, str(REPO / "tools" / "check_oracle.py"),
              str(dst), *queries],
