@@ -257,6 +257,10 @@ def make_gram_stats_udf(k: int):
         memo: dict = {}
         totals, repeats = [], []
         for t in text:
+            if t is None:  # SQL NULL propagation: stats of NULL are NULL
+                totals.append(None)
+                repeats.append(None)
+                continue
             g = _py_gram_codes(t, k, memo)
             totals.append(len(g))
             repeats.append(len(g) - len(set(g)))
@@ -276,7 +280,9 @@ def make_gram_codes_udf(k: int):
     @F.pandas_udf(ArrayType(LongType()))
     def ordered_grams(text: pd.Series) -> pd.Series:
         memo: dict = {}
-        return pd.Series([_py_gram_codes(t, k, memo) for t in text])
+        return pd.Series(
+            [None if t is None else _py_gram_codes(t, k, memo) for t in text]
+        )
 
     return ordered_grams
 
@@ -290,7 +296,12 @@ def make_distinct_gram_codes_udf(k: int):
     @F.pandas_udf(ArrayType(LongType()))
     def distinct_grams(text: pd.Series) -> pd.Series:
         memo: dict = {}
-        return pd.Series([sorted(set(_py_gram_codes(t, k, memo))) for t in text])
+        return pd.Series(
+            [
+                None if t is None else sorted(set(_py_gram_codes(t, k, memo)))
+                for t in text
+            ]
+        )
 
     return distinct_grams
 
@@ -312,6 +323,9 @@ def make_char_gram_codes_udf(k: int):
     def char_gram_codes(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
+            if t is None:
+                out.append(None)
+                continue
             n = len(t)
             if n < k:
                 out.append([])
@@ -350,6 +364,9 @@ def make_minhash_udf():
         memo: dict = {}
         out = []
         for t in text:
+            if t is None:  # NULL text -> NULL signature (SQL propagation)
+                out.append(None)
+                continue
             sh = _py_shingles(t, memo)
             if not sh:
                 out.append([None] * NUM_HASHES)
@@ -375,6 +392,9 @@ def make_simhash_udf():
         memo: dict = {}
         out = []
         for t in text:
+            if t is None:
+                out.append(None)
+                continue
             codes = np.array(
                 [_py_token_code(tok, memo) for tok in t.split(" ")], dtype=np.int64
             )
@@ -395,7 +415,9 @@ def make_shingle_set_udf():
     @F.pandas_udf(ArrayType(LongType()))
     def shingle_set(text: pd.Series) -> pd.Series:
         memo: dict = {}
-        return pd.Series([sorted(set(_py_shingles(t, memo))) for t in text])
+        return pd.Series(
+            [None if t is None else sorted(set(_py_shingles(t, memo))) for t in text]
+        )
 
     return shingle_set
 

@@ -128,6 +128,9 @@ def bounded_sample(emb, k: int):
     ORDER BY hash LIMIT k (per-partition top-k, no full sort)."""
     return (
         emb.select("vec_id", "embedding")
+        # a NULL vector can never be a centroid; the oracle CTE mirrors
+        # this filter (round-5 NULL-injection fuzz)
+        .filter(F.col("embedding").isNotNull())
         .orderBy(sample_key(F.col("vec_id")), F.col("vec_id"))
         .limit(k)
     )
@@ -142,6 +145,7 @@ def sample_cte_sql(k, id_alias: str = "cid", vec_alias: str = "cvec") -> str:
     limit = f"({k})" if isinstance(k, str) else str(k)
     return (
         f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias} FROM embeddings "
+        f"WHERE embedding IS NOT NULL "
         f"ORDER BY {sample_key_sql('vec_id')}, vec_id LIMIT {limit}"
     )
 
@@ -200,6 +204,31 @@ def collect_centroids(emb, k: int):
 # Arrow-batched fast path for per-pair dot products
 # ---------------------------------------------------------------------------
 
+
+def _stack_valid(series: pd.Series):
+    """(valid_mask, matrix-of-valid-rows) for a nullable embedding
+    column: NULL vectors must propagate as SQL NULLs through every
+    vector UDF (round-5 NULL-injection fuzz), never crash np.stack."""
+    vals = series.to_numpy()
+    mask = np.array([v is not None for v in vals], dtype=bool)
+    if mask.any():
+        M = np.stack(vals[mask]).astype(np.float64)
+    else:
+        M = np.zeros((0, 0), dtype=np.float64)
+    return mask, M
+
+
+def _scatter(mask, values) -> pd.Series:
+    """Re-insert computed values at valid positions, None elsewhere."""
+    out = [None] * len(mask)
+    j = 0
+    for i, ok in enumerate(mask):
+        if ok:
+            out[i] = values[j]
+            j += 1
+    return pd.Series(out, dtype=object)
+
+
 def make_dot_udf():
     """pandas UDF computing the same sequential-sum dot product as dot():
     vectorized across rows with numpy, but accumulated dimension-by-
@@ -211,12 +240,17 @@ def make_dot_udf():
 
     @F.pandas_udf(DoubleType())
     def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
+        ma, A_all = _stack_valid(a)
+        mb, B_all = _stack_valid(b)
+        mask = ma & mb
+        if not mask.any():
+            return pd.Series([None] * len(mask), dtype=object)
+        A = np.stack(a.to_numpy()[mask]).astype(np.float64)
+        B = np.stack(b.to_numpy()[mask]).astype(np.float64)
         acc = np.zeros(len(A), dtype=np.float64)
         for i in range(A.shape[1]):
             acc = acc + A[:, i] * B[:, i]
-        return pd.Series(acc)
+        return _scatter(mask, [float(x) for x in acc])
 
     return dot_seq
 
@@ -244,14 +278,19 @@ def make_nearest_udf(bc):
     @F.pandas_udf(LongType())
     def nearest(vec: pd.Series) -> pd.Series:
         ids_, C_, nc_ = bc.value
-        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        mask, V_ = _stack_valid(vec)
+        if len(V_) == 0:
+            return pd.Series([None] * len(mask), dtype=object)
         S = np.zeros((len(V_), len(C_)), dtype=np.float64)
         nv = np.zeros(len(V_), dtype=np.float64)
         for i in range(V_.shape[1]):
             S = S + np.outer(V_[:, i], C_[:, i])
             nv = nv + V_[:, i] * V_[:, i]
         cos = S / np.outer(np.sqrt(nv), nc_)
-        return pd.Series(ids_[np.argmax(cos, axis=1)])
+        got = ids_[np.argmax(cos, axis=1)]
+        if mask.all():
+            return pd.Series(got)
+        return _scatter(mask, [int(x) for x in got])
 
     return nearest
 
@@ -271,14 +310,18 @@ def make_bucket_udf(n_planes: int = N_PLANES):
 
     @F.pandas_udf(IntegerType())
     def bucket(vec: pd.Series) -> pd.Series:
-        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        mask, V_ = _stack_valid(vec)
+        if len(V_) == 0:
+            return pd.Series([None] * len(mask), dtype=object)
         out = np.zeros(len(V_), dtype=np.int64)
         for j in range(n_planes):
             acc = np.zeros(len(V_), dtype=np.float64)
             for i in range(DIM):
                 acc = acc + V_[:, i] * planes[j, i]
             out = out + (acc > 0).astype(np.int64) * (1 << j)
-        return pd.Series(out.astype(np.int32))
+        if mask.all():
+            return pd.Series(out.astype(np.int32))
+        return _scatter(mask, [int(x) for x in out])
 
     return bucket
 
@@ -296,7 +339,9 @@ def make_pq_assign_udf(bc, n_sub: int):
     @F.pandas_udf(ArrayType(LongType()))
     def pq_assign(vec: pd.Series) -> pd.Series:
         cids_l, C_l = bc.value
-        X = np.stack(vec.to_numpy()).astype(np.float64)
+        mask, X = _stack_valid(vec)
+        if len(X) == 0:
+            return pd.Series([None] * len(mask), dtype=object)
         dim_per = C_l.shape[1] // n_sub
         codes = np.empty((len(X), n_sub), dtype=np.int64)
         for s in range(n_sub):
@@ -305,7 +350,9 @@ def make_pq_assign_udf(bc, n_sub: int):
                 diff = X[:, s * dim_per + j, None] - C_l[None, :, s * dim_per + j]
                 D = D + diff * diff
             codes[:, s] = cids_l[np.argmin(D, axis=1)]
-        return pd.Series(list(codes))
+        if mask.all():
+            return pd.Series(list(codes))
+        return _scatter(mask, [list(map(int, c)) for c in codes])
 
     return pq_assign
 
@@ -331,7 +378,11 @@ def make_assign_udf(bc):
     @F.pandas_udf(out_t)
     def assign(vec: pd.Series) -> pd.DataFrame:
         ids_, C_, nc_ = bc.value
-        V_ = np.stack(vec.to_numpy()).astype(np.float64)
+        mask, V_ = _stack_valid(vec)
+        if len(V_) == 0:
+            return pd.DataFrame(
+                {"cluster": [None] * len(mask), "cos": [None] * len(mask)}
+            )
         S = np.zeros((len(V_), len(C_)), dtype=np.float64)
         nv = np.zeros(len(V_), dtype=np.float64)
         for i in range(V_.shape[1]):
@@ -339,8 +390,17 @@ def make_assign_udf(bc):
             nv = nv + V_[:, i] * V_[:, i]
         cos = S / np.outer(np.sqrt(nv), nc_)
         idx = np.argmax(cos, axis=1)
+        if mask.all():
+            return pd.DataFrame(
+                {"cluster": ids_[idx], "cos": cos[np.arange(len(V_)), idx]}
+            )
         return pd.DataFrame(
-            {"cluster": ids_[idx], "cos": cos[np.arange(len(V_)), idx]}
+            {
+                "cluster": _scatter(mask, [int(i) for i in ids_[idx]]),
+                "cos": _scatter(
+                    mask, [float(c) for c in cos[np.arange(len(V_)), idx]]
+                ),
+            }
         )
 
     return assign

@@ -166,7 +166,13 @@ def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(0.1 * n)) is flagged. The cut is RANK-based with a total
     order (cos asc, vec_id asc), so no float mean/stddev crosses
     engines. One broadcast map pass + one shuffle on the cell id."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # a missing vector has no distance to rank: excluded from the
+        # screen on both sides (round-5 NULL-injection fuzz)
+        .filter(F.col("embedding").isNotNull())
+    )
     n_cells = V.derived_cells(emb.count(), _OUT_TARGET_CELL)
     cids, C, nc = V.collect_centroids(emb, n_cells)
     bc = spark.sparkContext.broadcast((cids, C, nc))
@@ -338,7 +344,8 @@ def _outlier_oracle() -> str:
                            PARTITION BY e.vec_id
                            ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
                        ) AS rn
-                FROM embeddings e, cents c
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
+                     cents c
             ) WHERE rn = 1
         )
         SELECT vec_id, cell, cos AS cos_to_centroid,

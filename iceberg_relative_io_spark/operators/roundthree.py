@@ -81,7 +81,13 @@ def q_semantic_dedup(
     the oracle's fold bit-for-bit."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # NULL vectors can neither match nor be matched: excluded on
+        # both sides (round-5 NULL-injection fuzz)
+        .filter(F.col("embedding").isNotNull())
+    )
     if n_cells is None:
         n_cells = V.derived_cells(emb.count(), _SEM_TARGET_CELL)
     cids, C, _nc = V.collect_centroids(emb, n_cells)
@@ -992,7 +998,8 @@ def _sem_oracle() -> str:
                            PARTITION BY e.vec_id
                            ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
                        ) AS rn
-                FROM embeddings e, cents c
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
+                     cents c
             ) WHERE rn = 1
         )
         SELECT a.vec_id, a.cid AS cell,
