@@ -303,7 +303,15 @@ class RelativeFileIO:
             data = self.read_bytes(src)
             if not put(self._fs_path(dst), bytes(data)):
                 return False
-            self.fs.delete_file(src_p)
+            # the CAS already landed: src cleanup is best-effort only. A
+            # failure here must NOT surface — the commit SUCCEEDED, and
+            # propagating would make the retry loop re-commit against a
+            # destination that exists (misreported as CommitFailedError).
+            # A stale temp file is the reference's best-effort semantics.
+            try:
+                self.fs.delete_file(src_p)
+            except Exception:
+                pass
             return True
         lock = self.lock_manager
         if lock is not None:

@@ -216,7 +216,9 @@ def _partition_avro_type(spec_field: dict) -> object:
         "string": "string",
         "double": "double",
         "float": "float",
-        "date": "int",
+        "date": "int",  # identity on date: days since epoch (spec)
+        "timestamptz": "long",  # identity on timestamp: micros since epoch
+        "timestamp": "long",
         "boolean": "boolean",
     }.get(src if isinstance(src, str) else "string", "string")
 
@@ -224,7 +226,10 @@ def _partition_avro_type(spec_field: dict) -> object:
 def _partition_value(spec_field: dict, raw: str | None):
     """Manifest partition value (our hive dir string) -> Iceberg typed
     partition value: day -> days since epoch, month -> months since
-    epoch, identity -> source-typed."""
+    epoch, identity -> source-typed (date -> days since epoch, timestamp
+    -> micros since epoch, per the spec's partition-value
+    representations — exporting the hive string for a temporal identity
+    field would either crash int() or write a spec-violating string)."""
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     kind = spec_field["_kind"]
@@ -235,6 +240,17 @@ def _partition_value(spec_field: dict, raw: str | None):
         return (y - 1970) * 12 + (m - 1)
     if kind == "truncate":
         return raw
+    src = spec_field["_source_type"]
+    if src == "date":
+        return (date.fromisoformat(raw) - _EPOCH).days
+    if src in ("timestamptz", "timestamp"):
+        # Spark's hive-dir escaping percent-encodes ':' in timestamps
+        from urllib.parse import unquote
+
+        dt = datetime.fromisoformat(unquote(raw).replace(" ", "T"))
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return int((dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
     t = _partition_avro_type(spec_field)
     if t in ("int", "long"):
         return int(raw)
@@ -566,12 +582,22 @@ def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
     for key, paths in groups.items():
         part = spark.read.parquet(*paths)
         for (name, src_field), (_, raw) in zip(identity, key):
-            dt = _ICEBERG_TO_SPARK.get(
+            tname = (
                 src_field["type"]
                 if isinstance(src_field["type"], str)
                 else "string"
             )
-            part = part.withColumn(name, F.lit(raw).cast(dt))
+            dt = _ICEBERG_TO_SPARK.get(tname)
+            val = raw
+            if raw is not None and tname == "date":
+                # spec partition value is days since epoch
+                val = date.fromordinal(_EPOCH.toordinal() + int(raw))
+            elif raw is not None and tname in ("timestamptz", "timestamp"):
+                # spec partition value is micros since epoch
+                from datetime import timedelta
+
+                val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
+            part = part.withColumn(name, F.lit(val).cast(dt))
         out = part if out is None else out.unionByName(part)
     if out is None:
         struct = T.StructType(

@@ -114,26 +114,32 @@ class _MockS3Handler(pafs.FileSystemHandler):
         """S3 ``PutObject`` with ``If-None-Match: *`` (generally
         available on real S3 since late 2024): atomically create the
         object iff no object exists at the key; False = precondition
-        failed (someone else won). Modeled with O_CREAT|O_EXCL on the
-        backing store — the same all-or-nothing visibility, atomic even
-        across processes. This removes the LockManager requirement from
-        the commit protocol: the reference epoch needed a lock because
-        S3 of its day had no conditional write; modern object stores
-        make CAS-on-key native, and RelativeFileIO.rename prefers it."""
+        failed (someone else won). Real S3 makes the object visible only
+        with its FULL content, so the mock must too: the payload is
+        written to a private temp file first and published with
+        ``os.link`` — link(2) fails atomically with FileExistsError when
+        the key exists, and at link time the content is already complete,
+        so a concurrent reader can never observe an empty or partial
+        object (a bare O_CREAT|O_EXCL-then-write would expose exactly
+        that window to TableOperations.current()/refresh). This removes
+        the LockManager requirement from the commit protocol: the
+        reference epoch needed a lock because S3 of its day had no
+        conditional write; modern object stores make CAS-on-key native,
+        and RelativeFileIO.rename prefers it."""
         import os
+        import uuid as _uuid
 
         full = os.path.join(self.root, path.lstrip("/"))
         os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = f"{full}.put-{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
         try:
-            fd = os.open(full, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, full)  # atomic create-iff-absent, content complete
         except FileExistsError:
             return False
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(data)
-        except BaseException:
-            os.unlink(full)  # never leave a half-written winner
-            raise
+        finally:
+            os.unlink(tmp)
         return True
 
 

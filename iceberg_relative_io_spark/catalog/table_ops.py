@@ -39,26 +39,70 @@ FORMAT_VERSION = "relative-spark-1"
 
 # shared daemon pool for the deferred metadata reap (reference's async
 # delete executor, HadoopRelativeTableOperations.java:400-416): commits
-# submit deletes here and return without awaiting them
+# submit deletes here and return without awaiting them. _GC_PENDING is
+# mutated from committer threads (extend + trim) while drain swaps it
+# from another — all three go through _GC_LOCK so no future is ever
+# lost across a concurrent trim/swap (the commit-race tests exercise
+# exactly this interleaving).
 _GC_EXECUTOR = None
 _GC_PENDING: list = []
+_GC_LOCK = None
+
+
+def _gc_lock():
+    global _GC_LOCK
+    if _GC_LOCK is None:
+        import threading
+
+        _GC_LOCK = threading.Lock()
+    return _GC_LOCK
+
+
+class _DaemonPool:
+    """Minimal fire-and-forget pool with genuinely daemonic threads.
+    ThreadPoolExecutor's workers are non-daemon (a hung object-store
+    delete would delay interpreter exit, contradicting the documented
+    best-effort semantics); this pool's workers never block shutdown."""
+
+    def __init__(self, max_workers: int, name: str):
+        import queue
+        import threading
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        for i in range(max_workers):
+            threading.Thread(
+                target=self._run, daemon=True, name=f"{name}-{i}"
+            ).start()
+
+    def _run(self) -> None:
+        while True:
+            fut, fn, args = self._q.get()
+            if fut.set_running_or_notify_cancel():
+                try:
+                    fut.set_result(fn(*args))
+                except BaseException as exc:  # noqa: BLE001 — best-effort reap
+                    fut.set_exception(exc)
+
+    def submit(self, fn, *args):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((fut, fn, args))
+        return fut
 
 
 def _gc_pool():
     global _GC_EXECUTOR
     if _GC_EXECUTOR is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _GC_EXECUTOR = ThreadPoolExecutor(
-            max_workers=8, thread_name_prefix="metadata-gc"
-        )
+        _GC_EXECUTOR = _DaemonPool(max_workers=8, name="metadata-gc")
     return _GC_EXECUTOR
 
 
 def drain_metadata_gc() -> None:
     """Block until every submitted metadata reap has finished — for
     tests and for shutdown hooks that must observe the final file set."""
-    pending, _GC_PENDING[:] = _GC_PENDING[:], []
+    with _gc_lock():
+        pending, _GC_PENDING[:] = _GC_PENDING[:], []
     for f in pending:
         try:
             f.result(timeout=30)
@@ -276,7 +320,8 @@ class TableOperations:
             futures = [pool.submit(_reap, v) for v in versions]
         except RuntimeError:  # interpreter shutdown: skip, best-effort
             return
-        _GC_PENDING.extend(futures)
-        # bound the tracking list (done futures only help drain_metadata_gc)
-        if len(_GC_PENDING) > 256:
-            _GC_PENDING[:] = [f for f in _GC_PENDING if not f.done()]
+        with _gc_lock():
+            _GC_PENDING.extend(futures)
+            # bound the tracking list (done futures only help drain_metadata_gc)
+            if len(_GC_PENDING) > 256:
+                _GC_PENDING[:] = [f for f in _GC_PENDING if not f.done()]

@@ -202,6 +202,47 @@ def test_export_day_transform(spark, sf_dir):
     assert all(isinstance(d, int) and 10000 < d < 40000 for d in days)
 
 
+def test_export_identity_on_date_and_timestamp(spark, sf_dir):
+    """Identity partitions on temporal sources must export the spec's
+    typed values — days since epoch (int) for date, micros since epoch
+    (long) for timestamp — not the hive dir string (which would either
+    crash int() or write a spec-violating string partition value)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .withColumn("d", F.to_date("ts"))
+        .withColumn("th", F.date_trunc("day", F.col("ts")))
+        .limit(200)
+    )
+    # date identity
+    table = _table(spark, ev.select("event_id", "ts", "d"), partition_by=["d"])
+    dest, _ = _round_trip(spark, table)
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    snap = doc["snapshots"][0]
+    _, _, mls = avro_ocf.read_ocf(open(snap["manifest-list"], "rb").read())
+    esch, _, entries = avro_ocf.read_ocf(open(mls[0]["manifest_path"], "rb").read())
+    part_schema = next(
+        f for f in esch["fields"][-1]["type"]["fields"] if f["name"] == "partition"
+    )["type"]
+    assert part_schema["fields"][0]["type"] == ["null", "int"]
+    vals = [e["data_file"]["partition"]["d"] for e in entries]
+    assert all(isinstance(v, int) and 10000 < v < 40000 for v in vals)
+    # timestamp identity (day-truncated so the dir count stays sane)
+    table = _table(spark, ev.select("event_id", "d", "th"), partition_by=["th"])
+    dest, _ = _round_trip(spark, table)
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    snap = doc["snapshots"][0]
+    _, _, mls = avro_ocf.read_ocf(open(snap["manifest-list"], "rb").read())
+    esch, _, entries = avro_ocf.read_ocf(open(mls[0]["manifest_path"], "rb").read())
+    part_schema = next(
+        f for f in esch["fields"][-1]["type"]["fields"] if f["name"] == "partition"
+    )["type"]
+    assert part_schema["fields"][0]["type"] == ["null", "long"]
+    vals = [e["data_file"]["partition"]["th"] for e in entries]
+    day_us = 86_400_000_000
+    assert all(isinstance(v, int) and v % day_us == 0 for v in vals)
+
+
 def test_export_drops_bucket_field(spark, sf_dir):
     """bucket[N] uses a non-Iceberg hash; exporting it as a partition
     field would let readers prune wrongly. It must be dropped from the
