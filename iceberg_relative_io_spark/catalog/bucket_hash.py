@@ -1,0 +1,179 @@
+"""Iceberg-spec bucket transform: 32-bit Murmur3 (x86, seed 0).
+
+The table format's ``bucket(N, col)`` partition transform originally
+hashed with Spark's ``xxhash64`` — fast and JVM-native, but NOT what the
+Iceberg spec mandates, so exported tables had to drop their bucket
+partition field (an external engine pruning by the wrong hash would
+silently lose rows). This module implements the spec's hash (Iceberg
+spec "Partition Transforms" + Appendix B: Murmur3_x86_32 with seed 0
+over a type-specific byte representation) so that
+
+- NEW tables hash buckets spec-compatibly (metadata records
+  ``"bucket-hash": "murmur3"``; tables without the key keep reading and
+  writing with the legacy xxhash64 — transform VERSIONING, not a silent
+  swap that would misplace every pre-existing file);
+- exports retain ``bucket[N]`` in ``partition-specs`` with hashes any
+  compliant reader can prune by;
+- the engine itself can prune bucket layouts driver-side for equality
+  predicates (xxhash64 had no Python mirror, so bucketed files could
+  never be skipped before the scan).
+
+Byte representations (spec Appendix B):
+  int/long/date/timestamp -> 8-byte little-endian of the widened long
+  (date: days since epoch; timestamp: micros since epoch);
+  string -> UTF-8 bytes; binary -> raw bytes.
+Bucket id = ``(hash & Integer.MAX_VALUE) % N``.
+
+The column-side implementation is an Arrow-batched pandas UDF: for
+integral sources the hash is fully vectorized in numpy (uint32 lanes,
+two fixed blocks — no per-row Python), so write-path bucketing of a
+100 TB append stays a single codegen'd projection plus one vectorized
+batch pass. String sources hash per row (variable length defeats lane
+vectorization) — still Arrow-batched, and only on the write path.
+
+Verified against the public spec's Appendix B test vectors
+(tests/test_iceberg_export.py::test_murmur3_spec_vectors).
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timedelta, timezone
+
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve from module globals
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+_EPOCH = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1)
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3_x86_32 over ``data``; returns a SIGNED int32 (Java's
+    convention, which the spec's published vectors use)."""
+    h = seed & _M32
+    n_blocks = len(data) // 4
+    for i in range(n_blocks):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n_blocks * 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _hash_long(v: int) -> int:
+    return murmur3_32(struct.pack("<q", v))
+
+
+def bucket_value(v, n: int) -> int | None:
+    """Driver-side bucket id for a Python value (spec widening rules);
+    None for None. Used for manifest pruning and export checks."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        raise TypeError("bucket transform is undefined for boolean")
+    if isinstance(v, int):
+        h = _hash_long(v)
+    elif isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        h = _hash_long((v - _EPOCH_DT) // timedelta(microseconds=1))
+    elif isinstance(v, date):
+        h = _hash_long((v - _EPOCH).days)
+    elif isinstance(v, str):
+        h = murmur3_32(v.encode("utf-8"))
+    elif isinstance(v, (bytes, bytearray)):
+        h = murmur3_32(bytes(v))
+    else:
+        raise TypeError(f"bucket transform unsupported for {type(v).__name__}")
+    return (h & 0x7FFFFFFF) % n
+
+
+def _mmh3_long_vec(vals):
+    """Vectorized Murmur3_x86_32 of 8-byte little-endian longs: the two
+    4-byte blocks are the low and high uint32 halves. Pure numpy uint32
+    lane arithmetic (wrapping), no per-row Python."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = vals.astype(np.int64).view(np.uint64)
+        h = np.zeros(v.shape, dtype=np.uint32)
+        for blk in (
+            (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = blk * np.uint32(_C1)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(_C2)
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # input length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def bucket_column(source: str, n: int, dtype):
+    """``bucket(N, source)`` as a Spark Column under the spec hash.
+
+    Integral/temporal sources widen to long JVM-side first (codegen'd
+    cast / unix_micros / datediff), so ONE numpy-vectorized pandas UDF
+    over longs covers them all; strings get the per-row variant. The
+    UDF is the write path's only Python step and is Arrow-batched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket_long(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = s.isna()
+        vals = s.fillna(0).to_numpy(dtype=np.int64)
+        h = _mmh3_long_vec(vals).view(np.int32)
+        out = (h & np.int32(0x7FFFFFFF)) % np.int32(n)
+        res = pd.Series(out.astype("int32"))
+        res[mask.to_numpy()] = None
+        return res
+
+    @pandas_udf("int")
+    def _bucket_str(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else (murmur3_32(str(x).encode("utf-8")) & 0x7FFFFFFF) % n
+        ).astype("Int32")
+
+    col = F.col(source)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return _bucket_long(col.cast("long"))
+    if isinstance(dtype, T.DateType):
+        return _bucket_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _bucket_long(F.unix_micros(col.cast("timestamp")))
+    if isinstance(dtype, T.StringType):
+        return _bucket_str(col)
+    raise TypeError(
+        f"bucket transform unsupported for source type {dtype.simpleString()}"
+    )

@@ -31,19 +31,23 @@ the manifest partition struct. ``read_iceberg`` below — an independent
 spec-path reader used by the round-trip gate — does so, as would any
 compliant client.
 
-Two honest deviations, both safe-by-construction:
+Bucket transforms: tables created since the Murmur3 switch
+(``bucket-hash: murmur3`` in metadata) hash buckets with the Iceberg
+spec's Murmur3_x86_32 (catalog/bucket_hash.py, verified against the
+spec's Appendix B vectors), so their ``bucket[N]`` fields export
+verbatim and external engines can bucket-prune. One honest deviation
+remains for LEGACY tables only: pre-switch ``pmod(xxhash64(x), N)``
+layouts still drop the bucket field from the exported spec — exporting
+it as ``bucket[N]`` would invite an external reader to prune by the
+WRONG hash (silent row loss), while dropping it only widens scans.
 
-- **bucket[N] fields are exported as data columns, not partition
-  fields.** Our bucket transform is ``pmod(xxhash64(x), N)``; Iceberg's
-  is a Murmur3-based hash. Exporting the field as ``bucket[N]`` would
-  invite an external reader to prune by the WRONG hash (silent row
-  loss). The source column lives in the data files, so dropping the
-  field from the exported spec only widens scans, never loses rows.
-- **tables with live merge-on-read deletes are refused.** v2 could
-  express them as equality-delete manifests, but our delete-file
-  payload is a JSON predicate, not Iceberg's parquet delete format.
-  Callers run ``compact()`` first (the same answer Iceberg gives for
-  format-version downgrades).
+Merge-on-read deletes: live equality-delete files export as genuine v2
+delete manifests — the delete payload is already a parquet file of
+equality-key tuples (spark_table.py delete_where_mor), which IS the
+spec's equality-delete format; the manifest entry carries
+``content=2`` + ``equality_ids`` and sequence numbers reproduce the
+strictly-older scoping rule, so an external reader (and ``read_iceberg``
+below) applies them exactly as the source table does.
 
 If this environment had pyiceberg or DuckDB's iceberg extension the
 export would be externally checkable; neither can be installed here
@@ -170,15 +174,22 @@ def iceberg_schema(struct: T.StructType, column_ids: dict | None) -> tuple[dict,
 # ---------------------------------------------------------------------------
 
 def _exportable_spec(table: RelativeTable, schema_fields: list[dict]) -> list[dict]:
-    """Iceberg partition-spec fields for the exportable transforms
-    (identity / truncate / day / month; bucket is dropped — see module
-    docstring). Field-ids start at 1000 per the spec convention."""
+    """Iceberg partition-spec fields for the exportable transforms.
+    identity / truncate / day / month always export; ``bucket[N]``
+    exports iff the table's recorded bucket hash is the spec Murmur3
+    (``bucket-hash: murmur3`` — catalog/bucket_hash.py, verified against
+    the spec's Appendix B vectors). Legacy xxhash64 bucket layouts are
+    still dropped: exporting them as ``bucket[N]`` would invite an
+    external reader to prune by the WRONG hash (silent row loss), while
+    dropping the field only widens scans. Field-ids start at 1000 per
+    the spec convention."""
     by_name = {f["name"]: f for f in schema_fields}
+    bucket_hash = table.ops.current().get("bucket-hash", "xxhash64")
     out = []
     fid = 1000
     for entry in table.partition_spec:
         fdef = parse_partition_field(entry)
-        if fdef["kind"] == "bucket":
+        if fdef["kind"] == "bucket" and bucket_hash != "murmur3":
             continue
         src = by_name.get(fdef["source"])
         if src is None:
@@ -187,6 +198,7 @@ def _exportable_spec(table: RelativeTable, schema_fields: list[dict]) -> list[di
             "identity": "identity",
             "day": "day",
             "month": "month",
+            "bucket": f"bucket[{fdef['arg']}]",
             "truncate": f"truncate[{fdef['arg']}]",
         }[fdef["kind"]]
         out.append(
@@ -205,7 +217,7 @@ def _exportable_spec(table: RelativeTable, schema_fields: list[dict]) -> list[di
 
 def _partition_avro_type(spec_field: dict) -> object:
     kind = spec_field["_kind"]
-    if kind in ("day", "month"):
+    if kind in ("day", "month", "bucket"):
         return "int"
     src = spec_field["_source_type"]
     if kind == "truncate":
@@ -240,6 +252,8 @@ def _partition_value(spec_field: dict, raw: str | None):
         return (y - 1970) * 12 + (m - 1)
     if kind == "truncate":
         return raw
+    if kind == "bucket":
+        return int(raw)  # the layout dir records the murmur3 bucket id
     src = spec_field["_source_type"]
     if src == "date":
         return (date.fromisoformat(raw) - _EPOCH).days
@@ -292,6 +306,13 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "partition", "type": part_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # spec field 135: source field ids of an equality delete's
+            # key columns (null on data files)
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -339,26 +360,35 @@ def export_iceberg(
 ) -> dict:
     """Write ``dest_dir`` as a standalone Iceberg v2 table whose current
     snapshot holds the source table's live data files (referenced by
-    absolute URI, zero-copy). Returns a summary dict (paths + counts).
-    Raises on live merge-on-read deletes — compact() first."""
+    absolute URI, zero-copy). Live merge-on-read equality deletes export
+    as genuine v2 delete manifests (``content=2`` entries with
+    ``equality_ids``): the delete payload is already a parquet file of
+    key tuples — the spec's equality-delete format — and data/delete
+    sequence numbers are assigned in snapshot order so the spec's
+    strictly-older applicability rule reproduces the source scoping
+    exactly (a key re-inserted after its delete survives). Honors
+    ``write.metadata.compression=gzip``. Returns a summary dict."""
     ops = table.ops
     meta = ops.current()
     sid = table._resolve_snapshot(meta, snapshot_id, None)
-    if sid is None:
-        files: list[dict] = []
-    else:
-        if table._delete_files(meta, sid):
-            raise ValueError(
-                "table has live merge-on-read delete files; run compact() "
-                "before export (exported v2 metadata would silently "
-                "resurrect deleted rows otherwise)"
-            )
-        files = table._data_files(meta, sid)
+    files = [] if sid is None else table._data_files(meta, sid)
+    dels = [] if sid is None else table._delete_files(meta, sid)
 
     struct = table.schema()
     schema_json, last_col = iceberg_schema(struct, meta.get("column-ids"))
     spec_fields = _exportable_spec(table, schema_json["fields"])
     entry_schema = _manifest_entry_schema(spec_fields)
+    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+
+    # data sequence numbers: snapshot ids are globally monotone
+    # (spark_table._commit_snapshot), so rank order IS commit order
+    seq_of = {
+        s: i + 1
+        for i, s in enumerate(
+            sorted({e["_snap"] for e in files} | {d["_snap"] for d in dels})
+        )
+    }
+    last_seq = max(seq_of.values(), default=1)
 
     os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
     now_ms = int(time.time() * 1000)
@@ -376,12 +406,13 @@ def export_iceberg(
             )
             for sf in spec_fields
         }
+        seq = seq_of.get(f["_snap"], 1)
         entries.append(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
-                "sequence_number": 1,
-                "file_sequence_number": 1,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
                 "data_file": {
                     "content": 0,
                     "file_path": ops.io.spark_path(f["path"]),
@@ -389,6 +420,34 @@ def export_iceberg(
                     "partition": part,
                     "record_count": rows,
                     "file_size_in_bytes": int(f.get("size-bytes", 0)),
+                    "equality_ids": None,
+                },
+            }
+        )
+    del_entries = []
+    total_del_rows = 0
+    for d in dels:
+        try:
+            rows = int(ops.io.parquet_metadata(d["path"]).num_rows)
+        except Exception:
+            rows = 0  # record_count stays best-effort on unreadable footers
+        total_del_rows += rows
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq_of.get(d["_snap"], 1),
+                "file_sequence_number": seq_of.get(d["_snap"], 1),
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": ops.io.spark_path(d["path"]),
+                    "file_format": "PARQUET",
+                    "partition": {sf["name"]: None for sf in spec_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": int(d.get("size-bytes", 0)),
+                    "equality_ids": [
+                        field_ids[c] for c in d["equality-cols"]
+                    ],
                 },
             }
         )
@@ -413,29 +472,72 @@ def export_iceberg(
     with open(manifest_path, "wb") as fh:
         fh.write(manifest_bytes)
 
+    def _seq_bounds(es: list[dict]) -> tuple[int, int]:
+        seqs = [e["sequence_number"] for e in es] or [1]
+        return min(seqs), max(seqs)
+
+    ml_records = []
+    lo, hi = _seq_bounds(entries)
+    ml_records.append(
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 0,  # data
+            "sequence_number": hi,
+            "min_sequence_number": lo,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    del_manifest_path = None
+    if del_entries:
+        del_manifest_path = os.path.join(
+            dest_dir, "metadata", f"{uuid.uuid4()}-m1.avro"
+        )
+        del_bytes = avro_ocf.write_ocf(
+            entry_schema,
+            del_entries,
+            metadata={
+                "schema": json.dumps(schema_json),
+                "schema-id": "0",
+                "partition-spec": json.dumps(clean_spec),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        with open(del_manifest_path, "wb") as fh:
+            fh.write(del_bytes)
+        lo, hi = _seq_bounds(del_entries)
+        ml_records.append(
+            {
+                "manifest_path": del_manifest_path,
+                "manifest_length": len(del_bytes),
+                "partition_spec_id": 0,
+                "content": 1,  # deletes
+                "sequence_number": hi,
+                "min_sequence_number": lo,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(del_entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": total_del_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
     # --- manifest list -----------------------------------------------------
     ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
     ml_path = os.path.join(dest_dir, "metadata", ml_name)
     ml_bytes = avro_ocf.write_ocf(
-        _MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": len(manifest_bytes),
-                "partition_spec_id": 0,
-                "content": 0,  # data
-                "sequence_number": 1,
-                "min_sequence_number": 1,
-                "added_snapshot_id": snap_id,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
-        metadata={"format-version": "2"},
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
     )
     with open(ml_path, "wb") as fh:
         fh.write(ml_bytes)
@@ -445,7 +547,7 @@ def export_iceberg(
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": dest_dir,
-        "last-sequence-number": 1,
+        "last-sequence-number": last_seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col,
         "current-schema-id": 0,
@@ -465,7 +567,7 @@ def export_iceberg(
         "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
         "snapshots": [
             {
-                "sequence-number": 1,
+                "sequence-number": last_seq,
                 "snapshot-id": snap_id,
                 "timestamp-ms": now_ms,
                 "summary": {
@@ -474,9 +576,9 @@ def export_iceberg(
                     "added-records": str(total_rows),
                     "total-records": str(total_rows),
                     "total-data-files": str(len(entries)),
-                    "total-delete-files": "0",
+                    "total-delete-files": str(len(del_entries)),
                     "total-position-deletes": "0",
-                    "total-equality-deletes": "0",
+                    "total-equality-deletes": str(total_del_rows),
                 },
                 "manifest-list": ml_path,
                 "schema-id": 0,
@@ -487,9 +589,24 @@ def export_iceberg(
         "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
         "metadata-log": [],
     }
-    meta_path = os.path.join(dest_dir, "metadata", "v1.metadata.json")
-    with open(meta_path, "w") as fh:
-        json.dump(doc, fh, indent=2)
+    # A30 parity: honor write.metadata.compression=gzip — the codec the
+    # reference probes for (HadoopRelativeTableOperations.java:160-162);
+    # read_iceberg probes plain first, then .gz, like our own reader
+    gz = (
+        meta.get("properties", {}).get("write.metadata.compression", "none")
+        == "gzip"
+    )
+    if gz:
+        import gzip as _gzip
+
+        doc["properties"]["write.metadata.compression"] = "gzip"
+        meta_path = os.path.join(dest_dir, "metadata", "v1.gz.metadata.json")
+        with _gzip.open(meta_path, "wt") as fh:
+            json.dump(doc, fh, indent=2)
+    else:
+        meta_path = os.path.join(dest_dir, "metadata", "v1.metadata.json")
+        with open(meta_path, "w") as fh:
+            json.dump(doc, fh, indent=2)
     with open(
         os.path.join(dest_dir, "metadata", "version-hint.text"), "w"
     ) as fh:
@@ -498,7 +615,9 @@ def export_iceberg(
         "metadata": meta_path,
         "manifest-list": ml_path,
         "manifest": manifest_path,
+        "delete-manifest": del_manifest_path,
         "data-files": len(entries),
+        "delete-files": len(del_entries),
         "records": total_rows,
     }
 
@@ -521,12 +640,25 @@ _ICEBERG_TO_SPARK = {
 }
 
 
-def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    eq_filters: dict | None = None,
+) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
-    version-hint -> metadata.json -> current snapshot -> avro manifest
-    list -> avro manifests (content == data) -> parquet data files,
-    filling identity-partition columns from the manifest partition
-    struct (the spec's rule for columns absent from data files).
+    version-hint -> metadata.json (plain or .gz) -> current snapshot ->
+    avro manifest list -> avro manifests -> parquet data files, filling
+    identity-partition columns from the manifest partition struct (the
+    spec's rule for columns absent from data files), and applying
+    equality-delete manifests (``content=1``) to data files with a
+    strictly smaller data sequence number — the spec's scoping rule.
+
+    ``eq_filters`` (``{source_column: value}``) applies those equality
+    predicates AND prunes manifest entries by partition value first:
+    identity fields match directly; ``bucket[N]`` fields hash the value
+    with the spec Murmur3 (bucket_hash.py) and skip every entry in a
+    different bucket — the pruning path an external engine gets from
+    the exported spec.
 
     Deliberately shares NOTHING with RelativeTable's read path — it
     consumes only the exported spec artifacts, so a round-trip equality
@@ -536,10 +668,18 @@ def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
     mapping, but the gate here is correctness of the artifacts."""
     with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
         version = int(fh.read().strip())
-    with open(
-        os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
-    ) as fh:
-        doc = json.load(fh)
+    plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    if os.path.exists(plain):
+        with open(plain) as fh:
+            doc = json.load(fh)
+    else:  # gzip codec probe (write.metadata.compression=gzip)
+        import gzip as _gzip
+
+        with _gzip.open(
+            os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json"),
+            "rt",
+        ) as fh:
+            doc = json.load(fh)
     if doc["format-version"] != 2:
         raise ValueError("only format-version 2 supported")
     snap = next(
@@ -557,30 +697,97 @@ def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
         p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
     )
     fields_by_id = {f["id"]: f for f in schema["fields"]}
+    fields_by_name = {f["name"]: f for f in schema["fields"]}
     identity = [
         (pf["name"], fields_by_id[pf["source-id"]])
         for pf in spec["fields"]
         if pf["transform"] == "identity"
     ]
+    # bucket[N] partition fields: (field_name, source_name, N)
+    buckets = [
+        (
+            pf["name"],
+            fields_by_id[pf["source-id"]]["name"],
+            int(pf["transform"][7:-1]),
+        )
+        for pf in spec["fields"]
+        if pf["transform"].startswith("bucket[")
+    ]
 
-    groups: dict[tuple, list[str]] = {}
+    data_entries: list[dict] = []
+    eq_deletes: list[dict] = []  # {seq, path, cols}
     for mf in manifests:
-        if mf["content"] != 0:
-            raise ValueError("delete manifests not supported by this reader")
         with open(mf["manifest_path"], "rb") as fh:
             _, _, entries = avro_ocf.read_ocf(fh.read())
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
-            df_rec = e["data_file"]
-            key = tuple(
-                (name, df_rec["partition"].get(name)) for name, _ in identity
+            rec = e["data_file"]
+            if mf["content"] == 1 or rec["content"] == 2:
+                eq_deletes.append(
+                    {
+                        "seq": e["sequence_number"],
+                        "path": rec["file_path"],
+                        "cols": [
+                            fields_by_id[i]["name"]
+                            for i in (rec.get("equality_ids") or [])
+                        ],
+                    }
+                )
+            else:
+                data_entries.append(e)
+
+    if eq_filters:
+        for fname, src, n in buckets:
+            if src not in eq_filters:
+                continue
+            from iceberg_relative_io_spark.catalog.bucket_hash import (
+                bucket_value,
             )
-            groups.setdefault(key, []).append(df_rec["file_path"])
+
+            want = bucket_value(eq_filters[src], n)
+            data_entries = [
+                e
+                for e in data_entries
+                if e["data_file"]["partition"].get(fname) in (None, want)
+            ]
+        for fname, src_field in identity:
+            if src_field["name"] in eq_filters:
+                want = _partition_value(
+                    {"_kind": "identity", "_source_type": src_field["type"]},
+                    str(eq_filters[src_field["name"]]),
+                )
+                data_entries = [
+                    e
+                    for e in data_entries
+                    if e["data_file"]["partition"].get(fname) in (None, want)
+                ]
+
+    # group data files by (identity tuple, applicable delete set): the
+    # spec applies an equality delete to data files with sequence
+    # strictly below the delete's
+    groups: dict[tuple, list[str]] = {}
+    for e in data_entries:
+        rec = e["data_file"]
+        applicable = tuple(
+            sorted(
+                (d["path"], tuple(d["cols"]))
+                for d in eq_deletes
+                if d["seq"] > e["sequence_number"]
+            )
+        )
+        key = (
+            tuple((name, rec["partition"].get(name)) for name, _ in identity),
+            applicable,
+        )
+        groups.setdefault(key, []).append(rec["file_path"])
 
     out: DataFrame | None = None
-    for key, paths in groups.items():
+    for (key, applicable), paths in groups.items():
         part = spark.read.parquet(*paths)
+        for dpath, dcols in applicable:
+            dkeys = spark.read.parquet(dpath).select(*dcols).distinct()
+            part = part.join(F.broadcast(dkeys), on=list(dcols), how="left_anti")
         for (name, src_field), (_, raw) in zip(identity, key):
             tname = (
                 src_field["type"]
@@ -613,7 +820,11 @@ def read_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
                 for f in schema["fields"]
             ]
         )
-        return spark.createDataFrame([], struct)
+        out = spark.createDataFrame([], struct)
+    if eq_filters:
+        for col, v in eq_filters.items():
+            if col in out.columns:
+                out = out.filter(F.col(col) == F.lit(v))
     # present columns in schema order where available
     names = [f["name"] for f in schema["fields"] if f["name"] in out.columns]
     return out.select(*names)

@@ -68,8 +68,12 @@ def parse_partition_field(entry: str) -> dict:
     }
 
 
-def _transform_column(fdef: dict):
-    """The derived layout column as a Catalyst expression (codegen)."""
+def _transform_column(fdef: dict, bucket_hash: str = "xxhash64", dtype=None):
+    """The derived layout column as a Catalyst expression (codegen).
+    ``bucket_hash`` is the table's recorded bucket transform version:
+    'murmur3' (new tables — the Iceberg spec hash, exportable and
+    driver-side prunable) or the legacy 'xxhash64' (tables created
+    before the switch keep their layout)."""
     from pyspark.sql import functions as F
 
     src = F.col(fdef["source"])
@@ -78,6 +82,12 @@ def _transform_column(fdef: dict):
     if fdef["kind"] == "month":
         return F.date_format(src, "yyyy-MM")
     if fdef["kind"] == "bucket":
+        if bucket_hash == "murmur3":
+            from iceberg_relative_io_spark.catalog.bucket_hash import (
+                bucket_column,
+            )
+
+            return bucket_column(fdef["source"], fdef["arg"], dtype)
         return F.pmod(F.xxhash64(src), F.lit(fdef["arg"])).cast("int")
     if fdef["kind"] == "truncate":
         return F.substring(src, 1, fdef["arg"])
@@ -133,13 +143,21 @@ class RelativeTable:
         spec = self.partition_spec
         fields = [parse_partition_field(e) for e in spec]
         layout_cols = [f["name"] for f in fields]
-        sort_order = self.ops.current().get("sort-order") or []
+        meta_now = self.ops.current()
+        bucket_hash = meta_now.get("bucket-hash", "xxhash64")
+        sort_order = meta_now.get("sort-order") or []
         if fields:
             # hidden partitioning: derive each transform's layout column
             # (identity entries pass through untouched)
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
             for fdef in fields:
                 if fdef["kind"] != "identity":
-                    df = df.withColumn(fdef["name"], _transform_column(fdef))
+                    df = df.withColumn(
+                        fdef["name"],
+                        _transform_column(
+                            fdef, bucket_hash, dtypes.get(fdef["source"])
+                        ),
+                    )
         if pre_distributed:
             pass  # caller already clustered the rows (e.g. z-order rewrite)
         elif sort_order:
@@ -774,12 +792,34 @@ class RelativeTable:
     ) -> list[dict]:
         if column_ranges:
             # hidden partitioning: a range predicate on a transform's SOURCE
-            # column prunes on the derived layout value (order-preserving
-            # transforms only; bucket can't be derived driver-side => kept)
+            # column prunes on the derived layout value. Order-preserving
+            # transforms prune ranges; bucket prunes EQUALITY predicates
+            # when the table's hash is the spec Murmur3 (driver-side
+            # mirror in bucket_hash.py — the legacy xxhash64 had no
+            # Python mirror, so those layouts are kept conservatively).
+            bucket_hash = self.ops.current().get("bucket-hash", "xxhash64")
             for fdef in (parse_partition_field(e) for e in self.partition_spec):
                 if fdef["kind"] == "identity" or fdef["source"] not in column_ranges:
                     continue
                 lo, hi = column_ranges[fdef["source"]]
+                if fdef["kind"] == "bucket":
+                    if bucket_hash != "murmur3" or lo is None or lo != hi:
+                        continue
+                    try:
+                        from iceberg_relative_io_spark.catalog.bucket_hash import (
+                            bucket_value,
+                        )
+
+                        want = str(bucket_value(lo, fdef["arg"]))
+                    except TypeError:
+                        continue  # unsupported source type: keep all
+
+                    def in_bucket(f: dict, name=fdef["name"], want=want) -> bool:
+                        v = f.get("partition", {}).get(name)
+                        return v is None or v == want
+
+                    entries = [f for f in entries if in_bucket(f)]
+                    continue
                 tlo, thi = _transform_value(fdef, lo), _transform_value(fdef, hi)
 
                 def in_layout(f: dict, name=fdef["name"], tlo=tlo, thi=thi) -> bool:

@@ -142,6 +142,13 @@ def new_table_metadata(
         "column-ids": {f["name"]: i + 1 for i, f in enumerate(fields)},
         "last-column-id": len(fields),
         "partition-spec": list(partition_by or []),
+        # bucket transform VERSIONING: new tables hash bucket(N, col) with
+        # the Iceberg spec's Murmur3_x86_32 (catalog/bucket_hash.py) so
+        # exports keep a prunable bucket[N] partition spec; metadata
+        # WITHOUT this key predates the switch and keeps the legacy
+        # xxhash64 layout — changing an existing table's hash would
+        # silently misplace every already-written file
+        "bucket-hash": "murmur3",
         # write clustering (reference metadata records sort-orders, README.md:59)
         "sort-order": list(sort_order or []),
         "properties": dict(properties or {}),

@@ -511,9 +511,49 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
 
 
+def q_bucket_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42 (round-6): Iceberg-spec Murmur3 ``bucket[N]`` interop. New
+    tables hash bucket layouts with the spec's Murmur3_x86_32
+    (catalog/bucket_hash.py, pinned to the spec Appendix B vectors), so
+    the export RETAINS the bucket partition field and a compliant reader
+    can bucket-prune. The query builds a bucket(8, c_custkey) customer
+    table, exports it, then point-reads five keys through the spec-path
+    reader with equality pruning (each read skips every data file in a
+    different bucket — the pruning an external engine derives from the
+    exported spec). Oracle: the same five keys off the raw fixture, so
+    equality proves both the retained spec and the pruned reads are
+    exact."""
+    import tempfile
+    from functools import reduce
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    ops = cat.create_table(
+        ("ns",), "cust_bucketed", cust.schema.jsonValue(),
+        partition_by=["bucket(8, c_custkey)"],
+    )
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_bucket_export_")
+    iceberg_export.export_iceberg(table, dest)
+    keys = [7, 42, 77, 101, 149]
+    reads = [
+        iceberg_export.read_iceberg(spark, dest, eq_filters={"c_custkey": k})
+        for k in keys
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), reads)
+    return out.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a41_iceberg_export": q_iceberg_export,
+    "a42_bucket_export": q_bucket_export,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -537,6 +577,10 @@ QUERIES = {
 ORACLE = {
     "a41_iceberg_export": """
         SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+    """,
+    "a42_bucket_export": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey IN (7, 42, 77, 101, 149)
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

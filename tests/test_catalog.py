@@ -880,6 +880,65 @@ def test_bucket_and_truncate_transforms(spark, catalog):
     assert table.read(spark).count() == 20
     assert {r.id for r in table.read(spark).collect()} == set(range(20))
 
+    # bucket layout uses the Iceberg-spec Murmur3 on new tables (recorded
+    # in metadata as transform versioning), so the dir value must equal
+    # the driver-side spec hash...
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    assert ops.current().get("bucket-hash") == "murmur3"
+    probe_id = 7
+    want_bucket = str(bucket_value(probe_id, 4))
+    hit = [
+        f for f in files
+        if any(r.id == probe_id
+               for r in spark.read.parquet(
+                   table.ops.io.spark_path(f["path"])).select("id").collect())
+    ]
+    assert hit and all(f["partition"]["id_bucket"] == want_bucket for f in hit)
+    # ...and an EQUALITY predicate on the source column prunes the
+    # layout driver-side (xxhash64 had no Python mirror; murmur3 does)
+    eq = table.scan_files(column_ranges={"id": (probe_id, probe_id)})
+    assert {f["partition"]["id_bucket"] for f in eq} == {want_bucket}
+    assert len(eq) < len(files)
+    # a RANGE predicate must not consult the bucket (not order-preserving);
+    # a full-span range keeps every file (min/max stats can't skip either)
+    rng = table.scan_files(column_ranges={"id": (0, 19)})
+    assert len(rng) == len(files)
+    got = table.read(spark, column_ranges={"id": (probe_id, probe_id)}).filter(
+        f"id = {probe_id}"
+    )
+    assert got.count() == 1
+
+
+def test_bucket_murmur3_string_and_date_sources(spark, catalog):
+    """The spec hash byte-representations per source type: string
+    (utf-8) and date (days-since-epoch widened to long) layouts must
+    match the driver-side mirror so pruning never skips a live file."""
+    import datetime as dt
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    rows = [
+        (f"key{i}", dt.date(2024, 1, 1) + dt.timedelta(days=i % 11), i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v long")
+    ops = catalog.create_table(
+        ("hp",), "bms", df.schema.jsonValue(),
+        partition_by=["bucket(3, k)", "bucket(5, d)"],
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    for f in table.scan_files():
+        data = spark.read.parquet(table.ops.io.spark_path(f["path"])).collect()
+        for r in data:
+            assert str(bucket_value(r.k, 3)) == f["partition"]["k_bucket"]
+            assert str(bucket_value(r.d, 5)) == f["partition"]["d_bucket"]
+    # equality pruning on the string source
+    eq = table.scan_files(column_ranges={"k": ("key7", "key7")})
+    assert {f["partition"]["k_bucket"] for f in eq} == {str(bucket_value("key7", 3))}
+    assert table.read(spark).count() == 40
+
 
 # -- property tests: partition transforms + z-order ---------------------------
 

@@ -243,26 +243,158 @@ def test_export_identity_on_date_and_timestamp(spark, sf_dir):
     assert all(isinstance(v, int) and v % day_us == 0 for v in vals)
 
 
-def test_export_drops_bucket_field(spark, sf_dir):
-    """bucket[N] uses a non-Iceberg hash; exporting it as a partition
-    field would let readers prune wrongly. It must be dropped from the
-    exported spec while rows stay complete (source col is in files)."""
+def test_murmur3_spec_vectors():
+    """The published Iceberg spec Appendix B hash vectors — the ground
+    truth that makes exported bucket[N] specs safe for external engines
+    to prune by."""
+    import struct as _struct
+    from datetime import date, datetime
+
+    import numpy as np
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        _mmh3_long_vec,
+        bucket_value,
+        murmur3_32,
+    )
+
+    assert murmur3_32(_struct.pack("<q", 34)) == 2017239379  # int/long 34
+    assert murmur3_32(b"iceberg") == 1210000089  # string
+    d = (date(2017, 11, 16) - date(1970, 1, 1)).days
+    assert murmur3_32(_struct.pack("<q", d)) == -653330422  # date
+    us = int(
+        (datetime(2017, 11, 16, 22, 31, 8) - datetime(1970, 1, 1)).total_seconds()
+        * 1_000_000
+    )
+    assert murmur3_32(_struct.pack("<q", us)) == -2047944441  # timestamp
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207  # binary
+    # vectorized long path agrees with the scalar reference
+    vec = _mmh3_long_vec(np.array([34, d, us], dtype=np.int64)).view(np.int32)
+    assert vec.tolist() == [2017239379, -653330422, -2047944441]
+    # driver-side bucket ids (hash & MAX_INT) % N
+    assert bucket_value(34, 16) == 2017239379 % 16
+    assert bucket_value("iceberg", 16) == 1210000089 % 16
+
+
+def test_export_retains_murmur3_bucket_field(spark, sf_dir):
+    """New tables hash bucket(N, col) with the spec Murmur3, so the
+    exported spec keeps bucket[N]; the recorded partition values must
+    equal the spec hash of each file's keys, and read_iceberg must
+    bucket-prune an equality predicate (reads strictly fewer files)."""
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).limit(400)
+    table = _table(spark, cust, partition_by=["bucket(4, c_custkey)"])
+    assert table.ops.current().get("bucket-hash") == "murmur3"
+    dest, _ = _round_trip(spark, table)
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    pf = doc["partition-specs"][0]["fields"]
+    assert pf and pf[0]["transform"] == "bucket[4]"
+    # every file's recorded bucket equals the spec hash of its rows' keys
+    snap = doc["snapshots"][0]
+    _, _, mls = avro_ocf.read_ocf(open(snap["manifest-list"], "rb").read())
+    _, _, entries = avro_ocf.read_ocf(open(mls[0]["manifest_path"], "rb").read())
+    for e in entries:
+        b = e["data_file"]["partition"]["c_custkey_bucket"]
+        keys = [
+            r.c_custkey
+            for r in spark.read.parquet(e["data_file"]["file_path"])
+            .select("c_custkey").collect()
+        ]
+        assert all(bucket_value(k, 4) == b for k in keys)
+    # bucket pruning through the spec reader: equality on the source
+    # column must read strictly fewer files and return the exact row
+    probe = cust.limit(1).collect()[0]
+    got = iceberg_export.read_iceberg(
+        spark, dest, eq_filters={"c_custkey": probe.c_custkey}
+    )
+    all_files = {e["data_file"]["file_path"] for e in entries}
+    assert 0 < len(set(got.inputFiles())) < len(all_files)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].c_name == probe.c_name
+
+
+def test_export_drops_legacy_xxhash_bucket_field(spark, sf_dir):
+    """Tables created before the Murmur3 switch (no bucket-hash key in
+    metadata) keep their xxhash64 layout; exporting THEIR bucket field
+    as bucket[N] would let readers prune by the wrong hash, so it is
+    dropped while rows stay complete (source col is in the files)."""
     region = load_table(spark, sf_dir, "region")
-    table = _table(spark, region, partition_by=["bucket(2, r_regionkey)"])
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(
+        ("ns",), "t", region.schema.jsonValue(),
+        partition_by=["bucket(2, r_regionkey)"],
+    )
+    # surgically age the metadata to the pre-switch dialect
+    meta = json.loads(json.dumps(ops.current()))
+    del meta["bucket-hash"]
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(region)
     dest, _ = _round_trip(spark, table)
     doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
     assert doc["partition-specs"][0]["fields"] == []
 
 
-def test_export_refuses_live_mor_deletes(spark, sf_dir):
+def test_export_mor_deletes_without_compaction(spark, sf_dir):
+    """Live equality deletes export as content=2 delete manifests with
+    sequence scoping: the deleted key disappears, a key re-inserted
+    AFTER the delete survives (strictly-older rule), and the export
+    still works after rewrite_manifests carries the delete forward
+    (the round-4 resurrection regression, now pinned on the export
+    path too)."""
     nation = load_table(spark, sf_dir, "nation")
     table = _table(spark, nation)
     table.delete_where_mor(spark, F.col("n_nationkey") == 3, ["n_nationkey"])
-    with pytest.raises(ValueError, match="merge-on-read"):
-        iceberg_export.export_iceberg(table, tempfile.mkdtemp())
-    # after compaction the export must succeed and exclude the deleted row
-    table.compact(spark)
-    dest, _ = _round_trip(spark, table)
+    # re-insert key 3 after the delete: must survive export round-trip
+    reinserted = nation.filter(F.col("n_nationkey") == 3).withColumn(
+        "n_name", F.lit("REBORN")
+    )
+    table.append(reinserted)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    info = iceberg_export.export_iceberg(table, dest)
+    assert info["delete-files"] == 1
     got = iceberg_export.read_iceberg(spark, dest)
-    assert got.filter(F.col("n_nationkey") == 3).count() == 0
-    assert got.count() == nation.count() - 1
+    want = table.read(spark)
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    rows3 = got.filter(F.col("n_nationkey") == 3).collect()
+    assert len(rows3) == 1 and rows3[0].n_name == "REBORN"
+    # summary records the delete plane
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    assert doc["snapshots"][0]["summary"]["total-delete-files"] == "1"
+    assert doc["last-sequence-number"] >= 3
+    # metadata-only manifest rewrite must keep the delete applying
+    table.rewrite_manifests()
+    dest2 = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest2)
+    got2 = iceberg_export.read_iceberg(spark, dest2)
+    rows3 = got2.filter(F.col("n_nationkey") == 3).collect()
+    assert len(rows3) == 1 and rows3[0].n_name == "REBORN"
+    assert got2.count() == nation.count()
+
+
+def test_export_gzip_metadata(spark, sf_dir):
+    """write.metadata.compression=gzip must carry into the export (A30
+    parity): metadata lands as v1.gz.metadata.json and the spec reader
+    probes the codec."""
+    import gzip
+
+    region = load_table(spark, sf_dir, "region")
+    table = _table(spark, region)
+    table.set_properties({"write.metadata.compression": "gzip"})
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    info = iceberg_export.export_iceberg(table, dest)
+    assert info["metadata"].endswith("v1.gz.metadata.json")
+    with gzip.open(info["metadata"], "rt") as fh:
+        doc = json.load(fh)
+    assert doc["format-version"] == 2
+    got = iceberg_export.read_iceberg(spark, dest)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, region.collect())
+    )
