@@ -78,9 +78,16 @@ def q_embedding_neardup(
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn(
-        "bucket", V.make_bucket_udf(n_planes)(F.col("embedding"))
-    )
+    # shared featurization cache: the hyperplane-bucket pandas UDF is the
+    # expensive stage, and without the persist it would run TWICE — once
+    # under the skewpairs occupancy pre-count and once under the pair
+    # join (round-5 verdict item 4: feed the pre-count from the cache)
+    key = (id(spark), sf_dir, n_planes)
+    if key not in _BUCKETED_CACHE:
+        _BUCKETED_CACHE[key] = emb.withColumn(
+            "bucket", V.make_bucket_udf(n_planes)(F.col("embedding"))
+        ).persist()
+    bucketed = _BUCKETED_CACHE[key]
     bits = n_planes // n_bands
     bands = bucketed.select(
         "vec_id",
@@ -164,6 +171,8 @@ def q_embedding_neardup(
 # ---------------------------------------------------------------------------
 
 _SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BUCKETED_CACHE: dict[tuple, DataFrame] = {}
+_LSH_HOT_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +239,25 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "sh", "bs.band", "bs.bsig")
-    joined = skewpairs.chunked_self_join(bands, ["band", "bsig"], "doc_id")
+    # hot-bucket occupancy computed ONCE per (session, sf_dir) on the
+    # persisted signature cache and itself persisted (it is empty or
+    # tiny): the four LSH-family queries that re-enter this function
+    # (dedup_survivors, capstone, threshold sweep) skip the per-pass
+    # recount entirely — round-5 verdict item 4
+    hkey = (id(spark), sf_dir)
+    if hkey not in _LSH_HOT_CACHE:
+        hot = skewpairs.hot_buckets(
+            bands.select("band", "bsig"), ["band", "bsig"]
+        ).persist()
+        # one driver-side emptiness probe per (session, sf_dir): the
+        # healthy-corpus case then drops the occupancy join from every
+        # later pass's plan entirely (constant chunk annotations)
+        _LSH_HOT_CACHE[hkey] = (
+            skewpairs.NO_HOT_BUCKETS if hot.isEmpty() else hot
+        )
+    joined = skewpairs.chunked_self_join(
+        bands, ["band", "bsig"], "doc_id", sizes=_LSH_HOT_CACHE[hkey]
+    )
     inter = F.size(F.array_intersect(F.col("_l.sh"), F.col("_r.sh")))
     jacc = inter.cast("double") / (
         F.size(F.col("_l.sh")) + F.size(F.col("_r.sh")) - inter

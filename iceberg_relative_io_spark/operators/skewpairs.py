@@ -59,20 +59,53 @@ from pyspark.sql import functions as F
 # are a few ms of codegen work.
 DEFAULT_CAP = 4096
 
+# Sentinel for ``sizes=``: the caller has ALREADY established (one
+# driver-side isEmpty on its persisted hot list) that no bucket exceeds
+# the cap. Chunk annotations are then the constants (_nchunks=1,
+# _chunk=0) — identical to what the occupancy join would produce — so
+# the broadcast join and the recount vanish from the per-pass plan.
+NO_HOT_BUCKETS = "no-hot-buckets"
 
-def with_chunks(
-    df: DataFrame, bucket_cols: list[str], id_col: str, cap: int = DEFAULT_CAP
+
+def hot_buckets(
+    df: DataFrame, bucket_cols: list[str], cap: int = DEFAULT_CAP
 ) -> DataFrame:
-    """Annotate each row with ``_chunk`` (its deterministic chunk within
-    its bucket) and ``_nchunks`` (the bucket's chunk count, 1 unless the
-    bucket exceeds ``cap``). The occupancy count is a slim aggregation
-    over the bucket columns only; the hot list joins back broadcast."""
-    sizes = (
+    """The occupancy pre-count: buckets holding more than ``cap``
+    members, as ``bucket_cols + [_m]``. One slim map-side-combined
+    aggregation; in a healthy corpus the result is empty or tiny.
+    Callers that run SEVERAL chunked passes over one featurization
+    (the LSH family) should compute this once on the shared cache,
+    persist it, and pass it to the pair builders as ``sizes=`` — the
+    re-derivation of the bucket columns per pass is the avoidable
+    cost, the agg itself is cheap."""
+    return (
         df.select(*bucket_cols)
         .groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_m"))
         .filter(F.col("_m") > cap)
     )
+
+
+def with_chunks(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int = DEFAULT_CAP,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Annotate each row with ``_chunk`` (its deterministic chunk within
+    its bucket) and ``_nchunks`` (the bucket's chunk count, 1 unless the
+    bucket exceeds ``cap``). The occupancy count is a slim aggregation
+    over the bucket columns only; the hot list joins back broadcast.
+    ``sizes`` (from :func:`hot_buckets`, possibly persisted and shared
+    across passes) skips the recount; :data:`NO_HOT_BUCKETS` short-
+    circuits to constant annotations (no join at all)."""
+    if sizes is NO_HOT_BUCKETS:
+        return df.withColumn("_nchunks", F.lit(1)).withColumn(
+            "_chunk", F.lit(0)
+        )
+    if sizes is None:
+        sizes = hot_buckets(df, bucket_cols, cap)
     out = df.join(F.broadcast(sizes), bucket_cols, "left")
     nchunks = (
         F.when(F.col("_m").isNull(), F.lit(1))
@@ -88,14 +121,18 @@ def with_chunks(
 
 
 def chunked_sides(
-    df: DataFrame, bucket_cols: list[str], id_col: str, cap: int = DEFAULT_CAP
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int = DEFAULT_CAP,
+    sizes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Left/right sides for a skew-proof within-bucket self-join.
 
     Join the two on ``bucket_cols + ["_cl", "_cr"]`` plus
     ``pair_condition(left_id, right_id)``; every unordered member pair
     of every bucket appears exactly once (see module docstring)."""
-    t = with_chunks(df, bucket_cols, id_col, cap)
+    t = with_chunks(df, bucket_cols, id_col, cap, sizes=sizes)
     left = t.withColumn("_cl", F.col("_chunk")).withColumn(
         "_cr", F.explode(F.sequence(F.col("_chunk"), F.col("_nchunks") - 1))
     )
@@ -121,7 +158,11 @@ def canonical_pair(left_id: Column, right_id: Column) -> tuple[Column, Column]:
 
 
 def chunked_self_join(
-    df: DataFrame, bucket_cols: list[str], id_col: str, cap: int = DEFAULT_CAP
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int = DEFAULT_CAP,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The full skew-proof within-bucket self-join: every unordered pair
     of distinct rows sharing ``bucket_cols`` values, each exactly once,
@@ -132,7 +173,7 @@ def chunked_self_join(
     canonicalize ids with :func:`canonical_pair` (cross-chunk tasks see
     ids in hash order). Symmetric pair metrics (cosine, Hamming,
     Jaccard, shared-count) are unaffected by side order."""
-    left, right = chunked_sides(df, bucket_cols, id_col, cap)
+    left, right = chunked_sides(df, bucket_cols, id_col, cap, sizes=sizes)
     l, r = left.alias("_l"), right.alias("_r")
     keys = [*bucket_cols, "_cl", "_cr"]
     cond = functools.reduce(
@@ -142,7 +183,11 @@ def chunked_self_join(
 
 
 def chunked_grouped_sides(
-    df: DataFrame, bucket_cols: list[str], id_col: str, cap: int = DEFAULT_CAP
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int = DEFAULT_CAP,
+    sizes: DataFrame | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Skew-proof input for a grouped-map (applyInPandas) all-pairs pass.
 
@@ -158,7 +203,7 @@ def chunked_grouped_sides(
     one extra slim agg, no extra shuffle of the feature rows. A group
     may be one-sided (a chunk with no members on one side when the id
     hash misses a chunk); the UDF must emit empty for those."""
-    left, right = chunked_sides(df, bucket_cols, id_col, cap)
+    left, right = chunked_sides(df, bucket_cols, id_col, cap, sizes=sizes)
     tagged = left.withColumn("_side", F.lit("l")).unionByName(
         right.withColumn("_side", F.lit("r"))
     )

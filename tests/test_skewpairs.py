@@ -64,6 +64,38 @@ def test_chunked_self_join_exact(spark, cap):
     assert counts == 0
 
 
+def test_precomputed_sizes_and_no_hot_sentinel(spark):
+    """``sizes=`` must reproduce the internal recount exactly: a
+    caller-supplied hot list (the shared-cache path) and the
+    NO_HOT_BUCKETS sentinel (known-empty fast path, no occupancy join
+    in the plan) both emit the identical pair set."""
+    rows = _rows(5, [1, 2, 9, 17, 4])
+    df = spark.createDataFrame(rows, "bucket int, id long")
+    want = _naive_pairs(rows)
+
+    def pairs(joined):
+        a, b = skewpairs.canonical_pair(F.col("_l.id"), F.col("_r.id"))
+        return {
+            (r.a, r.b)
+            for r in joined.select(a.alias("a"), b.alias("b")).distinct().collect()
+        }
+
+    # caller-supplied hot list (cap 5 makes buckets of 9 and 17 hot)
+    hot = skewpairs.hot_buckets(df, ["bucket"], cap=5)
+    with_sizes = skewpairs.chunked_self_join(
+        df, ["bucket"], "id", cap=5, sizes=hot
+    )
+    assert pairs(with_sizes) == want
+    # sentinel: no bucket over the default cap -> constant annotations;
+    # the plan must carry NO join before the pair self-join
+    sent = skewpairs.chunked_self_join(
+        df, ["bucket"], "id", sizes=skewpairs.NO_HOT_BUCKETS
+    )
+    assert pairs(sent) == want
+    plan = sent._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1, plan  # only the pair join itself
+
+
 def test_hot_bucket_key_bound(spark):
     """One adversarial bucket of 500 members, cap 50: every join key
     (bucket, _cl, _cr) must hold <= ceil(m/C)+slack rows per side —
