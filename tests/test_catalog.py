@@ -910,6 +910,22 @@ def test_bucket_and_truncate_transforms(spark, catalog):
     assert got.count() == 1
 
 
+def test_dml_fuzz_one_seed(spark):
+    """One seeded random DML interleaving (tools/fuzz_dml.py) in the
+    suite: append / MOR+COW delete+update / merge / dynamic overwrite /
+    maintenance, DuckDB-mirror-checked after every op. The full
+    multi-seed sweep runs from the verify recipe; this pins the harness
+    itself working (the round-4 rewrite_manifests resurrection is the
+    bug class it catches mechanically)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    import fuzz_dml
+
+    assert fuzz_dml.run_seed(spark, seed=0, n_ops=12) == []
+
+
 def test_bucket_murmur3_string_and_date_sources(spark, catalog):
     """The spec hash byte-representations per source type: string
     (utf-8) and date (days-since-epoch widened to long) layouts must

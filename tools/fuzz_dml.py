@@ -1,0 +1,258 @@
+#!/usr/bin/env python3
+"""Randomized DML-sequence fuzz for the table format (round-5 verdict
+item 7).
+
+fuzz_oracle.py randomizes the INPUTS of query operators; this tool
+randomizes the COMMIT HISTORY of a table. Per seed it interleaves a
+random sequence of
+
+    append / delete_where_mor / update_where_mor / delete_where (COW) /
+    update_where (COW) / merge upsert / overwrite_partitions /
+    compact / rewrite_manifests / expire_snapshots / remove_orphan_files
+
+against a partitioned RelativeTable while applying the SQL-equivalent
+mutation to a DuckDB mirror table. After EVERY operation the full table
+read must equal the mirror exactly (sorted row sets) — maintenance ops
+(compact/rewrite_manifests/expire/orphans) must be invisible. This is
+exactly the class of bug the round-4 rewrite_manifests regression was
+(deleted rows resurrecting after a metadata-only rewrite): a mechanical
+interleaving search finds those without waiting for a hand-written
+test to guess the right sequence.
+
+A mid-history snapshot id is also captured and time-travel-read at the
+end against the mirror state recorded at that point (unless a later
+expire_snapshots dropped it).
+
+Usage: python tools/fuzz_dml.py [n_seeds] [ops_per_seed]
+Exit code 0 = every step of every seed matched.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCHEMA = "id long, part int, val double, tag string"
+
+
+def _rows_of(df) -> list[tuple]:
+    return sorted(
+        (r.id, r.part, None if r.val is None else round(r.val, 6), r.tag)
+        for r in df.collect()
+    )
+
+
+def _mirror_rows(con) -> list[tuple]:
+    return sorted(
+        (i, p, None if v is None else round(v, 6), t)
+        for i, p, v, t in con.execute(
+            "SELECT id, part, val, tag FROM t"
+        ).fetchall()
+    )
+
+
+def run_seed(spark, seed: int, n_ops: int) -> list[str]:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, part INT, val DOUBLE, tag VARCHAR)")
+
+    cat = FsCatalog(tempfile.mkdtemp(prefix=f"fuzz_dml_{seed}_"))
+    cat.create_namespace(("fz",))
+    base = spark.createDataFrame([], SCHEMA)
+    ops = cat.create_table(
+        ("fz",), "t", base.schema.jsonValue(), partition_by=["part"]
+    )
+    table = RelativeTable(ops)
+
+    next_id = 0
+
+    def fresh_batch(n: int, parts: list[int]):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            rows.append(
+                (
+                    next_id,
+                    rng.choice(parts),
+                    round(rng.uniform(-100, 100), 4),
+                    rng.choice(["a", "b", "c", "reborn"]),
+                )
+            )
+            next_id += 1
+        return rows
+
+    def live_ids():
+        return [r[0] for r in con.execute("SELECT id FROM t").fetchall()]
+
+    failures: list[str] = []
+    tt_snapshot = None  # (snapshot_id, mirror rows at capture)
+    expired_after_capture = False
+
+    # seed data so the first random op has something to chew on
+    rows = fresh_batch(rng.randint(5, 30), [0, 1, 2, 3])
+    table.append(spark.createDataFrame(rows, SCHEMA))
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+
+    OPS = [
+        "append", "append_dup_keys", "delete_mor", "update_mor",
+        "delete_cow", "update_cow", "merge_upsert", "overwrite_parts",
+        "compact", "rewrite_manifests", "expire", "orphans",
+    ]
+    for step in range(n_ops):
+        op = rng.choice(OPS)
+        try:
+            if op == "append":
+                rows = fresh_batch(rng.randint(1, 20), [0, 1, 2, 3, 4])
+                table.append(spark.createDataFrame(rows, SCHEMA))
+                con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+            elif op == "append_dup_keys":
+                # re-insert ALREADY-DELETED or live ids: the MOR scoping
+                # rule (deletes apply only to strictly older files) must
+                # keep exactly these alive
+                pool = list(range(next_id))
+                if not pool:
+                    continue
+                ids = rng.sample(pool, min(len(pool), rng.randint(1, 5)))
+                rows = [
+                    (i, rng.choice([0, 1, 2]), round(rng.uniform(0, 1), 4), "reborn")
+                    for i in ids
+                ]
+                table.append(spark.createDataFrame(rows, SCHEMA))
+                con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+            elif op in ("delete_mor", "delete_cow"):
+                ids = live_ids()
+                if not ids:
+                    continue
+                kill = rng.sample(ids, min(len(ids), rng.randint(1, 6)))
+                cond = F.col("id").isin(kill)
+                if op == "delete_mor":
+                    table.delete_where_mor(spark, cond, ["id"])
+                else:
+                    table.delete_where(spark, cond)
+                con.execute(
+                    f"DELETE FROM t WHERE id IN ({','.join(map(str, kill))})"
+                )
+            elif op in ("update_mor", "update_cow"):
+                ids = live_ids()
+                if not ids:
+                    continue
+                touch = rng.sample(ids, min(len(ids), rng.randint(1, 6)))
+                cond = F.col("id").isin(touch)
+                bump = round(rng.uniform(1, 9), 4)
+                if op == "update_mor":
+                    table.update_where_mor(
+                        spark, cond,
+                        {"val": F.lit(bump), "tag": F.lit("upd")}, ["id"],
+                    )
+                else:
+                    table.update_where(
+                        spark, cond, {"val": F.lit(bump), "tag": F.lit("upd")}
+                    )
+                con.execute(
+                    f"UPDATE t SET val = {bump}, tag = 'upd' "
+                    f"WHERE id IN ({','.join(map(str, touch))})"
+                )
+            elif op == "merge_upsert":
+                ids = live_ids()
+                upd = rng.sample(ids, min(len(ids), rng.randint(0, 3))) if ids else []
+                rows = [
+                    (i, rng.choice([0, 1, 2]), round(rng.uniform(0, 1), 4), "mrg")
+                    for i in upd
+                ] + fresh_batch(rng.randint(1, 4), [0, 1, 2])
+                table.merge(
+                    spark, spark.createDataFrame(rows, SCHEMA), ["id"]
+                )
+                for i, p, v, t in rows:
+                    con.execute("DELETE FROM t WHERE id = ?", [i])
+                    con.execute("INSERT INTO t VALUES (?, ?, ?, ?)", [i, p, v, t])
+            elif op == "overwrite_parts":
+                parts = sorted(
+                    {rng.choice([0, 1, 2, 3]) for _ in range(rng.randint(1, 2))}
+                )
+                rows = fresh_batch(rng.randint(1, 10), parts)
+                # every chosen partition must appear in the replacement
+                # data or it is (correctly) left alone — mirror only the
+                # parts actually present
+                present = sorted({r[1] for r in rows})
+                table.overwrite_partitions(spark.createDataFrame(rows, SCHEMA))
+                con.execute(
+                    f"DELETE FROM t WHERE part IN ({','.join(map(str, present))})"
+                )
+                con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+            elif op == "compact":
+                table.compact(spark)
+            elif op == "rewrite_manifests":
+                table.rewrite_manifests()
+            elif op == "expire":
+                table.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+                if tt_snapshot is not None:
+                    expired_after_capture = True
+            elif op == "orphans":
+                table.remove_orphan_files()
+        except Exception as exc:  # noqa: BLE001 — a crash is a finding
+            failures.append(f"seed {seed} step {step} {op}: {type(exc).__name__}: {exc}")
+            break
+
+        got = _rows_of(table.read(spark))
+        want = _mirror_rows(con)
+        if got != want:
+            only_spark = [r for r in got if r not in want][:5]
+            only_duck = [r for r in want if r not in got][:5]
+            failures.append(
+                f"seed {seed} step {step} after {op}: DIVERGED "
+                f"(spark {len(got)} rows vs mirror {len(want)}; "
+                f"spark-only {only_spark}, mirror-only {only_duck})"
+            )
+            break
+
+        # capture one mid-history snapshot for a time-travel check
+        if tt_snapshot is None and step >= n_ops // 2:
+            sid = ops.current().get("current-snapshot-id")
+            if sid is not None:
+                tt_snapshot = (sid, want)
+
+    if not failures and tt_snapshot is not None and not expired_after_capture:
+        sid, want = tt_snapshot
+        try:
+            got = _rows_of(table.read(spark, snapshot_id=sid))
+            if got != want:
+                failures.append(
+                    f"seed {seed}: time-travel to {sid} diverged "
+                    f"({len(got)} vs {len(want)} rows)"
+                )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"seed {seed}: time-travel raised {exc}")
+    return failures
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+
+    from iceberg_relative_io_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_dml")
+    all_failures: list[str] = []
+    for seed in range(n_seeds):
+        fails = run_seed(spark, seed, n_ops)
+        status = "FAIL" if fails else "OK"
+        print(f"{status}  seed {seed} ({n_ops} ops)")
+        all_failures.extend(fails)
+    for f in all_failures:
+        print("  " + f)
+    print(f"\n{n_seeds - len({f.split()[1] for f in all_failures})}/{n_seeds} seeds clean")
+    return 1 if all_failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
