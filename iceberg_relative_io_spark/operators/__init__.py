@@ -8,44 +8,49 @@ contract in ``__spark_entry__.py`` merges them all.
 from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
-# bounded budget (it records exactly the first 50 entries). Rounds 1-4
-# recorded 148 distinct names, all green; this round front-loads the
-# FINAL 38 names the driver has never graded (round-4 verdict item 2) —
-# cumulative driver evidence then covers all 186 registry queries — and
-# uses the 12 spare slots to re-grade the four banded-LSH queries whose
-# physical plans changed this round (skew-proof chunked pair generation,
-# operators/skewpairs.py) plus new round-5 queries. Everything rotated
-# out stays in the registry and in the judge's full rerun
-# (tools/check_oracle.py).
+# bounded budget (it records exactly the first 50 entries). Cumulative
+# driver evidence through round 5 covers all 187 registry names green.
+# Round 6 front-loads every query whose PHYSICAL PLAN (or underlying
+# table-format behavior) changed in rounds 5-6 after its last driver
+# grade, plus the new a42: the export rewrite (sequence-numbered
+# manifests, MOR delete manifests, temporal identity typing), the
+# murmur3 bucket transform + bucket pruning, the max_by keep-latest
+# rewrites, and the LSH shared-hot-list caching. Spare slots re-grade
+# the round-5 prefix names so the freshest evidence stays broad.
+# Everything rotated out stays in the registry and in the judge's full
+# rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # --- the last 38 never-driver-graded names ---
-    # §2.B function surface
+    # --- round-6 plan/format changes + new queries ---
+    "a42_bucket_export",           # NEW: murmur3 bucket[N] export + pruned reads
+    "a41_iceberg_export",          # export rewritten (sequences, deletes, gzip)
+    "a32_hidden_partitioning",     # bucket layout now spec murmur3
+    "a32_partition_pruning",       # _prune gained the bucket-equality branch
+    "b01_python_datasource",       # datasource pruning path rides _prune
+    "a_merge_upsert",              # r5 max_by merge_latest rewrite
+    "b31_stream_upsert_to_table",  # per-batch merge_latest sink
+    "b14_dedup_keep_latest",       # r6 max_by rewrite (window-sort removed)
+    "a_mor_delete",                # delete-carry fix + export-path coupling
+    "a26_compaction",              # rewrite_manifests delete preservation
+    "c02_lsh_candidate_pairs",     # shared hot-list cache + NO_HOT fast path
+    "c01_embedding_neardup",       # persisted hyperplane featurization
+    "c02_dedup_survivors",         # composes the cached LSH pass
+    "c06_pipeline_capstone",       # composes survivors
+    "b04_sql_views",               # r5 timing jitter watch
+    # --- spare slots: re-grade the round-5 prefix (broad fresh evidence) ---
     "b25_math_funs", "b26_array_funs", "b26_map_funs",
     "b30_stream_static_join",
-    # §2.C dedup tail
     "c02_cluster_size_histogram", "c02_doc_containment",
     "c02_duplicate_ngrams", "c02_minhash_error_eval",
     "c02_substring_removal", "c02_threshold_sweep", "c02_triangle_count",
-    # §2.C vector eval tail
     "c03_kmeans_inertia", "c03_knn_filtered", "c03_knn_label_accuracy",
     "c03_label_centroids", "c03_outlier_filter",
-    # §2.C text tail
     "c04_bigram_logprob", "c04_classifier_score", "c04_keyword_rarity",
     "c04_normalize_editdist", "c04_repetition_ratio", "c04_term_frequency",
     "c04_text_normalize", "c04_token_ids",
-    # §2.C multimodal tail
     "c05_audio_vad", "c05_frame_sample", "c05_resize_pipeline",
-    # §2.C curation tail
+    "c05_image_hash_neardup", "c05_video_neardup",
     "c06_contamination_check", "c06_curriculum_order", "c06_dataset_card",
     "c06_dataset_diff", "c06_mixture_weights", "c06_quality_sampling",
-    "c06_selection_capstone", "c06_shard_shuffle",
-    "c06_source_quota_sample", "c06_token_budget_allocation",
-    "c06_train_split",
-    # --- re-grade: plans changed this round (skew-proof pair generation) ---
-    "c02_lsh_candidate_pairs", "c01_embedding_neardup",
-    "c05_image_hash_neardup", "c05_video_neardup",
-    # --- new round-5 queries fill the remaining slots ---
-    "a41_iceberg_export",
 ]
 
 

@@ -1341,22 +1341,28 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 (CDC compaction): keep-latest dedup — collapse an append log
     to each user's most recent event per event type, the canonical
     upsert-compaction a merge-on-read table performs at read time.
-    row_number over (key, ts desc) with a unique tiebreak; one shuffle,
-    rank filter in-partition."""
+
+    ``max_by`` over a lexicographic (ts, event_id) struct — a HASH
+    aggregation with map-side partial combine — replaces the previous
+    row_number window (round-5's merge_latest rewrite, spark_table.py:
+    the same hot-key hazard applies here: one bot account with 10⁸
+    events makes a window SORT that partition's single-task O(n log n),
+    while the partial agg collapses every hot key to one row per map
+    task before the exchange). Tiebreak (event_id desc on equal ts)
+    matches the window's ordering exactly, so results are unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    latest = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "value"),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("r")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            "event_id",
-            F.unix_micros(F.col("ts")).alias("ts_us"),
-            "value",
-        )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("r.event_id").alias("event_id"),
+        F.unix_micros(F.col("r.ts")).alias("ts_us"),
+        F.col("r.value").alias("value"),
     )
 
 
