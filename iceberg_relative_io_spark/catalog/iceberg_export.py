@@ -18,9 +18,17 @@ from the export side: ``export_iceberg(table, dest)`` writes
   ``manifest_file`` records carry the spec field-ids (500-517);
 - ``metadata/<uuid>-m0.avro`` — an Avro manifest of ``manifest_entry``
   records (status/snapshot_id/sequence_number/data_file with field-ids
-  per the Iceberg spec), one per live data file;
+  per the Iceberg spec), one per live data file, sequence numbers in
+  snapshot order;
+- ``metadata/<uuid>-m1.avro`` — when the table carries live
+  merge-on-read deletes: a delete manifest (``content=1`` in the
+  manifest list) of ``content=2`` equality-delete entries with
+  ``equality_ids``;
 - ``metadata/version-hint.text`` — the HadoopTableOperations version
   hint, so path-based readers find the metadata without a catalog.
+
+``write.metadata.compression=gzip`` switches the metadata artifact to
+``v1.gz.metadata.json`` (A30 parity); ``read_iceberg`` probes both.
 
 Data files are NOT rewritten: manifests reference the table's existing
 parquet by absolute URI (valid Iceberg — locations may be absolute

@@ -62,6 +62,8 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
 
     from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
 
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
     rng = random.Random(seed)
     con = duckdb.connect()
     con.execute("CREATE TABLE t (id BIGINT, part INT, val DOUBLE, tag VARCHAR)")
@@ -69,8 +71,13 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     cat = FsCatalog(tempfile.mkdtemp(prefix=f"fuzz_dml_{seed}_"))
     cat.create_namespace(("fz",))
     base = spark.createDataFrame([], SCHEMA)
+    # odd seeds run the murmur3 bucket layout (hidden partitioning) so
+    # the DML interleavings also exercise the spec-hash transform's
+    # write path, manifest pruning, and MOR scoping under that layout
+    bucketed = seed % 2 == 1
+    part_spec = ["part", "bucket(3, id)"] if bucketed else ["part"]
     ops = cat.create_table(
-        ("fz",), "t", base.schema.jsonValue(), partition_by=["part"]
+        ("fz",), "t", base.schema.jsonValue(), partition_by=part_spec
     )
     table = RelativeTable(ops)
 
@@ -180,14 +187,39 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                     {rng.choice([0, 1, 2, 3]) for _ in range(rng.randint(1, 2))}
                 )
                 rows = fresh_batch(rng.randint(1, 10), parts)
-                # every chosen partition must appear in the replacement
-                # data or it is (correctly) left alone — mirror only the
-                # parts actually present
-                present = sorted({r[1] for r in rows})
                 table.overwrite_partitions(spark.createDataFrame(rows, SCHEMA))
-                con.execute(
-                    f"DELETE FROM t WHERE part IN ({','.join(map(str, present))})"
-                )
+                if bucketed:
+                    # dynamic overwrite replaces FULL partition tuples —
+                    # with the hidden bucket(3, id) sub-partition that is
+                    # (part, murmur3_bucket(id, 3)): rows in the same part
+                    # but another bucket correctly survive (this is the
+                    # Iceberg semantics; a part-only mirror flags exactly
+                    # the survivors as divergence)
+                    replaced = {(r[1], bucket_value(r[0], 3)) for r in rows}
+                    # duplicate ids can live in several partitions
+                    # (append_dup_keys), so doom exact (id, part) pairs,
+                    # never bare ids
+                    doomed = sorted(
+                        {
+                            (i, p)
+                            for i, p in con.execute(
+                                "SELECT id, part FROM t"
+                            ).fetchall()
+                            if (p, bucket_value(i, 3)) in replaced
+                        }
+                    )
+                    if doomed:
+                        vals = ",".join(f"({i},{p})" for i, p in doomed)
+                        con.execute(
+                            "DELETE FROM t WHERE EXISTS (SELECT 1 FROM "
+                            f"(VALUES {vals}) AS v(i, p) "
+                            "WHERE v.i = t.id AND v.p = t.part)"
+                        )
+                else:
+                    present = sorted({r[1] for r in rows})
+                    con.execute(
+                        f"DELETE FROM t WHERE part IN ({','.join(map(str, present))})"
+                    )
                 con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
             elif op == "compact":
                 table.compact(spark)
