@@ -21,7 +21,9 @@ over a type-specific byte representation) so that
 Byte representations (spec Appendix B):
   int/long/date/timestamp -> 8-byte little-endian of the widened long
   (date: days since epoch; timestamp: micros since epoch);
-  string -> UTF-8 bytes; binary -> raw bytes.
+  string -> UTF-8 bytes; binary -> raw bytes; decimal -> minimal
+  two's-complement big-endian of the unscaled value (Java
+  ``BigInteger.toByteArray``).
 Bucket id = ``(hash & Integer.MAX_VALUE) % N``.
 
 The column-side implementation is an Arrow-batched pandas UDF: for
@@ -39,6 +41,7 @@ from __future__ import annotations
 
 import struct
 from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
 
 import pandas as pd  # noqa: F401 — pandas_udf type hints resolve from module globals
 
@@ -82,6 +85,23 @@ def _hash_long(v: int) -> int:
     return murmur3_32(struct.pack("<q", v))
 
 
+def _min_twos_complement(v: int) -> bytes:
+    """Minimal two's-complement big-endian bytes (Java
+    ``BigInteger.toByteArray``) — the spec's byte representation for a
+    decimal's unscaled value."""
+    length = max(1, (v.bit_length() + 7) // 8)
+    try:
+        return v.to_bytes(length, "big", signed=True)
+    except OverflowError:  # positive value needing a leading sign byte
+        return v.to_bytes(length + 1, "big", signed=True)
+
+
+def _hash_decimal(v) -> int:
+    exp = v.as_tuple().exponent
+    unscaled = int(v.scaleb(-exp)) if exp < 0 else int(v)
+    return murmur3_32(_min_twos_complement(unscaled))
+
+
 def bucket_value(v, n: int) -> int | None:
     """Driver-side bucket id for a Python value (spec widening rules);
     None for None. Used for manifest pruning and export checks."""
@@ -101,6 +121,8 @@ def bucket_value(v, n: int) -> int | None:
         h = murmur3_32(v.encode("utf-8"))
     elif isinstance(v, (bytes, bytearray)):
         h = murmur3_32(bytes(v))
+    elif isinstance(v, Decimal):
+        h = _hash_decimal(v)
     else:
         raise TypeError(f"bucket transform unsupported for {type(v).__name__}")
     return (h & 0x7FFFFFFF) % n
@@ -165,6 +187,22 @@ def bucket_column(source: str, n: int, dtype):
             else (murmur3_32(str(x).encode("utf-8")) & 0x7FFFFFFF) % n
         ).astype("Int32")
 
+    @pandas_udf("int")
+    def _bucket_bytes(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else (murmur3_32(bytes(x)) & 0x7FFFFFFF) % n
+        ).astype("Int32")
+
+    @pandas_udf("int")
+    def _bucket_decimal(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else (_hash_decimal(x) & 0x7FFFFFFF) % n
+        ).astype("Int32")
+
     col = F.col(source)
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return _bucket_long(col.cast("long"))
@@ -174,6 +212,12 @@ def bucket_column(source: str, n: int, dtype):
         return _bucket_long(F.unix_micros(col.cast("timestamp")))
     if isinstance(dtype, T.StringType):
         return _bucket_str(col)
+    if isinstance(dtype, T.BinaryType):
+        return _bucket_bytes(col)
+    if isinstance(dtype, T.DecimalType):
+        # spec: murmur3 of the unscaled value's minimal two's-complement
+        # big-endian bytes (Java BigInteger.toByteArray)
+        return _bucket_decimal(col)
     raise TypeError(
         f"bucket transform unsupported for source type {dtype.simpleString()}"
     )

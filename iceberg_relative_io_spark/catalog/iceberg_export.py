@@ -793,9 +793,9 @@ def read_iceberg(
     out: DataFrame | None = None
     for (key, applicable), paths in groups.items():
         part = spark.read.parquet(*paths)
-        for dpath, dcols in applicable:
-            dkeys = spark.read.parquet(dpath).select(*dcols).distinct()
-            part = part.join(F.broadcast(dkeys), on=list(dcols), how="left_anti")
+        # identity partition columns are absent from the data files and
+        # must be restored BEFORE equality deletes apply — a delete
+        # keyed on a partition column is legal and must resolve
         for (name, src_field), (_, raw) in zip(identity, key):
             tname = (
                 src_field["type"]
@@ -813,6 +813,9 @@ def read_iceberg(
 
                 val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
             part = part.withColumn(name, F.lit(val).cast(dt))
+        for dpath, dcols in applicable:
+            dkeys = spark.read.parquet(dpath).select(*dcols).distinct()
+            part = part.join(F.broadcast(dkeys), on=list(dcols), how="left_anti")
         out = part if out is None else out.unionByName(part)
     if out is None:
         struct = T.StructType(

@@ -46,15 +46,14 @@ FORMAT_VERSION = "relative-spark-1"
 # exactly this interleaving).
 _GC_EXECUTOR = None
 _GC_PENDING: list = []
-_GC_LOCK = None
+# created eagerly at import: a lazily check-then-set lock could itself be
+# constructed twice by two concurrent committers, defeating the exclusion
+import threading as _threading  # noqa: E402
+
+_GC_LOCK = _threading.Lock()
 
 
 def _gc_lock():
-    global _GC_LOCK
-    if _GC_LOCK is None:
-        import threading
-
-        _GC_LOCK = threading.Lock()
     return _GC_LOCK
 
 
@@ -93,9 +92,10 @@ class _DaemonPool:
 
 def _gc_pool():
     global _GC_EXECUTOR
-    if _GC_EXECUTOR is None:
-        _GC_EXECUTOR = _DaemonPool(max_workers=8, name="metadata-gc")
-    return _GC_EXECUTOR
+    with _GC_LOCK:  # double-pool creation would leak 8 daemon threads
+        if _GC_EXECUTOR is None:
+            _GC_EXECUTOR = _DaemonPool(max_workers=8, name="metadata-gc")
+        return _GC_EXECUTOR
 
 
 def drain_metadata_gc() -> None:

@@ -252,9 +252,11 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one driver-side emptiness probe per (session, sf_dir): the
         # healthy-corpus case then drops the occupancy join from every
         # later pass's plan entirely (constant chunk annotations)
-        _LSH_HOT_CACHE[hkey] = (
-            skewpairs.NO_HOT_BUCKETS if hot.isEmpty() else hot
-        )
+        if hot.isEmpty():
+            hot.unpersist()  # don't leak the cached empty frame
+            _LSH_HOT_CACHE[hkey] = skewpairs.NO_HOT_BUCKETS
+        else:
+            _LSH_HOT_CACHE[hkey] = hot
     joined = skewpairs.chunked_self_join(
         bands, ["band", "bsig"], "doc_id", sizes=_LSH_HOT_CACHE[hkey]
     )

@@ -956,6 +956,34 @@ def test_bucket_murmur3_string_and_date_sources(spark, catalog):
     assert table.read(spark).count() == 40
 
 
+def test_bucket_murmur3_binary_and_decimal_sources(spark, catalog):
+    """Binary (raw bytes) and decimal (minimal two's-complement unscaled
+    bytes) are spec-valid bucket sources the legacy xxhash64 path also
+    supported — the murmur3 write path must cover them, and the layout
+    must match the driver-side mirror."""
+    from decimal import Decimal
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    rows = [
+        (i, bytes([i % 7, i % 5, i % 3]), Decimal(f"{i}.{i % 10}5"))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "i long, payload binary, amt decimal(10,2)")
+    ops = catalog.create_table(
+        ("hp",), "bbd", df.schema.jsonValue(),
+        partition_by=["bucket(4, payload)", "bucket(3, amt)"],
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    for f in table.scan_files():
+        data = spark.read.parquet(table.ops.io.spark_path(f["path"])).collect()
+        for r in data:
+            assert str(bucket_value(bytes(r.payload), 4)) == f["partition"]["payload_bucket"]
+            assert str(bucket_value(r.amt, 3)) == f["partition"]["amt_bucket"]
+    assert table.read(spark).count() == 30
+
+
 # -- property tests: partition transforms + z-order ---------------------------
 
 @given(st.sampled_from(["ts", "col_a", "x1"]))

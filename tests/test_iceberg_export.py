@@ -268,6 +268,11 @@ def test_murmur3_spec_vectors():
     )
     assert murmur3_32(_struct.pack("<q", us)) == -2047944441  # timestamp
     assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207  # binary
+    from decimal import Decimal
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import _hash_decimal
+
+    assert _hash_decimal(Decimal("14.20")) == -500754589  # decimal
     # vectorized long path agrees with the scalar reference
     vec = _mmh3_long_vec(np.array([34, d, us], dtype=np.int64)).view(np.int32)
     assert vec.tolist() == [2017239379, -653330422, -2047944441]
@@ -338,6 +343,24 @@ def test_export_drops_legacy_xxhash_bucket_field(spark, sf_dir):
     dest, _ = _round_trip(spark, table)
     doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
     assert doc["partition-specs"][0]["fields"] == []
+
+
+def test_export_mor_delete_on_identity_partition_column(spark, sf_dir):
+    """An equality delete KEYED ON the identity partition column is
+    legal; the spec reader must restore identity columns from the
+    manifest partition struct BEFORE applying delete manifests, or the
+    anti-join cannot resolve the column (it is absent from data files)."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    table.delete_where_mor(spark, F.col("n_regionkey") == 2, ["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    got = iceberg_export.read_iceberg(spark, dest)
+    want = table.read(spark)
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("n_regionkey") == 2).count() == 0
 
 
 def test_export_mor_deletes_without_compaction(spark, sf_dir):

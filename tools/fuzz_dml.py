@@ -275,14 +275,16 @@ def main() -> int:
 
     spark = get_spark(app_name="fuzz_dml")
     all_failures: list[str] = []
+    n_clean = 0
     for seed in range(n_seeds):
         fails = run_seed(spark, seed, n_ops)
         status = "FAIL" if fails else "OK"
+        n_clean += not fails
         print(f"{status}  seed {seed} ({n_ops} ops)")
         all_failures.extend(fails)
     for f in all_failures:
         print("  " + f)
-    print(f"\n{n_seeds - len({f.split()[1] for f in all_failures})}/{n_seeds} seeds clean")
+    print(f"\n{n_clean}/{n_seeds} seeds clean")
     return 1 if all_failures else 0
 
 
