@@ -361,48 +361,26 @@ _MANIFEST_FILE_SCHEMA = {
 # export
 # ---------------------------------------------------------------------------
 
-def export_iceberg(
+def _export_one_snapshot(
     table: RelativeTable,
     dest_dir: str,
-    snapshot_id: int | None = None,
+    meta: dict,
+    sid: int | None,
+    export_id: int,
+    seq_of: dict,
+    schema_json: dict,
+    clean_spec: list[dict],
+    spec_fields: list[dict],
+    entry_schema: dict,
+    field_ids: dict,
 ) -> dict:
-    """Write ``dest_dir`` as a standalone Iceberg v2 table whose current
-    snapshot holds the source table's live data files (referenced by
-    absolute URI, zero-copy). Live merge-on-read equality deletes export
-    as genuine v2 delete manifests (``content=2`` entries with
-    ``equality_ids``): the delete payload is already a parquet file of
-    key tuples — the spec's equality-delete format — and data/delete
-    sequence numbers are assigned in snapshot order so the spec's
-    strictly-older applicability rule reproduces the source scoping
-    exactly (a key re-inserted after its delete survives). Honors
-    ``write.metadata.compression=gzip``. Returns a summary dict."""
+    """Write the data manifest, the delete manifest (when the snapshot
+    carries live equality deletes) and the manifest list for ONE
+    snapshot; returns paths + counts + the snapshot's sequence number."""
     ops = table.ops
-    meta = ops.current()
-    sid = table._resolve_snapshot(meta, snapshot_id, None)
-    files = [] if sid is None else table._data_files(meta, sid)
-    dels = [] if sid is None else table._delete_files(meta, sid)
+    files = table._data_files(meta, sid) if sid is not None else []
+    dels = table._delete_files(meta, sid) if sid is not None else []
 
-    struct = table.schema()
-    schema_json, last_col = iceberg_schema(struct, meta.get("column-ids"))
-    spec_fields = _exportable_spec(table, schema_json["fields"])
-    entry_schema = _manifest_entry_schema(spec_fields)
-    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
-
-    # data sequence numbers: snapshot ids are globally monotone
-    # (spark_table._commit_snapshot), so rank order IS commit order
-    seq_of = {
-        s: i + 1
-        for i, s in enumerate(
-            sorted({e["_snap"] for e in files} | {d["_snap"] for d in dels})
-        )
-    }
-    last_seq = max(seq_of.values(), default=1)
-
-    os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
-    now_ms = int(time.time() * 1000)
-    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
-
-    # --- manifest ----------------------------------------------------------
     entries = []
     total_rows = 0
     for f in files:
@@ -418,7 +396,7 @@ def export_iceberg(
         entries.append(
             {
                 "status": 1,  # ADDED
-                "snapshot_id": snap_id,
+                "snapshot_id": export_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": {
@@ -443,7 +421,7 @@ def export_iceberg(
         del_entries.append(
             {
                 "status": 1,
-                "snapshot_id": snap_id,
+                "snapshot_id": export_id,
                 "sequence_number": seq_of.get(d["_snap"], 1),
                 "file_sequence_number": seq_of.get(d["_snap"], 1),
                 "data_file": {
@@ -459,12 +437,14 @@ def export_iceberg(
                 },
             }
         )
-    clean_spec = [
-        {k: v for k, v in sf.items() if not k.startswith("_")}
-        for sf in spec_fields
-    ]
-    manifest_name = f"{uuid.uuid4()}-m0.avro"
-    manifest_path = os.path.join(dest_dir, "metadata", manifest_name)
+
+    def _seq_bounds(es: list[dict]) -> tuple[int, int]:
+        seqs = [e["sequence_number"] for e in es] or [1]
+        return min(seqs), max(seqs)
+
+    manifest_path = os.path.join(
+        dest_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
+    )
     manifest_bytes = avro_ocf.write_ocf(
         entry_schema,
         entries,
@@ -479,14 +459,8 @@ def export_iceberg(
     )
     with open(manifest_path, "wb") as fh:
         fh.write(manifest_bytes)
-
-    def _seq_bounds(es: list[dict]) -> tuple[int, int]:
-        seqs = [e["sequence_number"] for e in es] or [1]
-        return min(seqs), max(seqs)
-
-    ml_records = []
     lo, hi = _seq_bounds(entries)
-    ml_records.append(
+    ml_records = [
         {
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
@@ -494,7 +468,7 @@ def export_iceberg(
             "content": 0,  # data
             "sequence_number": hi,
             "min_sequence_number": lo,
-            "added_snapshot_id": snap_id,
+            "added_snapshot_id": export_id,
             "added_data_files_count": len(entries),
             "existing_data_files_count": 0,
             "deleted_data_files_count": 0,
@@ -502,7 +476,7 @@ def export_iceberg(
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
-    )
+    ]
     del_manifest_path = None
     if del_entries:
         del_manifest_path = os.path.join(
@@ -531,7 +505,7 @@ def export_iceberg(
                 "content": 1,  # deletes
                 "sequence_number": hi,
                 "min_sequence_number": lo,
-                "added_snapshot_id": snap_id,
+                "added_snapshot_id": export_id,
                 "added_data_files_count": len(del_entries),
                 "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
@@ -541,14 +515,147 @@ def export_iceberg(
             }
         )
 
-    # --- manifest list -----------------------------------------------------
-    ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
-    ml_path = os.path.join(dest_dir, "metadata", ml_name)
+    ml_path = os.path.join(
+        dest_dir, "metadata", f"snap-{export_id}-1-{uuid.uuid4()}.avro"
+    )
     ml_bytes = avro_ocf.write_ocf(
         _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
     )
     with open(ml_path, "wb") as fh:
         fh.write(ml_bytes)
+    snap_seq = max(
+        [seq_of.get(f["_snap"], 1) for f in files]
+        + [seq_of.get(d["_snap"], 1) for d in dels]
+        + [1]
+    )
+    return {
+        "manifest-list": ml_path,
+        "manifest": manifest_path,
+        "delete-manifest": del_manifest_path,
+        "data-files": len(entries),
+        "delete-files": len(del_entries),
+        "records": total_rows,
+        "delete-records": total_del_rows,
+        "sequence-number": snap_seq,
+    }
+
+
+# Iceberg snapshot summary operations (spec) for our commit kinds
+_ICEBERG_OPERATION = {
+    "append": "append",
+    "delete": "delete",
+    "delete-mor": "delete",
+    "update": "overwrite",
+    "merge": "overwrite",
+    "overwrite": "overwrite",
+    "dynamic-overwrite": "overwrite",
+    "replace": "replace",
+}
+
+
+def export_iceberg(
+    table: RelativeTable,
+    dest_dir: str,
+    snapshot_id: int | None = None,
+    include_history: bool = False,
+) -> dict:
+    """Write ``dest_dir`` as a standalone Iceberg v2 table whose current
+    snapshot holds the source table's live data files (referenced by
+    absolute URI, zero-copy). Live merge-on-read equality deletes export
+    as genuine v2 delete manifests (``content=2`` entries with
+    ``equality_ids``): the delete payload is already a parquet file of
+    key tuples — the spec's equality-delete format — and data/delete
+    sequence numbers are assigned in snapshot order so the spec's
+    strictly-older applicability rule reproduces the source scoping
+    exactly (a key re-inserted after its delete survives).
+
+    ``include_history=True`` additionally exports every non-expired
+    ANCESTOR snapshot (own manifest list each, source snapshot ids
+    preserved, parent links + snapshot-log populated) so an external
+    engine can time-travel the exported table exactly as this engine
+    does; the sequence-number mapping is GLOBAL across the history, so
+    delete scoping stays correct at every point in time.
+
+    Honors ``write.metadata.compression=gzip``. Returns a summary dict
+    (the head snapshot's paths + counts + ``snapshots`` exported)."""
+    ops = table.ops
+    meta = ops.current()
+    head = table._resolve_snapshot(meta, snapshot_id, None)
+    if include_history and head is not None:
+        chain: list[int | None] = []
+        s: int | None = head
+        while s is not None:
+            entry = table._snapshot_entry(meta, s)
+            if not entry.get("expired"):
+                chain.append(s)
+            s = entry.get("parent-snapshot-id")
+        chain.reverse()  # oldest first
+    else:
+        chain = [head]  # single snapshot (possibly None = empty table)
+
+    schema_json, last_col = iceberg_schema(table.schema(), meta.get("column-ids"))
+    spec_fields = _exportable_spec(table, schema_json["fields"])
+    entry_schema = _manifest_entry_schema(spec_fields)
+    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+    clean_spec = [
+        {k: v for k, v in sf.items() if not k.startswith("_")}
+        for sf in spec_fields
+    ]
+
+    # GLOBAL data sequence numbers across the exported history: snapshot
+    # ids are globally monotone (spark_table._commit_snapshot), so rank
+    # order IS commit order, and one mapping keeps the strictly-older
+    # delete-scoping rule consistent at every exported snapshot
+    per_snap: dict = {}
+    seq_sources: set = set()
+    for s in chain:
+        fs = table._data_files(meta, s) if s is not None else []
+        ds = table._delete_files(meta, s) if s is not None else []
+        per_snap[s] = (fs, ds)
+        seq_sources |= {e["_snap"] for e in fs} | {d["_snap"] for d in ds}
+    seq_of = {s: i + 1 for i, s in enumerate(sorted(seq_sources))}
+    last_seq = max(seq_of.values(), default=1)
+
+    os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+
+    snapshots_meta = []
+    snapshot_log = []
+    prev: int | None = None
+    head_info: dict = {}
+    head_export_id = 1
+    for s in chain:
+        export_id = int(s) if s is not None else 1
+        info = _export_one_snapshot(
+            table, dest_dir, meta, s, export_id, seq_of,
+            schema_json, clean_spec, spec_fields, entry_schema, field_ids,
+        )
+        src_entry = table._snapshot_entry(meta, s) if s is not None else {}
+        ts = int(src_entry.get("timestamp-ms", now_ms))
+        snap_doc = {
+            "sequence-number": info["sequence-number"],
+            "snapshot-id": export_id,
+            "timestamp-ms": ts,
+            "summary": {
+                "operation": _ICEBERG_OPERATION.get(
+                    src_entry.get("operation", "append"), "append"
+                ),
+                "total-records": str(info["records"]),
+                "total-data-files": str(info["data-files"]),
+                "total-delete-files": str(info["delete-files"]),
+                "total-position-deletes": "0",
+                "total-equality-deletes": str(info["delete-records"]),
+            },
+            "manifest-list": info["manifest-list"],
+            "schema-id": 0,
+        }
+        if prev is not None:
+            snap_doc["parent-snapshot-id"] = prev
+        snapshots_meta.append(snap_doc)
+        snapshot_log.append({"timestamp-ms": ts, "snapshot-id": export_id})
+        prev = export_id
+        head_info = info
+        head_export_id = export_id
 
     # --- table metadata ----------------------------------------------------
     doc = {
@@ -571,30 +678,12 @@ def export_iceberg(
             "exported-from": meta.get("table-uuid", ""),
             "write.format.default": "parquet",
         },
-        "current-snapshot-id": snap_id,
-        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
-        "snapshots": [
-            {
-                "sequence-number": last_seq,
-                "snapshot-id": snap_id,
-                "timestamp-ms": now_ms,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(entries)),
-                    "added-records": str(total_rows),
-                    "total-records": str(total_rows),
-                    "total-data-files": str(len(entries)),
-                    "total-delete-files": str(len(del_entries)),
-                    "total-position-deletes": "0",
-                    "total-equality-deletes": str(total_del_rows),
-                },
-                "manifest-list": ml_path,
-                "schema-id": 0,
-            }
-        ],
+        "current-snapshot-id": head_export_id,
+        "refs": {"main": {"snapshot-id": head_export_id, "type": "branch"}},
+        "snapshots": snapshots_meta,
         "statistics": [],
         "partition-statistics": [],
-        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "snapshot-log": snapshot_log,
         "metadata-log": [],
     }
     # A30 parity: honor write.metadata.compression=gzip — the codec the
@@ -621,12 +710,13 @@ def export_iceberg(
         fh.write("1")
     return {
         "metadata": meta_path,
-        "manifest-list": ml_path,
-        "manifest": manifest_path,
-        "delete-manifest": del_manifest_path,
-        "data-files": len(entries),
-        "delete-files": len(del_entries),
-        "records": total_rows,
+        "manifest-list": head_info["manifest-list"],
+        "manifest": head_info["manifest"],
+        "delete-manifest": head_info["delete-manifest"],
+        "data-files": head_info["data-files"],
+        "delete-files": head_info["delete-files"],
+        "records": head_info["records"],
+        "snapshots": len(snapshots_meta),
     }
 
 
@@ -652,9 +742,11 @@ def read_iceberg(
     spark: SparkSession,
     table_dir: str,
     eq_filters: dict | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
-    version-hint -> metadata.json (plain or .gz) -> current snapshot ->
+    version-hint -> metadata.json (plain or .gz) -> current snapshot
+    (or ``snapshot_id`` — time travel over a history export) ->
     avro manifest list -> avro manifests -> parquet data files, filling
     identity-partition columns from the manifest partition struct (the
     spec's rule for columns absent from data files), and applying
@@ -690,10 +782,11 @@ def read_iceberg(
             doc = json.load(fh)
     if doc["format-version"] != 2:
         raise ValueError("only format-version 2 supported")
+    want_sid = (
+        snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
+    )
     snap = next(
-        s
-        for s in doc["snapshots"]
-        if s["snapshot-id"] == doc["current-snapshot-id"]
+        s for s in doc["snapshots"] if s["snapshot-id"] == want_sid
     )
     with open(snap["manifest-list"], "rb") as fh:
         _, _, manifests = avro_ocf.read_ocf(fh.read())

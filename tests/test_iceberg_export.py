@@ -402,6 +402,43 @@ def test_export_mor_deletes_without_compaction(spark, sf_dir):
     assert got2.count() == nation.count()
 
 
+def test_export_history_time_travel(spark, sf_dir):
+    """include_history=True exports every non-expired ancestor with its
+    own manifest list, source snapshot ids and parent links preserved:
+    an external engine time-travels the exported table exactly as this
+    engine does — including a MOR delete mid-history (the global
+    sequence mapping must keep its scoping right at every snapshot)."""
+    nation = load_table(spark, sf_dir, "nation")
+    first = nation.filter(F.col("n_nationkey") < 10)
+    table = _table(spark, first)
+    sid1 = table.ops.current()["current-snapshot-id"]
+    table.append(nation.filter(F.col("n_nationkey") >= 10))
+    sid2 = table.ops.current()["current-snapshot-id"]
+    table.delete_where_mor(spark, F.col("n_nationkey") == 3, ["n_nationkey"])
+    sid3 = table.ops.current()["current-snapshot-id"]
+
+    dest = tempfile.mkdtemp(prefix="iceexp_hist_")
+    info = iceberg_export.export_iceberg(table, dest, include_history=True)
+    assert info["snapshots"] == 3
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    ids = [s["snapshot-id"] for s in doc["snapshots"]]
+    assert ids == [sid1, sid2, sid3]  # oldest first, source ids preserved
+    assert doc["snapshots"][1]["parent-snapshot-id"] == sid1
+    assert doc["snapshots"][2]["parent-snapshot-id"] == sid2
+    assert doc["current-snapshot-id"] == sid3
+    assert [e["snapshot-id"] for e in doc["snapshot-log"]] == ids
+    # time travel through the spec reader == the engine's own time travel
+    for sid in (sid1, sid2, sid3):
+        got = iceberg_export.read_iceberg(spark, dest, snapshot_id=sid)
+        want = table.read(spark, snapshot_id=sid)
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"snapshot {sid} diverged"
+    # default read = head (delete applied)
+    head = iceberg_export.read_iceberg(spark, dest)
+    assert head.filter(F.col("n_nationkey") == 3).count() == 0
+
+
 def test_export_gzip_metadata(spark, sf_dir):
     """write.metadata.compression=gzip must carry into the export (A30
     parity): metadata lands as v1.gz.metadata.json and the spec reader
