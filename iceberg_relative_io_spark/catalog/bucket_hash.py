@@ -128,6 +128,126 @@ def bucket_value(v, n: int) -> int | None:
     return (h & 0x7FFFFFFF) % n
 
 
+# ---------------------------------------------------------------------------
+# legacy xxhash64 mirror (Spark's F.xxhash64, seed 42) — lets EQUALITY
+# predicates prune pre-murmur3 bucket layouts driver-side too. Pinned
+# against Spark's own output in tests (the ground truth), public XXH64
+# algorithm.
+# ---------------------------------------------------------------------------
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_long(v: int, seed: int = 42) -> int:
+    """Spark XxHash64Function.hashLong: long/timestamp columns."""
+    h = (seed + _XP5 + 8) & _M64
+    k1 = (_rotl64((v & _M64) * _XP2 & _M64, 31) * _XP1) & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    h = _xx_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_int(v: int, seed: int = 42) -> int:
+    """Spark XxHash64Function.hashInt: int/date columns."""
+    h = (seed + _XP5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _XP1) & _M64
+    h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+    h = _xx_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Full XXH64 over a byte string (Spark hashUnsafeBytes: string and
+    binary columns)."""
+    length = len(data)
+    i = 0
+    if length >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= length:
+            k = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl64((v1 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl64((v2 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl64((v3 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            k = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl64((v4 + k * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + length) & _M64
+    while i + 8 <= length:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= length:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < length:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h = _xx_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def legacy_bucket_value(v, n: int) -> int | None:
+    """Driver-side mirror of the legacy layout column
+    ``pmod(xxhash64(col), n)`` — enables equality pruning on bucket
+    layouts written before the murmur3 switch. None for unsupported
+    source types (caller keeps all files, never wrong)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        h = xxhash64_long(v)
+    elif isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        h = xxhash64_long((v - _EPOCH_DT) // timedelta(microseconds=1))
+    elif isinstance(v, date):
+        h = xxhash64_int((v - _EPOCH).days)
+    elif isinstance(v, str):
+        h = xxhash64_bytes(v.encode("utf-8"))
+    elif isinstance(v, (bytes, bytearray)):
+        h = xxhash64_bytes(bytes(v))
+    else:
+        return None
+    return ((h % n) + n) % n  # Spark pmod
+
+
 def _mmh3_long_vec(vals):
     """Vectorized Murmur3_x86_32 of 8-byte little-endian longs: the two
     4-byte blocks are the low and high uint32 halves. Pure numpy uint32

@@ -803,16 +803,20 @@ class RelativeTable:
                     continue
                 lo, hi = column_ranges[fdef["source"]]
                 if fdef["kind"] == "bucket":
-                    if bucket_hash != "murmur3" or lo is None or lo != hi:
+                    if lo is None or lo != hi:
                         continue
-                    try:
-                        from iceberg_relative_io_spark.catalog.bucket_hash import (
-                            bucket_value,
-                        )
+                    from iceberg_relative_io_spark.catalog import bucket_hash as bh
 
-                        want = str(bucket_value(lo, fdef["arg"]))
+                    try:
+                        if bucket_hash == "murmur3":
+                            b = bh.bucket_value(lo, fdef["arg"])
+                        else:  # legacy layout: pmod(xxhash64(col), N) mirror
+                            b = bh.legacy_bucket_value(lo, fdef["arg"])
                     except TypeError:
+                        b = None
+                    if b is None:
                         continue  # unsupported source type: keep all
+                    want = str(b)
 
                     def in_bucket(f: dict, name=fdef["name"], want=want) -> bool:
                         v = f.get("partition", {}).get(name)

@@ -956,6 +956,46 @@ def test_bucket_murmur3_string_and_date_sources(spark, catalog):
     assert table.read(spark).count() == 40
 
 
+def test_legacy_xxhash_bucket_equality_pruning(spark, catalog):
+    """Pre-murmur3 tables (no bucket-hash metadata key) laid out with
+    pmod(xxhash64(col), N) now ALSO prune equality predicates
+    driver-side: the Python XXH64 mirror (bucket_hash.xxhash64_*) is
+    pinned to Spark's own F.xxhash64 output, so the derived bucket can
+    never disagree with the layout."""
+    import json as _json
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        legacy_bucket_value,
+        xxhash64_long,
+    )
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    ops = catalog.create_table(
+        ("hp",), "legacy_b", df.schema.jsonValue(), partition_by=["bucket(4, id)"]
+    )
+    meta = _json.loads(_json.dumps(ops.current()))
+    del meta["bucket-hash"]  # age to the pre-switch dialect
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(df)
+    files = table.scan_files()
+    # sanity: the layout really is the xxhash64 one
+    want = str(((xxhash64_long(7) % 4) + 4) % 4)
+    assert want == str(legacy_bucket_value(7, 4))
+    hit = [
+        f for f in files
+        if any(r.id == 7 for r in spark.read.parquet(
+            table.ops.io.spark_path(f["path"])).select("id").collect())
+    ]
+    assert hit and all(f["partition"]["id_bucket"] == want for f in hit)
+    eq = table.scan_files(column_ranges={"id": (7, 7)})
+    assert {f["partition"]["id_bucket"] for f in eq} == {want}
+    assert len(eq) < len(files)
+    got = table.read(spark, column_ranges={"id": (7, 7)}).filter("id = 7")
+    assert got.count() == 1
+
+
 def test_bucket_murmur3_binary_and_decimal_sources(spark, catalog):
     """Binary (raw bytes) and decimal (minimal two's-complement unscaled
     bytes) are spec-valid bucket sources the legacy xxhash64 path also

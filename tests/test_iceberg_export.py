@@ -281,6 +281,49 @@ def test_murmur3_spec_vectors():
     assert bucket_value("iceberg", 16) == 1210000089 % 16
 
 
+def test_xxhash64_mirror_matches_spark(spark):
+    """The legacy-layout pruning mirror must equal Spark's F.xxhash64
+    bit-for-bit on every supported source type — Spark itself is the
+    ground truth here (seed 42, type-specific byte representations)."""
+    import datetime as dt
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        xxhash64_bytes,
+        xxhash64_int,
+        xxhash64_long,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (
+                i * 7919 - 3,
+                f"s{i}*" * i,
+                dt.date(2020, 1, 1) + dt.timedelta(days=i),
+                dt.datetime(2021, 3, 4, 5, 6, 7, i),
+                bytes([i % 256] * (i % 37)),
+            )
+            for i in range(40)
+        ],
+        "l long, s string, d date, t timestamp, b binary",
+    )
+    got = rows.select(
+        "l", "s", "d", "t", "b",
+        F.xxhash64("l").alias("hl"), F.xxhash64("s").alias("hs"),
+        F.xxhash64("d").alias("hd"), F.xxhash64("t").alias("ht"),
+        F.xxhash64("b").alias("hb"),
+    ).collect()
+    epoch = dt.date(1970, 1, 1)
+    for r in got:
+        assert xxhash64_long(r.l) == r.hl
+        assert xxhash64_bytes(r.s.encode()) == r.hs
+        assert xxhash64_int((r.d - epoch).days) == r.hd
+        micros = int(
+            r.t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        assert xxhash64_long(micros) == r.ht
+        assert xxhash64_bytes(bytes(r.b)) == r.hb
+
+
 def test_export_retains_murmur3_bucket_field(spark, sf_dir):
     """New tables hash bucket(N, col) with the spec Murmur3, so the
     exported spec keeps bucket[N]; the recorded partition values must
