@@ -616,6 +616,38 @@ def export_iceberg(
     seq_of = {s: i + 1 for i, s in enumerate(sorted(seq_sources))}
     last_seq = max(seq_of.values(), default=1)
 
+    # schema evolution across file eras: our parquet carries NAMES, not
+    # Iceberg field ids, so a renamed column would read as missing from
+    # pre-rename files. The spec's answer for exactly this situation is
+    # ``schema.name-mapping.default``: every name an exported field-id
+    # has EVER had, so a compliant reader resolves old-era columns to
+    # the current field. Each manifest entry records its era's
+    # name->id map (spark_table._write_snapshot_files), which is the
+    # exact provenance needed. A name REUSED for a different id (drop +
+    # re-add) cannot be expressed safely — names must be unambiguous in
+    # a mapping — so that case refuses with the compact() remedy.
+    current_ids = meta.get("column-ids") or {}
+    current_id_set = set(current_ids.values())
+    id_to_names: dict[int, set] = {}
+    for s in chain:
+        for f in per_snap[s][0]:
+            era = f.get("column-ids") or current_ids
+            for cname, fid in era.items():
+                if cname in current_ids and current_ids[cname] != fid:
+                    raise ValueError(
+                        f"column name {cname!r} maps to field id {fid} in an "
+                        f"old file era but id {current_ids[cname]} in the "
+                        "current schema (drop + re-add); a name mapping "
+                        "cannot express that safely — run compact() before "
+                        "export to materialize the current schema"
+                    )
+                id_to_names.setdefault(fid, set()).add(cname)
+    name_mapping = [
+        {"field-id": fid, "names": sorted(names)}
+        for fid, names in sorted(id_to_names.items())
+        if fid in current_id_set
+    ]
+
     os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
     now_ms = int(time.time() * 1000)
 
@@ -677,6 +709,7 @@ def export_iceberg(
         "properties": {
             "exported-from": meta.get("table-uuid", ""),
             "write.format.default": "parquet",
+            "schema.name-mapping.default": json.dumps(name_mapping),
         },
         "current-snapshot-id": head_export_id,
         "refs": {"main": {"snapshot-id": head_export_id, "type": "branch"}},
@@ -883,9 +916,41 @@ def read_iceberg(
         )
         groups.setdefault(key, []).append(rec["file_path"])
 
+    # schema.name-mapping.default (spec): old-era file columns resolve
+    # to current fields by field-id. alias -> current name, for aliases
+    # that differ from the current name of their id.
+    id_to_current = {f["id"]: f["name"] for f in schema["fields"]}
+    alias_of: dict[str, str] = {}
+    try:
+        mapping = json.loads(
+            doc.get("properties", {}).get("schema.name-mapping.default", "[]")
+        )
+    except ValueError:
+        mapping = []
+    for m in mapping:
+        cur = id_to_current.get(m.get("field-id"))
+        if cur is None:
+            continue
+        for alias in m.get("names", []):
+            if alias != cur:
+                alias_of[alias] = cur
+
     out: DataFrame | None = None
     for (key, applicable), paths in groups.items():
-        part = spark.read.parquet(*paths)
+        reader = spark.read
+        if alias_of:
+            # eras may carry different column names; merge, then map
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*paths)
+        for alias, cur in alias_of.items():
+            if alias not in part.columns:
+                continue
+            if cur in part.columns:
+                part = part.withColumn(
+                    cur, F.coalesce(F.col(cur), F.col(alias))
+                ).drop(alias)
+            else:
+                part = part.withColumnRenamed(alias, cur)
         # identity partition columns are absent from the data files and
         # must be restored BEFORE equality deletes apply — a delete
         # keyed on a partition column is legal and must resolve

@@ -482,6 +482,45 @@ def test_export_history_time_travel(spark, sf_dir):
     assert head.filter(F.col("n_nationkey") == 3).count() == 0
 
 
+def test_export_schema_evolution_name_mapping(spark, sf_dir):
+    """A renamed column lives under its OLD name in pre-rename parquet
+    (our files carry names, not Iceberg field ids); the export writes
+    the spec's schema.name-mapping.default so readers resolve old-era
+    columns by field-id. Rename + add round-trip exactly; drop +
+    re-add of the same name is inexpressible in a name mapping and
+    must refuse with the compact() remedy."""
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    ops = cat.create_table(("ns",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.rename_column("name", "label")
+    table.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    table.add_column("extra", "long")
+    table.append(
+        spark.createDataFrame([(4, "d", 9)], "id long, label string, extra long")
+    )
+    dest, _ = _round_trip(spark, table)
+    doc = json.load(open(f"{dest}/metadata/v1.metadata.json"))
+    mapping = json.loads(doc["properties"]["schema.name-mapping.default"])
+    by_id = {m["field-id"]: m["names"] for m in mapping}
+    label_id = next(
+        f["id"] for f in doc["schemas"][0]["fields"] if f["name"] == "label"
+    )
+    assert set(by_id[label_id]) == {"name", "label"}
+    # drop + re-add: same name, different id — refuse, don't corrupt
+    table.drop_column("extra")
+    table.add_column("extra", "long")
+    table.append(
+        spark.createDataFrame([(5, "e", 1)], "id long, label string, extra long")
+    )
+    with pytest.raises(ValueError, match="compact"):
+        iceberg_export.export_iceberg(table, tempfile.mkdtemp())
+    table.compact(spark)
+    dest2, _ = _round_trip(spark, table)  # materialized schema exports fine
+
+
 def test_export_gzip_metadata(spark, sf_dir):
     """write.metadata.compression=gzip must carry into the export (A30
     parity): metadata lands as v1.gz.metadata.json and the spec reader
