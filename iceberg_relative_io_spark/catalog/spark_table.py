@@ -633,12 +633,23 @@ class RelativeTable:
             target = self._snapshot_entry(meta, snapshot_id)
             if target.get("expired"):
                 raise ValueError(f"snapshot {snapshot_id} has been expired")
-            # only ancestors of the current head are legal rollback targets
+            # only ancestors of the current head are legal rollback
+            # targets. The walk must TOLERATE a parent pointer whose
+            # entry expire_snapshots has fully removed (a chain-reset
+            # boundary keeps its parent-snapshot-id after the ancestors
+            # beyond it are reaped): a missing parent simply ends the
+            # ancestry — it was never a legal target — instead of
+            # crashing the rollback of a perfectly valid nearer target
+            # (found by tools/fuzz_evolution.py seed 3).
             sid = meta.get("current-snapshot-id")
             ancestors = set()
             while sid is not None:
                 ancestors.add(sid)
-                sid = self._snapshot_entry(meta, sid)["parent-snapshot-id"]
+                entry = next(
+                    (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+                    None,
+                )
+                sid = entry.get("parent-snapshot-id") if entry else None
             if snapshot_id not in ancestors:
                 raise ValueError(
                     f"snapshot {snapshot_id} is not an ancestor of the current head"

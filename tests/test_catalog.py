@@ -910,6 +910,27 @@ def test_bucket_and_truncate_transforms(spark, catalog):
     assert got.count() == 1
 
 
+def test_rollback_past_reaped_ancestors(spark, catalog):
+    """Rollback to a valid post-compaction ancestor must work even when
+    expire_snapshots has fully REMOVED pre-compaction snapshot entries
+    while the chain-reset snapshot still carries its parent pointer —
+    the ancestry walk ends at the reaped boundary instead of raising
+    'no snapshot N' (fuzz_evolution finding, round 6)."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    ops = catalog.create_table(("hp",), "rbx", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    table.compact(spark)  # chain reset; parent pointer survives
+    target = ops.current()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    table.expire_snapshots(keep_last=2)  # reap the pre-compact entries
+    live = {s["snapshot-id"] for s in ops.current()["snapshots"]}
+    assert len(live) <= 3
+    table.rollback_to_snapshot(target)
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+
+
 def test_dml_fuzz_one_seed(spark):
     """One seeded random DML interleaving (tools/fuzz_dml.py) in the
     suite: append / MOR+COW delete+update / merge / dynamic overwrite /
