@@ -997,3 +997,195 @@ def read_iceberg(
     # present columns in schema order where available
     names = [f["name"] for f in schema["fields"] if f["name"] in out.columns]
     return out.select(*names)
+
+
+# ---------------------------------------------------------------------------
+# import: external Iceberg v2 table -> RelativeTable (zero-copy)
+# ---------------------------------------------------------------------------
+
+def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
+                   table_dir: str) -> RelativeTable:
+    """Register an EXTERNAL Iceberg v2 table as a RelativeTable without
+    rewriting any data: parse the spec metadata (version-hint ->
+    metadata.json, plain or gzip), create the table in ``catalog``, and
+    commit manifest entries that reference the source parquet by
+    absolute URI (A2: absolute locations pass through the relativizing
+    IO untouched). Closes the interop loop with :func:`export_iceberg` —
+    export -> import round-trips a table between the two formats with
+    zero data movement.
+
+    Equality-delete files import as our merge-on-read delete files with
+    EXACT scoping: snapshots are committed in data-sequence order, the
+    deletes of sequence s BEFORE the data of s, so the engine's
+    strictly-older rule (delete applies iff delete._snap > data._snap)
+    reproduces the spec's strictly-smaller-sequence rule.
+
+    Partitioned tables import when every data file path carries the
+    spec's hive ``key=value`` segments (true of our own exports and any
+    Spark-written layout); partition tuples then parse from the paths in
+    the engine's own dialect, and bucket[N] specs keep pruning because
+    both sides hash with the spec Murmur3. Refused with a clear remedy:
+    identity-partitioned files WITHOUT hive dirs (the column is absent
+    from the parquet and this engine fills it from the dir layout),
+    nested column types, name-mapping aliases (renamed-era files), and
+    position deletes."""
+    import os as _os
+
+    with open(_os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    plain = _os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    if _os.path.exists(plain):
+        with open(plain) as fh:
+            doc = json.load(fh)
+    else:
+        import gzip as _gzip
+
+        with _gzip.open(
+            _os.path.join(
+                table_dir, "metadata", f"v{version}.gz.metadata.json"
+            ),
+            "rt",
+        ) as fh:
+            doc = json.load(fh)
+    if doc["format-version"] != 2:
+        raise ValueError("only format-version 2 supported")
+
+    mapping = json.loads(
+        doc.get("properties", {}).get("schema.name-mapping.default", "[]")
+    )
+    if any(len(m.get("names", [])) > 1 for m in mapping):
+        raise ValueError(
+            "source table has renamed-era files (name-mapping aliases); "
+            "compact it in the source engine before import"
+        )
+
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise ValueError(
+                f"nested type on column {f['name']!r} not supported by import"
+            )
+        if t.startswith("decimal"):
+            import re as _re
+
+            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+        else:
+            dt = _ICEBERG_TO_SPARK.get(t)
+            if dt is None:
+                raise ValueError(f"unsupported column type {t!r}")
+        fields.append(T.StructField(f["name"], dt, not f["required"]))
+    struct = T.StructType(fields)
+    fields_by_id = {f["id"]: f for f in schema["fields"]}
+
+    # partition spec -> our transform dialect
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    partition_by = []
+    layout_names = []
+    for pf in spec["fields"]:
+        src = fields_by_id[pf["source-id"]]["name"]
+        tr = pf["transform"]
+        if tr == "identity":
+            partition_by.append(src)
+            layout_names.append(src)
+        elif tr == "day":
+            partition_by.append(f"day({src})")
+            layout_names.append(pf["name"])
+        elif tr == "month":
+            partition_by.append(f"month({src})")
+            layout_names.append(pf["name"])
+        elif tr.startswith("bucket["):
+            partition_by.append(f"bucket({int(tr[7:-1])}, {src})")
+            layout_names.append(pf["name"])
+        elif tr.startswith("truncate["):
+            partition_by.append(f"truncate({int(tr[9:-1])}, {src})")
+            layout_names.append(pf["name"])
+        else:
+            raise ValueError(f"unsupported partition transform {tr!r}")
+
+    # collect the CURRENT snapshot's entries from the manifests
+    snap = next(
+        s
+        for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, manifests = avro_ocf.read_ocf(fh.read())
+    data_by_seq: dict[int, list] = {}
+    dels_by_seq: dict[int, list] = {}
+    for mf in manifests:
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            rec = e["data_file"]
+            if mf["content"] == 1 or rec["content"] == 2:
+                if not rec.get("equality_ids"):
+                    raise ValueError(
+                        "position deletes not supported by import; compact "
+                        "the source table first"
+                    )
+                dels_by_seq.setdefault(e["sequence_number"], []).append(rec)
+            else:
+                data_by_seq.setdefault(e["sequence_number"], []).append(rec)
+
+    ops = catalog.create_table(
+        namespace, name, struct.jsonValue(),
+        partition_by=partition_by or None,
+    )
+    table = RelativeTable(ops)
+
+    def _entry_for(rec: dict) -> dict:
+        path = rec["file_path"]
+        entry = {
+            "path": path,
+            "size-bytes": int(rec.get("file_size_in_bytes", 0)),
+            "row-count": int(rec.get("record_count", 0)),
+        }
+        if layout_names:
+            parts = RelativeTable._partition_values(path)
+            missing = [n for n in layout_names if n not in parts]
+            if missing:
+                raise ValueError(
+                    f"data file {path!r} lacks hive dirs for partition "
+                    f"fields {missing}; this engine fills partition values "
+                    "from the directory layout — import unpartitioned or "
+                    "hive-laid-out tables only"
+                )
+            entry["partition"] = {n: parts[n] for n in layout_names}
+        try:  # footer min/max -> file-level range pruning keeps working
+            entry.update(table._file_stats(path))
+        except Exception:
+            pass
+        return entry
+
+    # commit in sequence order; deletes of seq s land BEFORE data of s
+    for seq in sorted(set(data_by_seq) | set(dels_by_seq)):
+        for rec in dels_by_seq.get(seq, []):
+            cols = [fields_by_id[i]["name"] for i in rec["equality_ids"]]
+            table._commit_snapshot(
+                "delete-mor",
+                [],
+                delete_files=[
+                    {
+                        "path": rec["file_path"],
+                        "size-bytes": int(rec.get("file_size_in_bytes", 0)),
+                        "equality-cols": cols,
+                    }
+                ],
+                extra_summary={"equality-delete-files": "1"},
+            )
+            ops._should_refresh = True
+        if seq in data_by_seq:
+            table._commit_snapshot(
+                "append", [_entry_for(rec) for rec in data_by_seq[seq]]
+            )
+            ops._should_refresh = True
+    return table

@@ -21,6 +21,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a43_iceberg_import",          # NEW: export -> zero-copy import round trip
     "a42_bucket_export",           # NEW: murmur3 bucket[N] export + pruned reads
     "a41_iceberg_export",          # export rewritten (sequences, deletes, gzip)
     "a32_hidden_partitioning",     # bucket layout now spec murmur3

@@ -550,10 +550,51 @@ def q_bucket_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
 
 
+def q_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 (round-6): full Iceberg interop loop — build a customer table
+    with live MOR state (equality-delete custkeys divisible by 97, then
+    re-insert key 97 with a changed name: the strictly-older scoping
+    case), export it as a genuine v2 table (delete manifests included,
+    NO compaction), then ``import_iceberg`` it zero-copy into a SECOND
+    catalog and read through the imported table. The oracle restates the
+    delete + re-insert in SQL, so equality proves the exported delete
+    manifests, the sequence mapping, and the import's snapshot
+    reconstruction all compose exactly."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_src", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    table.delete_where_mor(
+        spark, F.col("c_custkey") % 97 == 0, ["c_custkey"]
+    )
+    table.append(
+        cust.filter(F.col("c_custkey") == 97).withColumn(
+            "c_name", F.lit("REBORN")
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="iceberg_import_")
+    iceberg_export.export_iceberg(table, dest)
+    cat2 = _fresh_catalog()
+    cat2.create_namespace(("ns",))
+    imported = iceberg_export.import_iceberg(spark, cat2, ("ns",), "cust_imp", dest)
+    return imported.read(spark).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a41_iceberg_export": q_iceberg_export,
     "a42_bucket_export": q_bucket_export,
+    "a43_iceberg_import": q_iceberg_import,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -581,6 +622,13 @@ ORACLE = {
     "a42_bucket_export": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         WHERE c_custkey IN (7, 42, 77, 101, 149)
+    """,
+    "a43_iceberg_import": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
+        FROM customer WHERE c_custkey = 97
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

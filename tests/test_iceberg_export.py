@@ -521,6 +521,63 @@ def test_export_schema_evolution_name_mapping(spark, sf_dir):
     dest2, _ = _round_trip(spark, table)  # materialized schema exports fine
 
 
+def test_import_iceberg_round_trip(spark, sf_dir):
+    """export -> import closes the interop loop zero-copy: the imported
+    RelativeTable reads identically to the source, MOR equality deletes
+    keep their strictly-older scoping (a re-inserted key survives), and
+    bucket[N] partition specs keep pruning (both sides murmur3)."""
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).limit(300)
+    table = _table(spark, cust, partition_by=["bucket(4, c_custkey)"])
+    table.delete_where_mor(spark, F.col("c_custkey") == 7, ["c_custkey"])
+    table.append(
+        cust.filter(F.col("c_custkey") == 7).withColumn("c_name", F.lit("REBORN"))
+    )
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+
+    cat2 = FsCatalog(tempfile.mkdtemp(prefix="iceimp_wh_"))
+    cat2.create_namespace(("ns",))
+    imp = iceberg_export.import_iceberg(spark, cat2, ("ns",), "imp", dest)
+    want = table.read(spark)
+    got = imp.read(spark)
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    rows7 = got.filter(F.col("c_custkey") == 7).collect()
+    assert len(rows7) == 1 and rows7[0].c_name == "REBORN"
+    # the imported bucket spec still prunes equality predicates
+    assert imp.partition_spec == ["bucket(4, c_custkey)"]
+    files = imp.scan_files()
+    eq = imp.scan_files(column_ranges={"c_custkey": (42, 42)})
+    assert 0 < len(eq) < len(files)
+    assert {f["partition"]["c_custkey_bucket"] for f in eq} == {
+        str(bucket_value(42, 4))
+    }
+
+
+def test_import_refuses_renamed_era_files(spark, sf_dir):
+    """A source with name-mapping aliases (renamed-era parquet) cannot
+    import safely by name; the remedy is compaction in the source."""
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    ops = cat.create_table(("ns",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.rename_column("name", "label")
+    table.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    cat2 = FsCatalog(tempfile.mkdtemp(prefix="iceimp_wh_"))
+    cat2.create_namespace(("ns",))
+    with pytest.raises(ValueError, match="name-mapping"):
+        iceberg_export.import_iceberg(spark, cat2, ("ns",), "imp", dest)
+
+
 def test_export_gzip_metadata(spark, sf_dir):
     """write.metadata.compression=gzip must carry into the export (A30
     parity): metadata lands as v1.gz.metadata.json and the spec reader
