@@ -670,7 +670,13 @@ class RelativeTable:
         """Write-audit-publish: point main at a branch's head. Appends
         staged on an audit branch become visible atomically — the
         publish step of the WAP pattern Iceberg users run for validated
-        ingestion."""
+        ingestion.
+
+        Refuses when main is NOT an ancestor of the branch head
+        (Iceberg's fast_forward contract): silently overriding a
+        diverged main would drop every commit main gained since the
+        branch was cut — data loss disguised as a publish. The caller
+        re-stages on a fresh branch (or cherry-picks) instead."""
         for _ in range(_COMMIT_RETRIES):
             meta = json.loads(json.dumps(self.ops.current()))
             base = self.ops.current_version()
@@ -678,6 +684,26 @@ class RelativeTable:
             if branch not in refs:
                 raise ValueError(f"no such branch {branch!r}")
             head = refs[branch]
+            main_head = meta.get("current-snapshot-id")
+            if main_head is not None:
+                sid = head
+                seen = False
+                while sid is not None:
+                    if sid == main_head:
+                        seen = True
+                        break
+                    entry = next(
+                        (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+                        None,
+                    )
+                    sid = entry.get("parent-snapshot-id") if entry else None
+                if not seen:
+                    raise ValueError(
+                        f"cannot fast-forward main to branch {branch!r}: main "
+                        f"has advanced past the branch point (head "
+                        f"{main_head} is not an ancestor of the branch head "
+                        f"{head}); re-stage on a fresh branch"
+                    )
             refs["main"] = head
             meta["current-snapshot-id"] = head
             meta["snapshot-log"].append(
@@ -689,6 +715,29 @@ class RelativeTable:
             except CommitFailedError:
                 self.ops._should_refresh = True
         raise CommitFailedError(f"fast_forward({branch}) lost all commit races")
+
+    def cherry_pick_snapshot(self, snapshot_id: int) -> dict:
+        """Iceberg's cherrypick_snapshot: re-apply ONE append snapshot's
+        added files onto the current main head as a fresh commit — the
+        remedy when a WAP publish is refused because main advanced past
+        the branch point (fast_forward's divergence guard). Metadata
+        only: the staged data files are re-referenced, never rewritten.
+        Only 'append' snapshots are cherry-pickable (Iceberg's own
+        restriction — replaying an overwrite/delete against a moved base
+        could resurrect or re-delete rows the interim commits touched)."""
+        meta = self.ops.current()
+        snap = self._snapshot_entry(meta, snapshot_id)
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only; "
+                f"{snapshot_id} is {snap['operation']!r}"
+            )
+        man = self._manifest_for(meta, snapshot_id)
+        return self._commit_snapshot(
+            "append",
+            [dict(f) for f in man["added-files"]],
+            extra_summary={"cherry-picked-from": str(snapshot_id)},
+        )
 
     # -- read path ---------------------------------------------------------------
     def _manifest_for(self, meta: dict, snapshot_id: int) -> dict:

@@ -386,6 +386,9 @@ class RelativeSqlSession:
         elif proc == "fast_forward":
             table.fast_forward(arg.strip().strip("'"))
             rows = [("ok",)]
+        elif proc == "cherrypick_snapshot":
+            result = table.cherry_pick_snapshot(int(arg))
+            rows = [(str(result["snapshot-id"]),)]
         else:
             raise SqlParseError(f"unknown procedure {proc!r}")
         return self.spark.createDataFrame(rows, "result string")

@@ -563,6 +563,32 @@ def test_wap_fast_forward_publishes_branch(spark, catalog):
     assert {r.name for r in table.read(spark).collect()} == {"a", "staged"}
 
 
+def test_fast_forward_refuses_diverged_main(spark, catalog):
+    """Publishing a branch after main has advanced past the branch point
+    is NOT a fast-forward: silently moving main would drop main's
+    interim commits (data loss). Iceberg refuses; so do we."""
+    import pytest as _pytest
+
+    table = _make_table(spark, catalog, [(1, "a")], ns=("wap",), name="t2")
+    table.create_branch("audit")
+    table.append(
+        spark.createDataFrame([(2, "staged")], "id long, name string"),
+        branch="audit",
+    )
+    # main advances independently -> divergence
+    table.append(spark.createDataFrame([(3, "main")], "id long, name string"))
+    with _pytest.raises(ValueError, match="fast-forward"):
+        table.fast_forward("audit")
+    # main's commit survived untouched
+    assert {r.name for r in table.read(spark).collect()} == {"a", "main"}
+    # the Iceberg remedy: cherry-pick the staged append onto moved main
+    staged_sid = table.ops.current()["refs"]["audit"]
+    table.cherry_pick_snapshot(staged_sid)
+    assert {r.name for r in table.read(spark).collect()} == {
+        "a", "main", "staged"
+    }
+
+
 def test_incremental_manifests_store_only_added(spark, catalog):
     """Commit cost must be O(added files): each manifest records only its
     snapshot's additions; the live set comes from the parent-chain walk."""
