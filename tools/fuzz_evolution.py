@@ -222,11 +222,51 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                 if branch is None:
                     continue
                 head = ops.current().get("current-snapshot-id")
-                if head != branch["base_sid"] or not branch["rows"]:
-                    branch = None  # diverged or empty: abandon the audit
+                if not branch["rows"]:
+                    branch = None  # nothing staged: abandon the audit
                     continue
-                table.fast_forward(branch["name"])
-                rows.extend(branch["rows"])
+                if head == branch["base_sid"]:
+                    table.fast_forward(branch["name"])
+                    rows.extend(branch["rows"])
+                else:
+                    # diverged: fast_forward must REFUSE (silent override
+                    # would drop main's interim commits), and the staged
+                    # appends land via cherry-pick instead
+                    refused = False
+                    try:
+                        table.fast_forward(branch["name"])
+                    except ValueError:
+                        refused = True
+                    if not refused:
+                        raise AssertionError(
+                            "fast_forward silently published onto a "
+                            "diverged main"
+                        )
+                    staged_sid = ops.current()["refs"][branch["name"]]
+                    # cherry-pick only if the branch head is a single
+                    # append on the branch base (multi-commit audits
+                    # would need one pick per snapshot; keep one here)
+                    picks = []
+                    sid = staged_sid
+                    while sid is not None and sid != branch["base_sid"]:
+                        entry = next(
+                            (
+                                s
+                                for s in ops.current()["snapshots"]
+                                if s["snapshot-id"] == sid
+                            ),
+                            None,
+                        )
+                        if entry is None or entry["operation"] != "append":
+                            picks = None
+                            break
+                        picks.append(sid)
+                        sid = entry.get("parent-snapshot-id")
+                    if picks:
+                        for sid in reversed(picks):  # oldest staged first
+                            table.cherry_pick_snapshot(sid)
+                            ops._should_refresh = True
+                        rows.extend(branch["rows"])
                 branch = None
             elif op == "rollback":
                 targets = [
