@@ -858,6 +858,14 @@ def read_iceberg(
                 continue
             rec = e["data_file"]
             if mf["content"] == 1 or rec["content"] == 2:
+                if not rec.get("equality_ids"):
+                    # content=1 entries without equality_ids are POSITION
+                    # deletes; applying them as an equality anti-join on
+                    # zero columns would delete everything — refuse loudly
+                    raise ValueError(
+                        "position-delete manifests are not supported by "
+                        "this reader; compact the source table first"
+                    )
                 eq_deletes.append(
                     {
                         "seq": e["sequence_number"],
