@@ -222,17 +222,33 @@ def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def legacy_bucket_value(v, n: int) -> int | None:
+def legacy_bucket_value(v, n: int, source_type=None) -> int | None:
     """Driver-side mirror of the legacy layout column
     ``pmod(xxhash64(col), n)`` — enables equality pruning on bucket
     layouts written before the murmur3 switch. None for unsupported
-    source types (caller keeps all files, never wrong)."""
+    source types (caller keeps all files, never wrong).
+
+    ``source_type`` (a Spark DataType) is REQUIRED for integer values:
+    unlike the Iceberg Murmur3 (which widens int to long so both hash
+    identically), Spark's xxhash64 uses the 4-byte hashInt path for
+    IntegerType columns and the 8-byte hashLong path for LongType —
+    deriving the wrong width prunes the wrong file. Without the type,
+    a Python int returns None (keep all)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
-        h = xxhash64_long(v)
+        from pyspark.sql import types as T
+
+        if isinstance(source_type, T.LongType):
+            h = xxhash64_long(v)
+        elif isinstance(
+            source_type, (T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            h = xxhash64_int(v)
+        else:
+            return None  # unknown width: never guess a hash
     elif isinstance(v, datetime):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)

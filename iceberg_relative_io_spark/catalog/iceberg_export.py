@@ -373,10 +373,13 @@ def _export_one_snapshot(
     spec_fields: list[dict],
     entry_schema: dict,
     field_ids: dict,
+    rows_cache: dict | None = None,
 ) -> dict:
     """Write the data manifest, the delete manifest (when the snapshot
     carries live equality deletes) and the manifest list for ONE
-    snapshot; returns paths + counts + the snapshot's sequence number."""
+    snapshot; returns paths + counts + the snapshot's sequence number.
+    ``rows_cache`` (path -> num_rows) is shared across a history export
+    so each delete file's footer is read once, not once per snapshot."""
     ops = table.ops
     files = table._data_files(meta, sid) if sid is not None else []
     dels = table._delete_files(meta, sid) if sid is not None else []
@@ -413,10 +416,15 @@ def _export_one_snapshot(
     del_entries = []
     total_del_rows = 0
     for d in dels:
-        try:
-            rows = int(ops.io.parquet_metadata(d["path"]).num_rows)
-        except Exception:
-            rows = 0  # record_count stays best-effort on unreadable footers
+        if rows_cache is not None and d["path"] in rows_cache:
+            rows = rows_cache[d["path"]]
+        else:
+            try:
+                rows = int(ops.io.parquet_metadata(d["path"]).num_rows)
+            except Exception:
+                rows = 0  # record_count stays best-effort on bad footers
+            if rows_cache is not None:
+                rows_cache[d["path"]] = rows
         total_del_rows += rows
         del_entries.append(
             {
@@ -585,7 +593,16 @@ def export_iceberg(
         chain: list[int | None] = []
         s: int | None = head
         while s is not None:
-            entry = table._snapshot_entry(meta, s)
+            # tolerate a parent pointer whose entry expire_snapshots has
+            # fully removed (same reap-boundary case as
+            # rollback_to_snapshot): the reaped ancestry simply ends the
+            # exported history instead of crashing a healthy export
+            entry = next(
+                (e for e in meta["snapshots"] if e["snapshot-id"] == s),
+                None,
+            )
+            if entry is None:
+                break
             if not entry.get("expired"):
                 chain.append(s)
             s = entry.get("parent-snapshot-id")
@@ -629,24 +646,46 @@ def export_iceberg(
     current_ids = meta.get("column-ids") or {}
     current_id_set = set(current_ids.values())
     id_to_names: dict[int, set] = {}
+    name_to_ids: dict[str, set] = {}
     for s in chain:
         for f in per_snap[s][0]:
             era = f.get("column-ids") or current_ids
             for cname, fid in era.items():
-                if cname in current_ids and current_ids[cname] != fid:
-                    raise ValueError(
-                        f"column name {cname!r} maps to field id {fid} in an "
-                        f"old file era but id {current_ids[cname]} in the "
-                        "current schema (drop + re-add); a name mapping "
-                        "cannot express that safely — run compact() before "
-                        "export to materialize the current schema"
-                    )
                 id_to_names.setdefault(fid, set()).add(cname)
+                name_to_ids.setdefault(cname, set()).add(fid)
+    for cname, fid in current_ids.items():
+        name_to_ids.setdefault(cname, set()).add(fid)
+    # a name that ever pointed at TWO different ids (drop + re-add,
+    # whether or not the re-added id is still current) is inexpressible:
+    # names must be unambiguous in a mapping, and aliasing it to the
+    # surviving id would resurrect the dropped column's values
+    for cname, fids in name_to_ids.items():
+        if len(fids) > 1:
+            raise ValueError(
+                f"column name {cname!r} maps to field ids {sorted(fids)} "
+                "across file eras (drop + re-add); a name mapping cannot "
+                "express that safely — run compact() before export to "
+                "materialize the current schema"
+            )
     name_mapping = [
         {"field-id": fid, "names": sorted(names)}
         for fid, names in sorted(id_to_names.items())
         if fid in current_id_set
     ]
+    # MOR delete files record their equality columns by NAME at delete
+    # time; a later rename strands those names outside the current
+    # schema and the delete parquet itself carries the old column —
+    # refuse with the same remedy rather than export a broken manifest
+    for s in chain:
+        for d in per_snap[s][1]:
+            for c in d["equality-cols"]:
+                if c not in current_ids and current_ids:
+                    raise ValueError(
+                        f"equality-delete file {d['path']!r} keys on "
+                        f"column {c!r} which the current schema no longer "
+                        "names (renamed or dropped after the delete); run "
+                        "compact() before export"
+                    )
 
     os.makedirs(os.path.join(dest_dir, "metadata"), exist_ok=True)
     now_ms = int(time.time() * 1000)
@@ -656,11 +695,13 @@ def export_iceberg(
     prev: int | None = None
     head_info: dict = {}
     head_export_id = 1
+    rows_cache: dict = {}
     for s in chain:
         export_id = int(s) if s is not None else 1
         info = _export_one_snapshot(
             table, dest_dir, meta, s, export_id, seq_of,
             schema_json, clean_spec, spec_fields, entry_schema, field_ids,
+            rows_cache=rows_cache,
         )
         src_entry = table._snapshot_entry(meta, s) if s is not None else {}
         ts = int(src_entry.get("timestamp-ms", now_ms))
@@ -771,6 +812,30 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def _load_metadata(table_dir: str) -> dict:
+    """version-hint -> current metadata.json, probing the gzip codec
+    (``v{N}.gz.metadata.json``) when the plain file is absent — the one
+    loader shared by ``read_iceberg`` and ``import_iceberg`` so the two
+    entry points cannot drift."""
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    if os.path.exists(plain):
+        with open(plain) as fh:
+            doc = json.load(fh)
+    else:  # gzip codec probe (write.metadata.compression=gzip)
+        import gzip as _gzip
+
+        with _gzip.open(
+            os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json"),
+            "rt",
+        ) as fh:
+            doc = json.load(fh)
+    if doc["format-version"] != 2:
+        raise ValueError("only format-version 2 supported")
+    return doc
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -799,22 +864,7 @@ def read_iceberg(
     are grouped by partition tuple and unioned; at production scale a
     reader would instead push the constants into a per-file schema
     mapping, but the gate here is correctness of the artifacts."""
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
-    if os.path.exists(plain):
-        with open(plain) as fh:
-            doc = json.load(fh)
-    else:  # gzip codec probe (write.metadata.compression=gzip)
-        import gzip as _gzip
-
-        with _gzip.open(
-            os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json"),
-            "rt",
-        ) as fh:
-            doc = json.load(fh)
-    if doc["format-version"] != 2:
-        raise ValueError("only format-version 2 supported")
+    doc = _load_metadata(table_dir)
     want_sid = (
         snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     )
@@ -945,11 +995,12 @@ def read_iceberg(
 
     out: DataFrame | None = None
     for (key, applicable), paths in groups.items():
-        reader = spark.read
-        if alias_of:
-            # eras may carry different column names; merge, then map
-            reader = reader.option("mergeSchema", "true")
-        part = reader.parquet(*paths)
+        # ALWAYS merge file schemas: even without renames, add-only
+        # evolution mixes eras in one group and a non-merged read
+        # samples an arbitrary file's footer — the added column would
+        # vanish or the later union would fail, nondeterministically by
+        # listing order
+        part = spark.read.option("mergeSchema", "true").parquet(*paths)
         for alias, cur in alias_of.items():
             if alias not in part.columns:
                 continue
@@ -1037,35 +1088,28 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
     from the parquet and this engine fills it from the dir layout),
     nested column types, name-mapping aliases (renamed-era files), and
     position deletes."""
-    import os as _os
+    doc = _load_metadata(table_dir)
 
-    with open(_os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    plain = _os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
-    if _os.path.exists(plain):
-        with open(plain) as fh:
-            doc = json.load(fh)
-    else:
-        import gzip as _gzip
-
-        with _gzip.open(
-            _os.path.join(
-                table_dir, "metadata", f"v{version}.gz.metadata.json"
-            ),
-            "rt",
-        ) as fh:
-            doc = json.load(fh)
-    if doc["format-version"] != 2:
-        raise ValueError("only format-version 2 supported")
-
+    # a mapping entry whose name differs from the CURRENT name of its
+    # field id means some live file stores the column under an old name
+    # — even a single-name entry (every live file predating the rename).
+    # The engine reads imported files by NAME (entries carry no per-era
+    # column-ids), so importing would silently read that column as NULL.
     mapping = json.loads(
         doc.get("properties", {}).get("schema.name-mapping.default", "[]")
     )
-    if any(len(m.get("names", [])) > 1 for m in mapping):
-        raise ValueError(
-            "source table has renamed-era files (name-mapping aliases); "
-            "compact it in the source engine before import"
-        )
+    cur_schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    cur_name_of = {f["id"]: f["name"] for f in cur_schema["fields"]}
+    for m in mapping:
+        cur = cur_name_of.get(m.get("field-id"))
+        if cur is not None and any(nm != cur for nm in m.get("names", [])):
+            raise ValueError(
+                "source table has renamed-era files (name-mapping "
+                f"aliases for field {cur!r}); compact it in the source "
+                "engine before import"
+            )
 
     schema = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]

@@ -727,6 +727,12 @@ class RelativeTable:
         could resurrect or re-delete rows the interim commits touched)."""
         meta = self.ops.current()
         snap = self._snapshot_entry(meta, snapshot_id)
+        if snap.get("expired"):
+            # an expired snapshot's data files may already be DELETED
+            # (expire reaps files no retained snapshot references);
+            # committing entries that point at reaped paths would break
+            # every subsequent read of main
+            raise ValueError(f"snapshot {snapshot_id} has been expired")
         if snap["operation"] != "append":
             raise ValueError(
                 f"cherry-pick supports append snapshots only; "
@@ -871,7 +877,19 @@ class RelativeTable:
                         if bucket_hash == "murmur3":
                             b = bh.bucket_value(lo, fdef["arg"])
                         else:  # legacy layout: pmod(xxhash64(col), N) mirror
-                            b = bh.legacy_bucket_value(lo, fdef["arg"])
+                            # Spark's xxhash64 is WIDTH-SENSITIVE for
+                            # integers (hashInt vs hashLong), so the
+                            # mirror needs the source column's type
+                            src_type = None
+                            try:
+                                src_type = self.schema()[
+                                    fdef["source"]
+                                ].dataType
+                            except Exception:
+                                pass
+                            b = bh.legacy_bucket_value(
+                                lo, fdef["arg"], source_type=src_type
+                            )
                     except TypeError:
                         b = None
                     if b is None:

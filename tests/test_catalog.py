@@ -1027,9 +1027,14 @@ def test_legacy_xxhash_bucket_equality_pruning(spark, catalog):
     table = RelativeTable(ops)
     table.append(df)
     files = table.scan_files()
-    # sanity: the layout really is the xxhash64 one
+    # sanity: the layout really is the xxhash64 one (hashLong — the
+    # source is LongType; an IntegerType source hashes via hashInt and
+    # the mirror is width-sensitive, see the int case below)
+    from pyspark.sql import types as T
+
     want = str(((xxhash64_long(7) % 4) + 4) % 4)
-    assert want == str(legacy_bucket_value(7, 4))
+    assert want == str(legacy_bucket_value(7, 4, T.LongType()))
+    assert legacy_bucket_value(7, 4) is None  # unknown width: no guess
     hit = [
         f for f in files
         if any(r.id == 7 for r in spark.read.parquet(
@@ -1041,6 +1046,35 @@ def test_legacy_xxhash_bucket_equality_pruning(spark, catalog):
     assert len(eq) < len(files)
     got = table.read(spark, column_ranges={"id": (7, 7)}).filter("id = 7")
     assert got.count() == 1
+
+
+def test_legacy_xxhash_bucket_int_source_uses_hashint(spark, catalog):
+    """Spark's xxhash64 hashes IntegerType via the 4-byte hashInt path,
+    NOT hashLong — a width-blind mirror would derive the wrong bucket
+    and prune the file that actually holds the key (silent row loss,
+    round-6 review finding). The pruned read must stay exact on an
+    int-typed legacy bucket source."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id int, v string"
+    )
+    ops = catalog.create_table(
+        ("hp",), "legacy_bi", df.schema.jsonValue(), partition_by=["bucket(4, id)"]
+    )
+    meta = _json.loads(_json.dumps(ops.current()))
+    del meta["bucket-hash"]
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(df)
+    for probe in (3, 7, 21, 33):
+        got = table.read(
+            spark, column_ranges={"id": (probe, probe)}
+        ).filter(f"id = {probe}")
+        assert got.count() == 1, f"pruned away the live file for id={probe}"
+    eq = table.scan_files(column_ranges={"id": (7, 7)})
+    assert len(eq) < len(table.scan_files())  # pruning actually engaged
 
 
 def test_bucket_murmur3_binary_and_decimal_sources(spark, catalog):

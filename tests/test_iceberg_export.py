@@ -561,7 +561,10 @@ def test_import_iceberg_round_trip(spark, sf_dir):
 
 def test_import_refuses_renamed_era_files(spark, sf_dir):
     """A source with name-mapping aliases (renamed-era parquet) cannot
-    import safely by name; the remedy is compaction in the source."""
+    import safely by name; the remedy is compaction in the source. The
+    refusal must ALSO fire when EVERY live file predates the rename
+    (single-name mapping entry differing from the current name) — the
+    engine would otherwise silently read that column as NULL."""
     cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
     cat.create_namespace(("ns",))
     df = spark.createDataFrame([(1, "a")], "id long, name string")
@@ -569,13 +572,58 @@ def test_import_refuses_renamed_era_files(spark, sf_dir):
     table = RelativeTable(ops)
     table.append(df)
     table.rename_column("name", "label")
-    table.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    # NO post-rename append: all live files carry the old name
     dest = tempfile.mkdtemp(prefix="iceexp_out_")
     iceberg_export.export_iceberg(table, dest)
     cat2 = FsCatalog(tempfile.mkdtemp(prefix="iceimp_wh_"))
     cat2.create_namespace(("ns",))
-    with pytest.raises(ValueError, match="name-mapping"):
+    with pytest.raises(ValueError, match="renamed-era"):
         iceberg_export.import_iceberg(spark, cat2, ("ns",), "imp", dest)
+    # post-rename append too (two-name mapping entry): still refused
+    table.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    dest2 = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest2)
+    with pytest.raises(ValueError, match="renamed-era"):
+        iceberg_export.import_iceberg(spark, cat2, ("ns",), "imp2", dest2)
+
+
+def test_export_history_past_reaped_ancestors(spark, sf_dir):
+    """include_history must tolerate a parent pointer whose snapshot
+    entry expire_snapshots fully removed (the reap boundary a chain
+    reset leaves behind) — same tolerant-walk rule as
+    rollback_to_snapshot; the reaped ancestry just ends the export."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(("ns",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    table.compact(spark)
+    table.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    table.expire_snapshots(keep_last=2)
+    dest = tempfile.mkdtemp(prefix="iceexp_hist_")
+    info = iceberg_export.export_iceberg(table, dest, include_history=True)
+    assert info["snapshots"] >= 1
+    got = iceberg_export.read_iceberg(spark, dest)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+
+
+def test_export_refuses_delete_keyed_on_renamed_column(spark, sf_dir):
+    """A live MOR delete file keys by NAME at delete time; renaming that
+    column afterwards strands the key outside the current schema (and
+    the delete parquet itself carries the old name). Export must refuse
+    with the compact() remedy, not die with a KeyError."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(("ns",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.delete_where_mor(spark, F.col("name") == "a", ["name"])
+    table.rename_column("name", "label")
+    with pytest.raises(ValueError, match="compact"):
+        iceberg_export.export_iceberg(table, tempfile.mkdtemp())
 
 
 def test_export_gzip_metadata(spark, sf_dir):
