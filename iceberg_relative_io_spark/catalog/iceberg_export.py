@@ -795,6 +795,221 @@ def export_iceberg(
 
 
 # ---------------------------------------------------------------------------
+# position deletes (spec content=1 delete files)
+# ---------------------------------------------------------------------------
+
+def _spec_fields_from_doc(doc: dict) -> list[dict]:
+    """Reconstruct the ``_kind``/``_source_type``-annotated spec fields
+    (the shape ``_manifest_entry_schema`` / ``_partition_avro_type``
+    consume) from an exported table's metadata document — used when
+    appending artifacts to an EXISTING v2 directory rather than
+    exporting from a RelativeTable."""
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    out = []
+    for pf in spec["fields"]:
+        tr = pf["transform"]
+        if tr.startswith("bucket["):
+            kind = "bucket"
+        elif tr.startswith("truncate["):
+            kind = "truncate"
+        else:
+            kind = tr  # identity / day / month
+        src = by_id[pf["source-id"]]
+        out.append({**pf, "_kind": kind, "_source_type": src["type"]})
+    return out
+
+
+def write_position_deletes(
+    table_dir: str,
+    deletes: dict[str, list[int]],
+    sequence: int | None = None,
+) -> dict:
+    """Append a POSITION-delete snapshot to an Iceberg v2 table
+    directory — the artifact shape an external engine's merge-on-read
+    writer produces (Iceberg spec: delete file ``content=1``, parquet
+    columns ``file_path`` string / ``pos`` long with the reserved field
+    ids 2147483546 / 2147483545, rows sorted by file then position).
+
+    ``deletes`` maps data-file path -> row positions to delete.
+    ``sequence`` defaults to ``last-sequence-number + 1`` (the delete
+    applies to every current data file, per the spec's <=-sequence
+    scoping rule); tests pass an explicit lower sequence to pin the
+    scoping behavior. Writes the delete parquet, a ``content=1``
+    delete manifest, a new manifest list carrying every prior manifest
+    forward, a new snapshot in a bumped metadata.json, and the new
+    version hint. Returns paths + counts.
+
+    Our own table format never produces these (its MOR deletes are
+    equality-keyed), so this writer exists to (a) generate spec-shaped
+    fixtures for the reader's position-delete path and (b) let users
+    hand-patch exported tables the way external compactors do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    doc = _load_metadata(table_dir)
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+
+    seq = int(sequence) if sequence is not None else doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+
+    # spec: delete rows sorted by file_path then pos, reserved field ids
+    rows = sorted(
+        (p, int(pos)) for p, ps in deletes.items() for pos in ps
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field(
+                "file_path", pa.string(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos", pa.int64(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    del_path = os.path.join(
+        table_dir, "data", f"posdel-{uuid.uuid4()}.parquet"
+    )
+    os.makedirs(os.path.dirname(del_path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {"file_path": [r[0] for r in rows], "pos": [r[1] for r in rows]},
+            schema=arrow_schema,
+        ),
+        del_path,
+    )
+
+    entry = {
+        "status": 1,  # ADDED
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {f["name"]: None for f in spec_fields},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": None,
+        },
+    }
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
+    )
+    clean_spec = [
+        {k: v for k, v in f.items() if not k.startswith("_")}
+        for f in spec_fields
+    ]
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        [entry],
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(clean_spec),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+
+    # new manifest list = every prior manifest carried forward + ours
+    cur = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, prior = avro_ocf.read_ocf(fh.read())
+    ml_records = list(prior) + [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": len(rows),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = max(doc["last-sequence-number"], seq)
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_doc["snapshots"] = doc["snapshots"] + [
+        {
+            "sequence-number": seq,
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": doc["current-snapshot-id"],
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "delete",
+                "total-position-deletes": str(len(rows)),
+                "total-equality-deletes": "0",
+            },
+            "manifest-list": ml_path,
+            "schema-id": doc["current-schema-id"],
+        }
+    ]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    meta_path = os.path.join(
+        table_dir, "metadata", f"v{version + 1}.metadata.json"
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(new_doc, fh, indent=2)
+    with open(
+        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(version + 1))
+    return {
+        "delete-file": del_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "metadata": meta_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "positions": len(rows),
+    }
+
+
+# ---------------------------------------------------------------------------
 # independent spec-path reader (the round-trip gate)
 # ---------------------------------------------------------------------------
 
@@ -847,9 +1062,13 @@ def read_iceberg(
     (or ``snapshot_id`` — time travel over a history export) ->
     avro manifest list -> avro manifests -> parquet data files, filling
     identity-partition columns from the manifest partition struct (the
-    spec's rule for columns absent from data files), and applying
-    equality-delete manifests (``content=1``) to data files with a
-    strictly smaller data sequence number — the spec's scoping rule.
+    spec's rule for columns absent from data files), and applying both
+    delete-file kinds with the spec's scoping rules: equality deletes
+    (``content=2``) to data files with a strictly smaller data sequence
+    number, position deletes (``content=1``, parquet of
+    ``file_path``/``pos``) to data files with sequence at or below the
+    delete's — matched on ``_metadata.row_index`` (the row's ordinal in
+    its file, exactly the spec's ``pos``) via a broadcast anti-join.
 
     ``eq_filters`` (``{source_column: value}``) applies those equality
     predicates AND prunes manifest entries by partition value first:
@@ -900,6 +1119,7 @@ def read_iceberg(
 
     data_entries: list[dict] = []
     eq_deletes: list[dict] = []  # {seq, path, cols}
+    pos_deletes: list[dict] = []  # {seq, path}
     for mf in manifests:
         with open(mf["manifest_path"], "rb") as fh:
             _, _, entries = avro_ocf.read_ocf(fh.read())
@@ -907,15 +1127,19 @@ def read_iceberg(
             if e["status"] == 2:  # DELETED
                 continue
             rec = e["data_file"]
-            if mf["content"] == 1 or rec["content"] == 2:
-                if not rec.get("equality_ids"):
-                    # content=1 entries without equality_ids are POSITION
-                    # deletes; applying them as an equality anti-join on
-                    # zero columns would delete everything — refuse loudly
-                    raise ValueError(
-                        "position-delete manifests are not supported by "
-                        "this reader; compact the source table first"
+            if mf["content"] == 1 or rec["content"] in (1, 2):
+                if rec["content"] == 1 or not rec.get("equality_ids"):
+                    # content=1 entries (no equality_ids) are POSITION
+                    # deletes: parquet of (file_path, pos), applied to
+                    # data files with sequence <= the delete's (spec rule
+                    # — note <= where equality deletes use strict <)
+                    pos_deletes.append(
+                        {
+                            "seq": e["sequence_number"],
+                            "path": rec["file_path"],
+                        }
                     )
+                    continue
                 eq_deletes.append(
                     {
                         "seq": e["sequence_number"],
@@ -955,9 +1179,10 @@ def read_iceberg(
                     if e["data_file"]["partition"].get(fname) in (None, want)
                 ]
 
-    # group data files by (identity tuple, applicable delete set): the
+    # group data files by (identity tuple, applicable delete sets): the
     # spec applies an equality delete to data files with sequence
-    # strictly below the delete's
+    # strictly below the delete's, a position delete to data files with
+    # sequence at or below the delete's
     groups: dict[tuple, list[str]] = {}
     for e in data_entries:
         rec = e["data_file"]
@@ -968,9 +1193,17 @@ def read_iceberg(
                 if d["seq"] > e["sequence_number"]
             )
         )
+        pos_applicable = tuple(
+            sorted(
+                d["path"]
+                for d in pos_deletes
+                if d["seq"] >= e["sequence_number"]
+            )
+        )
         key = (
             tuple((name, rec["partition"].get(name)) for name, _ in identity),
             applicable,
+            pos_applicable,
         )
         groups.setdefault(key, []).append(rec["file_path"])
 
@@ -993,14 +1226,35 @@ def read_iceberg(
             if alias != cur:
                 alias_of[alias] = cur
 
+    # scheme-insensitive path equality for position-delete matching:
+    # Spark's _metadata.file_path is a URI (file:///…) while delete
+    # files may record plain paths (or vice versa) — normalize both to
+    # a single rooted form before joining
+    def _norm_path(c):
+        return F.concat(
+            F.lit("/"),
+            F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.\-]*:)?/*", ""),
+        )
+
     out: DataFrame | None = None
-    for (key, applicable), paths in groups.items():
+    for (key, applicable, pos_applicable), paths in groups.items():
         # ALWAYS merge file schemas: even without renames, add-only
         # evolution mixes eras in one group and a non-merged read
         # samples an arbitrary file's footer — the added column would
         # vanish or the later union would fail, nondeterministically by
         # listing order
         part = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if pos_applicable:
+            # capture provenance at scan time (before any rename):
+            # _metadata.row_index is the row's ordinal within its file —
+            # exactly the spec's `pos` — so a position delete becomes a
+            # broadcast anti-join on (file, pos); stays a map-side probe
+            # at any scale because deletes are per-file-bounded
+            part = part.select(
+                "*",
+                _norm_path(F.col("_metadata.file_path")).alias("__ir_fp"),
+                F.col("_metadata.row_index").alias("__ir_pos"),
+            )
         for alias, cur in alias_of.items():
             if alias not in part.columns:
                 continue
@@ -1030,6 +1284,18 @@ def read_iceberg(
 
                 val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
             part = part.withColumn(name, F.lit(val).cast(dt))
+        if pos_applicable:
+            dkeys = (
+                spark.read.parquet(*pos_applicable)
+                .select(
+                    _norm_path(F.col("file_path")).alias("__ir_fp"),
+                    F.col("pos").cast("long").alias("__ir_pos"),
+                )
+                .distinct()
+            )
+            part = part.join(
+                F.broadcast(dkeys), on=["__ir_fp", "__ir_pos"], how="left_anti"
+            ).drop("__ir_fp", "__ir_pos")
         for dpath, dcols in applicable:
             dkeys = spark.read.parquet(dpath).select(*dcols).distinct()
             part = part.join(F.broadcast(dkeys), on=list(dcols), how="left_anti")
@@ -1179,10 +1445,15 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
                 continue
             rec = e["data_file"]
             if mf["content"] == 1 or rec["content"] == 2:
-                if not rec.get("equality_ids"):
+                if rec["content"] == 1 or not rec.get("equality_ids"):
+                    # our MOR delete payload is equality-keyed; a
+                    # (file, pos) delete has no zero-copy equivalent in
+                    # this format (read_iceberg DOES apply them — use it
+                    # to materialize, or compact in the source engine)
                     raise ValueError(
-                        "position deletes not supported by import; compact "
-                        "the source table first"
+                        "position deletes cannot import zero-copy; compact "
+                        "the source table first (read_iceberg can still "
+                        "query it directly)"
                     )
                 dels_by_seq.setdefault(e["sequence_number"], []).append(rec)
             else:

@@ -21,6 +21,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a44_position_delete_read",    # NEW: spec position-delete write + read
     "a43_iceberg_import",          # NEW: export -> zero-copy import round trip
     "a42_bucket_export",           # NEW: murmur3 bucket[N] export + pruned reads
     "a41_iceberg_export",          # export rewritten (sequences, deletes, gzip)

@@ -590,11 +590,74 @@ def q_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 (round-6): POSITION-delete interop — export a customer table
+    as Iceberg v2, then delete rows the way an external engine's
+    merge-on-read writer does (spec ``content=1`` parquet of
+    ``file_path``/``pos``, reserved field ids) and read through the
+    spec-path reader, which matches positions on Spark's
+    ``_metadata.row_index`` with a broadcast anti-join. Positions are
+    computed exactly like a real MOR writer computes them — scan with
+    ``_metadata``, filter the predicate, record (file, pos) — so the
+    oracle restates the delete as the same predicate by value: equality
+    proves the position arithmetic, the <=-sequence scoping, and the
+    file-path normalization all compose."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import avro_ocf, iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ops = cat.create_table(("ns",), "cust_pd", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_posdel_")
+    iceberg_export.export_iceberg(table, dest)
+    # data-file paths as the manifests record them
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    paths = []
+    for mf in mls:
+        if mf["content"] != 0:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        paths += [e["data_file"]["file_path"] for e in entries]
+    # author the delete file the way a MOR writer does: scan + predicate
+    # -> (file, pos) tuples (bounded: only the doomed rows come back)
+    doomed = (
+        spark.read.parquet(*paths)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "c_custkey",
+        )
+        .filter(F.col("c_custkey") % 31 == 0)
+        .collect()
+    )
+    deletes: dict[str, list[int]] = {}
+    for r in doomed:
+        deletes.setdefault(r.fp, []).append(r.pos)
+    iceberg_export.write_position_deletes(dest, deletes)
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a41_iceberg_export": q_iceberg_export,
     "a42_bucket_export": q_bucket_export,
     "a43_iceberg_import": q_iceberg_import,
+    "a44_position_delete_read": q_position_delete_read,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -629,6 +692,10 @@ ORACLE = {
         UNION ALL
         SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
         FROM customer WHERE c_custkey = 97
+    """,
+    "a44_position_delete_read": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 31 <> 0
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -645,3 +645,115 @@ def test_export_gzip_metadata(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, region.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# position deletes (spec content=1 delete files)
+# ---------------------------------------------------------------------------
+
+def _first_data_file(dest):
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    data_mf = next(m for m in mls if m["content"] == 0)
+    with open(data_mf["manifest_path"], "rb") as fh:
+        _, _, entries = avro_ocf.read_ocf(fh.read())
+    return entries[0]["data_file"]["file_path"]
+
+
+def test_position_delete_round_trip(spark, sf_dir):
+    """write_position_deletes appends a spec-shaped content=1 snapshot
+    and read_iceberg applies it via _metadata.row_index: positions are
+    row ordinals in the (single, sorted) data file."""
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    table = _table(spark, nation)
+    dest, _ = _round_trip(spark, table)
+    path = _first_data_file(dest)
+    info = iceberg_export.write_position_deletes(dest, {path: [0, 3, 7]})
+    assert info["positions"] == 3
+    got = iceberg_export.read_iceberg(spark, dest)
+    keys = sorted(r.n_nationkey for r in got.select("n_nationkey").collect())
+    assert keys == [k for k in range(25) if k not in (0, 3, 7)]
+    # the delete parquet carries the spec's reserved field ids
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(info["delete-file"])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+
+
+def test_position_delete_scheme_normalization(spark, sf_dir):
+    """A delete file recording file:// URIs still matches Spark's
+    _metadata.file_path (and vice versa) — path equality is
+    scheme-insensitive."""
+    region = load_table(spark, sf_dir, "region").orderBy("r_regionkey").coalesce(1)
+    table = _table(spark, region)
+    dest, _ = _round_trip(spark, table)
+    path = _first_data_file(dest)
+    iceberg_export.write_position_deletes(dest, {"file://" + path: [1]})
+    keys = sorted(
+        r.r_regionkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert keys == [0, 2, 3, 4]
+
+
+def test_position_delete_sequence_scoping(spark, sf_dir):
+    """Spec rule: a position delete applies to data files with sequence
+    <= the delete's. A delete pinned BELOW the data sequence is inert;
+    time travel to the pre-delete snapshot still sees every row."""
+    region = load_table(spark, sf_dir, "region").orderBy("r_regionkey").coalesce(1)
+    table = _table(spark, region)
+    dest, _ = _round_trip(spark, table)
+    path = _first_data_file(dest)
+    iceberg_export.write_position_deletes(dest, {path: [0]}, sequence=0)
+    keys = sorted(
+        r.r_regionkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert keys == [0, 1, 2, 3, 4]  # inert: delete seq < data seq
+    iceberg_export.write_position_deletes(dest, {path: [0]})
+    assert sorted(
+        r.r_regionkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    ) == [1, 2, 3, 4]
+    # pre-delete snapshot unaffected (snapshot-id 1 = the export)
+    assert sorted(
+        r.r_regionkey
+        for r in iceberg_export.read_iceberg(spark, dest, snapshot_id=1).collect()
+    ) == [0, 1, 2, 3, 4]
+
+
+def test_position_deletes_compose_with_equality_deletes(spark, sf_dir):
+    """A MOR export (equality deletes) accepts a further position
+    delete; both kinds apply with their own scoping rules."""
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    table = _table(spark, nation)
+    table.delete_where_mor(spark, F.col("n_nationkey") >= 20, ["n_nationkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    path = _first_data_file(dest)
+    iceberg_export.write_position_deletes(dest, {path: [0, 1]})
+    keys = sorted(
+        r.n_nationkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert keys == list(range(2, 20))
+
+
+def test_import_refuses_position_deletes(spark, sf_dir):
+    """Zero-copy import has no equivalent for (file, pos) deletes —
+    refused with the compact/read_iceberg remedy."""
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    table = _table(spark, region)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.write_position_deletes(dest, {_first_data_file(dest): [0]})
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("ns",))
+    with pytest.raises(ValueError, match="position deletes"):
+        iceberg_export.import_iceberg(spark, cat, ("ns",), "imp", dest)
