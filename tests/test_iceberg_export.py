@@ -757,3 +757,19 @@ def test_import_refuses_position_deletes(spark, sf_dir):
     cat.create_namespace(("ns",))
     with pytest.raises(ValueError, match="position deletes"):
         iceberg_export.import_iceberg(spark, cat, ("ns",), "imp", dest)
+
+
+def test_position_delete_plan_is_broadcast_anti(spark, sf_dir):
+    """100 TB plan shape: the position-delete probe must be a broadcast
+    LEFT ANTI hash join — the data side scans once with no Exchange
+    (deletes are per-file-bounded, so the build side stays small at any
+    table size; a sort-merge join here would shuffle the whole table)."""
+    customer = load_table(spark, sf_dir, "customer").orderBy("c_custkey").coalesce(1)
+    table = _table(spark, customer)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.write_position_deletes(dest, {_first_data_file(dest): [0, 5]})
+    df = iceberg_export.read_iceberg(spark, dest)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
