@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Randomized fuzz of the Iceberg position-delete path (round 6).
+
+Per seed: build a random multi-file table (random row count, random
+file split, optional partition column and MOR equality-delete state),
+export it as Iceberg v2, then apply 1-3 rounds of random position
+deletes via ``write_position_deletes`` — random positions per data
+file, random scheme prefixing of the recorded file_path, occasional
+re-deletion of an already-deleted position (spec: idempotent) — and
+after every round compare ``read_iceberg`` against a Python mirror
+that tracks (file, pos) -> row directly from the parquet files.
+
+This mechanically covers what the hand-written tests sample: many data
+files per delete round, deletes split across several delete files,
+interleaving with pre-existing equality deletes, and duplicate
+positions.
+
+Usage: python tools/fuzz_posdel.py [n_seeds]
+Exit code 0 = every round of every seed matched.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCHEMA = "id long, grp int, val double"
+
+
+def run_seed(spark, seed: int) -> list[str]:
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.catalog import (
+        FsCatalog,
+        RelativeTable,
+        avro_ocf,
+        iceberg_export,
+    )
+
+    rng = random.Random(1000 + seed)
+    n_rows = rng.randint(20, 400)
+    n_files = rng.randint(1, 5)
+    rows = [
+        (i, rng.randint(0, 3), round(rng.uniform(-10, 10), 4))
+        for i in range(n_rows)
+    ]
+
+    cat = FsCatalog(tempfile.mkdtemp(prefix=f"fuzz_pd_{seed}_"))
+    cat.create_namespace(("fz",))
+    ops = cat.create_table(("fz",), "t", spark.createDataFrame([], SCHEMA).schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(spark.createDataFrame(rows, SCHEMA).repartition(n_files))
+    # half the seeds add live MOR equality-delete state before export so
+    # position deletes interleave with content=2 manifests
+    eq_deleted: set[int] = set()
+    if seed % 2 == 1:
+        doomed_grp = rng.randint(0, 3)
+        table.delete_where_mor(spark, F.col("grp") == doomed_grp, ["grp"])
+        eq_deleted = {i for i, g, _ in rows if g == doomed_grp}
+
+    dest = tempfile.mkdtemp(prefix=f"fuzz_pd_out_{seed}_")
+    iceberg_export.export_iceberg(table, dest)
+
+    # data-file paths from the manifests, in manifest order
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    paths = []
+    for mf in mls:
+        if mf["content"] != 0:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        paths += [e["data_file"]["file_path"] for e in entries]
+
+    # python mirror: (file, pos) -> row, read straight from parquet
+    mirror: dict[tuple[str, int], tuple] = {}
+    for p in paths:
+        t = pq.read_table(p)
+        for pos, (i, g, v) in enumerate(
+            zip(t["id"].to_pylist(), t["grp"].to_pylist(), t["val"].to_pylist())
+        ):
+            if i not in eq_deleted:
+                mirror[(p, pos)] = (i, g, round(v, 4))
+    file_rows = {p: pq.read_metadata(p).num_rows for p in paths}
+
+    def spark_rows():
+        return sorted(
+            (r.id, r.grp, round(r.val, 4))
+            for r in iceberg_export.read_iceberg(spark, dest).collect()
+        )
+
+    failures: list[str] = []
+    if spark_rows() != sorted(mirror.values()):
+        failures.append(f"seed {seed}: pre-delete mismatch")
+
+    already: list[tuple[str, int]] = []
+    for rnd in range(rng.randint(1, 3)):
+        deletes: dict[str, list[int]] = {}
+        for p in rng.sample(paths, rng.randint(1, len(paths))):
+            k = rng.randint(1, max(1, file_rows[p] // 3))
+            poss = rng.sample(range(file_rows[p]), min(k, file_rows[p]))
+            # occasionally re-delete an already-deleted position
+            if already and rng.random() < 0.5:
+                rp, rpos = rng.choice(already)
+                if rp == p and rpos not in poss:
+                    poss.append(rpos)
+            key = "file://" + p if rng.random() < 0.3 else p
+            deletes[key] = poss
+            for pos in poss:
+                mirror.pop((p, pos), None)
+                already.append((p, pos))
+        iceberg_export.write_position_deletes(dest, deletes)
+        got, want = spark_rows(), sorted(mirror.values())
+        if got != want:
+            failures.append(
+                f"seed {seed} round {rnd}: {len(got)} rows vs mirror "
+                f"{len(want)}"
+            )
+    return failures
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    from iceberg_relative_io_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_posdel")
+    all_failures: list[str] = []
+    n_clean = 0
+    for seed in range(n_seeds):
+        fails = run_seed(spark, seed)
+        status = "FAIL" if fails else "OK"
+        n_clean += not fails
+        print(f"{status}  seed {seed}")
+        all_failures.extend(fails)
+    for f in all_failures:
+        print("  " + f)
+    print(f"\n{n_clean}/{n_seeds} seeds clean")
+    return 1 if all_failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
