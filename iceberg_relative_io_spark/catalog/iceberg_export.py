@@ -1051,6 +1051,20 @@ def _load_metadata(table_dir: str) -> dict:
     return doc
 
 
+# A delete build side is only broadcast while it provably fits in every
+# executor (and the driver, which relays the broadcast): parquet decodes
+# to roughly 5-10x its on-disk size, so cap the compressed bytes far
+# below any sane spark.sql.autoBroadcastJoinThreshold. Above the cap the
+# anti-join becomes a SHUFFLE_HASH join instead — both sides partition
+# by (file, pos) / equality key and the delete side is hash-built per
+# partition, so the 100 TB probe side is never sorted (SMJ would) and no
+# single JVM ever holds the whole delete set. Manifests carry the exact
+# per-file record_count/file_size_in_bytes (required spec fields), so
+# the choice is made from metadata alone, before any scan.
+_BROADCAST_DELETE_MAX_BYTES = 32 << 20
+_BROADCAST_DELETE_MAX_ROWS = 4_000_000
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -1137,6 +1151,8 @@ def read_iceberg(
                         {
                             "seq": e["sequence_number"],
                             "path": rec["file_path"],
+                            "rows": int(rec.get("record_count") or 0),
+                            "bytes": int(rec.get("file_size_in_bytes") or 0),
                         }
                     )
                     continue
@@ -1148,6 +1164,8 @@ def read_iceberg(
                             fields_by_id[i]["name"]
                             for i in (rec.get("equality_ids") or [])
                         ],
+                        "rows": int(rec.get("record_count") or 0),
+                        "bytes": int(rec.get("file_size_in_bytes") or 0),
                     }
                 )
             else:
@@ -1226,6 +1244,19 @@ def read_iceberg(
             if alias != cur:
                 alias_of[alias] = cur
 
+    # per-path delete stats for the broadcast-vs-shuffle decision
+    pos_stats = {d["path"]: (d["rows"], d["bytes"]) for d in pos_deletes}
+    eq_stats = {d["path"]: (d["rows"], d["bytes"]) for d in eq_deletes}
+
+    def _anti_join(left, dkeys, on, paths, stats):
+        rows = sum(stats[p][0] for p in paths)
+        nbytes = sum(stats[p][1] for p in paths)
+        if rows <= _BROADCAST_DELETE_MAX_ROWS and nbytes <= _BROADCAST_DELETE_MAX_BYTES:
+            dkeys = F.broadcast(dkeys)
+        else:
+            dkeys = dkeys.hint("shuffle_hash")
+        return left.join(dkeys, on=on, how="left_anti")
+
     # scheme-insensitive path equality for position-delete matching:
     # Spark's _metadata.file_path is a URI (file:///…) while delete
     # files may record plain paths (or vice versa) — normalize both to
@@ -1247,9 +1278,10 @@ def read_iceberg(
         if pos_applicable:
             # capture provenance at scan time (before any rename):
             # _metadata.row_index is the row's ordinal within its file —
-            # exactly the spec's `pos` — so a position delete becomes a
-            # broadcast anti-join on (file, pos); stays a map-side probe
-            # at any scale because deletes are per-file-bounded
+            # exactly the spec's `pos` — so a position delete becomes an
+            # anti-join on (file, pos): a map-side broadcast probe while
+            # the delete set is small, a shuffled hash join once the
+            # manifests say it is not (_anti_join above)
             part = part.select(
                 "*",
                 _norm_path(F.col("_metadata.file_path")).alias("__ir_fp"),
@@ -1285,20 +1317,24 @@ def read_iceberg(
                 val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
             part = part.withColumn(name, F.lit(val).cast(dt))
         if pos_applicable:
-            dkeys = (
-                spark.read.parquet(*pos_applicable)
-                .select(
-                    _norm_path(F.col("file_path")).alias("__ir_fp"),
-                    F.col("pos").cast("long").alias("__ir_pos"),
-                )
-                .distinct()
+            # no .distinct(): anti-join is set semantics, so duplicate
+            # (file, pos) rows (the spec allows re-deletion) are
+            # harmless, and a distinct would cost an extra Exchange of
+            # the delete set in the shuffle path
+            dkeys = spark.read.parquet(*pos_applicable).select(
+                _norm_path(F.col("file_path")).alias("__ir_fp"),
+                F.col("pos").cast("long").alias("__ir_pos"),
             )
-            part = part.join(
-                F.broadcast(dkeys), on=["__ir_fp", "__ir_pos"], how="left_anti"
+            part = _anti_join(
+                part,
+                dkeys,
+                ["__ir_fp", "__ir_pos"],
+                pos_applicable,
+                pos_stats,
             ).drop("__ir_fp", "__ir_pos")
         for dpath, dcols in applicable:
-            dkeys = spark.read.parquet(dpath).select(*dcols).distinct()
-            part = part.join(F.broadcast(dkeys), on=list(dcols), how="left_anti")
+            dkeys = spark.read.parquet(dpath).select(*dcols)
+            part = _anti_join(part, dkeys, list(dcols), [dpath], eq_stats)
         out = part if out is None else out.unionByName(part)
     if out is None:
         struct = T.StructType(

@@ -110,6 +110,13 @@ def _transform_value(fdef: dict, v):
     return None
 
 
+# Broadcast cap for MOR equality-delete build sides, compared against
+# the manifest's compressed size-bytes (parquet decodes ~5-10x larger).
+# Above it the reader's anti-join degrades to a shuffled hash join —
+# see the MOR read path below and iceberg_export.py for the rationale.
+_BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+
 class RelativeTable:
     def __init__(self, ops: TableOperations):
         self.ops = ops
@@ -1076,14 +1083,24 @@ class RelativeTable:
                 if part_keys and base_path:
                     reader = reader.option("basePath", base_path)
                 df = reader.parquet(*files).select(*select_cols)
-            # merge-on-read: anti-join each applicable equality-delete file
-            # (delete files are key-tuple-sized — Catalyst broadcasts them)
+            # merge-on-read: anti-join each applicable equality-delete file.
+            # Key-tuple files are normally broadcast-sized, but a MOR
+            # delete of a huge distinct-key set (1B user_ids at 100 TB)
+            # must not be shipped whole to every executor: above the cap
+            # (decided from the manifest's size-bytes, no scan needed)
+            # the build side flips to a SHUFFLE_HASH hint — both sides
+            # partition by the equality key, the delete side hash-builds
+            # per partition, and the probe side is never sorted.
             for d in deletes:
                 if d["_snap"] not in applicable:
                     continue
                 keys = spark.read.parquet(self.ops.io.spark_path(d["path"]))
+                if int(d.get("size-bytes") or 0) <= _BROADCAST_DELETE_MAX_BYTES:
+                    keys = F.broadcast(keys)
+                else:
+                    keys = keys.hint("shuffle_hash")
                 df = df.join(
-                    F.broadcast(keys), on=list(d["equality-cols"]), how="left_anti"
+                    keys, on=list(d["equality-cols"]), how="left_anti"
                 )
             parts.append(df)
         return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1201,6 +1201,31 @@ def test_merge_on_read_equality_deletes(spark, catalog):
     assert table._delete_files(meta, head) == []
 
 
+def test_mor_delete_large_keyset_degrades_to_shuffled_hash(
+    spark, catalog, monkeypatch
+):
+    """100 TB safety valve on the native MOR read: when the manifest's
+    size-bytes says the equality-delete key file is too big to ship to
+    every executor, the reader's anti-join flips from broadcast to a
+    SHUFFLE_HASH build with identical results (threshold forced to 0
+    to take that path on fixture data)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.catalog import spark_table
+
+    table = _make_table(
+        spark, catalog, [(i, f"n{i}") for i in range(10)], ns=("mor",), name="big"
+    )
+    table.delete_where_mor(spark, F.col("id") < 4, equality_cols=["id"])
+    table.ops._should_refresh = True
+    monkeypatch.setattr(spark_table, "_BROADCAST_DELETE_MAX_BYTES", 0)
+    df = table.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(r.id for r in df.collect()) == list(range(4, 10))
+
+
 def test_mor_delete_then_expire_keeps_needed_delete_files(spark, catalog):
     from pyspark.sql import functions as F
 

@@ -773,3 +773,55 @@ def test_position_delete_plan_is_broadcast_anti(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_position_delete_large_set_degrades_to_shuffled_hash(
+    spark, sf_dir, monkeypatch
+):
+    """100 TB safety valve: when the manifests say the delete set is too
+    big to broadcast (billions of (file, pos) rows after a positional
+    delete of a large table fraction), the probe becomes a SHUFFLE_HASH
+    anti-join — the delete side is hash-built per partition instead of
+    shipped whole to every executor, and the probe side is still never
+    sorted (no SortMergeJoin). Thresholds are forced to 0 to take the
+    large path on fixture data; results must be identical."""
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.write_position_deletes(
+        dest, {_first_data_file(dest): [0, 3, 7]}
+    )
+    monkeypatch.setattr(iceberg_export, "_BROADCAST_DELETE_MAX_BYTES", 0)
+    monkeypatch.setattr(iceberg_export, "_BROADCAST_DELETE_MAX_ROWS", 0)
+    df = iceberg_export.read_iceberg(spark, dest)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    keys = sorted(r.n_nationkey for r in df.select("n_nationkey").collect())
+    assert keys == [k for k in range(25) if k not in (0, 3, 7)]
+
+
+def test_equality_delete_large_set_degrades_to_shuffled_hash(
+    spark, sf_dir, monkeypatch
+):
+    """Same safety valve for MOR equality deletes: forced-0 thresholds
+    flip the content=2 probe to SHUFFLE_HASH with identical results."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    table.delete_where_mor(spark, F.col("n_regionkey") == 0, ["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    monkeypatch.setattr(iceberg_export, "_BROADCAST_DELETE_MAX_BYTES", 0)
+    monkeypatch.setattr(iceberg_export, "_BROADCAST_DELETE_MAX_ROWS", 0)
+    df = iceberg_export.read_iceberg(spark, dest)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    keys = sorted(r.n_nationkey for r in df.collect())
+    want = sorted(
+        r.n_nationkey
+        for r in nation.where(F.col("n_regionkey") != 0).collect()
+    )
+    assert keys == want
