@@ -670,20 +670,22 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic intrinsic probe of embedding quality (kNN-classification
     accuracy), reported per label with the overall row appended. Runs
     on the c03_knn_bruteforce top-k table, so the eval is k-row work
-    per query on top of the one corpus pass the kNN already costs."""
+    per query on top of the one corpus pass the kNN already costs.
+
+    The broadcast side is always the ≤|query set| top-1 rows, never the
+    corpus-sized (vec_id, label) projection: each label lookup is a
+    map-side probe OF the embeddings table BY the tiny result, so the
+    plan holds at any corpus size (broadcasting emb itself — the bug
+    this replaced — ships the whole table's keys to every executor)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     top1 = q_knn_bruteforce(spark, sf_dir).filter(F.col("rnk") == 1)
+    with_qlabel = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+    ).join(F.broadcast(top1), "query_id")
     scored = (
-        top1.join(
-            F.broadcast(
-                emb.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("label").alias("qlabel"),
-                )
-            ),
-            "query_id",
-        )
-        .join(F.broadcast(emb.withColumnRenamed("label", "nlabel")), "vec_id")
+        emb.withColumnRenamed("label", "nlabel")
+        .join(F.broadcast(with_qlabel), "vec_id")
         .select(
             "query_id",
             "qlabel",
@@ -962,7 +964,13 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivorship (MinHash-LSH + connected components), then per-language
     corpus statistics. Each stage is an operator proven exact on its own;
     this query proves they compose (one pass over documents, the shared
-    featurization stage reused, survivors broadcast into the join)."""
+    featurization stage reused).
+
+    The survivor set is ≈ corpus-sized (most docs survive dedup), so it
+    must NOT be broadcast — the verdict join is a shuffled hash join on
+    doc_id: both sides partition by the key, the narrow id-only survivor
+    side hash-builds per partition, and neither corpus-sized input is
+    ever sorted (SMJ) or shipped whole to an executor (BHJ)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     quality = docs.select(
@@ -976,7 +984,7 @@ def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("survivor") == 1)
         .select("doc_id")
     )
-    kept = quality.join(F.broadcast(survivors), "doc_id").filter(
+    kept = quality.join(survivors.hint("shuffle_hash"), "doc_id").filter(
         F.col("diversity") >= 0.5
     )
     return kept.groupBy("lang").agg(

@@ -239,6 +239,34 @@ def test_centroid_collect_is_constant_in_corpus_size(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_label_accuracy_never_broadcasts_the_corpus(spark, sf_dir):
+    """The 1-NN label eval probes the corpus-sized embeddings projection
+    BY the ≤|query set| top-1 rows — two BroadcastHashJoins whose build
+    side is the tiny result, never a broadcast of emb itself. The plan
+    must have no SortMergeJoin (nothing corpus-sized is ever sorted) and
+    no Exchange hashpartitioning on vec_id/query_id (the lookups are
+    map-side)."""
+    df = N.q_knn_label_accuracy(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the only exchanges allowed are the top-k window's query_id
+    # partition (bounded rows) and the final union-agg — never a hash
+    # repartition of the raw embeddings scan for a join
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_capstone_survivor_join_is_shuffled_hash(spark, sf_dir):
+    """The capstone's survivor set is ≈ corpus-sized, so the verdict
+    join must NOT broadcast it: pinned as a ShuffledHashJoin on doc_id
+    (both sides partition on the key, the id-only side hash-builds per
+    partition). The upstream survivorship stage keeps its own joins —
+    only the verdict join's shape is pinned here."""
+    df = N.q_pipeline_capstone(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [doc_id" in plan
+
+
 def test_ivf_plan_broadcasts_probes(spark, sf_dir):
     """The cell-pruned search must be a broadcast equi-join on cell id —
     never a cartesian/nested-loop over the corpus."""
