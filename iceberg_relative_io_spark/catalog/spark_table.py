@@ -1592,6 +1592,38 @@ class RelativeTable:
             rows, "partition string, file_count int, row_count long, total_bytes long"
         )
 
+    def manifests(self, spark: SparkSession) -> DataFrame:
+        """The `.manifests` metadata table: every manifest the current
+        snapshot's chain walk reads — path, byte length, owning snapshot,
+        operation, and added data/delete-file counts. Iceberg's manifests
+        table role: the input a metadata-maintenance planner consults to
+        decide when a long incremental chain is due for
+        ``rewrite_manifests``. Rows are oldest-first (chain order)."""
+        meta = self.ops.current()
+        rows = []
+        sid = meta.get("current-snapshot-id")
+        while sid is not None:
+            snap = self._snapshot_entry(meta, sid)
+            man = self._manifest_for(meta, sid)
+            rows.append(
+                (
+                    snap["manifest"],
+                    len(self.ops.io.read_bytes(snap["manifest"])),
+                    sid,
+                    snap["operation"],
+                    len(man.get("added-files", [])),
+                    len(man.get("delete-files") or []),
+                )
+            )
+            if snap["operation"] not in self._CHAIN_OPS:
+                break  # file set resets here; older manifests are shadowed
+            sid = snap["parent-snapshot-id"]
+        return spark.createDataFrame(
+            rows[::-1],
+            "manifest_path string, length long, snapshot_id long, "
+            "operation string, added_data_files int, added_delete_files int",
+        )
+
     def refs(self, spark: SparkSession) -> DataFrame:
         """The `.refs` metadata table: every named ref (branches and tags)
         with its pinned snapshot — Iceberg's refs table shape."""

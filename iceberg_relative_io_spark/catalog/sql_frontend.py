@@ -108,7 +108,8 @@ class RelativeSqlSession:
             parts = dotted.split(".")
             meta_view = None
             if parts[-1].lower() in (
-                "snapshots", "history", "files", "refs", "partitions"
+                "snapshots", "history", "files", "refs", "partitions",
+                "manifests",
             ) and len(parts) >= 4:
                 meta_view, parts = parts[-1].lower(), parts[:-1]
             namespace, tname = tuple(parts[1:-1]), parts[-1]
@@ -133,6 +134,8 @@ class RelativeSqlSession:
                 df = table.refs(self.spark)
             elif meta_view == "partitions":
                 df = table.partitions(self.spark)
+            elif meta_view == "manifests":
+                df = table.manifests(self.spark)
             elif version is not None:
                 df = table.read(self.spark, snapshot_id=int(version))
             elif ref is not None:

@@ -21,6 +21,10 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "b29_partitions_table",        # NEW: .partitions metadata table
+    "b29_manifests_table",         # NEW: .manifests metadata table
+    "c03_knn_label_accuracy",      # r6 broadcast-audit rewire (probe corpus, not ship it)
+    "c06_pipeline_capstone",       # r6 broadcast-audit rewire (survivors via SHJ)
     "a44_position_delete_read",    # NEW: spec position-delete write + read
     "a43_iceberg_import",          # NEW: export -> zero-copy import round trip
     "a42_bucket_export",           # NEW: murmur3 bucket[N] export + pruned reads
@@ -36,7 +40,6 @@ PRIORITY_ORDER = [
     "c02_lsh_candidate_pairs",     # shared hot-list cache + NO_HOT fast path
     "c01_embedding_neardup",       # persisted hyperplane featurization
     "c02_dedup_survivors",         # composes the cached LSH pass
-    "c06_pipeline_capstone",       # composes survivors
     "b04_sql_views",               # r5 timing jitter watch
     # --- spare slots: re-grade the round-5 prefix (broad fresh evidence) ---
     "b25_math_funs", "b26_array_funs", "b26_map_funs",
@@ -44,7 +47,7 @@ PRIORITY_ORDER = [
     "c02_cluster_size_histogram", "c02_doc_containment",
     "c02_duplicate_ngrams", "c02_minhash_error_eval",
     "c02_substring_removal", "c02_threshold_sweep", "c02_triangle_count",
-    "c03_kmeans_inertia", "c03_knn_filtered", "c03_knn_label_accuracy",
+    "c03_kmeans_inertia", "c03_knn_filtered",
     "c03_label_centroids", "c03_outlier_filter",
     "c04_bigram_logprob", "c04_classifier_score", "c04_keyword_rarity",
     "c04_normalize_editdist", "c04_repetition_ratio", "c04_term_frequency",

@@ -109,6 +109,53 @@ def q_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: the `.partitions` metadata table over a partitioned write —
+    per-partition file count and row count, the view a maintenance
+    planner reads to find fragmented or skewed partitions. The hash
+    write distribution (one task per partition value, spark_table.py
+    `_write_snapshot_files`) makes file_count protocol-determined
+    (exactly 1 per value here), so the whole table is a GROUP BY of the
+    source in the oracle. Byte sizes are environment-dependent and
+    excluded from the projection."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    ops = cat.create_table(
+        ("ns",), "li_ptab", src.schema.jsonValue(), partition_by=["l_returnflag"]
+    )
+    table = RelativeTable(ops)
+    table.append(src)
+    return table.partitions(spark).select(
+        F.get_json_object("partition", "$.l_returnflag").alias("l_returnflag"),
+        "file_count",
+        "row_count",
+    )
+
+
+def q_manifests_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: the `.manifests` metadata table after append + append +
+    MOR delete — one row per manifest on the current snapshot's chain
+    walk, with its owning snapshot, operation, and added data/delete
+    file counts (what `rewrite_manifests` planning consults). Paths and
+    byte lengths are environment-dependent and excluded; everything
+    projected is protocol-determined, so the oracle states it as
+    VALUES."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    ops = cat.create_table(("ns",), "region_man", region.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(region)
+    table.append(region.withColumn("r_regionkey", F.col("r_regionkey") + F.lit(100)))
+    table.delete_where_mor(spark, F.col("r_regionkey") >= 103, ["r_regionkey"])
+    return table.manifests(spark).select(
+        "snapshot_id", "operation", "added_data_files", "added_delete_files"
+    )
+
+
 def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + manifest-level partition pruning: lineitem is
     written through the catalog partitioned by l_returnflag; the read
@@ -632,7 +679,11 @@ def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             _, _, entries = avro_ocf.read_ocf(fh.read())
         paths += [e["data_file"]["file_path"] for e in entries]
     # author the delete file the way a MOR writer does: scan + predicate
-    # -> (file, pos) tuples (bounded: only the doomed rows come back)
+    # -> (file, pos) tuples. The collect is corpus-PROPORTIONAL (every
+    # doomed row visits the driver), fine only because this is the
+    # fixture-scale authoring scaffold for exercising the READ path — a
+    # production position-delete writer (an external engine, or a
+    # distributed rewrite) never funnels deletes through the driver
     doomed = (
         spark.read.parquet(*paths)
         .select(
@@ -676,6 +727,8 @@ QUERIES = {
     "a02_warehouse_move": q_warehouse_move,
     "b28_time_travel": q_time_travel,
     "b29_snapshots_table": q_snapshots_table,
+    "b29_partitions_table": q_partitions_table,
+    "b29_manifests_table": q_manifests_table,
 }
 
 ORACLE = {
@@ -766,5 +819,16 @@ ORACLE = {
             (CAST(2 AS BIGINT), CAST(1 AS BIGINT),    'append',    1, 2, FALSE),
             (CAST(3 AS BIGINT), CAST(2 AS BIGINT),    'overwrite', 1, 1, TRUE)
         ) AS t(snapshot_id, parent_id, operation, added_files, total_files, is_current)
+    """,
+    "b29_partitions_table": """
+        SELECT l_returnflag, 1 AS file_count, count(*) AS row_count
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "b29_manifests_table": """
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'append',     1, 0),
+            (CAST(2 AS BIGINT), 'append',     1, 0),
+            (CAST(3 AS BIGINT), 'delete-mor', 0, 1)
+        ) AS t(snapshot_id, operation, added_data_files, added_delete_files)
     """,
 }

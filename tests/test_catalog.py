@@ -1226,6 +1226,70 @@ def test_mor_delete_large_keyset_degrades_to_shuffled_hash(
     assert sorted(r.id for r in df.collect()) == list(range(4, 10))
 
 
+def test_metadata_tables_manifests_partitions_files_refs_history(spark, catalog):
+    """The B29 introspection surface over one table: .manifests walks the
+    chain oldest-first with per-manifest add counts, .partitions rolls up
+    per-partition file/row/byte stats, .files lists live entries, .refs
+    and .history reflect branching and the snapshot log."""
+    from pyspark.sql import functions as F
+
+    if not catalog._namespace_exists(("meta",)):
+        catalog.create_namespace(("meta",))
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(6)], "id long, name string"
+    ).coalesce(1)
+    ops = catalog.create_table(("meta",), "m", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)
+    table.append(
+        spark.createDataFrame(
+            [(10, "x"), (11, "y")], "id long, name string"
+        ).coalesce(1)
+    )
+    table.delete_where_mor(spark, F.col("id") == 1, equality_cols=["id"])
+    table.ops._should_refresh = True
+
+    man = table.manifests(spark).collect()
+    assert [(r.operation, r.added_data_files, r.added_delete_files) for r in man] == [
+        ("append", 1, 0),
+        ("append", 1, 0),
+        ("delete-mor", 0, 1),
+    ]
+    assert [r.snapshot_id for r in man] == [1, 2, 3]
+    assert all(r.length > 0 and r.manifest_path for r in man)
+
+    files = table.files(spark).collect()
+    assert len(files) == 2  # two appended data files, delete file excluded
+    assert all(r.size_bytes > 0 for r in files)
+    assert sum(r.row_count for r in files) == 8  # deletes apply at read, not here
+
+    parts = table.partitions(spark).collect()  # unpartitioned: one bucket
+    assert len(parts) == 1 and parts[0].partition == "{}"
+    assert parts[0].file_count == 2 and parts[0].row_count == 8
+
+    table.create_tag("v1")
+    table.create_branch("dev")
+    refs = {(r.name, r.type): r.snapshot_id for r in table.refs(spark).collect()}
+    assert refs[("v1", "TAG")] == 3 and refs[("dev", "BRANCH")] == 3
+
+    hist = table.history(spark).collect()
+    assert [h.snapshot_id for h in hist] == [1, 2, 3]
+    assert all(h.timestamp_ms > 0 for h in hist)
+
+
+def test_manifests_table_resets_at_overwrite(spark, catalog):
+    """An overwrite shadows older manifests from the chain walk — the
+    .manifests table must show only the reset point onward."""
+    table = _make_table(
+        spark, catalog, [(1, "a"), (2, "b")], ns=("meta",), name="ow"
+    )
+    table.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    table.overwrite(spark.createDataFrame([(9, "z")], "id long, name string"))
+    table.ops._should_refresh = True
+    man = table.manifests(spark).collect()
+    assert [(r.snapshot_id, r.operation) for r in man] == [(3, "overwrite")]
+
+
 def test_mor_delete_then_expire_keeps_needed_delete_files(spark, catalog):
     from pyspark.sql import functions as F
 

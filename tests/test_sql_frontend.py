@@ -380,6 +380,19 @@ def test_partitions_metadata_table(sess):
     assert rows['{"kind": "view"}'] == (1, 1)
 
 
+def test_manifests_metadata_table(sess):
+    sess.sql("CREATE NAMESPACE test.mm")
+    sess.sql("CREATE TABLE test.mm.t (id bigint, kind string)")
+    sess.sql("INSERT INTO test.mm.t VALUES (1, 'a')")
+    sess.sql("INSERT INTO test.mm.t VALUES (2, 'b')")
+    rows = sess.sql("SELECT * FROM test.mm.t.manifests").collect()
+    assert [(r.snapshot_id, r.operation) for r in rows] == [
+        (1, "append"),
+        (2, "append"),
+    ]
+    assert all(r.length > 0 and r.added_data_files >= 1 for r in rows)
+
+
 def test_insert_overwrite_dynamic_mode(sess):
     sess.sql("CREATE NAMESPACE test.dpo")
     sess.sql("CREATE TABLE test.dpo.t (id bigint, day string) PARTITIONED BY (day)")
