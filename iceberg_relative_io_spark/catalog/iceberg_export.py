@@ -1009,6 +1009,242 @@ def write_position_deletes(
     }
 
 
+def _type_sig(t) -> object:
+    """Structural signature of an Iceberg type with the assigned ids
+    stripped — two schemas with the same names and shapes compare equal
+    regardless of the id allocation order that produced them."""
+    if isinstance(t, str):
+        return t
+    drop = {"element-id", "key-id", "value-id", "id"}
+    return {
+        k: (
+            [_type_sig(f) if isinstance(f, dict) else f for f in v]
+            if isinstance(v, list)
+            else _type_sig(v) if isinstance(v, dict) else v
+        )
+        for k, v in t.items()
+        if k not in drop
+    }
+
+
+def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
+    """Commit ``df`` as a new APPEND snapshot on an existing Iceberg v2
+    table directory — the incremental half of the interop story: after
+    one ``export_iceberg``, a pipeline keeps the external mirror current
+    with per-batch appends instead of full re-exports.
+
+    The commit follows the spec's append shape exactly: new parquet data
+    files under ``<table>/data/``, one new data manifest, a new manifest
+    list carrying EVERY prior manifest forward (so live equality /
+    position deletes keep applying to the files they scoped — the new
+    files take ``last-sequence-number + 1``, strictly newer than any
+    delete, so per the <=-sequence rule no existing delete touches
+    them), a new snapshot in a ``v{N+1}`` metadata.json, and the bumped
+    version hint. ``write.metadata.compression=gzip`` is honored.
+
+    Concurrency: the new metadata file is created with an atomic
+    create-if-absent (temp write + ``os.link``), so two racing appends
+    cannot both claim version N+1 — the loser gets a ``FileExistsError``
+    wrapped in ``ValueError`` and must reload + retry, the same
+    optimistic-commit contract as the native format (table_ops.py) and
+    HadoopTableOperations.
+
+    Refused (with the remedy in the message): schema mismatch, and
+    partitioned tables — appending into an identity/bucket spec needs
+    the layout + partition-tuple plumbing of the native writer, so
+    partitioned mirrors append through the source table + re-export."""
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    if spec["fields"]:
+        raise ValueError(
+            "append_iceberg supports unpartitioned tables only; this table "
+            f"partitions by {[f['name'] for f in spec['fields']]} — append "
+            "through the source RelativeTable and re-export"
+        )
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    incoming, _ = iceberg_schema(df.schema, None)
+    want = [(f["name"], _type_sig(f["type"])) for f in schema_json["fields"]]
+    got = [(f["name"], _type_sig(f["type"])) for f in incoming["fields"]]
+    if want != got:
+        raise ValueError(
+            f"schema mismatch: table expects {want}, dataframe has {got}"
+        )
+
+    data_dir = os.path.join(table_dir, "data", f"append-{uuid.uuid4()}")
+    df.write.mode("overwrite").parquet(data_dir)
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    total_rows = 0
+    entry_schema = _manifest_entry_schema([])
+    for name in sorted(os.listdir(data_dir)):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fpath = os.path.join(data_dir, name)
+        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+        total_rows += rows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
+                },
+            }
+        )
+
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+
+    # carry every prior manifest forward (deletes keep their scoping)
+    prior = []
+    if doc.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, prior = avro_ocf.read_ocf(fh.read())
+    ml_records = list(prior) + [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 0,  # data
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    snap_doc = {
+        "sequence-number": seq,
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+        },
+        "manifest-list": ml_path,
+        "schema-id": doc["current-schema-id"],
+    }
+    if doc.get("current-snapshot-id") is not None:
+        snap_doc["parent-snapshot-id"] = doc["current-snapshot-id"]
+    new_doc["snapshots"] = doc["snapshots"] + [snap_doc]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    prev_plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    prev_meta = (
+        prev_plain
+        if os.path.exists(prev_plain)
+        else os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
+    )
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {"timestamp-ms": doc["last-updated-ms"], "metadata-file": prev_meta}
+    ]
+
+    gz = doc.get("properties", {}).get("write.metadata.compression") == "gzip"
+    suffix = "gz.metadata.json" if gz else "metadata.json"
+    meta_path = os.path.join(table_dir, "metadata", f"v{version + 1}.{suffix}")
+    tmp_path = os.path.join(
+        table_dir, "metadata", f".tmp-{uuid.uuid4()}.{suffix}"
+    )
+    if gz:
+        import gzip as _gzip
+
+        with _gzip.open(tmp_path, "wt") as fh:
+            json.dump(new_doc, fh, indent=2)
+    else:
+        with open(tmp_path, "w") as fh:
+            json.dump(new_doc, fh, indent=2)
+    try:
+        # atomic create-if-absent: the CAS on version N+1 (content is
+        # complete at link time, so a concurrent reader never sees a
+        # partial metadata file)
+        os.link(tmp_path, meta_path)
+    except FileExistsError:
+        raise ValueError(
+            f"concurrent commit: metadata version {version + 1} already "
+            "exists — reload and retry the append"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+    with open(
+        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(version + 1))
+    return {
+        "metadata": meta_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "data-files": len(entries),
+        "records": total_rows,
+    }
+
+
 # ---------------------------------------------------------------------------
 # independent spec-path reader (the round-trip gate)
 # ---------------------------------------------------------------------------

@@ -637,6 +637,47 @@ def q_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 (round-6): incremental Iceberg commits — export a customer
+    table carrying a live MOR equality delete (custkeys divisible by
+    59), then keep the mirror current with TWO ``append_iceberg``
+    batches committed directly against the exported v2 directory (new
+    data files + manifests + v2/v3 metadata, no re-export), the second
+    re-inserting a deleted key so the spec's strictly-older scoping is
+    exercised across the incremental boundary. Read back through the
+    independent spec-path reader; the oracle restates the split +
+    delete + re-insert in SQL."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    base = cust.filter(F.col("c_custkey") % 3 != 0)
+    ops = cat.create_table(("ns",), "cust_inc", base.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(base)
+    table.delete_where_mor(spark, F.col("c_custkey") % 59 == 0, ["c_custkey"])
+    dest = tempfile.mkdtemp(prefix="iceberg_append_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.append_iceberg(
+        spark, dest, cust.filter(F.col("c_custkey") % 3 == 0)
+    )
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        cust.filter(F.col("c_custkey") == 59).withColumn(
+            "c_name", F.lit("REBORN")
+        ),
+    )
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -729,6 +770,7 @@ QUERIES = {
     "b29_snapshots_table": q_snapshots_table,
     "b29_partitions_table": q_partitions_table,
     "b29_manifests_table": q_manifests_table,
+    "a45_iceberg_append": q_iceberg_append,
 }
 
 ORACLE = {
@@ -749,6 +791,16 @@ ORACLE = {
     "a44_position_delete_read": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
         WHERE c_custkey % 31 <> 0
+    """,
+    "a45_iceberg_append": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey % 3 <> 0 AND c_custkey % 59 <> 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
+        FROM customer WHERE c_custkey = 59
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

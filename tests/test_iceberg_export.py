@@ -825,3 +825,111 @@ def test_equality_delete_large_set_degrades_to_shuffled_hash(
         for r in nation.where(F.col("n_regionkey") != 0).collect()
     )
     assert keys == want
+
+
+# ---------------------------------------------------------------------------
+# append_iceberg — incremental commits onto an exported table
+# ---------------------------------------------------------------------------
+
+def test_append_iceberg_roundtrip_and_time_travel(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 20))
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    extra = nation.filter(F.col("n_nationkey") >= 20).coalesce(1)
+    info = iceberg_export.append_iceberg(spark, dest, extra)
+    assert info["records"] == 5 and info["sequence-number"] == 2
+    got = sorted(
+        r.n_nationkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == list(range(25))
+    # time travel: the pre-append snapshot still reads exactly
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == 2
+    first = doc["snapshots"][0]["snapshot-id"]
+    old = iceberg_export.read_iceberg(spark, dest, snapshot_id=first)
+    assert sorted(r.n_nationkey for r in old.collect()) == list(range(20))
+    # the hint advanced and the metadata log chains back to v1
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        assert fh.read().strip() == "2"
+    assert doc["metadata-log"][-1]["metadata-file"].endswith("v1.metadata.json")
+
+
+def test_append_iceberg_stacks_and_preserves_delete_scoping(spark, sf_dir):
+    """Appending AFTER a MOR equality delete must not resurrect deleted
+    rows, and a re-appended key must SURVIVE (the new files carry a
+    strictly larger sequence than the delete)."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    table.delete_where_mor(spark, F.col("n_regionkey") == 0, ["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    # re-append one row whose region the delete targeted
+    reborn = nation.filter(F.col("n_nationkey") == 0).withColumn(
+        "n_name", F.lit("REBORN")
+    ).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, reborn)
+    rows = {r.n_nationkey: r.n_name
+            for r in iceberg_export.read_iceberg(spark, dest).collect()}
+    want = {r.n_nationkey for r in nation.filter(F.col("n_regionkey") != 0).collect()}
+    assert set(rows) == want | {0}
+    assert rows[0] == "REBORN"  # newer sequence -> the old delete skips it
+    # a second append stacks on the first
+    more = nation.filter(F.col("n_nationkey") == 1).withColumn(
+        "n_name", F.lit("TWICE")
+    ).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, more)
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == 3
+    assert doc["last-sequence-number"] == 4
+    n1 = [r.n_name for r in iceberg_export.read_iceberg(spark, dest)
+          .filter(F.col("n_nationkey") == 1).collect()]
+    assert sorted(n1)[-1] == "TWICE" and len(n1) == 2  # plain append: both rows
+
+
+def test_append_iceberg_refusals(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    part_table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(part_table, dest)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        iceberg_export.append_iceberg(spark, dest, nation.limit(1))
+
+    flat = _table(spark, nation)
+    dest2 = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(flat, dest2)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg_export.append_iceberg(
+            spark, dest2, nation.select("n_nationkey", "n_name")
+        )
+
+
+def test_append_iceberg_concurrent_commit_raises(spark, sf_dir):
+    """A racing writer that already claimed version N+1 must surface as
+    a commit conflict, never a silent overwrite."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    with open(os.path.join(dest, "metadata", "v2.metadata.json"), "w") as fh:
+        fh.write("{}")  # the racing winner
+    with pytest.raises(ValueError, match="concurrent commit"):
+        iceberg_export.append_iceberg(spark, dest, nation.limit(1).coalesce(1))
+
+
+def test_append_iceberg_gzip_metadata(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 10))
+    table.set_properties({"write.metadata.compression": "gzip"})
+    table.ops._should_refresh = True
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    extra = nation.filter(F.col("n_nationkey") == 10).coalesce(1)
+    info = iceberg_export.append_iceberg(spark, dest, extra)
+    assert info["metadata"].endswith("v2.gz.metadata.json")
+    got = sorted(r.n_nationkey
+                 for r in iceberg_export.read_iceberg(spark, dest).collect())
+    assert got == list(range(11))

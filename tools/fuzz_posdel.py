@@ -6,9 +6,12 @@ file split, optional partition column and MOR equality-delete state),
 export it as Iceberg v2, then apply 1-3 rounds of random position
 deletes via ``write_position_deletes`` — random positions per data
 file, random scheme prefixing of the recorded file_path, occasional
-re-deletion of an already-deleted position (spec: idempotent) — and
-after every round compare ``read_iceberg`` against a Python mirror
-that tracks (file, pos) -> row directly from the parquet files.
+re-deletion of an already-deleted position (spec: idempotent) — with
+random ``append_iceberg`` commits interleaved (round 6: appended files
+take a newer sequence, so the pre-export equality delete must skip
+them while later position-delete rounds may target them), and after
+every step compare ``read_iceberg`` against a Python mirror that
+tracks (file, pos) -> row directly from the parquet files.
 
 This mechanically covers what the hand-written tests sample: many data
 files per delete round, deletes split across several delete files,
@@ -68,21 +71,25 @@ def run_seed(spark, seed: int) -> list[str]:
     dest = tempfile.mkdtemp(prefix=f"fuzz_pd_out_{seed}_")
     iceberg_export.export_iceberg(table, dest)
 
-    # data-file paths from the manifests, in manifest order
-    doc = iceberg_export._load_metadata(dest)
-    snap = next(
-        s for s in doc["snapshots"]
-        if s["snapshot-id"] == doc["current-snapshot-id"]
-    )
-    with open(snap["manifest-list"], "rb") as fh:
-        _, _, mls = avro_ocf.read_ocf(fh.read())
-    paths = []
-    for mf in mls:
-        if mf["content"] != 0:
-            continue
-        with open(mf["manifest_path"], "rb") as fh:
-            _, _, entries = avro_ocf.read_ocf(fh.read())
-        paths += [e["data_file"]["file_path"] for e in entries]
+    def data_paths() -> list[str]:
+        # data-file paths from the manifests, in manifest order
+        doc = iceberg_export._load_metadata(dest)
+        snap = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(snap["manifest-list"], "rb") as fh:
+            _, _, mls = avro_ocf.read_ocf(fh.read())
+        out = []
+        for mf in mls:
+            if mf["content"] != 0:
+                continue
+            with open(mf["manifest_path"], "rb") as fh:
+                _, _, entries = avro_ocf.read_ocf(fh.read())
+            out += [e["data_file"]["file_path"] for e in entries]
+        return out
+
+    paths = data_paths()
 
     # python mirror: (file, pos) -> row, read straight from parquet
     mirror: dict[tuple[str, int], tuple] = {}
@@ -106,7 +113,44 @@ def run_seed(spark, seed: int) -> list[str]:
         failures.append(f"seed {seed}: pre-delete mismatch")
 
     already: list[tuple[str, int]] = []
+    next_id = n_rows
     for rnd in range(rng.randint(1, 3)):
+        # interleave incremental appends (append_iceberg commits) with
+        # the delete rounds: appended files carry a NEWER sequence, so
+        # the pre-export equality delete must NOT touch them (the mirror
+        # adds their rows unconditionally, eq_deleted groups included),
+        # while later position-delete rounds may target them freely
+        if rng.random() < 0.5:
+            k = rng.randint(1, 40)
+            new_rows = [
+                (next_id + j, rng.randint(0, 3), round(rng.uniform(-10, 10), 4))
+                for j in range(k)
+            ]
+            next_id += k
+            iceberg_export.append_iceberg(
+                spark,
+                dest,
+                spark.createDataFrame(new_rows, SCHEMA).repartition(
+                    rng.randint(1, 3)
+                ),
+            )
+            fresh = data_paths()
+            for p in fresh:
+                if p in file_rows:
+                    continue
+                t = pq.read_table(p)
+                for pos, (i, g, v) in enumerate(
+                    zip(
+                        t["id"].to_pylist(),
+                        t["grp"].to_pylist(),
+                        t["val"].to_pylist(),
+                    )
+                ):
+                    mirror[(p, pos)] = (i, g, round(v, 4))
+                file_rows[p] = pq.read_metadata(p).num_rows
+            paths = fresh
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-append mismatch")
         deletes: dict[str, list[int]] = {}
         for p in rng.sample(paths, rng.randint(1, len(paths))):
             k = rng.randint(1, max(1, file_rows[p] // 3))
