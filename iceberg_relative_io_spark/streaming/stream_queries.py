@@ -198,6 +198,60 @@ def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 + A45 (stream -> external Iceberg mirror): the event stream
+    lands as incremental Iceberg v2 commits — an empty export seeds the
+    mirror, then every micro-batch calls ``append_iceberg`` against the
+    exported directory (one spec-shaped snapshot per epoch: data files +
+    manifest + carried-forward manifest list + vN+1 metadata behind the
+    CAS). The readback goes through the independent spec-path reader,
+    so the oracle gates the whole stream -> Iceberg-commit -> external
+    -read loop. This is the shape a pipeline uses to keep a mirror
+    queryable by external engines current per batch, without ever
+    re-exporting (a full export per epoch is O(table); the append is
+    O(batch))."""
+    import tempfile as _tf
+
+    from iceberg_relative_io_spark.catalog import (
+        FsCatalog,
+        RelativeTable,
+        iceberg_export,
+    )
+
+    src = _stage_events(spark, sf_dir, parts=3)
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    cat = FsCatalog(_tf.mkdtemp(prefix="stream_ice_wh_"))
+    cat.create_namespace(("stream",))
+    ops = cat.create_table(("stream",), "events_seed", ev_schema.jsonValue())
+    dest = _tf.mkdtemp(prefix="stream_ice_mirror_")
+    iceberg_export.export_iceberg(RelativeTable(ops), dest)  # empty seed
+
+    stream = spark.readStream.schema(_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: iceberg_export.append_iceberg(spark, dest, batch)
+        )
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    doc = iceberg_export._load_metadata(dest)
+    n_snaps = len(doc["snapshots"])
+    assert n_snaps == 4, f"seed + one commit per micro-batch, got {n_snaps}"
+    return (
+        iceberg_export.read_iceberg(spark, dest)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30/B31 (CDC upsert sink): the stream lands in the relative-format
     table as an ordered upsert — each micro-batch merges on
@@ -433,6 +487,7 @@ QUERIES = {
     "b30_stream_stream_join": q_stream_stream_join,
     "b30_session_window": q_session_window,
     "b30_stream_to_table": q_stream_to_table,
+    "b30_stream_to_iceberg": q_stream_to_iceberg,
     "b31_stream_upsert_to_table": q_stream_upsert_to_table,
     "b30_stream_static_join": q_stream_static_join,
 }
@@ -454,6 +509,13 @@ ORACLE = {
         WHERE rn = 1
     """,
     "b30_stream_to_table": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "b30_stream_to_iceberg": """
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
