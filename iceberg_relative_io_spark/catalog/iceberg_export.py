@@ -1049,10 +1049,14 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     optimistic-commit contract as the native format (table_ops.py) and
     HadoopTableOperations.
 
-    Refused (with the remedy in the message): schema mismatch, and
-    partitioned tables — appending into an identity/bucket spec needs
-    the layout + partition-tuple plumbing of the native writer, so
-    partitioned mirrors append through the source table + re-export."""
+    Partitioned specs are honored: identity / day / month / bucket[N]
+    (murmur3 — the only bucket hash an exported spec retains) /
+    truncate[W]-on-string rows are laid out with the same hive
+    directories + derived transform columns as the export, and every
+    manifest entry carries its typed partition tuple (so external
+    bucket/partition pruning keeps working on appended files). Refused
+    with the remedy in the message: schema mismatch, and truncate on
+    non-string sources (the native layout never produces those)."""
     doc = _load_metadata(table_dir)
     with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
         version = int(fh.read().strip())
@@ -1060,12 +1064,6 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     spec = next(
         p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
     )
-    if spec["fields"]:
-        raise ValueError(
-            "append_iceberg supports unpartitioned tables only; this table "
-            f"partitions by {[f['name'] for f in spec['fields']]} — append "
-            "through the source RelativeTable and re-export"
-        )
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
     )
@@ -1077,39 +1075,84 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
             f"schema mismatch: table expects {want}, dataframe has {got}"
         )
 
+    # partition layout: rebuild each transform's derived column exactly
+    # as the source table's writer does (spark_table._transform_column —
+    # murmur3 is the only bucket hash an exported spec retains, so the
+    # derived bucket ids agree with the existing files' layout)
+    from iceberg_relative_io_spark.catalog.spark_table import _transform_column
+
+    spec_fields = _spec_fields_from_doc(doc)
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    out_df = df
+    layout_cols = []
+    for sf in spec_fields:
+        kind, src_name = sf["_kind"], by_id[sf["source-id"]]["name"]
+        if kind == "truncate" and sf["_source_type"] != "string":
+            raise ValueError(
+                f"append into truncate[{sf['transform']}] on non-string "
+                f"source {src_name!r} unsupported — append through the "
+                "source RelativeTable and re-export"
+            )
+        arg = None
+        if kind in ("bucket", "truncate"):
+            arg = int(sf["transform"].split("[", 1)[1].rstrip("]"))
+        if kind == "identity" and sf["name"] == src_name:
+            pass  # partitionBy the source column itself (export shape)
+        else:
+            fdef = {"kind": kind, "source": src_name, "arg": arg}
+            out_df = out_df.withColumn(
+                sf["name"],
+                _transform_column(fdef, "murmur3", df.schema[src_name].dataType),
+            )
+        layout_cols.append(sf["name"])
+
     data_dir = os.path.join(table_dir, "data", f"append-{uuid.uuid4()}")
-    df.write.mode("overwrite").parquet(data_dir)
+    writer = out_df.write.mode("overwrite")
+    if layout_cols:
+        writer = writer.partitionBy(*layout_cols)
+    writer.parquet(data_dir)
 
     import pyarrow.parquet as pq
+    from urllib.parse import unquote as _unq
 
     entries = []
     seq = doc["last-sequence-number"] + 1
     snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
     total_rows = 0
-    entry_schema = _manifest_entry_schema([])
-    for name in sorted(os.listdir(data_dir)):
-        if name.startswith("_") or name.startswith("."):
-            continue
-        fpath = os.path.join(data_dir, name)
-        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
-        total_rows += rows
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fpath,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": os.path.getsize(fpath),
-                    "equality_ids": None,
-                },
-            }
-        )
+    entry_schema = _manifest_entry_schema(spec_fields)
+    for root, _dirs, names in sorted(os.walk(data_dir)):
+        raws: dict[str, str] = {}
+        rel = os.path.relpath(root, data_dir)
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                raws[k] = _unq(v)
+        for name in sorted(names):
+            if name.startswith("_") or name.startswith("."):
+                continue
+            fpath = os.path.join(root, name)
+            rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+            total_rows += rows
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            sf["name"]: _partition_value(sf, raws.get(sf["name"]))
+                            for sf in spec_fields
+                        },
+                        "record_count": rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "equality_ids": None,
+                    },
+                }
+            )
 
     manifest_path = os.path.join(
         table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"

@@ -888,14 +888,8 @@ def test_append_iceberg_stacks_and_preserves_delete_scoping(spark, sf_dir):
     assert sorted(n1)[-1] == "TWICE" and len(n1) == 2  # plain append: both rows
 
 
-def test_append_iceberg_refusals(spark, sf_dir):
+def test_append_iceberg_schema_mismatch_refused(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
-    part_table = _table(spark, nation, partition_by=["n_regionkey"])
-    dest = tempfile.mkdtemp(prefix="iceexp_out_")
-    iceberg_export.export_iceberg(part_table, dest)
-    with pytest.raises(ValueError, match="unpartitioned"):
-        iceberg_export.append_iceberg(spark, dest, nation.limit(1))
-
     flat = _table(spark, nation)
     dest2 = tempfile.mkdtemp(prefix="iceexp_out_")
     iceberg_export.export_iceberg(flat, dest2)
@@ -903,6 +897,76 @@ def test_append_iceberg_refusals(spark, sf_dir):
         iceberg_export.append_iceberg(
             spark, dest2, nation.select("n_nationkey", "n_name")
         )
+
+
+def test_append_iceberg_identity_partitioned(spark, sf_dir):
+    """Appending into an identity-partitioned export lays the new files
+    out hive-style (source column dropped from the files, exactly the
+    export shape) and records the typed partition tuple in the new
+    manifest — the reader must fill the identity column back from it."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(
+        spark,
+        nation.filter(F.col("n_nationkey") < 20),
+        partition_by=["n_regionkey"],
+    )
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    extra = nation.filter(F.col("n_nationkey") >= 20).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, extra)
+    got = {
+        (r.n_nationkey, r.n_regionkey)
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    }
+    want = {(r.n_nationkey, r.n_regionkey) for r in nation.collect()}
+    assert got == want  # identity values filled from the NEW manifest too
+
+
+def test_append_iceberg_bucket_partitioned_keeps_pruning(spark, sf_dir):
+    """Appending into a murmur3 bucket[N] export records the spec bucket
+    id for each new file, so an external engine's (and read_iceberg's)
+    bucket pruning keeps working across the incremental boundary."""
+    from iceberg_relative_io_spark.catalog import avro_ocf
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(
+        spark,
+        nation.filter(F.col("n_nationkey") < 20),
+        partition_by=["bucket(4, n_nationkey)"],
+    )
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    extra = nation.filter(F.col("n_nationkey") >= 20).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, extra)
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == list(range(25))
+    # the appended manifest carries spec murmur3 bucket ids per file
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    newest = max(mls, key=lambda m: m["sequence_number"])
+    with open(newest["manifest_path"], "rb") as fh:
+        _, _, entries = avro_ocf.read_ocf(fh.read())
+    import pyarrow.parquet as pq
+
+    for e in entries:
+        part = e["data_file"]["partition"]
+        bucket = next(iter(part.values()))
+        t = pq.read_table(e["data_file"]["file_path"])
+        for key in t["n_nationkey"].to_pylist():
+            assert bucket_value(key, 4) == bucket
+    # point read prunes by bucket and still finds the appended key
+    hit = iceberg_export.read_iceberg(
+        spark, dest, eq_filters={"n_nationkey": 22}
+    ).collect()
+    assert [r.n_nationkey for r in hit] == [22]
 
 
 def test_append_iceberg_concurrent_commit_raises(spark, sf_dir):
