@@ -1132,6 +1132,12 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
                 continue
             fpath = os.path.join(root, name)
             rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+            if rows == 0:
+                # an empty micro-batch still writes an empty part file;
+                # the commit lands (epoch idempotency) but a zero-row
+                # data file has no business in the manifest
+                os.unlink(fpath)
+                continue
             total_rows += rows
             entries.append(
                 {
@@ -1244,6 +1250,26 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
         {"timestamp-ms": doc["last-updated-ms"], "metadata-file": prev_meta}
     ]
 
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "data-files": len(entries),
+        "records": total_rows,
+    }
+
+
+def _commit_next_metadata(
+    table_dir: str, version: int, doc: dict, new_doc: dict
+) -> str:
+    """Write ``new_doc`` as metadata version N+1 with an atomic
+    create-if-absent (temp write + ``os.link`` — content is complete at
+    link time, so a concurrent reader never sees a partial file, and a
+    racing committer gets a conflict instead of an overwrite), then bump
+    the version hint. Honors ``write.metadata.compression=gzip``."""
     gz = doc.get("properties", {}).get("write.metadata.compression") == "gzip"
     suffix = "gz.metadata.json" if gz else "metadata.json"
     meta_path = os.path.join(table_dir, "metadata", f"v{version + 1}.{suffix}")
@@ -1259,9 +1285,6 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
         with open(tmp_path, "w") as fh:
             json.dump(new_doc, fh, indent=2)
     try:
-        # atomic create-if-absent: the CAS on version N+1 (content is
-        # complete at link time, so a concurrent reader never sees a
-        # partial metadata file)
         os.link(tmp_path, meta_path)
     except FileExistsError:
         raise ValueError(
@@ -1277,14 +1300,147 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
         os.path.join(table_dir, "metadata", "version-hint.text"), "w"
     ) as fh:
         fh.write(str(version + 1))
+    return meta_path
+
+
+def rewrite_manifests_iceberg(table_dir: str) -> dict:
+    """Merge the current snapshot's DATA manifests into one — the
+    maintenance op that keeps a per-batch ``append_iceberg`` mirror
+    readable at scale. Every incremental commit adds one manifest to the
+    carried-forward manifest list, so after K batches a read opens K
+    manifest files; at streaming cadence that is thousands of metadata
+    reads per query. The merge rewrites all live data entries into a
+    single manifest with ``status=EXISTING`` and their ORIGINAL
+    ``sequence_number``/``file_sequence_number`` preserved (the spec's
+    sequence-number inheritance — equality/position deletes keep scoping
+    exactly), carries delete manifests through untouched, and commits a
+    ``replace`` snapshot through the same metadata CAS as the append
+    path. No data file is touched: cost is O(manifest entries), metadata
+    only — the exported twin of ``RelativeTable.rewrite_manifests``."""
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    cur = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+
+    merged: list[dict] = []
+    delete_mfs: list[dict] = []
+    n_data_manifests = 0
+    total_rows = 0
+    for mf in mls:
+        if mf["content"] != 0:
+            delete_mfs.append(mf)
+            continue
+        n_data_manifests += 1
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 2:  # DELETED — drop from the merge
+                continue
+            merged.append({**e, "status": 0})  # EXISTING, sequences kept
+            total_rows += int(e["data_file"].get("record_count") or 0)
+
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        merged,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+    seqs = [e["sequence_number"] for e in merged] or [1]
+    ml_records = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 0,
+            "sequence_number": max(seqs),
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": len(merged),
+            "deleted_data_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": total_rows,
+            "deleted_rows_count": 0,
+        }
+    ] + delete_mfs
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_doc["snapshots"] = doc["snapshots"] + [
+        {
+            "sequence-number": doc["last-sequence-number"],
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": doc["current-snapshot-id"],
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(n_data_manifests),
+                "manifests-created": "1",
+            },
+            "manifest-list": ml_path,
+            "schema-id": doc["current-schema-id"],
+        }
+    ]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    prev_plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    prev_meta = (
+        prev_plain
+        if os.path.exists(prev_plain)
+        else os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
+    )
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {"timestamp-ms": doc["last-updated-ms"], "metadata-file": prev_meta}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
         "metadata": meta_path,
         "manifest": manifest_path,
         "manifest-list": ml_path,
         "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "data-files": len(entries),
-        "records": total_rows,
+        "merged-manifests": n_data_manifests,
+        "entries": len(merged),
     }
 
 

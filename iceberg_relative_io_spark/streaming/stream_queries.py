@@ -241,6 +241,11 @@ def q_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = iceberg_export._load_metadata(dest)
     n_snaps = len(doc["snapshots"])
     assert n_snaps == 4, f"seed + one commit per micro-batch, got {n_snaps}"
+    # maintenance: per-batch commits grow the manifest list one manifest
+    # per epoch — merge them (metadata-only, sequences preserved) so the
+    # read the oracle checks goes through the POST-maintenance metadata
+    info = iceberg_export.rewrite_manifests_iceberg(dest)
+    assert info["merged-manifests"] == 4
     return (
         iceberg_export.read_iceberg(spark, dest)
         .groupBy("event_type")

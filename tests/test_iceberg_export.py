@@ -997,3 +997,73 @@ def test_append_iceberg_gzip_metadata(spark, sf_dir):
     got = sorted(r.n_nationkey
                  for r in iceberg_export.read_iceberg(spark, dest).collect())
     assert got == list(range(11))
+
+
+def test_rewrite_manifests_iceberg_merges_and_preserves_scoping(spark, sf_dir):
+    """After K incremental appends the manifest list holds K+1 data
+    manifests; the rewrite merges them into ONE while preserving each
+    entry's original sequence number, so the pre-existing equality
+    delete keeps scoping exactly (deleted key stays gone, the key
+    re-inserted by a later append survives) and time travel to the
+    pre-rewrite snapshot is untouched."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    table.delete_where_mor(spark, F.col("n_nationkey") == 3, ["n_nationkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    reborn = nation.filter(F.col("n_nationkey") == 3).withColumn(
+        "n_name", F.lit("REBORN")
+    ).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, reborn)
+    iceberg_export.append_iceberg(
+        spark, dest, nation.limit(0).coalesce(1)
+    )  # empty batch: still a commit
+    want = sorted(
+        (r.n_nationkey, "REBORN" if r.n_nationkey == 3 else r.n_name)
+        for r in nation.collect()
+    )
+
+    def ml_counts():
+        doc = iceberg_export._load_metadata(dest)
+        snap = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(snap["manifest-list"], "rb") as fh:
+            _, _, mls = avro_ocf.read_ocf(fh.read())
+        return (
+            sum(1 for m in mls if m["content"] == 0),
+            sum(1 for m in mls if m["content"] == 1),
+            doc,
+        )
+
+    n_data, n_del, doc = ml_counts()
+    assert n_data == 3 and n_del == 1  # export + 2 appends, 1 delete mf
+    pre_rewrite_head = doc["current-snapshot-id"]
+
+    info = iceberg_export.rewrite_manifests_iceberg(dest)
+    assert info["merged-manifests"] == 3
+    n_data, n_del, doc = ml_counts()
+    assert n_data == 1 and n_del == 1  # merged + the carried delete mf
+    got = sorted(
+        (r.n_nationkey, r.n_name)
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == want
+    # merged entries are EXISTING with their original sequences intact
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    merged_mf = next(m for m in mls if m["content"] == 0)
+    with open(merged_mf["manifest_path"], "rb") as fh:
+        _, _, entries = avro_ocf.read_ocf(fh.read())
+    assert all(e["status"] == 0 for e in entries)
+    assert {e["sequence_number"] for e in entries} == {1, 3}  # base + reborn
+    # time travel to the pre-rewrite head still reads through old manifests
+    old = iceberg_export.read_iceberg(spark, dest, snapshot_id=pre_rewrite_head)
+    assert sorted(
+        (r.n_nationkey, r.n_name) for r in old.collect()
+    ) == want

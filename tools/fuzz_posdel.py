@@ -172,6 +172,13 @@ def run_seed(spark, seed: int) -> list[str]:
                 f"seed {seed} round {rnd}: {len(got)} rows vs mirror "
                 f"{len(want)}"
             )
+        # occasionally merge the manifests (metadata-only replace): data
+        # entries keep their sequences, delete manifests carry through —
+        # reads must be identical before and after
+        if rng.random() < 0.4:
+            iceberg_export.rewrite_manifests_iceberg(dest)
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-rewrite mismatch")
     return failures
 
 
