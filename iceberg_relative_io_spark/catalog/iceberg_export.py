@@ -57,10 +57,24 @@ spec's equality-delete format; the manifest entry carries
 strictly-older scoping rule, so an external reader (and ``read_iceberg``
 below) applies them exactly as the source table does.
 
+Beyond the one-shot export, the module maintains LIVE mirrors:
+``append_iceberg`` commits incremental APPEND snapshots directly onto
+an exported directory (new data files laid out per the partition spec,
+a new manifest, every prior manifest carried forward so deletes keep
+their sequence scoping, and a ``v{N+1}`` metadata.json behind an atomic
+create-if-absent CAS); ``write_position_deletes`` commits external-style
+``content=1`` delete snapshots; ``rewrite_manifests_iceberg`` merges the
+accumulated per-commit manifests metadata-only (status=EXISTING,
+sequence numbers preserved) so a streaming mirror's planning cost stays
+flat; ``import_iceberg`` closes the loop by registering an external v2
+table as a ``RelativeTable`` zero-copy.
+
 If this environment had pyiceberg or DuckDB's iceberg extension the
 export would be externally checkable; neither can be installed here
 (no network), so the gate is the independent reader below plus avro
-container round-trip tests.
+container round-trip tests and the randomized interleaving fuzzer
+(tools/fuzz_posdel.py: appends + position deletes + rewrites vs a
+python (file, pos) mirror).
 """
 
 from __future__ import annotations
