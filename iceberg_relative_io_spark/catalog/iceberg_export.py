@@ -1458,6 +1458,94 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     }
 
 
+def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots on a maintained mirror: keep the most recent
+    ``keep_last`` snapshots of the current branch's ancestry, drop the
+    rest from the metadata, and physically reap what only they
+    referenced — their manifest lists, manifests no retained snapshot's
+    manifest list names, and data/delete files UNDER ``table_dir`` that
+    no retained manifest references (files the mirror owns: appended
+    batches and delete payloads). Zero-copy references to the source
+    table's files live OUTSIDE ``table_dir`` and are never touched —
+    expiring a mirror must not damage the table it mirrors.
+
+    Commits through the same metadata CAS as append/rewrite. Completes
+    the mirror lifecycle: append (O(batch) commits) → rewrite (O(1)
+    planning) → expire (bounded storage)."""
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+    chain = []
+    sid = doc.get("current-snapshot-id")
+    while sid is not None and sid in by_id:
+        chain.append(by_id[sid])
+        sid = by_id[sid].get("parent-snapshot-id")
+    retained = chain[: max(1, keep_last)]
+    retained_ids = {s["snapshot-id"] for s in retained}
+    expired = [s for s in doc["snapshots"] if s["snapshot-id"] not in retained_ids]
+    if not expired:
+        return {"expired": 0, "deleted-files": 0}
+
+    def _refs(snaps: list[dict]) -> tuple[set, set]:
+        manifests: set = set()
+        files: set = set()
+        for s in snaps:
+            with open(s["manifest-list"], "rb") as fh:
+                _, _, mls = avro_ocf.read_ocf(fh.read())
+            for mf in mls:
+                manifests.add(mf["manifest_path"])
+                with open(mf["manifest_path"], "rb") as fh:
+                    _, _, entries = avro_ocf.read_ocf(fh.read())
+                files |= {e["data_file"]["file_path"] for e in entries}
+        return manifests, files
+
+    keep_mfs, keep_files = _refs(retained)
+    drop_mfs, drop_files = _refs(expired)
+    root = os.path.realpath(table_dir)
+
+    deleted = 0
+    for s in expired:
+        try:
+            os.unlink(s["manifest-list"])
+            deleted += 1
+        except OSError:
+            pass
+    for p in drop_mfs - keep_mfs:
+        try:
+            os.unlink(p)
+            deleted += 1
+        except OSError:
+            pass
+    for p in drop_files - keep_files:
+        # only reap files the mirror itself owns; zero-copy source
+        # references outside the table dir are not ours to delete
+        if not os.path.realpath(p).startswith(root + os.sep):
+            continue
+        try:
+            os.unlink(p)
+            deleted += 1
+        except OSError:
+            pass
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["snapshots"] = [
+        s for s in doc["snapshots"] if s["snapshot-id"] in retained_ids
+    ]
+    new_doc["snapshot-log"] = [
+        h for h in doc.get("snapshot-log", [])
+        if h["snapshot-id"] in retained_ids
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "expired": len(expired),
+        "deleted-files": deleted,
+        "metadata": meta_path,
+    }
+
+
 # ---------------------------------------------------------------------------
 # independent spec-path reader (the round-trip gate)
 # ---------------------------------------------------------------------------

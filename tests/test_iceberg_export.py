@@ -1067,3 +1067,81 @@ def test_rewrite_manifests_iceberg_merges_and_preserves_scoping(spark, sf_dir):
     assert sorted(
         (r.n_nationkey, r.n_name) for r in old.collect()
     ) == want
+
+
+def test_expire_snapshots_iceberg_reaps_metadata_not_source_files(spark, sf_dir):
+    """Expire after append+rewrite: old manifest lists and the merged-away
+    per-commit manifests are reaped, every data file stays (still
+    referenced by the merged manifest), reads are identical, time travel
+    to an expired snapshot fails, and the zero-copy SOURCE files outside
+    the mirror are never touched."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 20))
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.append_iceberg(
+        spark, dest, nation.filter(F.col("n_nationkey") >= 20).coalesce(1)
+    )
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == 3
+    expired_ids = [s["snapshot-id"] for s in doc["snapshots"][:-1]]
+    old_mls = [s["manifest-list"] for s in doc["snapshots"][:-1]]
+    # a zero-copy source file referenced only via the chain
+    src_file = next(
+        f["path"] for f in [
+            {"path": e["data_file"]["file_path"]}
+            for e in _head_entries(dest)
+        ] if not os.path.realpath(f["path"]).startswith(os.path.realpath(dest))
+    )
+
+    info = iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    assert info["expired"] == 2
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == 1
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == list(range(25))
+    for ml in old_mls:
+        assert not os.path.exists(ml)  # expired manifest lists reaped
+    assert os.path.exists(src_file)  # zero-copy source data untouched
+    with pytest.raises(StopIteration):
+        iceberg_export.read_iceberg(spark, dest, snapshot_id=expired_ids[0])
+
+
+def _head_entries(dest):
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    entries = []
+    for mf in mls:
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, es = avro_ocf.read_ocf(fh.read())
+        entries += es
+    return entries
+
+
+def test_expire_snapshots_iceberg_keeps_delete_scoping(spark, sf_dir):
+    """Expiring down to the head of a mirror that carries a live MOR
+    delete + a post-delete append keeps the delete file, its manifest,
+    and the scoping (deleted key gone, re-appended key alive)."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    table.delete_where_mor(spark, F.col("n_nationkey") == 5, ["n_nationkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    reborn = nation.filter(F.col("n_nationkey") == 5).withColumn(
+        "n_name", F.lit("REBORN")
+    ).coalesce(1)
+    iceberg_export.append_iceberg(spark, dest, reborn)
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    rows = {r.n_nationkey: r.n_name
+            for r in iceberg_export.read_iceberg(spark, dest).collect()}
+    assert rows[5] == "REBORN" and len(rows) == 25

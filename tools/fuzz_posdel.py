@@ -179,6 +179,12 @@ def run_seed(spark, seed: int) -> list[str]:
             iceberg_export.rewrite_manifests_iceberg(dest)
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-rewrite mismatch")
+        # occasionally expire history: current reads must be unaffected
+        # (only unreferenced metadata + mirror-owned orphans are reaped)
+        if rng.random() < 0.3:
+            iceberg_export.expire_snapshots_iceberg(dest, rng.randint(1, 2))
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-expire mismatch")
     return failures
 
 
