@@ -242,10 +242,14 @@ def q_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_snaps = len(doc["snapshots"])
     assert n_snaps == 4, f"seed + one commit per micro-batch, got {n_snaps}"
     # maintenance: per-batch commits grow the manifest list one manifest
-    # per epoch — merge them (metadata-only, sequences preserved) so the
-    # read the oracle checks goes through the POST-maintenance metadata
+    # per epoch — merge them (metadata-only, sequences preserved), then
+    # expire the superseded history (reaps only mirror-owned artifacts),
+    # so the read the oracle checks goes through the POST-maintenance
+    # metadata: the full lifecycle append -> rewrite -> expire -> read
     info = iceberg_export.rewrite_manifests_iceberg(dest)
     assert info["merged-manifests"] == 4
+    gone = iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    assert gone["expired"] == 4  # seed + 3 batch commits superseded
     return (
         iceberg_export.read_iceberg(spark, dest)
         .groupBy("event_type")
