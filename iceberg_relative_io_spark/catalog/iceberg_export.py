@@ -1458,6 +1458,172 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     }
 
 
+def delete_where_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    equality_cols: list[str],
+) -> dict:
+    """Merge-on-read DELETE committed directly on a mirror: write the
+    matching rows' equality-key tuples as parquet (a DISTRIBUTED Spark
+    write — unlike position deletes, no row ever visits the driver, so
+    this is the scale path for large predicates) and commit a
+    ``content=2`` equality-delete manifest with ``equality_ids`` at
+    ``last-sequence-number + 1``. Per the spec's strictly-older rule the
+    delete applies to every data file that exists now and to none
+    appended later — the exact semantics of the native
+    ``RelativeTable.delete_where_mor`` (spark_table.py), re-expressed as
+    external Iceberg artifacts."""
+    import pyarrow.parquet as pq
+
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+    keys = (
+        read_iceberg(spark, table_dir)
+        .filter(condition)
+        .select(*equality_cols)
+        .distinct()
+    )
+    del_dir = os.path.join(table_dir, "data", f"delete-{uuid.uuid4()}")
+    keys.write.mode("overwrite").parquet(del_dir)
+
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    entries = []
+    total_rows = 0
+    for name in sorted(os.listdir(del_dir)):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fpath = os.path.join(del_dir, name)
+        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+        if rows == 0:
+            os.unlink(fpath)
+            continue
+        total_rows += rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {sf["name"]: None for sf in spec_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m1.avro"
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+
+    prior = []
+    if doc.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, prior = avro_ocf.read_ocf(fh.read())
+    ml_records = list(prior) + [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_doc["snapshots"] = doc["snapshots"] + [
+        {
+            "sequence-number": seq,
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": doc["current-snapshot-id"],
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "delete",
+                "total-equality-deletes": str(total_rows),
+                "total-position-deletes": "0",
+            },
+            "manifest-list": ml_path,
+            "schema-id": doc["current-schema-id"],
+        }
+    ]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "delete-files": len(entries),
+        "delete-records": total_rows,
+    }
+
+
 def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     """Expire old snapshots on a maintained mirror: keep the most recent
     ``keep_last`` snapshots of the current branch's ancestry, drop the

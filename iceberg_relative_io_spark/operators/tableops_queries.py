@@ -678,6 +678,43 @@ def q_iceberg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46 (round-6): mirror-side MOR DML — export customer, commit a
+    DISTRIBUTED equality delete directly on the exported v2 directory
+    (``delete_where_iceberg``: the key tuples are written by Spark, no
+    driver collect — the 100 TB path, unlike position deletes), then
+    append one deleted key back (strictly-older scoping across the
+    incremental boundary), read through the spec-path reader. Oracle
+    restates delete + re-insert in SQL."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_mdel", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_mordel_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("c_custkey") % 41 == 0, ["c_custkey"]
+    )
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        cust.filter(F.col("c_custkey") == 41).withColumn(
+            "c_name", F.lit("REBORN")
+        ),
+    )
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -771,6 +808,7 @@ QUERIES = {
     "b29_partitions_table": q_partitions_table,
     "b29_manifests_table": q_manifests_table,
     "a45_iceberg_append": q_iceberg_append,
+    "a46_iceberg_mor_delete": q_iceberg_mor_delete,
 }
 
 ORACLE = {
@@ -801,6 +839,13 @@ ORACLE = {
         UNION ALL
         SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
         FROM customer WHERE c_custkey = 59
+    """,
+    "a46_iceberg_mor_delete": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey % 41 <> 0
+        UNION ALL
+        SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
+        FROM customer WHERE c_custkey = 41
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -1145,3 +1145,44 @@ def test_expire_snapshots_iceberg_keeps_delete_scoping(spark, sf_dir):
     rows = {r.n_nationkey: r.n_name
             for r in iceberg_export.read_iceberg(spark, dest).collect()}
     assert rows[5] == "REBORN" and len(rows) == 25
+
+
+def test_delete_where_iceberg_mor_commit(spark, sf_dir):
+    """Distributed MOR equality delete committed directly on a mirror:
+    matching keys vanish, a key appended AFTER the delete survives
+    (strictly-older scoping), the delete survives a manifest rewrite,
+    and unknown equality columns are refused."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    info = iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_regionkey") == 2, ["n_regionkey"]
+    )
+    assert info["delete-records"] == 1  # one distinct key tuple
+    want = sorted(
+        r.n_nationkey
+        for r in nation.filter(F.col("n_regionkey") != 2).collect()
+    )
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == want
+    # a row with the deleted key appended later survives
+    reborn = nation.filter(F.col("n_nationkey") == 8).coalesce(1)  # region 2
+    assert reborn.count() == 1
+    iceberg_export.append_iceberg(spark, dest, reborn)
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == sorted(want + [8])
+    # the delete manifest rides through a rewrite untouched
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    got2 = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got2 == got
+    with pytest.raises(ValueError, match="not in schema"):
+        iceberg_export.delete_where_iceberg(
+            spark, dest, F.col("n_nationkey") > 0, ["nope"]
+        )

@@ -185,6 +185,22 @@ def run_seed(spark, seed: int) -> list[str]:
             iceberg_export.expire_snapshots_iceberg(dest, rng.randint(1, 2))
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-expire mismatch")
+        # occasionally commit a mirror-side MOR equality delete: rows
+        # with the doomed grp vanish from every CURRENT file (mirror
+        # drops them across the board); files appended in LATER rounds
+        # carry a newer sequence, so their doomed-grp rows must survive
+        if rng.random() < 0.3:
+            from pyspark.sql import functions as F2
+
+            g = rng.randint(0, 3)
+            iceberg_export.delete_where_iceberg(
+                spark, dest, F2.col("grp") == g, ["grp"]
+            )
+            mirror = {
+                k: row for k, row in mirror.items() if row[1] != g
+            }
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-eqdel mismatch")
     return failures
 
 
