@@ -1041,6 +1041,102 @@ def _type_sig(t) -> object:
     }
 
 
+def _write_data_files(
+    table_dir: str,
+    doc: dict,
+    df: DataFrame,
+    seq: int,
+    snap_id: int,
+    prefix: str,
+) -> tuple[list[dict], int]:
+    """Write ``df`` as data files under ``<table>/data/<prefix>-<uuid>``
+    honoring the table's partition spec — each transform's derived
+    layout column is rebuilt exactly as the source table's writer does
+    (spark_table._transform_column; murmur3 is the only bucket hash an
+    exported spec retains, so derived bucket ids agree with existing
+    files) — and return the spec-shaped manifest entries (status=ADDED
+    at the given sequence) plus the total row count. Zero-row part files
+    (empty micro-batches, empty partitions) are unlinked, not entered."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote as _unq
+
+    from iceberg_relative_io_spark.catalog.spark_table import _transform_column
+
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec_fields = _spec_fields_from_doc(doc)
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    out_df = df
+    layout_cols = []
+    for sf in spec_fields:
+        kind, src_name = sf["_kind"], by_id[sf["source-id"]]["name"]
+        if kind == "truncate" and sf["_source_type"] != "string":
+            raise ValueError(
+                f"writing into truncate[{sf['transform']}] on non-string "
+                f"source {src_name!r} unsupported — write through the "
+                "source RelativeTable and re-export"
+            )
+        arg = None
+        if kind in ("bucket", "truncate"):
+            arg = int(sf["transform"].split("[", 1)[1].rstrip("]"))
+        if kind == "identity" and sf["name"] == src_name:
+            pass  # partitionBy the source column itself (export shape)
+        else:
+            fdef = {"kind": kind, "source": src_name, "arg": arg}
+            out_df = out_df.withColumn(
+                sf["name"],
+                _transform_column(fdef, "murmur3", df.schema[src_name].dataType),
+            )
+        layout_cols.append(sf["name"])
+
+    data_dir = os.path.join(table_dir, "data", f"{prefix}-{uuid.uuid4()}")
+    writer = out_df.write.mode("overwrite")
+    if layout_cols:
+        writer = writer.partitionBy(*layout_cols)
+    writer.parquet(data_dir)
+
+    entries: list[dict] = []
+    total_rows = 0
+    for root, _dirs, names in sorted(os.walk(data_dir)):
+        raws: dict[str, str] = {}
+        rel = os.path.relpath(root, data_dir)
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                raws[k] = _unq(v)
+        for name in sorted(names):
+            if name.startswith("_") or name.startswith("."):
+                continue
+            fpath = os.path.join(root, name)
+            rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+            if rows == 0:
+                os.unlink(fpath)
+                continue
+            total_rows += rows
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            sf["name"]: _partition_value(sf, raws.get(sf["name"]))
+                            for sf in spec_fields
+                        },
+                        "record_count": rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "equality_ids": None,
+                    },
+                }
+            )
+    return entries, total_rows
+
+
 def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     """Commit ``df`` as a new APPEND snapshot on an existing Iceberg v2
     table directory — the incremental half of the interop story: after
@@ -1089,90 +1185,13 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
             f"schema mismatch: table expects {want}, dataframe has {got}"
         )
 
-    # partition layout: rebuild each transform's derived column exactly
-    # as the source table's writer does (spark_table._transform_column —
-    # murmur3 is the only bucket hash an exported spec retains, so the
-    # derived bucket ids agree with the existing files' layout)
-    from iceberg_relative_io_spark.catalog.spark_table import _transform_column
-
     spec_fields = _spec_fields_from_doc(doc)
-    by_id = {f["id"]: f for f in schema_json["fields"]}
-    out_df = df
-    layout_cols = []
-    for sf in spec_fields:
-        kind, src_name = sf["_kind"], by_id[sf["source-id"]]["name"]
-        if kind == "truncate" and sf["_source_type"] != "string":
-            raise ValueError(
-                f"append into truncate[{sf['transform']}] on non-string "
-                f"source {src_name!r} unsupported — append through the "
-                "source RelativeTable and re-export"
-            )
-        arg = None
-        if kind in ("bucket", "truncate"):
-            arg = int(sf["transform"].split("[", 1)[1].rstrip("]"))
-        if kind == "identity" and sf["name"] == src_name:
-            pass  # partitionBy the source column itself (export shape)
-        else:
-            fdef = {"kind": kind, "source": src_name, "arg": arg}
-            out_df = out_df.withColumn(
-                sf["name"],
-                _transform_column(fdef, "murmur3", df.schema[src_name].dataType),
-            )
-        layout_cols.append(sf["name"])
-
-    data_dir = os.path.join(table_dir, "data", f"append-{uuid.uuid4()}")
-    writer = out_df.write.mode("overwrite")
-    if layout_cols:
-        writer = writer.partitionBy(*layout_cols)
-    writer.parquet(data_dir)
-
-    import pyarrow.parquet as pq
-    from urllib.parse import unquote as _unq
-
-    entries = []
     seq = doc["last-sequence-number"] + 1
     snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
-    total_rows = 0
+    entries, total_rows = _write_data_files(
+        table_dir, doc, df, seq, snap_id, prefix="append"
+    )
     entry_schema = _manifest_entry_schema(spec_fields)
-    for root, _dirs, names in sorted(os.walk(data_dir)):
-        raws: dict[str, str] = {}
-        rel = os.path.relpath(root, data_dir)
-        for seg in rel.split(os.sep):
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                raws[k] = _unq(v)
-        for name in sorted(names):
-            if name.startswith("_") or name.startswith("."):
-                continue
-            fpath = os.path.join(root, name)
-            rows = int(pq.ParquetFile(fpath).metadata.num_rows)
-            if rows == 0:
-                # an empty micro-batch still writes an empty part file;
-                # the commit lands (epoch idempotency) but a zero-row
-                # data file has no business in the manifest
-                os.unlink(fpath)
-                continue
-            total_rows += rows
-            entries.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "file_sequence_number": seq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": fpath,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            sf["name"]: _partition_value(sf, raws.get(sf["name"]))
-                            for sf in spec_fields
-                        },
-                        "record_count": rows,
-                        "file_size_in_bytes": os.path.getsize(fpath),
-                        "equality_ids": None,
-                    },
-                }
-            )
 
     manifest_path = os.path.join(
         table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
@@ -1621,6 +1640,118 @@ def delete_where_iceberg(
         "sequence-number": seq,
         "delete-files": len(entries),
         "delete-records": total_rows,
+    }
+
+
+def compact_iceberg(spark: SparkSession, table_dir: str) -> dict:
+    """Materialize a mirror's merge-on-read state: read the table
+    through the spec path (every equality AND position delete applied),
+    rewrite the surviving rows as fresh data files under the mirror's
+    own ``data/`` dir (partition layout preserved), and commit a REPLACE
+    snapshot whose manifest list holds ONLY the new data manifest — no
+    delete manifests, no references to the old files. O(live rows), the
+    standard compaction cost; afterwards `expire_snapshots_iceberg`
+    reaps the superseded artifacts the mirror owns. This is also the
+    unlock for ``import_iceberg`` on position-deleted tables: compact in
+    place, then import the materialized state zero-copy."""
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    spec_fields = _spec_fields_from_doc(doc)
+    live = read_iceberg(spark, table_dir).select(
+        *[f["name"] for f in schema_json["fields"]]
+    )
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    entries, total_rows = _write_data_files(
+        table_dir, doc, live, seq, snap_id, prefix="compact"
+    )
+    entry_schema = _manifest_entry_schema(spec_fields)
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m0.avro"
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+    # REPLACE: only the new manifest — deletes are materialized, gone
+    ml_records = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_doc["snapshots"] = doc["snapshots"] + [
+        {
+            "sequence-number": seq,
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": doc["current-snapshot-id"],
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "replace",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+            },
+            "manifest-list": ml_path,
+            "schema-id": doc["current-schema-id"],
+        }
+    ]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "data-files": len(entries),
+        "records": total_rows,
     }
 
 
@@ -2187,12 +2318,12 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
                 if rec["content"] == 1 or not rec.get("equality_ids"):
                     # our MOR delete payload is equality-keyed; a
                     # (file, pos) delete has no zero-copy equivalent in
-                    # this format (read_iceberg DOES apply them — use it
-                    # to materialize, or compact in the source engine)
+                    # this format (read_iceberg DOES apply them)
                     raise ValueError(
-                        "position deletes cannot import zero-copy; compact "
-                        "the source table first (read_iceberg can still "
-                        "query it directly)"
+                        "position deletes cannot import zero-copy; run "
+                        "compact_iceberg(spark, table_dir) first to "
+                        "materialize them, then import (read_iceberg can "
+                        "also query the table directly)"
                     )
                 dels_by_seq.setdefault(e["sequence_number"], []).append(rec)
             else:

@@ -1186,3 +1186,71 @@ def test_delete_where_iceberg_mor_commit(spark, sf_dir):
         iceberg_export.delete_where_iceberg(
             spark, dest, F.col("n_nationkey") > 0, ["nope"]
         )
+
+
+def test_compact_iceberg_materializes_deletes_then_expire_reaps(spark, sf_dir):
+    """compact: equality + position deletes materialize into fresh data
+    files, the REPLACE snapshot carries no delete manifests, and a
+    subsequent expire physically reaps the superseded mirror-owned files
+    (the pre-compact appended batch) while zero-copy source files
+    survive. Compaction also unlocks import_iceberg on a
+    position-deleted mirror."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_regionkey") == 1, ["n_regionkey"]
+    )
+    iceberg_export.write_position_deletes(
+        dest, {_first_data_file(dest): [0]}
+    )  # also drop the first row of the first file by position
+    iceberg_export.append_iceberg(
+        spark, dest,
+        nation.filter(F.col("n_regionkey") == 1).limit(1).coalesce(1),
+    )  # one reborn region-1 row, newer than the delete
+    want = sorted(
+        r.n_nationkey
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    old_files = [
+        e["data_file"]["file_path"] for e in _head_entries(dest)
+        if e["data_file"]["content"] == 0
+    ]
+    appended_files = [p for p in old_files if p.startswith(os.path.realpath(dest))]
+    source_files = [p for p in old_files if not p.startswith(os.path.realpath(dest))]
+    assert appended_files and source_files
+
+    info = iceberg_export.compact_iceberg(spark, dest)
+    assert info["records"] == len(want)
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == want
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    assert [m["content"] for m in mls] == [0]  # deletes materialized away
+
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == want
+    for p in appended_files:
+        assert not os.path.exists(p)  # superseded mirror-owned file reaped
+    for p in source_files:
+        assert os.path.exists(p)  # zero-copy source data never touched
+
+    # a compacted (formerly position-deleted) mirror imports zero-copy
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_wh_"))
+    cat.create_namespace(("imp",))
+    imported = iceberg_export.import_iceberg(spark, cat, ("imp",), "t", dest)
+    got = sorted(r.n_nationkey for r in imported.read(spark).collect())
+    assert got == want

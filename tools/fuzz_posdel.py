@@ -201,6 +201,30 @@ def run_seed(spark, seed: int) -> list[str]:
             }
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-eqdel mismatch")
+        # occasionally compact: every live delete materializes into
+        # fresh data files (REPLACE snapshot, no delete manifests), so
+        # the VALUES are unchanged but every (file, pos) key is new —
+        # rebuild the mirror from the rewritten files
+        if rng.random() < 0.25:
+            values_before = sorted(mirror.values())
+            iceberg_export.compact_iceberg(spark, dest)
+            paths = data_paths()
+            mirror, file_rows = {}, {}
+            for p in paths:
+                t = pq.read_table(p)
+                for pos, (i, g, v) in enumerate(
+                    zip(
+                        t["id"].to_pylist(),
+                        t["grp"].to_pylist(),
+                        t["val"].to_pylist(),
+                    )
+                ):
+                    mirror[(p, pos)] = (i, g, round(v, 4))
+                file_rows[p] = pq.read_metadata(p).num_rows
+            if sorted(mirror.values()) != values_before:
+                failures.append(f"seed {seed} round {rnd}: compact changed values")
+            if spark_rows() != values_before:
+                failures.append(f"seed {seed} round {rnd}: post-compact mismatch")
     return failures
 
 
