@@ -12,11 +12,15 @@ from __future__ import annotations
 # driver evidence through round 5 covers all 187 registry names green.
 # Round 6 front-loads every query whose PHYSICAL PLAN (or underlying
 # table-format behavior) changed in rounds 5-6 after its last driver
-# grade, plus the new a42: the export rewrite (sequence-numbered
-# manifests, MOR delete manifests, temporal identity typing), the
-# murmur3 bucket transform + bucket pruning, the max_by keep-latest
-# rewrites, and the LSH shared-hot-list caching. Spare slots re-grade
-# the round-5 prefix names so the freshest evidence stays broad.
+# grade, plus the round-6 additions: the Iceberg mirror lifecycle
+# (a44-a46, b30_stream_to_iceberg — incremental appends, mirror-side
+# MOR deletes, rewrite/compact/expire), the B29 metadata tables, the
+# export rewrite (sequence-numbered manifests, MOR delete manifests,
+# temporal identity typing), murmur3 bucket transform + pruning, the
+# max_by keep-latest rewrites, the LSH shared-hot-list caching, and the
+# broadcast-audit rewires (label accuracy, capstone). Spare slots
+# re-grade the round-5 prefix names so the freshest evidence stays
+# broad.
 # Everything rotated out stays in the registry and in the judge's full
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
