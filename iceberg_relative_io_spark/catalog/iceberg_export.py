@@ -1643,6 +1643,235 @@ def delete_where_iceberg(
     }
 
 
+def update_where_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set_exprs: dict,
+    equality_cols: list[str],
+) -> dict:
+    """Merge-on-read UPDATE committed atomically on a mirror — ONE
+    snapshot carrying BOTH a ``content=2`` equality-delete manifest (the
+    matched rows' key tuples) AND a data manifest with the re-written
+    rows, both at ``last-sequence-number + 1``. The spec's scoping rules
+    make this the standard engine shape for UPDATE (Iceberg's own
+    row-level-delete writers commit it as a single ``overwrite``
+    snapshot): equality deletes apply only to data files with a
+    STRICTLY smaller data sequence number, so the delete erases the old
+    copies in every pre-existing file while the replacement rows —
+    committed at the same sequence — are untouched. A reader that
+    observes the snapshot sees either the whole update or none of it;
+    there is no delete-then-append window where the rows vanish.
+
+    ``set_exprs`` maps column name -> Column expression evaluated on the
+    matched rows (``F.col``/``F.lit`` arithmetic — the SET clause).
+    Expressions must preserve the column's type; a mismatch is refused
+    with the expected/got signatures, same contract as
+    ``append_iceberg``. Both the replacement rows and the delete-key
+    tuples are written by distributed Spark jobs — no row visits the
+    driver, so this is the 100 TB path. Mirrors the native
+    ``RelativeTable.update_where_mor`` semantics (spark_table.py) as
+    external Iceberg v2 artifacts; parity target is the reference's
+    Iceberg 1.6.1 / format-version 2 row-level DML (README.md:25,94)."""
+    import pyarrow.parquet as pq
+
+    doc = _load_metadata(table_dir)
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    bad_set = [c for c in set_exprs if c not in by_name]
+    if bad_set:
+        raise ValueError(f"SET columns not in schema: {bad_set}")
+    overlap = sorted(set(set_exprs) & set(equality_cols))
+    if overlap:
+        raise ValueError(
+            f"SET touches equality key column(s) {overlap} — the delete "
+            "would not find the rewritten rows on a retry; update the key "
+            "via delete_where_iceberg + append_iceberg instead"
+        )
+    eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+    matched = read_iceberg(spark, table_dir).filter(condition)
+    updated = matched
+    for cname, expr in set_exprs.items():
+        updated = updated.withColumn(cname, expr)
+    updated = updated.select(*[f["name"] for f in schema_json["fields"]])
+    incoming, _ = iceberg_schema(updated.schema, None)
+    want = [(f["name"], _type_sig(f["type"])) for f in schema_json["fields"]]
+    got = [(f["name"], _type_sig(f["type"])) for f in incoming["fields"]]
+    if want != got:
+        raise ValueError(
+            f"SET changed a column type: table expects {want}, update "
+            f"produces {got} — cast the expression back to the column type"
+        )
+
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+
+    data_entries, updated_rows = _write_data_files(
+        table_dir, doc, updated, seq, snap_id, prefix="update"
+    )
+
+    keys = matched.select(*equality_cols).distinct()
+    del_dir = os.path.join(table_dir, "data", f"delete-{uuid.uuid4()}")
+    keys.write.mode("overwrite").parquet(del_dir)
+    del_entries = []
+    del_rows = 0
+    for name in sorted(os.listdir(del_dir)):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fpath = os.path.join(del_dir, name)
+        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+        if rows == 0:
+            os.unlink(fpath)
+            continue
+        del_rows += rows
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {sf["name"]: None for sf in spec_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+
+    if not del_entries and not data_entries:
+        # nothing matched: no artifacts were produced, commit nothing
+        return {
+            "metadata": None,
+            "snapshot-id": None,
+            "sequence-number": doc["last-sequence-number"],
+            "updated-records": 0,
+        }
+
+    manifest_meta = {
+        "schema": json.dumps(schema_json),
+        "schema-id": str(doc["current-schema-id"]),
+        "partition-spec": json.dumps(spec["fields"]),
+        "partition-spec-id": str(doc["default-spec-id"]),
+        "format-version": "2",
+    }
+    data_manifest = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m0.avro")
+    data_bytes = avro_ocf.write_ocf(
+        entry_schema, data_entries, metadata={**manifest_meta, "content": "data"}
+    )
+    with open(data_manifest, "wb") as fh:
+        fh.write(data_bytes)
+    del_manifest = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m1.avro")
+    del_bytes = avro_ocf.write_ocf(
+        entry_schema, del_entries, metadata={**manifest_meta, "content": "deletes"}
+    )
+    with open(del_manifest, "wb") as fh:
+        fh.write(del_bytes)
+
+    prior = []
+    if doc.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, prior = avro_ocf.read_ocf(fh.read())
+    ml_records = list(prior) + [
+        {
+            "manifest_path": del_manifest,
+            "manifest_length": len(del_bytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(del_entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": del_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+        {
+            "manifest_path": data_manifest,
+            "manifest_length": len(data_bytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 0,  # data
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(data_entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": updated_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    snap_doc = {
+        "sequence-number": seq,
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(data_entries)),
+            "added-records": str(updated_rows),
+            "total-equality-deletes": str(del_rows),
+        },
+        "manifest-list": ml_path,
+        "schema-id": doc["current-schema-id"],
+    }
+    if doc.get("current-snapshot-id") is not None:
+        snap_doc["parent-snapshot-id"] = doc["current-snapshot-id"]
+    new_doc["snapshots"] = doc["snapshots"] + [snap_doc]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "updated-records": updated_rows,
+        "delete-records": del_rows,
+    }
+
+
 def compact_iceberg(spark: SparkSession, table_dir: str) -> dict:
     """Materialize a mirror's merge-on-read state: read the table
     through the spec path (every equality AND position delete applied),

@@ -715,6 +715,42 @@ def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 (round-6): atomic mirror-side MOR UPDATE — export customer,
+    then commit ONE ``update_where_iceberg`` snapshot carrying both the
+    equality-delete manifest and the replacement data manifest at the
+    same sequence number (the spec's strict-< scoping keeps the
+    rewritten rows while erasing the old copies — the engine-standard
+    UPDATE shape, no delete-then-append window). Replacement rows and
+    delete keys are both written by distributed Spark jobs. Read back
+    through the independent spec-path reader; the oracle restates the
+    SET as a CASE."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_upd", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_update_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.update_where_iceberg(
+        spark,
+        dest,
+        F.col("c_custkey") % 37 == 0,
+        {"c_name": F.lit("VIP"), "c_acctbal": F.col("c_acctbal") + F.lit(1000.0)},
+        ["c_custkey"],
+    )
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -809,6 +845,7 @@ QUERIES = {
     "b29_manifests_table": q_manifests_table,
     "a45_iceberg_append": q_iceberg_append,
     "a46_iceberg_mor_delete": q_iceberg_mor_delete,
+    "a47_iceberg_update": q_iceberg_update,
 }
 
 ORACLE = {
@@ -846,6 +883,14 @@ ORACLE = {
         UNION ALL
         SELECT c_custkey, 'REBORN' AS c_name, c_acctbal, c_nationkey
         FROM customer WHERE c_custkey = 41
+    """,
+    "a47_iceberg_update": """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 37 = 0 THEN 'VIP' ELSE c_name END AS c_name,
+               CASE WHEN c_custkey % 37 = 0 THEN c_acctbal + 1000.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_nationkey
+        FROM customer
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -1254,3 +1254,110 @@ def test_compact_iceberg_materializes_deletes_then_expire_reaps(spark, sf_dir):
     imported = iceberg_export.import_iceberg(spark, cat, ("imp",), "t", dest)
     got = sorted(r.n_nationkey for r in imported.read(spark).collect())
     assert got == want
+
+
+def test_update_where_iceberg_atomic_mor_update(spark, sf_dir):
+    """Atomic MOR UPDATE on a mirror: ONE snapshot carries both the
+    equality-delete manifest and the replacement data manifest at the
+    same sequence number, so the strict-< scoping erases the old copies
+    while keeping the rewritten rows. Non-matching rows untouched; the
+    update survives a manifest rewrite; SET on a key column and unknown
+    columns are refused."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    n_before = len(iceberg_export._load_metadata(dest)["snapshots"])
+    info = iceberg_export.update_where_iceberg(
+        spark,
+        dest,
+        F.col("n_regionkey") == 2,
+        {"n_name": F.lit("UPDATED"), "n_regionkey": F.col("n_regionkey") + 100},
+        ["n_nationkey"],
+    )
+    n_region2 = nation.filter(F.col("n_regionkey") == 2).count()
+    assert info["updated-records"] == n_region2
+    assert info["delete-records"] == n_region2
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == n_before + 1  # exactly one commit
+    got = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    }
+    for r in nation.collect():
+        if r.n_regionkey == 2:
+            assert got[r.n_nationkey] == ("UPDATED", 102)
+        else:
+            assert got[r.n_nationkey] == (r.n_name, r.n_regionkey)
+    assert len(got) == nation.count()
+    # one snapshot = one manifest-list: delete (content=1) + data (content=0)
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    new = [m for m in mls if m["added_snapshot_id"] == info["snapshot-id"]]
+    assert sorted(m["content"] for m in new) == [0, 1]
+    assert all(m["sequence_number"] == info["sequence-number"] for m in new)
+    # survives rewrite_manifests
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    got2 = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="equality key"):
+        iceberg_export.update_where_iceberg(
+            spark, dest, F.col("n_nationkey") == 1,
+            {"n_nationkey": F.lit(99)}, ["n_nationkey"],
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        iceberg_export.update_where_iceberg(
+            spark, dest, F.col("n_nationkey") == 1,
+            {"nope": F.lit(1)}, ["n_nationkey"],
+        )
+    with pytest.raises(ValueError, match="column type"):
+        iceberg_export.update_where_iceberg(
+            spark, dest, F.col("n_nationkey") == 1,
+            {"n_name": F.lit(7)}, ["n_nationkey"],
+        )
+
+
+def test_update_where_iceberg_no_match_commits_nothing(spark, sf_dir):
+    """An UPDATE whose predicate matches nothing writes no snapshot and
+    leaves the version hint where it was."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        v_before = fh.read().strip()
+    info = iceberg_export.update_where_iceberg(
+        spark, dest, F.col("n_nationkey") < 0,
+        {"n_name": F.lit("X")}, ["n_nationkey"],
+    )
+    assert info["updated-records"] == 0 and info["snapshot-id"] is None
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        assert fh.read().strip() == v_before
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count()
+
+
+def test_update_where_iceberg_partitioned_layout(spark, sf_dir):
+    """UPDATE on a partitioned mirror: the replacement rows land in the
+    partition layout their NEW values dictate (identity partition moves
+    with the update), and manifest partition tuples stay typed."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_out_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.update_where_iceberg(
+        spark, dest, F.col("n_regionkey") == 0,
+        {"n_regionkey": F.lit(7)}, ["n_nationkey"],
+    )
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.filter(F.col("n_regionkey") == 0).count() == 0
+    n_moved = nation.filter(F.col("n_regionkey") == 0).count()
+    assert df.filter(F.col("n_regionkey") == 7).count() == n_moved
+    # partition pruning on the new value finds the moved rows
+    pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_regionkey": 7})
+    assert pruned.filter(F.col("n_regionkey") == 7).count() == n_moved
