@@ -81,6 +81,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from datetime import date, datetime, timezone
@@ -792,10 +793,7 @@ def export_iceberg(
         meta_path = os.path.join(dest_dir, "metadata", "v1.metadata.json")
         with open(meta_path, "w") as fh:
             json.dump(doc, fh, indent=2)
-    with open(
-        os.path.join(dest_dir, "metadata", "version-hint.text"), "w"
-    ) as fh:
-        fh.write("1")
+    _write_version_hint(dest_dir, 1)
     return {
         "metadata": meta_path,
         "manifest-list": head_info["manifest-list"],
@@ -866,9 +864,7 @@ def write_position_deletes(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    doc = _load_metadata(table_dir)
+    doc, version = _load_metadata_versioned(table_dir)
     spec_fields = _spec_fields_from_doc(doc)
     entry_schema = _manifest_entry_schema(spec_fields)
 
@@ -1003,15 +999,7 @@ def write_position_deletes(
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    meta_path = os.path.join(
-        table_dir, "metadata", f"v{version + 1}.metadata.json"
-    )
-    with open(meta_path, "w") as fh:
-        json.dump(new_doc, fh, indent=2)
-    with open(
-        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
-    ) as fh:
-        fh.write(str(version + 1))
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
         "delete-file": del_path,
         "manifest": manifest_path,
@@ -1167,9 +1155,7 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     bucket/partition pruning keeps working on appended files). Refused
     with the remedy in the message: schema mismatch, and truncate on
     non-string sources (the native layout never produces those)."""
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
 
     spec = next(
         p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
@@ -1329,10 +1315,7 @@ def _commit_next_metadata(
             os.unlink(tmp_path)
         except OSError:
             pass
-    with open(
-        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
-    ) as fh:
-        fh.write(str(version + 1))
+    _write_version_hint(table_dir, version + 1)
     return meta_path
 
 
@@ -1350,9 +1333,7 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     ``replace`` snapshot through the same metadata CAS as the append
     path. No data file is touched: cost is O(manifest entries), metadata
     only — the exported twin of ``RelativeTable.rewrite_manifests``."""
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
     cur = next(
         s for s in doc["snapshots"]
         if s["snapshot-id"] == doc["current-snapshot-id"]
@@ -1495,9 +1476,7 @@ def delete_where_iceberg(
     external Iceberg artifacts."""
     import pyarrow.parquet as pq
 
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
     )
@@ -1675,9 +1654,7 @@ def update_where_iceberg(
     Iceberg 1.6.1 / format-version 2 row-level DML (README.md:25,94)."""
     import pyarrow.parquet as pq
 
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
     )
@@ -1883,9 +1860,7 @@ def compact_iceberg(spark: SparkSession, table_dir: str) -> dict:
     reaps the superseded artifacts the mirror owns. This is also the
     unlock for ``import_iceberg`` on position-deleted tables: compact in
     place, then import the materialized state zero-copy."""
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
     )
@@ -1998,9 +1973,7 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     Commits through the same metadata CAS as append/rewrite. Completes
     the mirror lifecycle: append (O(batch) commits) → rewrite (O(1)
     planning) → expire (bounded storage)."""
-    doc = _load_metadata(table_dir)
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    doc, version = _load_metadata_versioned(table_dir)
     by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
     chain = []
     sid = doc.get("current-snapshot-id")
@@ -2090,13 +2063,67 @@ _ICEBERG_TO_SPARK = {
 }
 
 
-def _load_metadata(table_dir: str) -> dict:
-    """version-hint -> current metadata.json, probing the gzip codec
-    (``v{N}.gz.metadata.json``) when the plain file is absent — the one
-    loader shared by ``read_iceberg`` and ``import_iceberg`` so the two
-    entry points cannot drift."""
-    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+_VERSION_FILE_RE = re.compile(r"^v(\d+)\.(?:gz\.)?metadata\.json$")
+
+
+def _write_version_hint(table_dir: str, version: int) -> None:
+    """Atomically replace ``version-hint.text`` (temp + ``os.replace``)
+    so a concurrent reader never observes a truncated/empty hint — the
+    hint is advisory (written after the metadata CAS), but it must never
+    be *corrupt*."""
+    meta = os.path.join(table_dir, "metadata")
+    tmp = os.path.join(meta, f".hint-{uuid.uuid4()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, meta + "/version-hint.text")
+
+
+def _version_exists(table_dir: str, version: int) -> bool:
+    meta = os.path.join(table_dir, "metadata")
+    return os.path.exists(
+        os.path.join(meta, f"v{version}.metadata.json")
+    ) or os.path.exists(os.path.join(meta, f"v{version}.gz.metadata.json"))
+
+
+def _current_version(table_dir: str) -> int:
+    """Resolve the current metadata version the way the reference's
+    HadoopRelativeTableOperations does (A25/A28): best-effort hint, then
+    FORWARD PROBE past it (the hint is written after the commit CAS, so
+    it can trail a just-landed commit or be missing after a crash), and
+    a directory-scan recovery when the hint points at nothing (e.g. the
+    hinted file was never written or the hint is unreadable)."""
+    try:
+        with open(
+            os.path.join(table_dir, "metadata", "version-hint.text")
+        ) as fh:
+            version = int(fh.read().strip())
+    except (OSError, ValueError):
+        version = 0
+    while _version_exists(table_dir, version + 1):
+        version += 1
+    if version > 0 and _version_exists(table_dir, version):
+        return version
+    found = 0
+    try:
+        for name in os.listdir(os.path.join(table_dir, "metadata")):
+            m = _VERSION_FILE_RE.match(name)
+            if m:
+                found = max(found, int(m.group(1)))
+    except OSError:
+        pass
+    if found == 0:
+        raise FileNotFoundError(
+            f"no metadata versions under {table_dir}/metadata"
+        )
+    return found
+
+
+def _load_metadata_versioned(table_dir: str) -> tuple[dict, int]:
+    """Resolve the current version, then load exactly THAT version's
+    document — returning the pair keeps committers from pairing a doc
+    with a version resolved at a different instant (the lost-update
+    hazard under concurrent commits)."""
+    version = _current_version(table_dir)
     plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
     if os.path.exists(plain):
         with open(plain) as fh:
@@ -2111,7 +2138,14 @@ def _load_metadata(table_dir: str) -> dict:
             doc = json.load(fh)
     if doc["format-version"] != 2:
         raise ValueError("only format-version 2 supported")
-    return doc
+    return doc, version
+
+
+def _load_metadata(table_dir: str) -> dict:
+    """version-hint (+ forward probe) -> current metadata.json — the one
+    loader shared by ``read_iceberg`` and ``import_iceberg`` so the two
+    entry points cannot drift."""
+    return _load_metadata_versioned(table_dir)[0]
 
 
 # A delete build side is only broadcast while it provably fits in every

@@ -30,6 +30,7 @@ PRIORITY_ORDER = [
     "a45_iceberg_append",          # NEW: incremental append_iceberg commits
     "b30_stream_to_iceberg",       # NEW: per-micro-batch Iceberg mirror sink
     "b29_partitions_table",        # NEW: .partitions metadata table
+    "b29_files_table",             # NEW: .files metadata table
     "b29_manifests_table",         # NEW: .manifests metadata table
     "c03_knn_label_accuracy",      # r6 broadcast-audit rewire (probe corpus, not ship it)
     "c06_pipeline_capstone",       # r6 broadcast-audit rewire (survivors via SHJ)

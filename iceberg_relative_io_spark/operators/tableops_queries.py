@@ -135,6 +135,32 @@ def q_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: the `.files` metadata table — one row per live data file
+    with its manifest-recorded row count and partition tuple, the input
+    a compaction/orphan planner reads. Two appends into a partitioned
+    table make the layout protocol-determined (the hash write
+    distribution emits exactly one file per partition value per append,
+    the second append filtered to one flag value), so the oracle can
+    state the whole table as GROUP BYs. Paths and byte sizes are
+    environment-dependent and excluded from the projection."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    ops = cat.create_table(
+        ("ns",), "li_ftab", src.schema.jsonValue(), partition_by=["l_returnflag"]
+    )
+    table = RelativeTable(ops)
+    table.append(src)
+    table.append(src.filter(F.col("l_returnflag") == "A"))
+    return table.files(spark).select(
+        F.get_json_object("partition", "$.l_returnflag").alias("l_returnflag"),
+        "row_count",
+    )
+
+
 def q_manifests_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: the `.manifests` metadata table after append + append +
     MOR delete — one row per manifest on the current snapshot's chain
@@ -842,6 +868,7 @@ QUERIES = {
     "b28_time_travel": q_time_travel,
     "b29_snapshots_table": q_snapshots_table,
     "b29_partitions_table": q_partitions_table,
+    "b29_files_table": q_files_table,
     "b29_manifests_table": q_manifests_table,
     "a45_iceberg_append": q_iceberg_append,
     "a46_iceberg_mor_delete": q_iceberg_mor_delete,
@@ -965,6 +992,13 @@ ORACLE = {
     "b29_partitions_table": """
         SELECT l_returnflag, 1 AS file_count, count(*) AS row_count
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "b29_files_table": """
+        SELECT l_returnflag, count(*) AS row_count
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, count(*) AS row_count
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag
     """,
     "b29_manifests_table": """
         SELECT * FROM (VALUES

@@ -970,18 +970,37 @@ def test_append_iceberg_bucket_partitioned_keeps_pruning(spark, sf_dir):
 
 
 def test_append_iceberg_concurrent_commit_raises(spark, sf_dir):
-    """A racing writer that already claimed version N+1 must surface as
-    a commit conflict, never a silent overwrite."""
+    """The commit CAS refuses a version another writer already claimed
+    (never a silent overwrite); a committer that merely starts from a
+    stale hint FORWARD-PROBES to the real head instead of failing — and
+    a corrupt/empty hint recovers by directory scan (A25/A28 parity)."""
     import os
+    import shutil
 
     nation = load_table(spark, sf_dir, "nation")
     table = _table(spark, nation)
     dest = tempfile.mkdtemp(prefix="iceexp_out_")
     iceberg_export.export_iceberg(table, dest)
-    with open(os.path.join(dest, "metadata", "v2.metadata.json"), "w") as fh:
-        fh.write("{}")  # the racing winner
+    doc, version = iceberg_export._load_metadata_versioned(dest)
+    assert version == 1
+    # a racing winner claimed v2 (complete, valid content)
+    shutil.copyfile(
+        os.path.join(dest, "metadata", "v1.metadata.json"),
+        os.path.join(dest, "metadata", "v2.metadata.json"),
+    )
+    # the CAS itself refuses the claimed slot
     with pytest.raises(ValueError, match="concurrent commit"):
-        iceberg_export.append_iceberg(spark, dest, nation.limit(1).coalesce(1))
+        iceberg_export._commit_next_metadata(dest, version, doc, dict(doc))
+    # but a fresh committer probes PAST the stale hint and lands v3
+    info = iceberg_export.append_iceberg(
+        spark, dest, nation.limit(1).coalesce(1)
+    )
+    assert info["metadata"].endswith("v3.metadata.json")
+    # corrupt hint: reads recover via forward probe + directory scan
+    with open(os.path.join(dest, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("")  # torn hint
+    assert iceberg_export._current_version(dest) == 3
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count() + 1
 
 
 def test_append_iceberg_gzip_metadata(spark, sf_dir):
@@ -1361,3 +1380,53 @@ def test_update_where_iceberg_partitioned_layout(spark, sf_dir):
     # partition pruning on the new value finds the moved rows
     pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_regionkey": 7})
     assert pruned.filter(F.col("n_regionkey") == 7).count() == n_moved
+
+
+def test_mirror_committers_race_and_retry_both_land(spark, sf_dir):
+    """Optimistic-commit composition under real contention: N threads
+    each append their own batch to the mirror, retrying on the
+    ValueError conflict (reload happens inside append_iceberg). Every
+    batch must land exactly once, snapshot ids and sequence numbers must
+    be distinct and dense, and the final read must be the union — the
+    same contract the native TableOperations commit-race tests pin, here
+    on the exported-v2 commit path (os.link create-if-absent CAS)."""
+    import threading
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 5))
+    dest = tempfile.mkdtemp(prefix="iceexp_race_")
+    iceberg_export.export_iceberg(table, dest)
+
+    batches = {
+        i: nation.filter(F.col("n_nationkey") == 5 + i).coalesce(1)
+        for i in range(4)
+    }
+    results: dict[int, dict] = {}
+    errors: list[Exception] = []
+
+    def commit(i: int) -> None:
+        for _attempt in range(25):
+            try:
+                results[i] = iceberg_export.append_iceberg(spark, dest, batches[i])
+                return
+            except ValueError as exc:
+                if "concurrent commit" not in str(exc):
+                    errors.append(exc)
+                    return
+        errors.append(RuntimeError(f"batch {i} never committed"))
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == len(batches)
+    snap_ids = sorted(r["snapshot-id"] for r in results.values())
+    seqs = sorted(r["sequence-number"] for r in results.values())
+    assert len(set(snap_ids)) == len(batches)  # no snapshot id reused
+    assert seqs == list(range(seqs[0], seqs[0] + len(batches)))  # dense
+    got = sorted(
+        r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    assert got == list(range(9))  # 0-4 base + 5-8 appended, each exactly once
