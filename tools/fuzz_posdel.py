@@ -11,7 +11,12 @@ random ``append_iceberg`` commits interleaved (round 6: appended files
 take a newer sequence, so the pre-export equality delete must skip
 them while later position-delete rounds may target them), and after
 every step compare ``read_iceberg`` against a Python mirror that
-tracks (file, pos) -> row directly from the parquet files.
+tracks (file, pos) -> row directly from the parquet files. Later
+rounds also interleave mirror-side equality deletes
+(``delete_where_iceberg``), atomic MOR updates
+(``update_where_iceberg`` — same-sequence delete + replacement files),
+metadata-only manifest rewrites, snapshot expiry, and full compaction
+(mirror rebuilt from the rewritten files).
 
 This mechanically covers what the hand-written tests sample: many data
 files per delete round, deletes split across several delete files,
@@ -201,6 +206,44 @@ def run_seed(spark, seed: int) -> list[str]:
             }
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-eqdel mismatch")
+        # occasionally commit an atomic mirror-side MOR UPDATE: matched
+        # ids' old copies die via the same-sequence equality delete
+        # (strict-< scoping) while the rewritten rows land in NEW files
+        # — the mirror pops the matched ids and re-reads the replacement
+        # rows straight from the new parquet (no float re-derivation)
+        if rng.random() < 0.3:
+            from pyspark.sql import functions as F3
+
+            g = rng.randint(0, 3)
+            matched_ids = {row[0] for row in mirror.values() if row[1] == g}
+            before_files = set(file_rows)
+            iceberg_export.update_where_iceberg(
+                spark,
+                dest,
+                F3.col("grp") == g,
+                {"val": F3.col("val") + F3.lit(1.0)},
+                ["id"],
+            )
+            mirror = {
+                k: row for k, row in mirror.items()
+                if row[0] not in matched_ids
+            }
+            paths = data_paths()
+            for p in paths:
+                if p in before_files:
+                    continue
+                t = pq.read_table(p)
+                for pos, (i, gg, v) in enumerate(
+                    zip(
+                        t["id"].to_pylist(),
+                        t["grp"].to_pylist(),
+                        t["val"].to_pylist(),
+                    )
+                ):
+                    mirror[(p, pos)] = (i, gg, round(v, 4))
+                file_rows[p] = pq.read_metadata(p).num_rows
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-update mismatch")
         # occasionally compact: every live delete materializes into
         # fresh data files (REPLACE snapshot, no delete manifests), so
         # the VALUES are unchanged but every (file, pos) key is new —
