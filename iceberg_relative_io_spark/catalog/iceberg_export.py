@@ -1458,51 +1458,25 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     }
 
 
-def delete_where_iceberg(
-    spark: SparkSession,
+def _write_delete_key_files(
     table_dir: str,
-    condition,
-    equality_cols: list[str],
-) -> dict:
-    """Merge-on-read DELETE committed directly on a mirror: write the
-    matching rows' equality-key tuples as parquet (a DISTRIBUTED Spark
-    write — unlike position deletes, no row ever visits the driver, so
-    this is the scale path for large predicates) and commit a
-    ``content=2`` equality-delete manifest with ``equality_ids`` at
-    ``last-sequence-number + 1``. Per the spec's strictly-older rule the
-    delete applies to every data file that exists now and to none
-    appended later — the exact semantics of the native
-    ``RelativeTable.delete_where_mor`` (spark_table.py), re-expressed as
-    external Iceberg artifacts."""
+    keys: DataFrame,
+    spec_fields: list[dict],
+    eq_ids: list[int],
+    seq: int,
+    snap_id: int,
+) -> tuple[list[dict], int]:
+    """Write an equality-delete key DataFrame as parquet under
+    ``<table>/data/delete-<uuid>`` (a DISTRIBUTED Spark write — no row
+    visits the driver) and return the spec-shaped ``content=2`` manifest
+    entries plus the total key-tuple count. Zero-row part files are
+    unlinked, not entered. Shared by ``delete_where_iceberg``,
+    ``update_where_iceberg``, and ``merge_iceberg``."""
     import pyarrow.parquet as pq
 
-    doc, version = _load_metadata_versioned(table_dir)
-    schema_json = next(
-        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
-    )
-    by_name = {f["name"]: f for f in schema_json["fields"]}
-    missing = [c for c in equality_cols if c not in by_name]
-    if missing:
-        raise ValueError(f"equality columns not in schema: {missing}")
-    eq_ids = [by_name[c]["id"] for c in equality_cols]
-
-    keys = (
-        read_iceberg(spark, table_dir)
-        .filter(condition)
-        .select(*equality_cols)
-        .distinct()
-    )
     del_dir = os.path.join(table_dir, "data", f"delete-{uuid.uuid4()}")
     keys.write.mode("overwrite").parquet(del_dir)
-
-    spec_fields = _spec_fields_from_doc(doc)
-    entry_schema = _manifest_entry_schema(spec_fields)
-    spec = next(
-        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
-    )
-    seq = doc["last-sequence-number"] + 1
-    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
-    entries = []
+    entries: list[dict] = []
     total_rows = 0
     for name in sorted(os.listdir(del_dir)):
         if name.startswith("_") or name.startswith("."):
@@ -1530,6 +1504,51 @@ def delete_where_iceberg(
                 },
             }
         )
+    return entries, total_rows
+
+
+def delete_where_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    equality_cols: list[str],
+) -> dict:
+    """Merge-on-read DELETE committed directly on a mirror: write the
+    matching rows' equality-key tuples as parquet (a DISTRIBUTED Spark
+    write — unlike position deletes, no row ever visits the driver, so
+    this is the scale path for large predicates) and commit a
+    ``content=2`` equality-delete manifest with ``equality_ids`` at
+    ``last-sequence-number + 1``. Per the spec's strictly-older rule the
+    delete applies to every data file that exists now and to none
+    appended later — the exact semantics of the native
+    ``RelativeTable.delete_where_mor`` (spark_table.py), re-expressed as
+    external Iceberg artifacts."""
+    doc, version = _load_metadata_versioned(table_dir)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+    keys = (
+        read_iceberg(spark, table_dir)
+        .filter(condition)
+        .select(*equality_cols)
+        .distinct()
+    )
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    entries, total_rows = _write_delete_key_files(
+        table_dir, keys, spec_fields, eq_ids, seq, snap_id
+    )
 
     manifest_path = os.path.join(
         table_dir, "metadata", f"{uuid.uuid4()}-m1.avro"
@@ -1652,8 +1671,6 @@ def update_where_iceberg(
     ``RelativeTable.update_where_mor`` semantics (spark_table.py) as
     external Iceberg v2 artifacts; parity target is the reference's
     Iceberg 1.6.1 / format-version 2 row-level DML (README.md:25,94)."""
-    import pyarrow.parquet as pq
-
     doc, version = _load_metadata_versioned(table_dir)
     schema_json = next(
         s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
@@ -1701,36 +1718,9 @@ def update_where_iceberg(
     )
 
     keys = matched.select(*equality_cols).distinct()
-    del_dir = os.path.join(table_dir, "data", f"delete-{uuid.uuid4()}")
-    keys.write.mode("overwrite").parquet(del_dir)
-    del_entries = []
-    del_rows = 0
-    for name in sorted(os.listdir(del_dir)):
-        if name.startswith("_") or name.startswith("."):
-            continue
-        fpath = os.path.join(del_dir, name)
-        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
-        if rows == 0:
-            os.unlink(fpath)
-            continue
-        del_rows += rows
-        del_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 2,  # EQUALITY_DELETES
-                    "file_path": fpath,
-                    "file_format": "PARQUET",
-                    "partition": {sf["name"]: None for sf in spec_fields},
-                    "record_count": rows,
-                    "file_size_in_bytes": os.path.getsize(fpath),
-                    "equality_ids": eq_ids,
-                },
-            }
-        )
+    del_entries, del_rows = _write_delete_key_files(
+        table_dir, keys, spec_fields, eq_ids, seq, snap_id
+    )
 
     if not del_entries and not data_entries:
         # nothing matched: no artifacts were produced, commit nothing
@@ -1741,6 +1731,52 @@ def update_where_iceberg(
             "updated-records": 0,
         }
 
+    meta_path, ml_path = _commit_mor_overwrite(
+        table_dir,
+        version,
+        doc,
+        data_entries,
+        updated_rows,
+        del_entries,
+        del_rows,
+        seq,
+        snap_id,
+    )
+    return {
+        "metadata": meta_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "updated-records": updated_rows,
+        "delete-records": del_rows,
+    }
+
+
+def _commit_mor_overwrite(
+    table_dir: str,
+    version: int,
+    doc: dict,
+    data_entries: list[dict],
+    data_rows: int,
+    del_entries: list[dict],
+    del_rows: int,
+    seq: int,
+    snap_id: int,
+) -> tuple[str, str]:
+    """Commit ONE ``overwrite`` snapshot carrying an equality-delete
+    manifest and/or a data manifest, both at the same sequence number —
+    the atomic MOR shape shared by ``update_where_iceberg`` and
+    ``merge_iceberg`` (the spec's strict-< delete scoping erases old
+    copies while leaving the same-sequence replacement rows untouched).
+    Empty manifests are skipped. Returns ``(metadata_path, ml_path)``."""
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
     manifest_meta = {
         "schema": json.dumps(schema_json),
         "schema-id": str(doc["current-schema-id"]),
@@ -1748,18 +1784,38 @@ def update_where_iceberg(
         "partition-spec-id": str(doc["default-spec-id"]),
         "format-version": "2",
     }
-    data_manifest = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m0.avro")
-    data_bytes = avro_ocf.write_ocf(
-        entry_schema, data_entries, metadata={**manifest_meta, "content": "data"}
-    )
-    with open(data_manifest, "wb") as fh:
-        fh.write(data_bytes)
-    del_manifest = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m1.avro")
-    del_bytes = avro_ocf.write_ocf(
-        entry_schema, del_entries, metadata={**manifest_meta, "content": "deletes"}
-    )
-    with open(del_manifest, "wb") as fh:
-        fh.write(del_bytes)
+    new_ml_records = []
+    for tag, content_name, content_id, entries, rows in (
+        ("m1", "deletes", 1, del_entries, del_rows),
+        ("m0", "data", 0, data_entries, data_rows),
+    ):
+        if not entries:
+            continue
+        mpath = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-{tag}.avro")
+        mbytes = avro_ocf.write_ocf(
+            entry_schema,
+            entries,
+            metadata={**manifest_meta, "content": content_name},
+        )
+        with open(mpath, "wb") as fh:
+            fh.write(mbytes)
+        new_ml_records.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(mbytes),
+                "partition_spec_id": doc["default-spec-id"],
+                "content": content_id,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
 
     prior = []
     if doc.get("current-snapshot-id") is not None:
@@ -1769,38 +1825,7 @@ def update_where_iceberg(
         )
         with open(cur["manifest-list"], "rb") as fh:
             _, _, prior = avro_ocf.read_ocf(fh.read())
-    ml_records = list(prior) + [
-        {
-            "manifest_path": del_manifest,
-            "manifest_length": len(del_bytes),
-            "partition_spec_id": doc["default-spec-id"],
-            "content": 1,  # deletes
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(del_entries),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": del_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        },
-        {
-            "manifest_path": data_manifest,
-            "manifest_length": len(data_bytes),
-            "partition_spec_id": doc["default-spec-id"],
-            "content": 0,  # data
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(data_entries),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": updated_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        },
-    ]
+    ml_records = list(prior) + new_ml_records
     ml_path = os.path.join(
         table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
     )
@@ -1826,7 +1851,7 @@ def update_where_iceberg(
         "summary": {
             "operation": "overwrite",
             "added-data-files": str(len(data_entries)),
-            "added-records": str(updated_rows),
+            "added-records": str(data_rows),
             "total-equality-deletes": str(del_rows),
         },
         "manifest-list": ml_path,
@@ -1839,12 +1864,136 @@ def update_where_iceberg(
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return meta_path, ml_path
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """MERGE committed atomically on a mirror — the engine-standard
+    upsert (Spark SQL ``MERGE INTO`` over Iceberg's row-level-delete
+    writers) re-expressed as external v2 artifacts in ONE snapshot:
+    a ``content=2`` equality-delete manifest erasing the matched keys'
+    old copies plus a data manifest with the surviving source rows, both
+    at ``last-sequence-number + 1`` (strict-< scoping keeps the new rows
+    while the deletes hit every pre-existing file — no delete-then-append
+    window, same shape as ``update_where_iceberg``).
+
+    ``on`` is the join key (equality columns); ``source`` must carry the
+    table's exact schema. Clauses:
+
+    - ``when_matched='update'`` — matched target rows are replaced by
+      their source rows (``UPDATE SET *``).
+    - ``when_matched='delete'`` — matched target rows are removed and
+      the matched source rows are discarded.
+    - ``when_not_matched='insert'`` — unmatched source rows are appended
+      (``INSERT *``); ``None`` drops them.
+
+    Matched keys are found with a distributed semi-join of the source
+    keys against the live table read (spec path, deletes applied); the
+    replacement/insert rows and the delete-key tuples are written by
+    distributed Spark jobs — no row visits the driver, the 100 TB path.
+    Sources with duplicate ``on`` keys are refused up front (Iceberg's
+    own MERGE raises on multiple matches for one target row; committing
+    them here would write ambiguous replacements). Parity target:
+    Iceberg 1.6.1 / format-version 2 MERGE (reference README.md:25,94
+    delegates it to the Spark runtime)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be 'insert' or None, got {when_not_matched!r}")
+
+    doc, version = _load_metadata_versioned(table_dir)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    missing = [c for c in on if c not in by_name]
+    if missing:
+        raise ValueError(f"merge key columns not in schema: {missing}")
+    eq_ids = [by_name[c]["id"] for c in on]
+
+    source = source.select(*[f["name"] for f in schema_json["fields"]])
+    incoming, _ = iceberg_schema(source.schema, None)
+    want = [(f["name"], _type_sig(f["type"])) for f in schema_json["fields"]]
+    got = [(f["name"], _type_sig(f["type"])) for f in incoming["fields"]]
+    if want != got:
+        raise ValueError(
+            f"schema mismatch: table expects {want}, source has {got}"
+        )
+
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"source has duplicate {on} keys — a MERGE would update the "
+            "same target row twice; dedup the source (e.g. keep-latest) "
+            "before merging"
+        )
+
+    target_keys = read_iceberg(spark, table_dir).select(*on)
+    matched_keys = source.select(*on).join(target_keys, on=on, how="left_semi")
+
+    if when_matched == "update":
+        rows = (
+            source
+            if when_not_matched == "insert"
+            else source.join(target_keys, on=on, how="left_semi")
+        )
+    else:  # delete matched; keep only inserts (if any)
+        rows = (
+            source.join(target_keys, on=on, how="left_anti")
+            if when_not_matched == "insert"
+            else None
+        )
+
+    spec_fields = _spec_fields_from_doc(doc)
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+
+    data_entries: list[dict] = []
+    data_rows = 0
+    if rows is not None:
+        data_entries, data_rows = _write_data_files(
+            table_dir, doc, rows, seq, snap_id, prefix="merge"
+        )
+    del_entries, del_rows = _write_delete_key_files(
+        table_dir, matched_keys, spec_fields, eq_ids, seq, snap_id
+    )
+
+    if not del_entries and not data_entries:
+        # empty source / nothing matched: no artifacts, commit nothing
+        return {
+            "metadata": None,
+            "snapshot-id": None,
+            "sequence-number": doc["last-sequence-number"],
+            "merged-records": 0,
+            "delete-records": 0,
+        }
+
+    meta_path, ml_path = _commit_mor_overwrite(
+        table_dir,
+        version,
+        doc,
+        data_entries,
+        data_rows,
+        del_entries,
+        del_rows,
+        seq,
+        snap_id,
+    )
     return {
         "metadata": meta_path,
         "manifest-list": ml_path,
         "snapshot-id": snap_id,
         "sequence-number": seq,
-        "updated-records": updated_rows,
+        "merged-records": data_rows,
         "delete-records": del_rows,
     }
 

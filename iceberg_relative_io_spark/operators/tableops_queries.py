@@ -777,6 +777,49 @@ def q_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 (round-6): atomic mirror-side MERGE (upsert) — export
+    customer, then commit ONE ``merge_iceberg`` snapshot whose source
+    updates every custkey divisible by 29 (new name, +500 balance) and
+    inserts two fresh rows: an equality-delete manifest for the matched
+    keys plus a data manifest with the full source, both at the same
+    sequence number (the engine-standard MERGE INTO shape — no
+    delete-then-append window). Matched keys come from a distributed
+    semi-join against the live spec-path read; delete tuples and data
+    rows are written by Spark jobs, no driver collect. Read back through
+    the independent spec-path reader; the oracle restates the upsert as
+    CASE + anti-filtered UNION ALL."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_mrg", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_merge_")
+    iceberg_export.export_iceberg(table, dest)
+    updates = (
+        cust.filter(F.col("c_custkey") % 29 == 0)
+        .withColumn("c_name", F.lit("MERGED"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0))
+    )
+    inserts = spark.createDataFrame(
+        [(9000001, "UPSERT-A", 111.25, 3), (9000002, "UPSERT-B", 222.5, 7)],
+        schema=cust.schema,
+    )
+    iceberg_export.merge_iceberg(
+        spark, dest, updates.unionByName(inserts), ["c_custkey"]
+    )
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -873,6 +916,7 @@ QUERIES = {
     "a45_iceberg_append": q_iceberg_append,
     "a46_iceberg_mor_delete": q_iceberg_mor_delete,
     "a47_iceberg_update": q_iceberg_update,
+    "a48_iceberg_merge": q_iceberg_merge,
 }
 
 ORACLE = {
@@ -918,6 +962,19 @@ ORACLE = {
                     ELSE c_acctbal END AS c_acctbal,
                c_nationkey
         FROM customer
+    """,
+    "a48_iceberg_merge": """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 29 = 0 THEN 'MERGED' ELSE c_name END AS c_name,
+               CASE WHEN c_custkey % 29 = 0 THEN c_acctbal + 500.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_nationkey
+        FROM customer
+        UNION ALL
+        SELECT * FROM (VALUES
+            (9000001, 'UPSERT-A', 111.25, 3),
+            (9000002, 'UPSERT-B', 222.5, 7)
+        ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -1430,3 +1430,171 @@ def test_mirror_committers_race_and_retry_both_land(spark, sf_dir):
         r.n_nationkey for r in iceberg_export.read_iceberg(spark, dest).collect()
     )
     assert got == list(range(9))  # 0-4 base + 5-8 appended, each exactly once
+
+
+# ---------------------------------------------------------------------------
+# merge_iceberg
+# ---------------------------------------------------------------------------
+
+
+def test_merge_iceberg_upsert(spark, sf_dir):
+    """Atomic MERGE (upsert) on a mirror: ONE snapshot carries the
+    equality-delete manifest for the matched keys plus the data manifest
+    with the full source (updates + inserts) at the same sequence
+    number. Matched rows take the source values, unmatched targets are
+    untouched, unmatched source rows are inserted — and the merge
+    survives a manifest rewrite."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_merge_")
+    iceberg_export.export_iceberg(table, dest)
+    n_before = len(iceberg_export._load_metadata(dest)["snapshots"])
+
+    updates = nation.filter(F.col("n_regionkey") == 1).withColumn(
+        "n_name", F.lit("MERGED")
+    )
+    inserts = spark.createDataFrame(
+        [(90, "ATLANTIS", 0), (91, "LEMURIA", 1)],
+        schema=nation.schema,
+    )
+    info = iceberg_export.merge_iceberg(
+        spark, dest, updates.unionByName(inserts), ["n_nationkey"]
+    )
+    n_matched = nation.filter(F.col("n_regionkey") == 1).count()
+    assert info["delete-records"] == n_matched
+    assert info["merged-records"] == n_matched + 2
+
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == n_before + 1  # exactly one commit
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    new = [m for m in mls if m["added_snapshot_id"] == info["snapshot-id"]]
+    assert sorted(m["content"] for m in new) == [0, 1]
+    assert all(m["sequence_number"] == info["sequence-number"] for m in new)
+
+    got = {
+        r.n_nationkey: r.n_name
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    }
+    assert len(got) == nation.count() + 2
+    assert got[90] == "ATLANTIS" and got[91] == "LEMURIA"
+    for r in nation.collect():
+        assert got[r.n_nationkey] == ("MERGED" if r.n_regionkey == 1 else r.n_name)
+
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    got2 = {
+        r.n_nationkey: r.n_name
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    }
+    assert got2 == got
+
+
+def test_merge_iceberg_clause_modes(spark, sf_dir):
+    """when_matched='delete' removes matched targets (inserting or
+    dropping the unmatched source per when_not_matched), and
+    when_not_matched=None turns an upsert into a pure update."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_merge_")
+    iceberg_export.export_iceberg(table, dest)
+
+    # update-only: unmatched source rows are NOT inserted
+    src = nation.filter(F.col("n_nationkey") < 3).withColumn(
+        "n_name", F.lit("UPD")
+    ).unionByName(
+        spark.createDataFrame([(70, "GHOST", 0)], schema=nation.schema)
+    )
+    iceberg_export.merge_iceberg(
+        spark, dest, src, ["n_nationkey"], when_not_matched=None
+    )
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.filter(F.col("n_nationkey") == 70).count() == 0
+    assert df.filter(F.col("n_name") == "UPD").count() == 3
+    assert df.count() == nation.count()
+
+    # delete-matched + insert-unmatched in one commit
+    src2 = nation.filter(F.col("n_nationkey") < 2).unionByName(
+        spark.createDataFrame([(80, "MU", 2)], schema=nation.schema)
+    )
+    iceberg_export.merge_iceberg(
+        spark, dest, src2, ["n_nationkey"], when_matched="delete"
+    )
+    df2 = iceberg_export.read_iceberg(spark, dest)
+    assert df2.filter(F.col("n_nationkey") < 2).count() == 0
+    assert df2.filter(F.col("n_nationkey") == 80).count() == 1
+    assert df2.count() == nation.count() - 2 + 1
+
+    # delete-matched only: the unmatched source row is discarded
+    src3 = df2.filter(F.col("n_nationkey") == 80).unionByName(
+        spark.createDataFrame([(81, "NOPE", 3)], schema=nation.schema)
+    )
+    iceberg_export.merge_iceberg(
+        spark, dest, src3, ["n_nationkey"],
+        when_matched="delete", when_not_matched=None,
+    )
+    df3 = iceberg_export.read_iceberg(spark, dest)
+    assert df3.filter(F.col("n_nationkey").isin(80, 81)).count() == 0
+    assert df3.count() == nation.count() - 2
+
+
+def test_merge_iceberg_refusals_and_empty_source(spark, sf_dir):
+    """Duplicate source keys, bad clause names, unknown key columns, and
+    schema drift are refused up front; an empty source commits nothing
+    and leaves the version hint in place."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_merge_")
+    iceberg_export.export_iceberg(table, dest)
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        v_before = fh.read().strip()
+
+    with pytest.raises(ValueError, match="duplicate"):
+        iceberg_export.merge_iceberg(
+            spark, dest,
+            nation.limit(2).unionByName(nation.limit(1)),
+            ["n_nationkey"],
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        iceberg_export.merge_iceberg(
+            spark, dest, nation, ["n_nationkey"], when_matched="upsert"
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        iceberg_export.merge_iceberg(spark, dest, nation, ["nope"])
+    with pytest.raises(Exception, match="schema mismatch|not in schema|resolve"):
+        iceberg_export.merge_iceberg(
+            spark, dest, nation.drop("n_name"), ["n_nationkey"]
+        )
+
+    info = iceberg_export.merge_iceberg(
+        spark, dest, nation.filter(F.lit(False)), ["n_nationkey"]
+    )
+    assert info["snapshot-id"] is None and info["merged-records"] == 0
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        assert fh.read().strip() == v_before
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count()
+
+
+def test_merge_iceberg_partitioned_layout(spark, sf_dir):
+    """MERGE on a partitioned mirror lays replacement + inserted rows
+    out in the partitions their values dictate, and pruning still
+    finds them."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_merge_")
+    iceberg_export.export_iceberg(table, dest)
+    src = nation.filter(F.col("n_regionkey") == 0).withColumn(
+        "n_regionkey", F.lit(7)
+    ).unionByName(
+        spark.createDataFrame([(95, "NEWLAND", 7)], schema=nation.schema)
+    )
+    iceberg_export.merge_iceberg(spark, dest, src, ["n_nationkey"])
+    df = iceberg_export.read_iceberg(spark, dest)
+    n_moved = nation.filter(F.col("n_regionkey") == 0).count()
+    assert df.filter(F.col("n_regionkey") == 0).count() == 0
+    assert df.filter(F.col("n_regionkey") == 7).count() == n_moved + 1
+    pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_regionkey": 7})
+    assert pruned.filter(F.col("n_regionkey") == 7).count() == n_moved + 1

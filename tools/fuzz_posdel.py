@@ -15,8 +15,9 @@ tracks (file, pos) -> row directly from the parquet files. Later
 rounds also interleave mirror-side equality deletes
 (``delete_where_iceberg``), atomic MOR updates
 (``update_where_iceberg`` — same-sequence delete + replacement files),
-metadata-only manifest rewrites, snapshot expiry, and full compaction
-(mirror rebuilt from the rewritten files).
+atomic MERGE upserts (``merge_iceberg`` — matched updates + fresh
+inserts in one snapshot), metadata-only manifest rewrites, snapshot
+expiry, and full compaction (mirror rebuilt from the rewritten files).
 
 This mechanically covers what the hand-written tests sample: many data
 files per delete round, deletes split across several delete files,
@@ -244,6 +245,50 @@ def run_seed(spark, seed: int) -> list[str]:
                 file_rows[p] = pq.read_metadata(p).num_rows
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-update mismatch")
+        # occasionally commit an atomic mirror-side MERGE (upsert):
+        # matched ids' old copies die via the same-sequence equality
+        # delete while the source rows — matched updates AND fresh
+        # inserts — land in NEW files in one snapshot; the mirror pops
+        # the matched ids and re-reads the new parquet
+        if rng.random() < 0.3:
+            from pyspark.sql import functions as F4
+
+            g = rng.randint(0, 3)
+            matched_ids = {row[0] for row in mirror.values() if row[1] == g}
+            k = rng.randint(1, 10)
+            new_rows = [
+                (next_id + j, rng.randint(0, 3), round(rng.uniform(-10, 10), 4))
+                for j in range(k)
+            ]
+            next_id += k
+            src = (
+                iceberg_export.read_iceberg(spark, dest)
+                .filter(F4.col("grp") == g)
+                .withColumn("val", F4.col("val") + F4.lit(10.0))
+                .unionByName(spark.createDataFrame(new_rows, SCHEMA))
+            )
+            before_files = set(file_rows)
+            iceberg_export.merge_iceberg(spark, dest, src, ["id"])
+            mirror = {
+                k2: row for k2, row in mirror.items()
+                if row[0] not in matched_ids
+            }
+            paths = data_paths()
+            for p in paths:
+                if p in before_files:
+                    continue
+                t = pq.read_table(p)
+                for pos, (i, gg, v) in enumerate(
+                    zip(
+                        t["id"].to_pylist(),
+                        t["grp"].to_pylist(),
+                        t["val"].to_pylist(),
+                    )
+                ):
+                    mirror[(p, pos)] = (i, gg, round(v, 4))
+                file_rows[p] = pq.read_metadata(p).num_rows
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-merge mismatch")
         # occasionally compact: every live delete materializes into
         # fresh data files (REPLACE snapshot, no delete manifests), so
         # the VALUES are unchanged but every (file, pos) key is new —
