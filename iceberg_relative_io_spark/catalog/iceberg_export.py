@@ -1259,14 +1259,11 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    prev_plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
-    prev_meta = (
-        prev_plain
-        if os.path.exists(prev_plain)
-        else os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
-    )
     new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {"timestamp-ms": doc["last-updated-ms"], "metadata-file": prev_meta}
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
     ]
 
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
@@ -1438,14 +1435,11 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    prev_plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
-    prev_meta = (
-        prev_plain
-        if os.path.exists(prev_plain)
-        else os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
-    )
     new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {"timestamp-ms": doc["last-updated-ms"], "metadata-file": prev_meta}
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
     ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
@@ -1628,6 +1622,12 @@ def delete_where_iceberg(
     ]
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
     ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
@@ -1863,8 +1863,22 @@ def _commit_mor_overwrite(
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
+    ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return meta_path, ml_path
+
+
+def _current_metadata_file(table_dir: str, version: int) -> str:
+    """Path of the metadata file for ``version`` (plain or gzip)."""
+    plain = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    if os.path.exists(plain):
+        return plain
+    return os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
 
 
 def merge_iceberg(
@@ -1995,6 +2009,226 @@ def merge_iceberg(
         "sequence-number": seq,
         "merged-records": data_rows,
         "delete-records": del_rows,
+    }
+
+
+def overwrite_partitions_iceberg(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> dict:
+    """Dynamic partition overwrite committed directly on a mirror — the
+    exported twin of ``RelativeTable.overwrite_partitions`` and Spark's
+    ``INSERT OVERWRITE`` in dynamic mode: exactly the partitions the
+    source rows land in are replaced, untouched partitions survive
+    byte-for-byte. The spec shape is ONE ``overwrite`` snapshot whose
+    manifest list carries (a) a rewritten data manifest in which every
+    prior live entry in a touched partition is marked ``status=DELETED``
+    (sequence numbers preserved — the spec's metadata-only file removal,
+    no data file is read or copied) and every survivor rides along as
+    ``status=EXISTING``, plus (b) a fresh data manifest with the new
+    files at ``last-sequence-number + 1``. Delete manifests carry
+    through untouched: their strict-</<= scoping still applies to the
+    surviving older files, and the new files are strictly newer than
+    every live delete. On an unpartitioned table the single empty
+    partition tuple is "touched", so the commit degenerates to a full
+    INSERT OVERWRITE — same as Spark.
+
+    Refused with the remedy in the message: schema mismatch, manifests
+    written under a non-default partition spec (partition tuples would
+    not be comparable), and truncate-on-non-string layouts (via
+    ``_write_data_files``)."""
+    doc, version = _load_metadata_versioned(table_dir)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    incoming, _ = iceberg_schema(df.schema, None)
+    want = [(f["name"], _type_sig(f["type"])) for f in schema_json["fields"]]
+    got = [(f["name"], _type_sig(f["type"])) for f in incoming["fields"]]
+    if want != got:
+        raise ValueError(
+            f"schema mismatch: table expects {want}, dataframe has {got}"
+        )
+
+    spec_fields = _spec_fields_from_doc(doc)
+    field_names = [sf["name"] for sf in spec_fields]
+    entry_schema = _manifest_entry_schema(spec_fields)
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+
+    new_entries, new_rows = _write_data_files(
+        table_dir, doc, df, seq, snap_id, prefix="overwrite"
+    )
+    if not new_entries:
+        # empty source touches no partition: nothing to replace
+        return {
+            "metadata": None,
+            "snapshot-id": None,
+            "sequence-number": doc["last-sequence-number"],
+            "records": 0,
+            "replaced-data-files": 0,
+        }
+    touched = {
+        tuple(e["data_file"]["partition"].get(n) for n in field_names)
+        for e in new_entries
+    }
+
+    # rewrite prior data manifests: doomed entries -> DELETED (sequences
+    # preserved), survivors -> EXISTING; delete manifests carry through
+    prior_mls: list[dict] = []
+    if doc.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, prior_mls = avro_ocf.read_ocf(fh.read())
+    delete_mfs: list[dict] = []
+    rewritten: list[dict] = []
+    kept_rows = doomed_rows = 0
+    n_doomed = n_kept = 0
+    for mf in prior_mls:
+        if mf["content"] != 0:
+            delete_mfs.append(mf)
+            continue
+        if mf["partition_spec_id"] != doc["default-spec-id"]:
+            raise ValueError(
+                "dynamic overwrite across partition-spec versions is "
+                f"unsupported: manifest {mf['manifest_path']} was written "
+                f"under spec {mf['partition_spec_id']} (default is "
+                f"{doc['default-spec-id']}) — compact_iceberg first"
+            )
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            part = tuple(
+                e["data_file"]["partition"].get(n) for n in field_names
+            )
+            rows = int(e["data_file"].get("record_count") or 0)
+            if part in touched:
+                rewritten.append(
+                    {**e, "status": 2, "snapshot_id": snap_id}
+                )
+                n_doomed += 1
+                doomed_rows += rows
+            else:
+                rewritten.append({**e, "status": 0})
+                n_kept += 1
+                kept_rows += rows
+
+    manifest_meta = {
+        "schema": json.dumps(schema_json),
+        "schema-id": str(doc["current-schema-id"]),
+        "partition-spec": json.dumps(spec["fields"]),
+        "partition-spec-id": str(doc["default-spec-id"]),
+        "format-version": "2",
+        "content": "data",
+    }
+    ml_records: list[dict] = []
+    if rewritten:
+        rw_path = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m0.avro")
+        rw_bytes = avro_ocf.write_ocf(entry_schema, rewritten, metadata=manifest_meta)
+        with open(rw_path, "wb") as fh:
+            fh.write(rw_bytes)
+        seqs = [e["sequence_number"] for e in rewritten]
+        ml_records.append(
+            {
+                "manifest_path": rw_path,
+                "manifest_length": len(rw_bytes),
+                "partition_spec_id": doc["default-spec-id"],
+                "content": 0,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": n_kept,
+                "deleted_data_files_count": n_doomed,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": doomed_rows,
+            }
+        )
+    add_path = os.path.join(table_dir, "metadata", f"{uuid.uuid4()}-m1.avro")
+    add_bytes = avro_ocf.write_ocf(entry_schema, new_entries, metadata=manifest_meta)
+    with open(add_path, "wb") as fh:
+        fh.write(add_bytes)
+    ml_records.append(
+        {
+            "manifest_path": add_path,
+            "manifest_length": len(add_bytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(new_entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": new_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    ml_records += delete_mfs
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    snap_doc = {
+        "sequence-number": seq,
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "overwrite",
+            "replace-partitions": "true",
+            "added-data-files": str(len(new_entries)),
+            "added-records": str(new_rows),
+            "deleted-data-files": str(n_doomed),
+            "deleted-records": str(doomed_rows),
+        },
+        "manifest-list": ml_path,
+        "schema-id": doc["current-schema-id"],
+    }
+    if doc.get("current-snapshot-id") is not None:
+        snap_doc["parent-snapshot-id"] = doc["current-snapshot-id"]
+    new_doc["snapshots"] = doc["snapshots"] + [snap_doc]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "records": new_rows,
+        "data-files": len(new_entries),
+        "replaced-data-files": n_doomed,
+        "replaced-records": doomed_rows,
+        "touched-partitions": len(touched),
     }
 
 

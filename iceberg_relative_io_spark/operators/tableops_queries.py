@@ -820,6 +820,42 @@ def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 (round-6): dynamic partition overwrite on a mirror — export
+    an orders table partitioned by o_orderstatus, then commit ONE
+    ``overwrite_partitions_iceberg`` snapshot replacing exactly the 'P'
+    partition with a re-priced copy of its own rows (metadata-only
+    DELETED entries for the old files, sequences preserved; fresh data
+    files at the next sequence). 'O' and 'F' partitions must survive
+    byte-for-byte. Read back through the independent spec-path reader;
+    the oracle restates the per-partition replacement as CASE."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    ops = cat.create_table(
+        ("ns",), "ord_ow", orders.schema.jsonValue(),
+        partition_by=["o_orderstatus"],
+    )
+    table = RelativeTable(ops)
+    table.append(orders)
+    dest = tempfile.mkdtemp(prefix="iceberg_ow_")
+    iceberg_export.export_iceberg(table, dest)
+    repriced = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+    )
+    iceberg_export.overwrite_partitions_iceberg(spark, dest, repriced)
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -917,6 +953,7 @@ QUERIES = {
     "a46_iceberg_mor_delete": q_iceberg_mor_delete,
     "a47_iceberg_update": q_iceberg_update,
     "a48_iceberg_merge": q_iceberg_merge,
+    "a49_iceberg_overwrite": q_iceberg_overwrite,
 }
 
 ORACLE = {
@@ -975,6 +1012,13 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a49_iceberg_overwrite": """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
     """,
     "b01_python_datasource": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

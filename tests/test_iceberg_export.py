@@ -1598,3 +1598,96 @@ def test_merge_iceberg_partitioned_layout(spark, sf_dir):
     assert df.filter(F.col("n_regionkey") == 7).count() == n_moved + 1
     pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_regionkey": 7})
     assert pruned.filter(F.col("n_regionkey") == 7).count() == n_moved + 1
+
+
+# ---------------------------------------------------------------------------
+# overwrite_partitions_iceberg
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_partitions_iceberg_dynamic(spark, sf_dir):
+    """Dynamic partition overwrite on a partitioned mirror: exactly the
+    partitions the source rows land in are replaced (metadata-only
+    DELETED entries, sequences preserved), untouched partitions survive,
+    partition pruning still works, and the commit composes with a live
+    equality delete on an untouched partition."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_ow_")
+    iceberg_export.export_iceberg(table, dest)
+    # live MOR delete on an UNTOUCHED partition must keep applying
+    iceberg_export.delete_where_iceberg(
+        spark, dest, (F.col("n_regionkey") == 2) & (F.col("n_nationkey") % 2 == 0),
+        ["n_nationkey"],
+    )
+    n_before = len(iceberg_export._load_metadata(dest)["snapshots"])
+
+    src = spark.createDataFrame(
+        [(50, "NEWA", 1), (51, "NEWB", 1), (52, "NEWC", 3)],
+        schema=nation.schema,
+    )
+    info = iceberg_export.overwrite_partitions_iceberg(spark, dest, src)
+    assert info["touched-partitions"] == 2
+    assert info["records"] == 3
+    n_r1 = nation.filter(F.col("n_regionkey") == 1).count()
+    n_r3 = nation.filter(F.col("n_regionkey") == 3).count()
+    assert info["replaced-records"] == n_r1 + n_r3
+
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc["snapshots"]) == n_before + 1  # exactly one commit
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["replace-partitions"] == "true"
+
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert sorted(
+        r.n_nationkey for r in df.filter(F.col("n_regionkey").isin(1, 3)).collect()
+    ) == [50, 51, 52]
+    # untouched partitions: original rows minus the equality delete
+    want_rest = sorted(
+        r.n_nationkey
+        for r in nation.filter(~F.col("n_regionkey").isin(1, 3)).collect()
+        if not (r.n_regionkey == 2 and r.n_nationkey % 2 == 0)
+    )
+    assert sorted(
+        r.n_nationkey for r in df.filter(~F.col("n_regionkey").isin(1, 3)).collect()
+    ) == want_rest
+    # pruning on a replaced partition sees only the new rows
+    pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_regionkey": 1})
+    assert sorted(
+        r.n_nationkey for r in pruned.filter(F.col("n_regionkey") == 1).collect()
+    ) == [50, 51]
+    # metadata-only: the DELETED entries' rewrite carries sequences, so
+    # a manifest rewrite after the overwrite must not change the view
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    assert iceberg_export.read_iceberg(spark, dest).count() == df.count()
+
+
+def test_overwrite_partitions_iceberg_unpartitioned_and_empty(spark, sf_dir):
+    """On an unpartitioned mirror a dynamic overwrite degenerates to a
+    full INSERT OVERWRITE; an empty source commits nothing."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_ow_")
+    iceberg_export.export_iceberg(table, dest)
+    src = spark.createDataFrame([(50, "ONLY", 9)], schema=nation.schema)
+    info = iceberg_export.overwrite_partitions_iceberg(spark, dest, src)
+    assert info["touched-partitions"] == 1
+    got = iceberg_export.read_iceberg(spark, dest).collect()
+    assert [(r.n_nationkey, r.n_name) for r in got] == [(50, "ONLY")]
+
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        v_before = fh.read().strip()
+    info2 = iceberg_export.overwrite_partitions_iceberg(
+        spark, dest, nation.filter(F.lit(False))
+    )
+    assert info2["snapshot-id"] is None
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        assert fh.read().strip() == v_before
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg_export.overwrite_partitions_iceberg(
+            spark, dest, nation.drop("n_name")
+        )

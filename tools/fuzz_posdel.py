@@ -16,8 +16,11 @@ rounds also interleave mirror-side equality deletes
 (``delete_where_iceberg``), atomic MOR updates
 (``update_where_iceberg`` — same-sequence delete + replacement files),
 atomic MERGE upserts (``merge_iceberg`` — matched updates + fresh
-inserts in one snapshot), metadata-only manifest rewrites, snapshot
-expiry, and full compaction (mirror rebuilt from the rewritten files).
+inserts in one snapshot), dynamic partition overwrites
+(``overwrite_partitions_iceberg`` — partition-scoped on the grp-
+partitioned seeds, full INSERT OVERWRITE on the rest), metadata-only
+manifest rewrites, snapshot expiry, and full compaction (mirror
+rebuilt from the rewritten files).
 
 This mechanically covers what the hand-written tests sample: many data
 files per delete round, deletes split across several delete files,
@@ -63,7 +66,16 @@ def run_seed(spark, seed: int) -> list[str]:
 
     cat = FsCatalog(tempfile.mkdtemp(prefix=f"fuzz_pd_{seed}_"))
     cat.create_namespace(("fz",))
-    ops = cat.create_table(("fz",), "t", spark.createDataFrame([], SCHEMA).schema.jsonValue())
+    # every third seed exports a grp-partitioned spec, so the delete /
+    # overwrite rounds also exercise partition-pure files and the
+    # partition-scoped dynamic overwrite
+    partitioned = seed % 3 == 0
+    ops = cat.create_table(
+        ("fz",),
+        "t",
+        spark.createDataFrame([], SCHEMA).schema.jsonValue(),
+        partition_by=["grp"] if partitioned else None,
+    )
     table = RelativeTable(ops)
     table.append(spark.createDataFrame(rows, SCHEMA).repartition(n_files))
     # half the seeds add live MOR equality-delete state before export so
@@ -92,18 +104,35 @@ def run_seed(spark, seed: int) -> list[str]:
                 continue
             with open(mf["manifest_path"], "rb") as fh:
                 _, _, entries = avro_ocf.read_ocf(fh.read())
-            out += [e["data_file"]["file_path"] for e in entries]
+            out += [
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["status"] != 2  # overwrite leaves DELETED entries live
+            ]
         return out
+
+    def file_tuples(p: str) -> list[tuple]:
+        """Rows of one data file as (id, grp, val). Identity-partitioned
+        layouts drop the partition column from the parquet payload (the
+        spec reader fills it back from the partition tuple), so recover
+        grp from the hive directory when absent."""
+        t = pq.read_table(p)
+        ids = t["id"].to_pylist()
+        vals = t["val"].to_pylist()
+        if "grp" in t.column_names:
+            grps = t["grp"].to_pylist()
+        else:
+            import re as _re
+
+            grps = [int(_re.search(r"grp=(-?\d+)", p).group(1))] * len(ids)
+        return list(zip(ids, grps, vals))
 
     paths = data_paths()
 
     # python mirror: (file, pos) -> row, read straight from parquet
     mirror: dict[tuple[str, int], tuple] = {}
     for p in paths:
-        t = pq.read_table(p)
-        for pos, (i, g, v) in enumerate(
-            zip(t["id"].to_pylist(), t["grp"].to_pylist(), t["val"].to_pylist())
-        ):
+        for pos, (i, g, v) in enumerate(file_tuples(p)):
             if i not in eq_deleted:
                 mirror[(p, pos)] = (i, g, round(v, 4))
     file_rows = {p: pq.read_metadata(p).num_rows for p in paths}
@@ -144,14 +173,7 @@ def run_seed(spark, seed: int) -> list[str]:
             for p in fresh:
                 if p in file_rows:
                     continue
-                t = pq.read_table(p)
-                for pos, (i, g, v) in enumerate(
-                    zip(
-                        t["id"].to_pylist(),
-                        t["grp"].to_pylist(),
-                        t["val"].to_pylist(),
-                    )
-                ):
+                for pos, (i, g, v) in enumerate(file_tuples(p)):
                     mirror[(p, pos)] = (i, g, round(v, 4))
                 file_rows[p] = pq.read_metadata(p).num_rows
             paths = fresh
@@ -233,14 +255,7 @@ def run_seed(spark, seed: int) -> list[str]:
             for p in paths:
                 if p in before_files:
                     continue
-                t = pq.read_table(p)
-                for pos, (i, gg, v) in enumerate(
-                    zip(
-                        t["id"].to_pylist(),
-                        t["grp"].to_pylist(),
-                        t["val"].to_pylist(),
-                    )
-                ):
+                for pos, (i, gg, v) in enumerate(file_tuples(p)):
                     mirror[(p, pos)] = (i, gg, round(v, 4))
                 file_rows[p] = pq.read_metadata(p).num_rows
             if spark_rows() != sorted(mirror.values()):
@@ -277,18 +292,51 @@ def run_seed(spark, seed: int) -> list[str]:
             for p in paths:
                 if p in before_files:
                     continue
-                t = pq.read_table(p)
-                for pos, (i, gg, v) in enumerate(
-                    zip(
-                        t["id"].to_pylist(),
-                        t["grp"].to_pylist(),
-                        t["val"].to_pylist(),
-                    )
-                ):
+                for pos, (i, gg, v) in enumerate(file_tuples(p)):
                     mirror[(p, pos)] = (i, gg, round(v, 4))
                 file_rows[p] = pq.read_metadata(p).num_rows
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-merge mismatch")
+        # occasionally commit a dynamic partition overwrite: on a
+        # partitioned mirror exactly the touched grp partitions are
+        # replaced (partition-pure files, so the mirror pops by grp
+        # VALUE and keeps every surviving file's delete holes); on an
+        # unpartitioned mirror it is a full INSERT OVERWRITE and the
+        # mirror rebuilds from the fresh files alone — prior eq/pos
+        # deletes are all strictly older than the new sequence
+        if rng.random() < 0.25:
+            k = rng.randint(3, 30)
+            new_rows = [
+                (next_id + j, rng.randint(0, 3), round(rng.uniform(-10, 10), 4))
+                for j in range(k)
+            ]
+            next_id += k
+            iceberg_export.overwrite_partitions_iceberg(
+                spark,
+                dest,
+                spark.createDataFrame(new_rows, SCHEMA).repartition(
+                    rng.randint(1, 3)
+                ),
+            )
+            before_files = set(file_rows)
+            if partitioned:
+                touched = {g for _, g, _ in new_rows}
+                mirror = {
+                    k2: row for k2, row in mirror.items()
+                    if row[1] not in touched
+                }
+            else:
+                mirror = {}
+            paths = data_paths()
+            file_rows = {p: r for p, r in file_rows.items() if p in paths}
+            for p in paths:
+                if p in before_files:
+                    continue
+                for pos, (i, gg, v) in enumerate(file_tuples(p)):
+                    mirror[(p, pos)] = (i, gg, round(v, 4))
+                file_rows[p] = pq.read_metadata(p).num_rows
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(f"seed {seed} round {rnd}: post-overwrite mismatch")
         # occasionally compact: every live delete materializes into
         # fresh data files (REPLACE snapshot, no delete manifests), so
         # the VALUES are unchanged but every (file, pos) key is new —
@@ -299,14 +347,7 @@ def run_seed(spark, seed: int) -> list[str]:
             paths = data_paths()
             mirror, file_rows = {}, {}
             for p in paths:
-                t = pq.read_table(p)
-                for pos, (i, g, v) in enumerate(
-                    zip(
-                        t["id"].to_pylist(),
-                        t["grp"].to_pylist(),
-                        t["val"].to_pylist(),
-                    )
-                ):
+                for pos, (i, g, v) in enumerate(file_tuples(p)):
                     mirror[(p, pos)] = (i, g, round(v, 4))
                 file_rows[p] = pq.read_metadata(p).num_rows
             if sorted(mirror.values()) != values_before:
