@@ -2363,8 +2363,22 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     while sid is not None and sid in by_id:
         chain.append(by_id[sid])
         sid = by_id[sid].get("parent-snapshot-id")
-    retained = chain[: max(1, keep_last)]
-    retained_ids = {s["snapshot-id"] for s in retained}
+    retained_ids = {s["snapshot-id"] for s in chain[: max(1, keep_last)]}
+    # named refs protect their snapshots from expiry (Iceberg's ref
+    # retention): a tag pins its one snapshot, a branch pins its full
+    # ancestry — expiring main's history must not break a ref read
+    for rname, ref in doc.get("refs", {}).items():
+        if rname == "main":
+            continue
+        sid = ref["snapshot-id"]
+        if ref.get("type") == "tag":
+            if sid in by_id:
+                retained_ids.add(sid)
+        else:
+            while sid is not None and sid in by_id:
+                retained_ids.add(sid)
+                sid = by_id[sid].get("parent-snapshot-id")
+    retained = [s for s in doc["snapshots"] if s["snapshot-id"] in retained_ids]
     expired = [s for s in doc["snapshots"] if s["snapshot-id"] not in retained_ids]
     if not expired:
         return {"expired": 0, "deleted-files": 0}
@@ -2425,6 +2439,92 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
         "expired": len(expired),
         "deleted-files": deleted,
         "metadata": meta_path,
+    }
+
+
+def set_ref_iceberg(
+    table_dir: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> dict:
+    """Create or move a named ref on a mirror — a ``tag`` (immutable
+    bookmark, protected from ``expire_snapshots_iceberg``) or a
+    ``branch`` head — as a metadata-only commit to the spec's ``refs``
+    map (reference README.md:68-72 shows the shape). ``snapshot_id``
+    defaults to the current snapshot. ``main`` is managed by the commit
+    paths and ``rollback_iceberg``; setting it here is refused."""
+    if name == "main":
+        raise ValueError("refusing to set 'main' — use rollback_iceberg")
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
+    doc, version = _load_metadata_versioned(table_dir)
+    sid = snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
+    if sid is None or all(s["snapshot-id"] != sid for s in doc["snapshots"]):
+        raise ValueError(
+            f"snapshot {sid} not in table metadata — it may have been "
+            "expired; refs can only point at retained snapshots"
+        )
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = int(time.time() * 1000)
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        name: {"snapshot-id": sid, "type": ref_type},
+    }
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {"metadata": meta_path, "ref": name, "snapshot-id": sid, "type": ref_type}
+
+
+def drop_ref_iceberg(table_dir: str, name: str) -> dict:
+    """Remove a named ref (metadata-only). ``main`` is refused; a
+    missing ref is an error so callers notice typos."""
+    if name == "main":
+        raise ValueError("refusing to drop 'main'")
+    doc, version = _load_metadata_versioned(table_dir)
+    refs = dict(doc.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"no such ref: {name!r}")
+    dropped = refs.pop(name)
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = int(time.time() * 1000)
+    new_doc["refs"] = refs
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {"metadata": meta_path, "ref": name, "was": dropped}
+
+
+def rollback_iceberg(table_dir: str, snapshot_id: int) -> dict:
+    """Roll the mirror's ``main`` back to a retained snapshot —
+    metadata-only: no snapshot is added or removed, ``main`` and
+    ``current-snapshot-id`` move, and the snapshot-log records the
+    change (the spec's shape for a rollback: the log is the audit
+    trail, the snapshot list is untouched). Later commits continue at
+    ``last-sequence-number + 1``, strictly newer than everything the
+    restored snapshot scopes, so delete applicability is unchanged.
+    Rolling back to an expired snapshot is refused by name — the same
+    contract the native format pins (a reaped ancestor cannot be
+    restored; see tools/fuzz_evolution.py)."""
+    doc, version = _load_metadata_versioned(table_dir)
+    if all(s["snapshot-id"] != snapshot_id for s in doc["snapshots"]):
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table metadata — it may have "
+            "been expired and cannot be restored"
+        )
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snapshot_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "snapshot-id": snapshot_id,
+        "rolled-back-from": doc.get("current-snapshot-id"),
     }
 
 
@@ -2550,10 +2650,12 @@ def read_iceberg(
     table_dir: str,
     eq_filters: dict | None = None,
     snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
     version-hint -> metadata.json (plain or .gz) -> current snapshot
-    (or ``snapshot_id`` — time travel over a history export) ->
+    (or ``snapshot_id`` — time travel over a history export — or a
+    named ``ref`` resolved through the metadata ``refs`` map) ->
     avro manifest list -> avro manifests -> parquet data files, filling
     identity-partition columns from the manifest partition struct (the
     spec's rule for columns absent from data files), and applying both
@@ -2578,6 +2680,13 @@ def read_iceberg(
     reader would instead push the constants into a per-file schema
     mapping, but the gate here is correctness of the artifacts."""
     doc = _load_metadata(table_dir)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either ref or snapshot_id, not both")
+        try:
+            snapshot_id = doc["refs"][ref]["snapshot-id"]
+        except KeyError:
+            raise ValueError(f"no such ref: {ref!r}") from None
     want_sid = (
         snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a50_iceberg_rollback",        # NEW: mirror refs + metadata-only rollback
     "a49_iceberg_overwrite",       # NEW: mirror-side dynamic partition overwrite
     "a48_iceberg_merge",           # NEW: atomic mirror-side MERGE upsert
     "a47_iceberg_update",          # NEW: atomic mirror-side MOR update

@@ -856,6 +856,46 @@ def q_iceberg_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 (round-6): refs + rollback on a mirror — export customer, tag
+    the clean state, append junk, ROLL BACK main to the tagged snapshot
+    (metadata-only: the junk snapshot stays in history but main moves),
+    then commit a legitimate append on the restored line. The read must
+    show the original rows plus only the post-rollback batch; the junk
+    must be invisible even though its files still exist. Exercises
+    set_ref_iceberg, rollback_iceberg, ref= reads, and
+    commit-after-rollback sequence continuity in one chain."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_rb", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_rb_")
+    iceberg_export.export_iceberg(table, dest)
+    clean_sid = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    iceberg_export.set_ref_iceberg(dest, "clean", ref_type="tag")
+    junk = spark.createDataFrame(
+        [(8000001, "JUNK-A", -1.0, 0), (8000002, "JUNK-B", -2.0, 1)],
+        schema=cust.schema,
+    )
+    iceberg_export.append_iceberg(spark, dest, junk)
+    iceberg_export.rollback_iceberg(dest, clean_sid)
+    keeper = spark.createDataFrame(
+        [(8000003, "KEEPER", 42.0, 2)], schema=cust.schema
+    )
+    iceberg_export.append_iceberg(spark, dest, keeper)
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -954,6 +994,7 @@ QUERIES = {
     "a47_iceberg_update": q_iceberg_update,
     "a48_iceberg_merge": q_iceberg_merge,
     "a49_iceberg_overwrite": q_iceberg_overwrite,
+    "a50_iceberg_rollback": q_iceberg_rollback,
 }
 
 ORACLE = {
@@ -1012,6 +1053,12 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a50_iceberg_rollback": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        UNION ALL
+        SELECT * FROM (VALUES (8000003, 'KEEPER', 42.0, 2))
+            AS t(c_custkey, c_name, c_acctbal, c_nationkey)
     """,
     "a49_iceberg_overwrite": """
         SELECT o_orderkey, o_custkey,

@@ -1691,3 +1691,91 @@ def test_overwrite_partitions_iceberg_unpartitioned_and_empty(spark, sf_dir):
         iceberg_export.overwrite_partitions_iceberg(
             spark, dest, nation.drop("n_name")
         )
+
+
+# ---------------------------------------------------------------------------
+# refs + rollback
+# ---------------------------------------------------------------------------
+
+
+def test_refs_tag_branch_rollback(spark, sf_dir):
+    """Named refs + rollback on a mirror: a tag pins the pre-append
+    state and reads through ``ref=``; rollback moves main back
+    metadata-only (snapshot list untouched, snapshot-log appended);
+    commits after rollback keep working at the next sequence."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_refs_")
+    iceberg_export.export_iceberg(table, dest)
+    doc0 = iceberg_export._load_metadata(dest)
+    base_sid = doc0["current-snapshot-id"]
+
+    iceberg_export.set_ref_iceberg(dest, "v1", ref_type="tag")
+    junk = spark.createDataFrame([(900, "JUNK", 0)], schema=nation.schema)
+    iceberg_export.append_iceberg(spark, dest, junk)
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count() + 1
+    # the tag still reads the pre-append state
+    tagged = iceberg_export.read_iceberg(spark, dest, ref="v1")
+    assert tagged.count() == nation.count()
+
+    n_snaps = len(iceberg_export._load_metadata(dest)["snapshots"])
+    info = iceberg_export.rollback_iceberg(dest, base_sid)
+    assert info["rolled-back-from"] != base_sid
+    doc = iceberg_export._load_metadata(dest)
+    assert doc["current-snapshot-id"] == base_sid
+    assert len(doc["snapshots"]) == n_snaps  # metadata-only: nothing removed
+    assert doc["snapshot-log"][-1]["snapshot-id"] == base_sid
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count()
+
+    # commits continue after a rollback
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame([(901, "AFTER", 1)], schema=nation.schema),
+    )
+    got = iceberg_export.read_iceberg(spark, dest)
+    assert got.count() == nation.count() + 1
+    assert got.filter(F.col("n_nationkey") == 900).count() == 0  # junk stays gone
+
+    # refusals
+    with pytest.raises(ValueError, match="rollback_iceberg"):
+        iceberg_export.set_ref_iceberg(dest, "main")
+    with pytest.raises(ValueError, match="refusing to drop"):
+        iceberg_export.drop_ref_iceberg(dest, "main")
+    with pytest.raises(ValueError, match="no such ref"):
+        iceberg_export.drop_ref_iceberg(dest, "nope")
+    with pytest.raises(ValueError, match="no such ref"):
+        iceberg_export.read_iceberg(spark, dest, ref="nope")
+    with pytest.raises(ValueError, match="not in table metadata"):
+        iceberg_export.rollback_iceberg(dest, 10**9)
+    with pytest.raises(ValueError, match="not in table metadata"):
+        iceberg_export.set_ref_iceberg(dest, "t2", snapshot_id=10**9)
+    iceberg_export.drop_ref_iceberg(dest, "v1")
+    assert "v1" not in iceberg_export._load_metadata(dest)["refs"]
+
+
+def test_expire_respects_refs(spark, sf_dir):
+    """A tag protects its snapshot (and artifacts) from expiry; once the
+    tag is dropped the next expiry reaps it."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 10))
+    dest = tempfile.mkdtemp(prefix="iceexp_refexp_")
+    iceberg_export.export_iceberg(table, dest)
+    tagged_sid = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    iceberg_export.set_ref_iceberg(dest, "keepme", ref_type="tag")
+    for k in range(3):
+        iceberg_export.append_iceberg(
+            spark, dest,
+            spark.createDataFrame([(100 + k, f"X{k}", 0)], schema=nation.schema),
+        )
+    info = iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    assert info["expired"] > 0
+    doc = iceberg_export._load_metadata(dest)
+    assert any(s["snapshot-id"] == tagged_sid for s in doc["snapshots"])
+    assert iceberg_export.read_iceberg(spark, dest, ref="keepme").count() == 10
+
+    iceberg_export.drop_ref_iceberg(dest, "keepme")
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    doc2 = iceberg_export._load_metadata(dest)
+    assert all(s["snapshot-id"] != tagged_sid for s in doc2["snapshots"])
+    with pytest.raises(ValueError, match="not in table metadata"):
+        iceberg_export.rollback_iceberg(dest, tagged_sid)
