@@ -1881,6 +1881,17 @@ def _current_metadata_file(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "metadata", f"v{version}.gz.metadata.json")
 
 
+def _merge_matched_keys(
+    target_keys: DataFrame, source: DataFrame, on: list[str]
+) -> DataFrame:
+    """Key tuples present in BOTH the table and the merge source. The
+    table's keys are deliberately the LEFT (stream) side so the
+    batch-sized source keys are the semi join's build side — plan-shape
+    pinned in tests: at any table size this broadcasts the source and
+    never shuffles the table scan."""
+    return target_keys.join(source.select(*on), on=on, how="left_semi").distinct()
+
+
 def merge_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -1951,18 +1962,31 @@ def merge_iceberg(
             "before merging"
         )
 
+    # join ORDER matters at scale: the table's keys must be the LEFT
+    # (stream) side of the semi join so the batch-sized source keys are
+    # the build side — AQE converts that to a broadcast hash join and
+    # the 100 TB key scan is never shuffled. The reverse order
+    # (source left-semi table) puts the full table on the build side,
+    # which can never broadcast and forces a table-wide key shuffle.
     target_keys = read_iceberg(spark, table_dir).select(*on)
-    matched_keys = source.select(*on).join(target_keys, on=on, how="left_semi")
+    matched_keys = _merge_matched_keys(target_keys, source, on)
+    # the rarer clause modes probe matched_keys a second time — persist
+    # the (<= |source keys|)-row set so the table scan runs once
+    reuse = when_matched == "delete" or when_not_matched is None
+    if reuse:
+        matched_keys = matched_keys.persist()
 
     if when_matched == "update":
         rows = (
             source
             if when_not_matched == "insert"
-            else source.join(target_keys, on=on, how="left_semi")
+            # matched_keys is small: broadcast-friendly on the build side
+            else source.join(matched_keys, on=on, how="left_semi")
         )
     else:  # delete matched; keep only inserts (if any)
+        # source keys not in the table == source keys not in matched_keys
         rows = (
-            source.join(target_keys, on=on, how="left_anti")
+            source.join(matched_keys, on=on, how="left_anti")
             if when_not_matched == "insert"
             else None
         )
@@ -1980,6 +2004,8 @@ def merge_iceberg(
     del_entries, del_rows = _write_delete_key_files(
         table_dir, matched_keys, spec_fields, eq_ids, seq, snap_id
     )
+    if reuse:
+        matched_keys.unpersist()
 
     if not del_entries and not data_entries:
         # empty source / nothing matched: no artifacts, commit nothing

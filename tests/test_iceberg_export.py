@@ -1779,3 +1779,22 @@ def test_expire_respects_refs(spark, sf_dir):
     assert all(s["snapshot-id"] != tagged_sid for s in doc2["snapshots"])
     with pytest.raises(ValueError, match="not in table metadata"):
         iceberg_export.rollback_iceberg(dest, tagged_sid)
+
+
+def test_merge_matched_keys_plan_broadcasts_source(spark, sf_dir):
+    """100 TB plan shape for MERGE: the matched-key semi join must put
+    the batch-sized source on the build side (BroadcastHashJoin
+    LeftSemi) and never shuffle the table's key scan — the reversed
+    order (source left-semi table) would make the full table the build
+    side, which cannot broadcast and forces a table-wide key shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    table = _table(spark, customer)
+    dest = tempfile.mkdtemp(prefix="iceexp_mergeplan_")
+    iceberg_export.export_iceberg(table, dest)
+    target_keys = iceberg_export.read_iceberg(spark, dest).select("c_custkey")
+    src = customer.limit(20)
+    matched = iceberg_export._merge_matched_keys(target_keys, src, ["c_custkey"])
+    matched.collect()
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
