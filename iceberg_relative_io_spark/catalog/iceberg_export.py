@@ -2468,6 +2468,194 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     }
 
 
+def evolve_schema_iceberg(
+    table_dir: str,
+    add: dict[str, str] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """Schema evolution committed directly on a mirror — metadata-only,
+    no snapshot and no data file touched, exactly the spec's model:
+    a NEW schema (fresh ``schema-id``, field ids preserved across
+    renames, fresh ids for adds from ``last-column-id``) becomes
+    ``current-schema-id``; old data files keep reading because column
+    resolution is id-based, carried here through
+    ``schema.name-mapping.default`` (renamed fields gain their old name
+    as an alias; our parquet stores names, not ids — the same mechanism
+    ``export_iceberg`` uses for pre-export renames, so external readers
+    resolve too). The spec-path reader fills added columns with typed
+    NULL for pre-evolution files and drops removed columns still
+    present in old files; equality-delete files written before a rename
+    keep applying (their key columns resolve through the mapping).
+
+    ``add`` maps new column name -> primitive Iceberg type (``long``,
+    ``string``, ``double``, ...); ``rename`` maps old -> new;
+    ``drop`` lists columns to remove. Refused with the remedy in the
+    message: unknown/duplicate names, non-primitive add types, names
+    that ever belonged to a DIFFERENT field id (a mapping cannot
+    express reuse safely — the export's rule), dropping or renaming-
+    away a partition source column, and dropping a column a live
+    equality delete keys on. Type widening is not offered here — widen
+    through the source ``RelativeTable`` and re-export (mixed-width
+    eras need per-file casts the mirror reader does not do)."""
+    add = add or {}
+    rename = rename or {}
+    drop = list(drop or [])
+    if not add and not rename and not drop:
+        raise ValueError("nothing to evolve: pass add=, rename=, or drop=")
+
+    doc, version = _load_metadata_versioned(table_dir)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    fields = [dict(f) for f in schema_json["fields"]]
+    by_name = {f["name"]: f for f in fields}
+
+    for bad in [c for c in list(rename) + drop if c not in by_name]:
+        raise ValueError(f"no such column: {bad!r}")
+    clash = [c for c in add if c in by_name] + [
+        n for n in rename.values() if n in by_name and n not in rename
+    ]
+    if clash:
+        raise ValueError(f"column name(s) already in schema: {sorted(set(clash))}")
+    for cname, tname in add.items():
+        if tname not in _ICEBERG_TO_SPARK:
+            raise ValueError(
+                f"add column {cname!r}: type {tname!r} is not a supported "
+                f"primitive ({sorted(_ICEBERG_TO_SPARK)})"
+            )
+    overlap = set(rename) & set(drop)
+    if overlap:
+        raise ValueError(f"column(s) both renamed and dropped: {sorted(overlap)}")
+
+    # a name may only ever belong to one field id (export's mapping rule)
+    try:
+        mapping = json.loads(
+            doc.get("properties", {}).get("schema.name-mapping.default", "[]")
+        )
+    except ValueError:
+        mapping = []
+    name_owner = {}
+    for m in mapping:
+        for n in m.get("names", []):
+            name_owner[n] = m["field-id"]
+    for f in fields:  # current names own their ids even without a mapping
+        name_owner.setdefault(f["name"], f["id"])
+    for cname in add:  # adds take brand-new ids: any history is a conflict
+        if cname in name_owner:
+            raise ValueError(
+                f"name {cname!r} historically belonged to field id "
+                f"{name_owner[cname]} — reusing it for a different field "
+                "cannot be expressed in a name mapping; pick another name"
+            )
+    for old, new in rename.items():
+        owner = name_owner.get(new)
+        if owner is not None and owner != by_name[old]["id"]:
+            raise ValueError(
+                f"name {new!r} historically belonged to field id {owner} "
+                "— reusing it for a different field cannot be expressed in "
+                "a name mapping; pick another name"
+            )
+
+    # partition sources cannot be dropped (renames are fine: id-based)
+    spec = next(
+        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
+    )
+    src_ids = {pf["source-id"] for pf in spec["fields"]}
+    for c in drop:
+        if by_name[c]["id"] in src_ids:
+            raise ValueError(
+                f"cannot drop partition source column {c!r}; rewrite the "
+                "partitioning (compact into an unpartitioned mirror) first"
+            )
+
+    # live equality deletes pin the fields they key on
+    if drop and doc.get("current-snapshot-id") is not None:
+        drop_ids = {by_name[c]["id"] for c in drop}
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, mls = avro_ocf.read_ocf(fh.read())
+        for mf in mls:
+            if mf["content"] != 1:
+                continue
+            with open(mf["manifest_path"], "rb") as fh:
+                _, _, entries = avro_ocf.read_ocf(fh.read())
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                hit = drop_ids & set(e["data_file"].get("equality_ids") or [])
+                if hit:
+                    names = sorted(c for c in drop if by_name[c]["id"] in hit)
+                    raise ValueError(
+                        f"column(s) {names} are key(s) of a live equality "
+                        "delete; compact_iceberg first to materialize it"
+                    )
+
+    last_col = doc["last-column-id"]
+    new_fields = []
+    for f in fields:
+        if f["name"] in drop:
+            continue
+        if f["name"] in rename:
+            f = {**f, "name": rename[f["name"]]}
+        new_fields.append(f)
+    added_ids = {}
+    for cname, tname in add.items():
+        last_col += 1
+        added_ids[cname] = last_col
+        new_fields.append(
+            {"id": last_col, "name": cname, "required": False, "type": tname}
+        )
+
+    new_schema_id = max(s["schema-id"] for s in doc["schemas"]) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_schema_id,
+        "fields": new_fields,
+    }
+
+    # extend the mapping: renamed fields keep every historical name;
+    # added fields get their (single) name so external readers resolve
+    by_fid = {m["field-id"]: set(m.get("names", [])) for m in mapping}
+    for old, new in rename.items():
+        fid = by_name[old]["id"]
+        by_fid.setdefault(fid, set()).update({old, new})
+    for cname, fid in added_ids.items():
+        by_fid.setdefault(fid, set()).add(cname)
+    for f in new_fields:  # every current field resolves under its own name
+        by_fid.setdefault(f["id"], set()).add(f["name"])
+    for f in fields:  # DROPPED fields keep their entries: the historical
+        # record is what blocks unsafe name reuse, and a reader ignores
+        # ids outside the current schema
+        by_fid.setdefault(f["id"], set()).add(f["name"])
+    new_mapping = [
+        {"field-id": fid, "names": sorted(names)}
+        for fid, names in sorted(by_fid.items())
+    ]
+
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = int(time.time() * 1000)
+    new_doc["last-column-id"] = last_col
+    new_doc["current-schema-id"] = new_schema_id
+    new_doc["schemas"] = doc["schemas"] + [new_schema]
+    new_doc["properties"] = {
+        **doc.get("properties", {}),
+        "schema.name-mapping.default": json.dumps(new_mapping),
+    }
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "schema-id": new_schema_id,
+        "last-column-id": last_col,
+        "added": added_ids,
+        "renamed": dict(rename),
+        "dropped": drop,
+    }
+
+
 def set_ref_iceberg(
     table_dir: str,
     name: str,
@@ -2913,7 +3101,10 @@ def read_iceberg(
                 part = part.withColumnRenamed(alias, cur)
         # identity partition columns are absent from the data files and
         # must be restored BEFORE equality deletes apply — a delete
-        # keyed on a partition column is legal and must resolve
+        # keyed on a partition column is legal and must resolve. The
+        # restored column takes the source field's CURRENT name (the
+        # spec-field name is frozen at spec creation and goes stale if
+        # the source column is later renamed)
         for (name, src_field), (_, raw) in zip(identity, key):
             tname = (
                 src_field["type"]
@@ -2930,7 +3121,7 @@ def read_iceberg(
                 from datetime import timedelta
 
                 val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
-            part = part.withColumn(name, F.lit(val).cast(dt))
+            part = part.withColumn(src_field["name"], F.lit(val).cast(dt))
         if pos_applicable:
             # no .distinct(): anti-join is set semantics, so duplicate
             # (file, pos) rows (the spec allows re-deletion) are
@@ -2947,8 +3138,36 @@ def read_iceberg(
                 pos_applicable,
                 pos_stats,
             ).drop("__ir_fp", "__ir_pos")
+        # normalize the group to the CURRENT schema BEFORE equality
+        # deletes apply: fields no file in this group carries (added
+        # after these files were written) read as typed NULL — the
+        # spec's add-column rule, and a delete keyed on such a column
+        # correctly matches nothing here (NULL never equals) — while
+        # columns outside the current schema (dropped fields still
+        # present in old files) fall away
+        part = part.select(
+            *[
+                F.col(f["name"])
+                if f["name"] in part.columns
+                else F.lit(None)
+                .cast(
+                    _ICEBERG_TO_SPARK.get(
+                        f["type"] if isinstance(f["type"], str) else "string",
+                        T.StringType(),
+                    )
+                )
+                .alias(f["name"])
+                for f in schema["fields"]
+            ]
+        )
         for dpath, dcols in applicable:
-            dkeys = spark.read.parquet(dpath).select(*dcols)
+            # delete files record key columns by the NAME current at
+            # delete time; resolve pre-rename names through the mapping
+            dk = spark.read.parquet(dpath)
+            for alias, cur in alias_of.items():
+                if alias in dk.columns and cur not in dk.columns:
+                    dk = dk.withColumnRenamed(alias, cur)
+            dkeys = dk.select(*dcols)
             part = _anti_join(part, dkeys, list(dcols), [dpath], eq_stats)
         out = part if out is None else out.unionByName(part)
     if out is None:
@@ -2970,9 +3189,8 @@ def read_iceberg(
         for col, v in eq_filters.items():
             if col in out.columns:
                 out = out.filter(F.col(col) == F.lit(v))
-    # present columns in schema order where available
-    names = [f["name"] for f in schema["fields"] if f["name"] in out.columns]
-    return out.select(*names)
+    # every group was normalized to the current schema above
+    return out.select(*[f["name"] for f in schema["fields"]])
 
 
 # ---------------------------------------------------------------------------

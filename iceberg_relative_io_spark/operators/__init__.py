@@ -25,6 +25,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a51_iceberg_evolution",       # NEW: mirror-side schema evolution
     "a50_iceberg_rollback",        # NEW: mirror refs + metadata-only rollback
     "a49_iceberg_overwrite",       # NEW: mirror-side dynamic partition overwrite
     "a48_iceberg_merge",           # NEW: atomic mirror-side MERGE upsert

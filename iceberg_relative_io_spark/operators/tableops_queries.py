@@ -896,6 +896,45 @@ def q_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 (round-6): mirror-side schema evolution — export customer,
+    commit ONE metadata-only ``evolve_schema_iceberg`` (add c_flag
+    string, rename c_name -> c_fullname, drop c_nationkey), append a
+    post-evolution batch that carries the flag, then spec-path read:
+    pre-evolution rows surface the renamed column through the name
+    mapping with a typed-NULL flag, the dropped column is gone even
+    though every old file still carries it, and the appended rows carry
+    real flags. The oracle restates the era split in SQL."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_evo", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_evo_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.evolve_schema_iceberg(
+        dest,
+        add={"c_flag": "string"},
+        rename={"c_name": "c_fullname"},
+        drop=["c_nationkey"],
+    )
+    batch = spark.createDataFrame(
+        [(7000001, "EVO-A", 10.5, "new"), (7000002, "EVO-B", 20.25, "new")],
+        schema="c_custkey bigint, c_fullname string, c_acctbal double, c_flag string",
+    )
+    iceberg_export.append_iceberg(spark, dest, batch)
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_fullname", "c_acctbal", "c_flag"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -995,6 +1034,7 @@ QUERIES = {
     "a48_iceberg_merge": q_iceberg_merge,
     "a49_iceberg_overwrite": q_iceberg_overwrite,
     "a50_iceberg_rollback": q_iceberg_rollback,
+    "a51_iceberg_evolution": q_iceberg_evolution,
 }
 
 ORACLE = {
@@ -1053,6 +1093,16 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a51_iceberg_evolution": """
+        SELECT c_custkey, c_name AS c_fullname, c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_flag
+        FROM customer
+        UNION ALL
+        SELECT * FROM (VALUES
+            (7000001, 'EVO-A', 10.5, 'new'),
+            (7000002, 'EVO-B', 20.25, 'new')
+        ) AS t(c_custkey, c_fullname, c_acctbal, c_flag)
     """,
     "a50_iceberg_rollback": """
         SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer

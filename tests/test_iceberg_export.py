@@ -1798,3 +1798,121 @@ def test_merge_matched_keys_plan_broadcasts_source(spark, sf_dir):
     plan = matched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# evolve_schema_iceberg
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_schema_iceberg_add_rename_drop(spark, sf_dir):
+    """Mirror-side schema evolution is metadata-only: add reads as
+    typed NULL from pre-evolution files and as real values from later
+    appends; rename resolves old files through the name mapping (and a
+    pre-rename equality delete keeps applying); drop disappears even
+    though old files still carry the column."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_evo_")
+    iceberg_export.export_iceberg(table, dest)
+    # a pre-evolution equality delete keyed on the soon-renamed column
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_nationkey") == 3, ["n_nationkey"]
+    )
+
+    info = iceberg_export.evolve_schema_iceberg(
+        dest,
+        add={"n_motto": "string", "n_pop": "long"},
+        rename={"n_nationkey": "n_key"},
+        drop=["n_regionkey"],
+    )
+    assert set(info["added"]) == {"n_motto", "n_pop"}
+
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.columns == ["n_key", "n_name", "n_motto", "n_pop"]
+    assert df.count() == nation.count() - 1  # the delete still applies
+    assert df.filter(F.col("n_key") == 3).count() == 0
+    assert df.filter(F.col("n_motto").isNull()).count() == df.count()
+
+    # appends must carry the NEW schema and read back merged with nulls
+    new = spark.createDataFrame(
+        [(77, "NEWLAND", "onward", 12345)],
+        schema="n_key int, n_name string, n_motto string, n_pop long",
+    )
+    iceberg_export.append_iceberg(spark, dest, new)
+    df2 = iceberg_export.read_iceberg(spark, dest)
+    assert df2.count() == nation.count()
+    got = df2.filter(F.col("n_key") == 77).collect()[0]
+    assert (got.n_motto, got.n_pop) == ("onward", 12345)
+    # pre-evolution rows: renamed column carries the original values
+    assert sorted(
+        r.n_key for r in df2.filter(F.col("n_motto").isNull()).collect()
+    ) == sorted(r.n_nationkey for r in nation.collect() if r.n_nationkey != 3)
+
+    # a post-evolution delete keyed on the ADDED column kills only rows
+    # that actually carry the value (old rows are NULL, never equal)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_pop") == 12345, ["n_pop"]
+    )
+    assert iceberg_export.read_iceberg(spark, dest).count() == nation.count() - 1
+
+
+def test_evolve_schema_iceberg_refusals(spark, sf_dir):
+    """Unknown columns, clashes, name reuse, partition sources, and
+    live-delete keys are refused with remedies."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_evo_")
+    iceberg_export.export_iceberg(table, dest)
+
+    with pytest.raises(ValueError, match="nothing to evolve"):
+        iceberg_export.evolve_schema_iceberg(dest)
+    with pytest.raises(ValueError, match="no such column"):
+        iceberg_export.evolve_schema_iceberg(dest, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="already in schema"):
+        iceberg_export.evolve_schema_iceberg(dest, add={"n_name": "string"})
+    with pytest.raises(ValueError, match="not a supported primitive"):
+        iceberg_export.evolve_schema_iceberg(dest, add={"x": "struct"})
+    with pytest.raises(ValueError, match="partition source"):
+        iceberg_export.evolve_schema_iceberg(dest, drop=["n_regionkey"])
+    with pytest.raises(ValueError, match="renamed and dropped"):
+        iceberg_export.evolve_schema_iceberg(
+            dest, rename={"n_name": "x"}, drop=["n_name"]
+        )
+
+    # dropping the key of a live equality delete is refused
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_nationkey") == 1, ["n_nationkey"]
+    )
+    with pytest.raises(ValueError, match="live equality delete"):
+        iceberg_export.evolve_schema_iceberg(dest, drop=["n_nationkey"])
+    # ...until compaction materializes it
+    iceberg_export.compact_iceberg(spark, dest)
+    iceberg_export.evolve_schema_iceberg(dest, drop=["n_nationkey"])
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.columns == ["n_name", "n_regionkey"]
+    assert df.count() == nation.count() - 1
+
+    # a dropped column's name may not come back for a different field
+    with pytest.raises(ValueError, match="historically belonged"):
+        iceberg_export.evolve_schema_iceberg(dest, add={"n_nationkey": "long"})
+
+
+def test_evolve_schema_iceberg_renamed_identity_partition(spark, sf_dir):
+    """Renaming an identity-partition SOURCE column: the spec field name
+    is frozen but the restored column takes the current name, and
+    partition pruning by the new name still works."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_evo_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.evolve_schema_iceberg(dest, rename={"n_regionkey": "n_region"})
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert "n_region" in df.columns and "n_regionkey" not in df.columns
+    want = sorted(
+        (r.n_nationkey, r.n_regionkey) for r in nation.collect()
+    )
+    assert sorted((r.n_nationkey, r.n_region) for r in df.collect()) == want
+    pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_region": 2})
+    n2 = nation.filter(F.col("n_regionkey") == 2).count()
+    assert pruned.count() == n2
