@@ -127,7 +127,16 @@ def encode(buf: io.BytesIO, schema: Any, value: Any) -> None:
         buf.write(b)
     elif t == "record":
         for f in schema["fields"]:
-            encode(buf, f["type"], value[f["name"]])
+            if isinstance(f["type"], list) and "null" in [
+                b if isinstance(b, str) else b.get("type") for b in f["type"]
+            ]:
+                # nullable field: a missing key encodes as null, so
+                # entries read from manifests written BEFORE a field was
+                # added (e.g. bounds) re-encode cleanly under the
+                # current schema
+                encode(buf, f["type"], value.get(f["name"]))
+            else:
+                encode(buf, f["type"], value[f["name"]])
     elif t == "array":
         items = list(value)
         if items:

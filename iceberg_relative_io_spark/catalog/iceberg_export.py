@@ -336,6 +336,39 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                 "type": ["null", {"type": "array", "items": "int"}],
                 "field-id": 135,
             },
+            # spec fields 125/128: per-column lower/upper bounds as
+            # field-id -> single-value-serialized bytes (Appendix D) —
+            # the k/v-list encoding Iceberg uses for maps with int keys
+            {
+                "name": "lower_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k126_v127",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 126},
+                            {"name": "value", "type": "bytes", "field-id": 127},
+                        ],
+                    },
+                }],
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k129_v130",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 129},
+                            {"name": "value", "type": "bytes", "field-id": 130},
+                        ],
+                    },
+                }],
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -349,6 +382,151 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+# bounds cover exactly the types whose parquet footer min/max is exact
+# and whose spec single-value serialization (Appendix D) is fixed-width.
+# Strings are deliberately EXCLUDED: parquet may truncate string stats,
+# and a truncated upper bound under-reports the true max — pruning on it
+# would silently drop matching files. Iceberg solves that with careful
+# byte-increment truncation; refusing to write string bounds is the
+# safe subset.
+_BOUNDABLE = {"int", "long", "float", "double", "date", "timestamp", "timestamptz"}
+
+
+def _bound_to_bytes(ice_type: str, v) -> bytes | None:
+    """Spec Appendix D single-value serialization for boundable types."""
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "date":
+        if isinstance(v, date):
+            v = (v - date(1970, 1, 1)).days
+        return _struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            v = int((v - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return _struct.pack("<q", int(v))
+    return None
+
+
+def _bound_from_bytes(ice_type: str, b: bytes):
+    import struct as _struct
+
+    if ice_type == "int" or ice_type == "date":
+        return _struct.unpack("<i", b)[0]
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    return None
+
+
+def _bound_key(ice_type: str, v):
+    """Coerce a filter value into the same ordered domain the encoded
+    bounds decode to (ints for date/timestamp)."""
+    if ice_type == "date" and isinstance(v, date):
+        return (v - date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz") and isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return int((v - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, (int, float)):
+        return v
+    return None
+
+
+def _file_column_bounds(
+    md, bound_fields: list[tuple[str, int, str]]
+) -> tuple[list | None, list | None]:
+    """Per-column min/max of one parquet file from its footer
+    statistics (``md`` = pyarrow FileMetaData), as the spec's k/v-list
+    bounds. ``bound_fields`` = (parquet column name, field id, iceberg
+    type) for the boundable columns. A column with any row group
+    missing exact stats gets no bounds (never a wrong bound)."""
+    by_col: dict[str, tuple] = {}
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for cname, fid, ice_type in bound_fields:
+        ci = names.get(cname)
+        if ci is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not ok or lo is None:
+            continue
+        lb, ub = _bound_to_bytes(ice_type, lo), _bound_to_bytes(ice_type, hi)
+        if lb is not None and ub is not None:
+            by_col[cname] = (fid, lb, ub)
+    if not by_col:
+        return None, None
+    lower = [{"key": fid, "value": lb} for fid, lb, _ in by_col.values()]
+    upper = [{"key": fid, "value": ub} for fid, _, ub in by_col.values()]
+    return lower, upper
+
+
+def _boundable_fields(schema_json: dict) -> list[tuple[str, int, str]]:
+    return [
+        (f["name"], f["id"], f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str) and f["type"] in _BOUNDABLE
+    ]
+
+
+def _stats_prune(
+    data_entries: list[dict], eq_filters: dict, fields_by_name: dict
+) -> list[dict]:
+    """Skip data files whose recorded [lower, upper] bounds exclude an
+    equality filter's value — the spec's file-skipping path, O(entries)
+    metadata work that turns a point read on a sorted/clustered column
+    into a near-single-file scan at any table size. Entries without
+    bounds for the column are always kept (bounds are an optimization,
+    never a correctness gate)."""
+    for col, v in eq_filters.items():
+        f = fields_by_name.get(col)
+        if f is None or not isinstance(f["type"], str):
+            continue
+        ice_type = f["type"]
+        if ice_type not in _BOUNDABLE:
+            continue
+        key = _bound_key(ice_type, v)
+        if key is None:
+            continue
+        fid = f["id"]
+        kept = []
+        for e in data_entries:
+            rec = e["data_file"]
+            lo_list = rec.get("lower_bounds") or []
+            hi_list = rec.get("upper_bounds") or []
+            lo = next((x["value"] for x in lo_list if x["key"] == fid), None)
+            hi = next((x["value"] for x in hi_list if x["key"] == fid), None)
+            if lo is not None and hi is not None:
+                lo_v = _bound_from_bytes(ice_type, lo)
+                hi_v = _bound_from_bytes(ice_type, hi)
+                if lo_v is not None and hi_v is not None and (
+                    key < lo_v or key > hi_v
+                ):
+                    continue
+            kept.append(e)
+        data_entries = kept
+    return data_entries
 
 
 _MANIFEST_FILE_SCHEMA = {
@@ -401,6 +579,7 @@ def _export_one_snapshot(
 
     entries = []
     total_rows = 0
+    bound_fields = _boundable_fields(schema_json)
     for f in files:
         rows = int(f.get("row-count", 0))
         total_rows += rows
@@ -411,6 +590,21 @@ def _export_one_snapshot(
             for sf in spec_fields
         }
         seq = seq_of.get(f["_snap"], 1)
+        # per-file min/max bounds from the parquet footer, cached across
+        # the snapshot chain (a history export names each file once per
+        # snapshot that holds it)
+        bkey = ("bounds", f["path"])
+        if rows_cache is not None and bkey in rows_cache:
+            lower, upper = rows_cache[bkey]
+        else:
+            try:
+                lower, upper = _file_column_bounds(
+                    ops.io.parquet_metadata(f["path"]), bound_fields
+                )
+            except Exception:
+                lower = upper = None  # bounds are best-effort, never fatal
+            if rows_cache is not None:
+                rows_cache[bkey] = (lower, upper)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -425,6 +619,8 @@ def _export_one_snapshot(
                     "record_count": rows,
                     "file_size_in_bytes": int(f.get("size-bytes", 0)),
                     "equality_ids": None,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 },
             }
         )
@@ -1086,6 +1282,7 @@ def _write_data_files(
 
     entries: list[dict] = []
     total_rows = 0
+    bound_fields = _boundable_fields(schema_json)
     for root, _dirs, names in sorted(os.walk(data_dir)):
         raws: dict[str, str] = {}
         rel = os.path.relpath(root, data_dir)
@@ -1097,11 +1294,13 @@ def _write_data_files(
             if name.startswith("_") or name.startswith("."):
                 continue
             fpath = os.path.join(root, name)
-            rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+            md = pq.ParquetFile(fpath).metadata
+            rows = int(md.num_rows)
             if rows == 0:
                 os.unlink(fpath)
                 continue
             total_rows += rows
+            lower, upper = _file_column_bounds(md, bound_fields)
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -1119,6 +1318,8 @@ def _write_data_files(
                         "record_count": rows,
                         "file_size_in_bytes": os.path.getsize(fpath),
                         "equality_ids": None,
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
                     },
                 }
             )
@@ -2999,6 +3200,8 @@ def read_iceberg(
                     for e in data_entries
                     if e["data_file"]["partition"].get(fname) in (None, want)
                 ]
+        # file skipping on recorded min/max bounds (spec fields 125/128)
+        data_entries = _stats_prune(data_entries, eq_filters, fields_by_name)
 
     # group data files by (identity tuple, applicable delete sets): the
     # spec applies an equality delete to data files with sequence

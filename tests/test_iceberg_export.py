@@ -1916,3 +1916,124 @@ def test_evolve_schema_iceberg_renamed_identity_partition(spark, sf_dir):
     pruned = iceberg_export.read_iceberg(spark, dest, eq_filters={"n_region": 2})
     n2 = nation.filter(F.col("n_regionkey") == 2).count()
     assert pruned.count() == n2
+
+
+# ---------------------------------------------------------------------------
+# min/max bounds + file skipping
+# ---------------------------------------------------------------------------
+
+
+def _head_data_entries(dest):
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    out = []
+    for mf in mls:
+        if mf["content"] != 0:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, es = avro_ocf.read_ocf(fh.read())
+        out += [e for e in es if e["status"] != 2]
+    return out
+
+
+def test_bounds_written_and_point_read_skips_files(spark, sf_dir):
+    """Export and append record spec min/max bounds (fields 125/128)
+    from parquet footers for numeric/temporal columns, and a point read
+    on a range-clustered column plans ~one file instead of all of them
+    — the spec's file-skipping path. Strings get NO bounds (parquet may
+    truncate string stats; a truncated upper bound would silently drop
+    matching files)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    table = _table(spark, cust.repartitionByRange(6, "c_custkey"))
+    dest = tempfile.mkdtemp(prefix="iceexp_bounds_")
+    iceberg_export.export_iceberg(table, dest)
+
+    entries = _head_data_entries(dest)
+    assert len(entries) == 6
+    assert all(e["data_file"].get("lower_bounds") for e in entries)
+    # string column never gets bounds
+    doc = iceberg_export._load_metadata(dest)
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    fbn = {f["name"]: f for f in schema["fields"]}
+    name_fid = fbn["c_name"]["id"]
+    for e in entries:
+        assert all(
+            b["key"] != name_fid for b in e["data_file"]["lower_bounds"]
+        )
+
+    probe = cust.orderBy("c_custkey").limit(1).collect()[0].c_custkey + 3
+    kept = iceberg_export._stats_prune(entries, {"c_custkey": probe}, fbn)
+    assert len(kept) == 1  # range clustering -> exactly one candidate file
+    # and the end-to-end filtered read is correct
+    got = iceberg_export.read_iceberg(
+        spark, dest, eq_filters={"c_custkey": probe}
+    ).collect()
+    want = cust.filter(F.col("c_custkey") == probe).collect()
+    assert len(got) == len(want)
+    # a value outside every file's range prunes everything
+    assert (
+        iceberg_export._stats_prune(entries, {"c_acctbal": -1e9}, fbn) == []
+    )
+    # append path writes bounds too, and the new row is found
+    new = spark.createDataFrame(
+        [(99999999, "NEW", 1.0, 0)], schema=cust.schema
+    )
+    iceberg_export.append_iceberg(spark, dest, new)
+    assert (
+        iceberg_export.read_iceberg(
+            spark, dest, eq_filters={"c_custkey": 99999999}
+        ).count()
+        == 1
+    )
+
+
+def test_bounds_survive_rewrite_and_missing_bounds_are_kept(spark, sf_dir):
+    """rewrite_manifests carries bounds through; entries WITHOUT bounds
+    (pre-bounds manifests — simulated by stripping) are always kept by
+    the pruner, and the avro writer encodes their missing keys as null
+    instead of crashing."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table = _table(spark, cust.repartitionByRange(4, "c_custkey"))
+    dest = tempfile.mkdtemp(prefix="iceexp_bounds_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame([(55555555, "A", 2.0)], schema=cust.schema),
+    )
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    entries = _head_data_entries(dest)
+    assert all(e["data_file"].get("lower_bounds") for e in entries)
+
+    doc = iceberg_export._load_metadata(dest)
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    fbn = {f["name"]: f for f in schema["fields"]}
+    stripped = [
+        {**e, "data_file": {
+            k: v for k, v in e["data_file"].items()
+            if k not in ("lower_bounds", "upper_bounds")
+        }}
+        for e in entries
+    ]
+    assert (
+        iceberg_export._stats_prune(stripped, {"c_custkey": -1}, fbn)
+        == stripped
+    )  # no bounds -> never pruned
+    # pre-bounds entries re-encode under the current schema (missing
+    # nullable keys -> null), the rewrite-manifests compatibility path
+    spec_fields = iceberg_export._spec_fields_from_doc(doc)
+    es = iceberg_export._manifest_entry_schema(spec_fields)
+    blob = avro_ocf.write_ocf(es, stripped, metadata={"format-version": "2"})
+    _, _, back = avro_ocf.read_ocf(blob)
+    assert back[0]["data_file"]["lower_bounds"] is None
