@@ -25,6 +25,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a52_stats_pruned_read",       # NEW: min/max bounds file skipping
     "a51_iceberg_evolution",       # NEW: mirror-side schema evolution
     "a50_iceberg_rollback",        # NEW: mirror refs + metadata-only rollback
     "a49_iceberg_overwrite",       # NEW: mirror-side dynamic partition overwrite

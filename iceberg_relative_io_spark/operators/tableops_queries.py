@@ -935,6 +935,40 @@ def q_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 (round-6): stats-based file skipping — export orders
+    range-clustered on o_orderkey into 8 files (disjoint key ranges, so
+    the recorded min/max bounds are tight), then point-read three keys
+    through the spec-path reader's eq_filters. The bounds prune plans
+    ~1 file per key instead of 8 (plan-asserted in
+    tests/test_iceberg_export.py); the oracle restates the three point
+    reads as a plain IN filter."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    ops = cat.create_table(("ns",), "ord_stats", orders.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(orders.repartitionByRange(8, "o_orderkey"))
+    dest = tempfile.mkdtemp(prefix="iceberg_stats_")
+    iceberg_export.export_iceberg(table, dest)
+    parts = [
+        iceberg_export.read_iceberg(spark, dest, eq_filters={"o_orderkey": k})
+        for k in (7, 431, 1103)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -1035,6 +1069,7 @@ QUERIES = {
     "a49_iceberg_overwrite": q_iceberg_overwrite,
     "a50_iceberg_rollback": q_iceberg_rollback,
     "a51_iceberg_evolution": q_iceberg_evolution,
+    "a52_stats_pruned_read": q_stats_pruned_read,
 }
 
 ORACLE = {
@@ -1093,6 +1128,10 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a52_stats_pruned_read": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey IN (7, 431, 1103)
     """,
     "a51_iceberg_evolution": """
         SELECT c_custkey, c_name AS c_fullname, c_acctbal,
