@@ -956,8 +956,37 @@ def export_iceberg(
         "last-partition-id": max(
             [999, *[sf["field-id"] for sf in clean_spec]]
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        # the native table's sort order (write-time range partition +
+        # within-partition sort, asc nulls-first — spark_table.py:170)
+        # exports as a real spec sort order so external engines know
+        # the files are clustered; tables without one keep the
+        # unsorted order-id 0
+        **(
+            {
+                "default-sort-order-id": 1,
+                "sort-orders": [
+                    {"order-id": 0, "fields": []},
+                    {
+                        "order-id": 1,
+                        "fields": [
+                            {
+                                "transform": "identity",
+                                "source-id": field_ids[c],
+                                "direction": "asc",
+                                "null-order": "nulls-first",
+                            }
+                            for c in meta.get("sort-order", [])
+                        ],
+                    },
+                ],
+            }
+            if meta.get("sort-order")
+            and all(c in field_ids for c in meta.get("sort-order", []))
+            else {
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+            }
+        ),
         "properties": {
             "exported-from": meta.get("table-uuid", ""),
             "write.format.default": "parquet",

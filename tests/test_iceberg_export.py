@@ -2037,3 +2037,38 @@ def test_bounds_survive_rewrite_and_missing_bounds_are_kept(spark, sf_dir):
     blob = avro_ocf.write_ocf(es, stripped, metadata={"format-version": "2"})
     _, _, back = avro_ocf.read_ocf(blob)
     assert back[0]["data_file"]["lower_bounds"] is None
+
+
+def test_export_sort_order(spark, sf_dir):
+    """A native sort order exports as a real spec sort order (asc,
+    nulls-first — matching the writer's layout) so external engines see
+    the clustering; unsorted tables keep order-id 0."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table = _table(spark, cust)
+    table.update_sort_order(["c_custkey"])
+    table.append(cust.limit(0))  # no-op data, but any write re-sorts
+    dest = tempfile.mkdtemp(prefix="iceexp_sort_")
+    iceberg_export.export_iceberg(table, dest)
+    doc = iceberg_export._load_metadata(dest)
+    assert doc["default-sort-order-id"] == 1
+    so = next(o for o in doc["sort-orders"] if o["order-id"] == 1)
+    schema = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    fid = next(f["id"] for f in schema["fields"] if f["name"] == "c_custkey")
+    assert so["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": fid,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]
+    # unsorted table: order-id 0 only
+    t2 = _table(spark, cust)
+    dest2 = tempfile.mkdtemp(prefix="iceexp_sort_")
+    iceberg_export.export_iceberg(t2, dest2)
+    doc2 = iceberg_export._load_metadata(dest2)
+    assert doc2["default-sort-order-id"] == 0
