@@ -18,8 +18,12 @@ The oracle is the same COLUMN-KEY mirror design as fuzz_evolution:
 every column has a stable key (the engine's field-id model), rows are
 dicts keyed by column KEY, and the current key->name map renders the
 expected table — renames change only the map, adds surface as None for
-pre-add rows, drops hide the key. After EVERY operation the spec-path
-read must equal the mirror exactly.
+pre-add rows, drops hide the key. Metadata-only ROLLBACK restores a
+recorded row snapshot while keeping the CURRENT schema (the engine's
+semantics: rollback moves main, not the schema) — key-based lookup
+makes "column added after the rollback target" (-> NULL) fall out
+naturally. After EVERY operation the spec-path read must equal the
+mirror exactly.
 
 Usage: python tools/fuzz_mirror_evolution.py [n_seeds] [ops_per_seed]
 Exit code 0 = every step of every seed matched.
@@ -27,6 +31,7 @@ Exit code 0 = every step of every seed matched.
 
 from __future__ import annotations
 
+import copy
 import random
 import sys
 import tempfile
@@ -121,9 +126,20 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     dest = tempfile.mkdtemp(prefix=f"fuzz_mevo_out_{seed}_")
     iceberg_export.export_iceberg(RelativeTable(ops), dest)
 
+    # snapshot-id -> deepcopy of mirror rows, recorded after every
+    # committing op; rollback restores the recorded state
+    snaps: dict[int, list[dict]] = {}
+
+    def record():
+        sid = iceberg_export._load_metadata(dest).get("current-snapshot-id")
+        if sid is not None:
+            snaps[sid] = copy.deepcopy(rows)
+
+    record()
+
     OPS = [
         "append", "delete", "update", "merge", "add_col", "rename_col",
-        "drop_col", "rewrite_manifests", "compact", "expire",
+        "drop_col", "rewrite_manifests", "compact", "expire", "rollback",
     ]
     failures: list[str] = []
     for step in range(n_ops):
@@ -214,12 +230,26 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                 iceberg_export.expire_snapshots_iceberg(
                     dest, keep_last=rng.randint(1, 3)
                 )
+            elif op == "rollback":
+                doc = iceberg_export._load_metadata(dest)
+                live = {s["snapshot-id"] for s in doc["snapshots"]}
+                candidates = sorted(live & set(snaps))
+                if not candidates:
+                    continue
+                target = rng.choice(candidates)
+                iceberg_export.rollback_iceberg(dest, target)
+                # rollback moves main, NOT the schema: the restored rows
+                # predate any later add_col, so those keys render None —
+                # matching the engine's NULL fill for files without the
+                # column
+                rows = copy.deepcopy(snaps[target])
         except Exception as exc:  # noqa: BLE001 - fuzz harness boundary
             failures.append(
                 f"seed {seed} step {step} op {op}: "
                 f"{type(exc).__name__}: {exc}"
             )
             break
+        record()
         got, want = engine_tuples(), mirror_tuples()
         if got != want:
             failures.append(
