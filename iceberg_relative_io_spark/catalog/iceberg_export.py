@@ -2972,6 +2972,89 @@ def rollback_iceberg(table_dir: str, snapshot_id: int) -> dict:
     }
 
 
+def snapshots_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The mirror's ``.snapshots`` metadata table — B29 introspection
+    over an exported v2 directory, read purely from the metadata JSON:
+    one row per snapshot with its parent, sequence number, summary
+    operation, and whether it is the current head. Timestamps and paths
+    are environment-dependent and excluded, so the projection is
+    protocol-determined and oracle-checkable."""
+    doc = _load_metadata(table_dir)
+    cur = doc.get("current-snapshot-id")
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s["parent-snapshot-id"]) if "parent-snapshot-id" in s else None,
+            int(s["sequence-number"]),
+            s.get("summary", {}).get("operation", ""),
+            s["snapshot-id"] == cur,
+        )
+        for s in doc["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, sequence_number long, "
+        "operation string, is_current boolean",
+    )
+
+
+def refs_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The mirror's ``.refs`` metadata table: one row per named ref
+    (branches and tags) with its target snapshot."""
+    doc = _load_metadata(table_dir)
+    rows = [
+        (name, r.get("type", "branch"), int(r["snapshot-id"]))
+        for name, r in sorted(doc.get("refs", {}).items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
+
+
+def files_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The mirror's ``.files`` metadata table — one row per LIVE file
+    on the current snapshot (data and delete files), with its manifest
+    content kind, record count, data sequence number, and partition
+    tuple as JSON. Paths and byte sizes are environment-dependent and
+    excluded. This is the view a maintenance planner reads (what
+    ``rewrite_manifests_iceberg`` / ``compact_iceberg`` would touch)."""
+    doc = _load_metadata(table_dir)
+    rows = []
+    if doc.get("current-snapshot-id") is not None:
+        snap = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(snap["manifest-list"], "rb") as fh:
+            _, _, mls = avro_ocf.read_ocf(fh.read())
+        for mf in mls:
+            with open(mf["manifest_path"], "rb") as fh:
+                _, _, entries = avro_ocf.read_ocf(fh.read())
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                rec = e["data_file"]
+                rows.append(
+                    (
+                        int(rec["content"]),
+                        int(rec.get("record_count") or 0),
+                        int(e["sequence_number"]),
+                        json.dumps(
+                            {
+                                k: v
+                                for k, v in (rec.get("partition") or {}).items()
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "content int, record_count long, sequence_number long, "
+        "partition string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # independent spec-path reader (the round-trip gate)
 # ---------------------------------------------------------------------------

@@ -13,8 +13,10 @@ from __future__ import annotations
 # Round 6 front-loads every query whose PHYSICAL PLAN (or underlying
 # table-format behavior) changed in rounds 5-6 after its last driver
 # grade, plus the round-6 additions: the Iceberg mirror lifecycle
-# (a44-a46, b30_stream_to_iceberg — incremental appends, mirror-side
-# MOR deletes, rewrite/compact/expire), the B29 metadata tables, the
+# (a44-a53, b30_stream_to_iceberg — incremental appends, mirror-side
+# MOR delete/update/MERGE, dynamic partition overwrite, refs+rollback,
+# schema evolution, min/max-bounds file skipping, mirror metadata
+# tables, rewrite/compact/expire), the B29 metadata tables, the
 # export rewrite (sequence-numbered manifests, MOR delete manifests,
 # temporal identity typing), murmur3 bucket transform + pruning, the
 # max_by keep-latest rewrites, the LSH shared-hot-list caching, and the
@@ -25,6 +27,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a53_iceberg_meta_tables",     # NEW: mirror .snapshots/.refs introspection
     "a52_stats_pruned_read",       # NEW: min/max bounds file skipping
     "a51_iceberg_evolution",       # NEW: mirror-side schema evolution
     "a50_iceberg_rollback",        # NEW: mirror refs + metadata-only rollback

@@ -969,6 +969,43 @@ def q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 (round-6): B29 metadata introspection over an exported v2
+    directory — export nation (one file), tag the clean state, append a
+    batch, commit a MOR delete, then read the mirror's `.snapshots`
+    joined with `.refs`: ids dense from 1, parents chaining, sequence
+    numbers matching, operations in order, the tag pinned at snapshot 1
+    and main at the delete head. Everything projected is
+    protocol-determined, so the oracle states it as VALUES."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    nation = load_table(spark, sf_dir, "nation")
+    ops = cat.create_table(("ns",), "nation_meta", nation.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(nation.coalesce(1))
+    dest = tempfile.mkdtemp(prefix="iceberg_meta_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.set_ref_iceberg(dest, "v1", ref_type="tag")
+    iceberg_export.append_iceberg(spark, dest, nation.limit(3).coalesce(1))
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_nationkey") == 0, ["n_nationkey"]
+    )
+    snaps = iceberg_export.snapshots_iceberg(spark, dest)
+    refs = iceberg_export.refs_iceberg(spark, dest).select(
+        F.col("snapshot_id"),
+        F.col("name").alias("ref_name"),
+        F.col("type").alias("ref_type"),
+    )
+    return snaps.join(refs, on="snapshot_id", how="left").select(
+        "snapshot_id", "parent_id", "sequence_number", "operation",
+        "is_current", "ref_name", "ref_type",
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -1070,6 +1107,7 @@ QUERIES = {
     "a50_iceberg_rollback": q_iceberg_rollback,
     "a51_iceberg_evolution": q_iceberg_evolution,
     "a52_stats_pruned_read": q_stats_pruned_read,
+    "a53_iceberg_meta_tables": q_iceberg_meta_tables,
 }
 
 ORACLE = {
@@ -1128,6 +1166,14 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a53_iceberg_meta_tables": """
+        SELECT * FROM (VALUES
+            (1, CAST(NULL AS BIGINT), 1, 'append', false, 'v1', 'tag'),
+            (2, 1, 2, 'append', false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+            (3, 2, 3, 'delete', true, 'main', 'branch')
+        ) AS t(snapshot_id, parent_id, sequence_number, operation,
+               is_current, ref_name, ref_type)
     """,
     "a52_stats_pruned_read": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -2072,3 +2072,33 @@ def test_export_sort_order(spark, sf_dir):
     iceberg_export.export_iceberg(t2, dest2)
     doc2 = iceberg_export._load_metadata(dest2)
     assert doc2["default-sort-order-id"] == 0
+
+
+def test_mirror_metadata_tables(spark, sf_dir):
+    """B29 over the mirror: .snapshots / .refs / .files read purely
+    from the exported metadata, protocol-determined projections."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_meta_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.set_ref_iceberg(dest, "keep", ref_type="tag")
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame([(50, "X", 0)], schema=nation.schema).coalesce(1),
+    )
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_nationkey") == 1, ["n_nationkey"]
+    )
+
+    snaps = {r.snapshot_id: r for r in iceberg_export.snapshots_iceberg(spark, dest).collect()}
+    assert len(snaps) == 3
+    assert snaps[3].operation == "delete" and snaps[3].is_current
+    assert snaps[2].parent_id == 1 and not snaps[2].is_current
+    refs = {r.name: r for r in iceberg_export.refs_iceberg(spark, dest).collect()}
+    assert refs["keep"].type == "tag" and refs["keep"].snapshot_id == 1
+    assert refs["main"].snapshot_id == 3
+    files = iceberg_export.files_iceberg(spark, dest).collect()
+    assert sum(1 for r in files if r.content == 2) == 1  # the delete file
+    assert sum(r.record_count for r in files if r.content == 0) == nation.count() + 1
+    # sequence numbers reflect commit order
+    assert max(r.sequence_number for r in files) == 3
