@@ -2102,3 +2102,56 @@ def test_mirror_metadata_tables(spark, sf_dir):
     assert sum(r.record_count for r in files if r.content == 0) == nation.count() + 1
     # sequence numbers reflect commit order
     assert max(r.sequence_number for r in files) == 3
+
+
+def test_bound_serialization_round_trip():
+    """Spec Appendix D single-value serialization round-trips every
+    boundable type, and the filter-value coercion lands in the same
+    ordered domain."""
+    from datetime import date as _date, datetime as _dt, timezone as _tz
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+    def ints(v):
+        b = iceberg_export._bound_to_bytes("int", v)
+        assert len(b) == 4
+        assert iceberg_export._bound_from_bytes("int", b) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def longs(v):
+        b = iceberg_export._bound_to_bytes("long", v)
+        assert len(b) == 8
+        assert iceberg_export._bound_from_bytes("long", b) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=True))
+    def doubles(v):
+        b = iceberg_export._bound_to_bytes("double", v)
+        assert len(b) == 8
+        assert iceberg_export._bound_from_bytes("double", b) == v
+
+    ints()
+    longs()
+    doubles()
+
+    d = _date(2024, 3, 7)
+    b = iceberg_export._bound_to_bytes("date", d)
+    assert iceberg_export._bound_from_bytes("date", b) == (
+        d - _date(1970, 1, 1)
+    ).days
+    assert iceberg_export._bound_key("date", d) == (d - _date(1970, 1, 1)).days
+
+    ts = _dt(2024, 3, 7, 12, 30, 45, 123456)
+    b = iceberg_export._bound_to_bytes("timestamptz", ts)
+    micros = iceberg_export._bound_from_bytes("timestamptz", b)
+    assert micros == int((ts - _dt(1970, 1, 1)).total_seconds() * 1_000_000)
+    # tz-aware input normalizes to UTC before encoding
+    aware = ts.replace(tzinfo=_tz.utc)
+    assert iceberg_export._bound_to_bytes("timestamptz", aware) == b
+    assert iceberg_export._bound_key("timestamptz", aware) == micros
+    # unsupported types refuse with None (callers skip, never mis-encode)
+    assert iceberg_export._bound_to_bytes("string", "x") is None
+    assert iceberg_export._bound_key("string", "x") is None
