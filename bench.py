@@ -98,6 +98,8 @@ def main() -> None:
         # round-4 flagships
         "b04_sql_views", "c05_video_neardup", "c03_outlier_filter",
         "c05_audio_vad",
+        # round-6 mirror lifecycle flagships
+        "a41_iceberg_export", "a48_iceberg_merge", "a52_stats_pruned_read",
     ]
     def render(keys: list[str]) -> str:
         return json.dumps(

@@ -3512,6 +3512,38 @@ def read_iceberg(
 # import: external Iceberg v2 table -> RelativeTable (zero-copy)
 # ---------------------------------------------------------------------------
 
+def _native_stats_from_bounds(
+    rec: dict, fields_by_id: dict
+) -> tuple[dict, dict]:
+    """Decode a manifest entry's spec bounds into the native engine's
+    footer-stat representation ({column: scalar} min/max dicts,
+    temporal values as isoformat strings — spark_table._json_safe), so
+    an imported file prunes without its footer ever being read. Empty
+    dicts when the entry carries no bounds."""
+    from datetime import timedelta
+
+    mins: dict = {}
+    maxs: dict = {}
+    for side, out in ((rec.get("lower_bounds"), mins),
+                      (rec.get("upper_bounds"), maxs)):
+        for b in side or []:
+            f = fields_by_id.get(b["key"])
+            if f is None or not isinstance(f["type"], str):
+                continue
+            t = f["type"]
+            v = _bound_from_bytes(t, b["value"])
+            if v is None:
+                continue
+            if t == "date":
+                v = (date(1970, 1, 1) + timedelta(days=v)).isoformat()
+            elif t in ("timestamp", "timestamptz"):
+                v = (
+                    datetime(1970, 1, 1) + timedelta(microseconds=v)
+                ).isoformat()
+            out[f["name"]] = v
+    return mins, maxs
+
+
 def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
                    table_dir: str) -> RelativeTable:
     """Register an EXTERNAL Iceberg v2 table as a RelativeTable without
@@ -3667,10 +3699,20 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
                     "hive-laid-out tables only"
                 )
             entry["partition"] = {n: parts[n] for n in layout_names}
-        try:  # footer min/max -> file-level range pruning keeps working
-            entry.update(table._file_stats(path))
-        except Exception:
-            pass
+        # file-level range pruning: decode the manifest's spec bounds
+        # (fields 125/128) when present — METADATA-ONLY, no footer GET,
+        # the 100 TB import path — falling back to a parquet footer
+        # read for manifests without bounds. Temporal bounds decode
+        # from days/micros back to the same isoformat scalars the
+        # native footer stats use, so _prune compares like with like.
+        mins, maxs = _native_stats_from_bounds(rec, fields_by_id)
+        if mins:
+            entry["min"], entry["max"] = mins, maxs
+        else:
+            try:  # footer min/max -> file-level range pruning keeps working
+                entry.update(table._file_stats(path))
+            except Exception:
+                pass
         return entry
 
     # commit in sequence order; deletes of seq s land BEFORE data of s

@@ -2155,3 +2155,50 @@ def test_bound_serialization_round_trip():
     # unsupported types refuse with None (callers skip, never mis-encode)
     assert iceberg_export._bound_to_bytes("string", "x") is None
     assert iceberg_export._bound_key("string", "x") is None
+
+
+def test_import_decodes_bounds_metadata_only(spark, sf_dir):
+    """Imported files take their native min/max range stats from the
+    manifest's spec bounds — metadata-only, no footer read — including
+    temporal columns decoded back to the isoformat scalars the native
+    pruner compares, and range pruning on the imported table skips
+    files."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    table = _table(spark, orders.repartitionByRange(4, "o_orderkey"))
+    dest = tempfile.mkdtemp(prefix="iceexp_impb_")
+    iceberg_export.export_iceberg(table, dest)
+
+    cat2 = FsCatalog(tempfile.mkdtemp(prefix="iceexp_impb_wh_"))
+    cat2.create_namespace(("ns",))
+    # sabotage the footer-read fallback so only decoded bounds can
+    # provide stats: _file_stats raising proves the metadata-only path
+    orig = RelativeTable._file_stats
+    RelativeTable._file_stats = lambda self, p: (_ for _ in ()).throw(
+        AssertionError("footer read on the bounds path")
+    )
+    try:
+        imp = iceberg_export.import_iceberg(
+            spark, cat2, ("ns",), "ord_imp", dest
+        )
+    finally:
+        RelativeTable._file_stats = orig
+
+    meta = imp.ops.current()
+    files = imp._data_files(meta, meta["current-snapshot-id"])
+    assert files and all("min" in f and "max" in f for f in files)
+    f0 = files[0]
+    assert isinstance(f0["min"]["o_orderkey"], int)
+    # temporal bounds decode to isoformat scalars (native representation)
+    assert isinstance(f0["min"]["o_orderdate"], str)
+    assert f0["min"]["o_orderdate"] <= f0["max"]["o_orderdate"]
+    # string columns have no bounds (never exported)
+    # and range pruning actually skips files on the imported table
+    lo_key = min(f["min"]["o_orderkey"] for f in files)
+    kept = imp.scan_files(column_ranges={"o_orderkey": (lo_key, lo_key)})
+    assert 0 < len(kept) < len(files)
+    # read equality end to end
+    assert sorted(map(tuple, imp.read(spark).collect())) == sorted(
+        map(tuple, orders.collect())
+    )
