@@ -1489,13 +1489,6 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {
-            "timestamp-ms": doc["last-updated-ms"],
-            "metadata-file": _current_metadata_file(table_dir, version),
-        }
-    ]
-
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
         "metadata": meta_path,
@@ -1515,7 +1508,18 @@ def _commit_next_metadata(
     create-if-absent (temp write + ``os.link`` — content is complete at
     link time, so a concurrent reader never sees a partial file, and a
     racing committer gets a conflict instead of an overwrite), then bump
-    the version hint. Honors ``write.metadata.compression=gzip``."""
+    the version hint. Honors ``write.metadata.compression=gzip``.
+
+    EVERY committed version records its predecessor in metadata-log
+    here — centralized so metadata-only commits (evolution, refs,
+    rollback, expiry) keep the audit chain as complete as the DML
+    commits do."""
+    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
+        {
+            "timestamp-ms": doc["last-updated-ms"],
+            "metadata-file": _current_metadata_file(table_dir, version),
+        }
+    ]
     gz = doc.get("properties", {}).get("write.metadata.compression") == "gzip"
     suffix = "gz.metadata.json" if gz else "metadata.json"
     meta_path = os.path.join(table_dir, "metadata", f"v{version + 1}.{suffix}")
@@ -1664,12 +1668,6 @@ def rewrite_manifests_iceberg(table_dir: str) -> dict:
     ]
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
-    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {
-            "timestamp-ms": doc["last-updated-ms"],
-            "metadata-file": _current_metadata_file(table_dir, version),
-        }
     ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
@@ -1853,12 +1851,6 @@ def delete_where_iceberg(
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {
-            "timestamp-ms": doc["last-updated-ms"],
-            "metadata-file": _current_metadata_file(table_dir, version),
-        }
-    ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
         "metadata": meta_path,
@@ -1936,10 +1928,6 @@ def update_where_iceberg(
         )
 
     spec_fields = _spec_fields_from_doc(doc)
-    entry_schema = _manifest_entry_schema(spec_fields)
-    spec = next(
-        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
-    )
     seq = doc["last-sequence-number"] + 1
     snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
 
@@ -2093,12 +2081,6 @@ def _commit_mor_overwrite(
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {
-            "timestamp-ms": doc["last-updated-ms"],
-            "metadata-file": _current_metadata_file(table_dir, version),
-        }
-    ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return meta_path, ml_path
 
@@ -2149,15 +2131,18 @@ def merge_iceberg(
     - ``when_not_matched='insert'`` — unmatched source rows are appended
       (``INSERT *``); ``None`` drops them.
 
-    Matched keys are found with a distributed semi-join of the source
-    keys against the live table read (spec path, deletes applied); the
-    replacement/insert rows and the delete-key tuples are written by
-    distributed Spark jobs — no row visits the driver, the 100 TB path.
-    Sources with duplicate ``on`` keys are refused up front (Iceberg's
-    own MERGE raises on multiple matches for one target row; committing
-    them here would write ambiguous replacements). Parity target:
-    Iceberg 1.6.1 / format-version 2 MERGE (reference README.md:25,94
-    delegates it to the Spark runtime)."""
+    Matched rows are found with a distributed join of the live table
+    read (spec path, deletes applied) against the batch-sized source;
+    the replacement/insert rows and the delete-key tuples are written
+    by distributed Spark jobs — no row visits the driver, the 100 TB
+    path. Sources with duplicate non-NULL ``on`` keys are refused up
+    front (Iceberg's own MERGE raises on multiple matches for one
+    target row); NULL-key source rows never match anything and insert
+    cleanly. Duplicate keys on the TARGET side keep their cardinality:
+    every matched copy is replaced by the source row, exactly as
+    ``MERGE INTO ... UPDATE SET *`` updates each matched row. Parity
+    target: Iceberg 1.6.1 / format-version 2 MERGE (reference
+    README.md:25,94 delegates it to the Spark runtime)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
     if when_not_matched not in ("insert", None):
@@ -2182,8 +2167,14 @@ def merge_iceberg(
             f"schema mismatch: table expects {want}, source has {got}"
         )
 
+    # NULL merge keys never match under SQL equality, so multiple
+    # NULL-key source rows are legitimate pure inserts — exclude them
+    # from the duplicate-key refusal
+    non_null = source
+    for c in on:
+        non_null = non_null.filter(F.col(c).isNotNull())
     dup = (
-        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        non_null.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
     )
     if dup:
         raise ValueError(
@@ -2193,27 +2184,36 @@ def merge_iceberg(
         )
 
     # join ORDER matters at scale: the table's keys must be the LEFT
-    # (stream) side of the semi join so the batch-sized source keys are
-    # the build side — AQE converts that to a broadcast hash join and
-    # the 100 TB key scan is never shuffled. The reverse order
-    # (source left-semi table) puts the full table on the build side,
-    # which can never broadcast and forces a table-wide key shuffle.
+    # (stream) side so the batch-sized source is the build side — AQE
+    # converts that to a broadcast hash join and the 100 TB key scan is
+    # never shuffled. The reverse order (source left-semi table) puts
+    # the full table on the build side, which can never broadcast and
+    # forces a table-wide key shuffle.
     target_keys = read_iceberg(spark, table_dir).select(*on)
-    matched_keys = _merge_matched_keys(target_keys, source, on)
-    # the rarer clause modes probe matched_keys a second time — persist
-    # the (<= |source keys|)-row set so the table scan runs once
-    reuse = when_matched == "delete" or when_not_matched is None
-    if reuse:
-        matched_keys = matched_keys.persist()
-
+    persisted = None
     if when_matched == "update":
+        # one output row per MATCHED TARGET row carrying the source's
+        # values: MERGE INTO updates EVERY matched copy, so duplicate
+        # target keys keep their cardinality (each copy becomes the
+        # source row) instead of collapsing to one
+        matched_rows = (
+            target_keys.join(source, on=on, how="inner")
+            .select(*[f["name"] for f in schema_json["fields"]])
+            .persist()
+        )
+        persisted = matched_rows
+        matched_keys = matched_rows.select(*on).distinct()
         rows = (
-            source
-            if when_not_matched == "insert"
-            # matched_keys is small: broadcast-friendly on the build side
-            else source.join(matched_keys, on=on, how="left_semi")
+            matched_rows
+            if when_not_matched is None
+            # matched_keys is small: broadcast-friendly build side
+            else matched_rows.unionByName(
+                source.join(matched_keys, on=on, how="left_anti")
+            )
         )
     else:  # delete matched; keep only inserts (if any)
+        matched_keys = _merge_matched_keys(target_keys, source, on).persist()
+        persisted = matched_keys
         # source keys not in the table == source keys not in matched_keys
         rows = (
             source.join(matched_keys, on=on, how="left_anti")
@@ -2234,8 +2234,8 @@ def merge_iceberg(
     del_entries, del_rows = _write_delete_key_files(
         table_dir, matched_keys, spec_fields, eq_ids, seq, snap_id
     )
-    if reuse:
-        matched_keys.unpersist()
+    if persisted is not None:
+        persisted.unpersist()
 
     if not del_entries and not data_entries:
         # empty source / nothing matched: no artifacts, commit nothing
@@ -2325,10 +2325,27 @@ def overwrite_partitions_iceberg(
             "records": 0,
             "replaced-data-files": 0,
         }
-    touched = {
-        tuple(e["data_file"]["partition"].get(n) for n in field_names)
-        for e in new_entries
+    # partition tuples must compare identically between the NEW entries
+    # (python doubles parsed from hive dirs) and PRIOR entries (decoded
+    # from avro, where a float-typed field round-tripped through 32
+    # bits) — normalize float fields through float32 on both sides
+    import struct as _struct
+
+    f32_fields = {
+        sf["name"] for sf in spec_fields
+        if _partition_avro_type(sf) == "float"
     }
+
+    def _part_tuple(part: dict) -> tuple:
+        out = []
+        for n in field_names:
+            v = part.get(n)
+            if n in f32_fields and v is not None:
+                v = _struct.unpack("<f", _struct.pack("<f", float(v)))[0]
+            out.append(v)
+        return tuple(out)
+
+    touched = {_part_tuple(e["data_file"]["partition"]) for e in new_entries}
 
     # rewrite prior data manifests: doomed entries -> DELETED (sequences
     # preserved), survivors -> EXISTING; delete manifests carry through
@@ -2360,9 +2377,7 @@ def overwrite_partitions_iceberg(
         for e in entries:
             if e["status"] == 2:
                 continue
-            part = tuple(
-                e["data_file"]["partition"].get(n) for n in field_names
-            )
+            part = _part_tuple(e["data_file"]["partition"])
             rows = int(e["data_file"].get("record_count") or 0)
             if part in touched:
                 rewritten.append(
@@ -2467,12 +2482,6 @@ def overwrite_partitions_iceberg(
     new_doc["snapshots"] = doc["snapshots"] + [snap_doc]
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
-    new_doc["metadata-log"] = doc.get("metadata-log", []) + [
-        {
-            "timestamp-ms": doc["last-updated-ms"],
-            "metadata-file": _current_metadata_file(table_dir, version),
-        }
     ]
     meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
     return {
@@ -2649,7 +2658,16 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
                 manifests.add(mf["manifest_path"])
                 with open(mf["manifest_path"], "rb") as fh:
                     _, _, entries = avro_ocf.read_ocf(fh.read())
-                files |= {e["data_file"]["file_path"] for e in entries}
+                # status=2 DELETED entries (dynamic overwrite's
+                # metadata-only removal) are NOT live references — a
+                # replaced file must reap once no retained snapshot
+                # lists it as live, or an overwrite-heavy mirror holds
+                # dead data forever
+                files |= {
+                    e["data_file"]["file_path"]
+                    for e in entries
+                    if e["status"] != 2
+                }
         return manifests, files
 
     keep_mfs, keep_files = _refs(retained)
@@ -2838,6 +2856,17 @@ def evolve_schema_iceberg(
         added_ids[cname] = last_col
         new_fields.append(
             {"id": last_col, "name": cname, "required": False, "type": tname}
+        )
+
+    # final uniqueness gate: catches rename->same-target collisions,
+    # add+rename collisions, and rename-onto-surviving-name — every
+    # path that would commit a duplicate-name schema
+    final_names = [f["name"] for f in new_fields]
+    if len(set(final_names)) != len(final_names):
+        dup = sorted({n for n in final_names if final_names.count(n) > 1})
+        raise ValueError(
+            f"evolution would produce duplicate column name(s) {dup} — "
+            "two renames/adds target the same name"
         )
 
     new_schema_id = max(s["schema-id"] for s in doc["schemas"]) + 1
@@ -3223,8 +3252,23 @@ def read_iceberg(
     with open(snap["manifest-list"], "rb") as fh:
         _, _, manifests = avro_ocf.read_ocf(fh.read())
 
+    # an explicit time-travel/ref read resolves under the schema
+    # CURRENT WHEN THE SNAPSHOT WAS COMMITTED (snap["schema-id"]) — so
+    # reading past a later column drop still resolves that era's delete
+    # keys and columns; the head read always uses the current schema
+    # (schema evolution is metadata-only and adds no snapshot, so the
+    # head snapshot's recorded schema-id may legitimately predate it)
+    want_schema_id = (
+        snap.get("schema-id", doc["current-schema-id"])
+        if snapshot_id is not None
+        else doc["current-schema-id"]
+    )
     schema = next(
-        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+        (s for s in doc["schemas"] if s["schema-id"] == want_schema_id),
+        next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        ),
     )
     spec = next(
         p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
@@ -3272,6 +3316,18 @@ def read_iceberg(
                         }
                     )
                     continue
+                unknown = [
+                    i for i in (rec.get("equality_ids") or [])
+                    if i not in fields_by_id
+                ]
+                if unknown:
+                    raise ValueError(
+                        f"equality delete {rec['file_path']!r} keys on "
+                        f"field id(s) {unknown} absent from schema "
+                        f"{want_schema_id} — the table's schema history "
+                        "does not cover this delete; compact before "
+                        "dropping delete-key columns"
+                    )
                 eq_deletes.append(
                     {
                         "seq": e["sequence_number"],
@@ -3519,28 +3575,42 @@ def _native_stats_from_bounds(
     footer-stat representation ({column: scalar} min/max dicts,
     temporal values as isoformat strings — spark_table._json_safe), so
     an imported file prunes without its footer ever being read. Empty
-    dicts when the entry carries no bounds."""
+    dicts when the entry carries no bounds. Malformed bound bytes (a
+    nonconforming external writer) return empty dicts instead of
+    raising — callers fall back to footer stats, bounds are never a
+    correctness gate. ``timestamptz`` decodes tz-AWARE (isoformat with
+    ``+00:00``) to match what the footer fallback produces for
+    tz-carrying parquet columns — mixing naive and aware strings in
+    one table would order wrongly at the boundary."""
     from datetime import timedelta
 
     mins: dict = {}
     maxs: dict = {}
-    for side, out in ((rec.get("lower_bounds"), mins),
-                      (rec.get("upper_bounds"), maxs)):
-        for b in side or []:
-            f = fields_by_id.get(b["key"])
-            if f is None or not isinstance(f["type"], str):
-                continue
-            t = f["type"]
-            v = _bound_from_bytes(t, b["value"])
-            if v is None:
-                continue
-            if t == "date":
-                v = (date(1970, 1, 1) + timedelta(days=v)).isoformat()
-            elif t in ("timestamp", "timestamptz"):
-                v = (
-                    datetime(1970, 1, 1) + timedelta(microseconds=v)
-                ).isoformat()
-            out[f["name"]] = v
+    try:
+        for side, out in ((rec.get("lower_bounds"), mins),
+                          (rec.get("upper_bounds"), maxs)):
+            for b in side or []:
+                f = fields_by_id.get(b["key"])
+                if f is None or not isinstance(f["type"], str):
+                    continue
+                t = f["type"]
+                v = _bound_from_bytes(t, b["value"])
+                if v is None:
+                    continue
+                if t == "date":
+                    v = (date(1970, 1, 1) + timedelta(days=v)).isoformat()
+                elif t == "timestamptz":
+                    v = (
+                        datetime(1970, 1, 1, tzinfo=timezone.utc)
+                        + timedelta(microseconds=v)
+                    ).isoformat()
+                elif t == "timestamp":
+                    v = (
+                        datetime(1970, 1, 1) + timedelta(microseconds=v)
+                    ).isoformat()
+                out[f["name"]] = v
+    except Exception:
+        return {}, {}
     return mins, maxs
 
 
@@ -3718,6 +3788,15 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
     # commit in sequence order; deletes of seq s land BEFORE data of s
     for seq in sorted(set(data_by_seq) | set(dels_by_seq)):
         for rec in dels_by_seq.get(seq, []):
+            unknown = [
+                i for i in rec["equality_ids"] if i not in fields_by_id
+            ]
+            if unknown:
+                raise ValueError(
+                    f"equality delete {rec['file_path']!r} keys on field "
+                    f"id(s) {unknown} absent from the table's current "
+                    "schema — compact the source table before importing"
+                )
             cols = [fields_by_id[i]["name"] for i in rec["equality_ids"]]
             table._commit_snapshot(
                 "delete-mor",

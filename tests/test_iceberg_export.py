@@ -2202,3 +2202,121 @@ def test_import_decodes_bounds_metadata_only(spark, sf_dir):
     assert sorted(map(tuple, imp.read(spark).collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_merge_iceberg_duplicate_target_rows_keep_cardinality(spark, sf_dir):
+    """MERGE updates EVERY matched target copy (duplicate target keys
+    don't collapse), and multiple NULL-key source rows are legitimate
+    inserts, not a duplicate-key refusal."""
+    nation = load_table(spark, sf_dir, "nation")
+    dup = nation.filter(F.col("n_nationkey") == 5)
+    table = _table(spark, nation.unionByName(dup))  # id 5 twice
+    dest = tempfile.mkdtemp(prefix="iceexp_mdup_")
+    iceberg_export.export_iceberg(table, dest)
+
+    src = spark.createDataFrame(
+        [(5, "UPDATED", 0), (None, "NULLROW-A", 1), (None, "NULLROW-B", 2)],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    iceberg_export.merge_iceberg(spark, dest, src, ["n_nationkey"])
+    df = iceberg_export.read_iceberg(spark, dest)
+    five = df.filter(F.col("n_nationkey") == 5).collect()
+    assert len(five) == 2  # both copies survive...
+    assert all(r.n_name == "UPDATED" for r in five)  # ...both updated
+    assert df.filter(F.col("n_name").startswith("NULLROW")).count() == 2
+    assert df.count() == nation.count() + 1 + 2
+
+
+def test_evolve_schema_iceberg_duplicate_target_names_refused(spark, sf_dir):
+    """Two renames onto one name, and add colliding with a rename
+    target, are refused before anything commits."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_evodup_")
+    iceberg_export.export_iceberg(table, dest)
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        v_before = fh.read().strip()
+    with pytest.raises(ValueError, match="duplicate column name"):
+        iceberg_export.evolve_schema_iceberg(
+            dest, rename={"n_name": "x", "n_regionkey": "x"}
+        )
+    with pytest.raises(ValueError, match="duplicate column name"):
+        iceberg_export.evolve_schema_iceberg(
+            dest, add={"x": "long"}, rename={"n_name": "x"}
+        )
+    with open(f"{dest}/metadata/version-hint.text") as fh:
+        assert fh.read().strip() == v_before  # nothing committed
+
+
+def test_time_travel_read_past_drop_of_delete_key(spark, sf_dir):
+    """A tagged snapshot carrying an equality delete keyed on a column
+    that is LATER dropped still reads: the snapshot resolves under its
+    own era's schema (spec time-travel semantics), so the delete key
+    resolves and the era's columns come back."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_ttdrop_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_regionkey") == 2, ["n_regionkey"]
+    )
+    iceberg_export.set_ref_iceberg(dest, "with_delete", ref_type="tag")
+    n_live = nation.filter(F.col("n_regionkey") != 2).count()
+
+    iceberg_export.compact_iceberg(spark, dest)  # head has no deletes
+    iceberg_export.evolve_schema_iceberg(dest, drop=["n_regionkey"])
+
+    # head read: dropped column gone
+    head = iceberg_export.read_iceberg(spark, dest)
+    assert "n_regionkey" not in head.columns and head.count() == n_live
+    # tagged read: era schema, delete applied, column present
+    tagged = iceberg_export.read_iceberg(spark, dest, ref="with_delete")
+    assert "n_regionkey" in tagged.columns
+    assert tagged.count() == n_live
+    assert tagged.filter(F.col("n_regionkey") == 2).count() == 0
+
+
+def test_expire_reaps_overwrite_replaced_files(spark, sf_dir):
+    """Files replaced by a dynamic overwrite (status=DELETED entries in
+    the retained manifest) reap on expiry once no retained snapshot
+    lists them live — an overwrite-heavy mirror must not hold dead data
+    forever."""
+    import os as _os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation, partition_by=["n_regionkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_owreap_")
+    iceberg_export.export_iceberg(table, dest)
+    src = spark.createDataFrame([(50, "NEW", 1)], schema=nation.schema)
+    iceberg_export.overwrite_partitions_iceberg(spark, dest, src)
+
+    # the replaced region-1 files are mirror-owned copies? no — export
+    # references the SOURCE table's files (zero-copy), which expire
+    # never touches; so append a mirror-owned batch into region 2,
+    # overwrite region 2, and check THAT file reaps
+    batch = spark.createDataFrame([(60, "OWNED", 2)], schema=nation.schema)
+    iceberg_export.append_iceberg(spark, dest, batch)
+    owned = [
+        e["data_file"]["file_path"]
+        for e in _head_data_entries(dest)
+        if e["data_file"]["file_path"].startswith(dest)
+    ]
+    assert owned
+    iceberg_export.overwrite_partitions_iceberg(
+        spark, dest,
+        spark.createDataFrame([(61, "OWNED2", 2)], schema=nation.schema),
+    )
+    assert all(_os.path.exists(p) for p in owned)
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    # the replaced mirror-owned region-2 file is gone from disk
+    assert not any(
+        _os.path.exists(p) and "append-" in p for p in owned
+    )
+    # and the current read is intact
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.filter(F.col("n_regionkey") == 2).count() == 1
