@@ -8,7 +8,9 @@ drop column, committed metadata-only on the exported v2 directory)
 interleaved with the mirror's own DML — ``append_iceberg``,
 ``delete_where_iceberg``, ``update_where_iceberg``, ``merge_iceberg`` —
 and its maintenance — ``rewrite_manifests_iceberg``,
-``compact_iceberg``, ``expire_snapshots_iceberg``. These interleavings
+``compact_iceberg``, ``expire_snapshots_iceberg`` — plus full-replace
+dynamic overwrites, metadata-only rollback, and tag refs (expiry
+protection). These interleavings
 are where era-resolution bugs live: a renamed column resurrecting
 under its old name after a manifest rewrite, an added column's NULL
 fill vanishing after compaction, a pre-rename equality-delete key file
@@ -140,7 +142,9 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     OPS = [
         "append", "delete", "update", "merge", "add_col", "rename_col",
         "drop_col", "rewrite_manifests", "compact", "expire", "rollback",
+        "overwrite", "tag",
     ]
+    tags: list[str] = []
     failures: list[str] = []
     for step in range(n_ops):
         op = rng.choice(OPS)
@@ -243,6 +247,23 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                 # matching the engine's NULL fill for files without the
                 # column
                 rows = copy.deepcopy(snaps[target])
+            elif op == "overwrite":
+                # unpartitioned mirror: dynamic overwrite degenerates to
+                # full INSERT OVERWRITE — the mirror becomes the batch
+                batch = fresh_rows(rng.randint(2, 8))
+                iceberg_export.overwrite_partitions_iceberg(
+                    spark, dest, to_df(batch)
+                )
+                rows = list(batch)
+            elif op == "tag":
+                # tags protect their snapshot from expiry; occasionally
+                # drop one so later expires can reap it
+                if tags and rng.random() < 0.4:
+                    iceberg_export.drop_ref_iceberg(dest, tags.pop())
+                else:
+                    name = f"t{step}"
+                    iceberg_export.set_ref_iceberg(dest, name, ref_type="tag")
+                    tags.append(name)
         except Exception as exc:  # noqa: BLE001 - fuzz harness boundary
             failures.append(
                 f"seed {seed} step {step} op {op}: "
