@@ -27,6 +27,7 @@ from __future__ import annotations
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- round-6 plan/format changes + new queries ---
+    "a54_iceberg_era_read",        # NEW: era-schema time travel past a drop
     "a53_iceberg_meta_tables",     # NEW: mirror .snapshots/.refs introspection
     "a52_stats_pruned_read",       # NEW: min/max bounds file skipping
     "a51_iceberg_evolution",       # NEW: mirror-side schema evolution

@@ -1006,6 +1006,47 @@ def q_iceberg_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_era_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 (round-6): era-schema time travel — export customer, commit
+    a MOR delete keyed on c_nationkey, tag that state, compact, then
+    DROP c_nationkey and append a new-era batch. Reading the tag must
+    resolve under the tag's OWN era schema (the spec's time-travel
+    rule): the since-dropped column comes back, the delete keyed on it
+    still applies, and the post-evolution append is invisible. The
+    oracle restates the era as a plain filter."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_era", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_era_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("c_nationkey") == 5, ["c_nationkey"]
+    )
+    iceberg_export.set_ref_iceberg(dest, "era1", ref_type="tag")
+    iceberg_export.compact_iceberg(spark, dest)
+    iceberg_export.evolve_schema_iceberg(dest, drop=["c_nationkey"])
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        spark.createDataFrame(
+            [(6500001, "NEWERA", 9.75)],
+            schema="c_custkey bigint, c_name string, c_acctbal double",
+        ),
+    )
+    return iceberg_export.read_iceberg(spark, dest, ref="era1").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 (round-6): POSITION-delete interop — export a customer table
     as Iceberg v2, then delete rows the way an external engine's
@@ -1108,6 +1149,7 @@ QUERIES = {
     "a51_iceberg_evolution": q_iceberg_evolution,
     "a52_stats_pruned_read": q_stats_pruned_read,
     "a53_iceberg_meta_tables": q_iceberg_meta_tables,
+    "a54_iceberg_era_read": q_iceberg_era_read,
 }
 
 ORACLE = {
@@ -1166,6 +1208,10 @@ ORACLE = {
             (9000001, 'UPSERT-A', 111.25, 3),
             (9000002, 'UPSERT-B', 222.5, 7)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a54_iceberg_era_read": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_nationkey <> 5
     """,
     "a53_iceberg_meta_tables": """
         SELECT * FROM (VALUES
