@@ -76,6 +76,8 @@ def decode_features(
         for pdf in batches:
             rows = []
             for item_id, payload, mime in zip(pdf["item_id"], pdf["payload"], pdf["mime"]):
+                if payload is None:
+                    continue  # NULL asset: nothing to decode
                 w, h, feat = decode(bytes(payload))
                 norm = sum(x * x for x in feat) ** 0.5
                 rows.append((item_id, mime, len(payload), w, h, norm))
@@ -101,8 +103,13 @@ def resize_stage(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [bytes(shrink(bytes(p), target_bytes)) for p in pdf["payload"]]
-            out["n_bytes"] = [len(p) for p in out["payload"]]
+            out["payload"] = [
+                None if p is None else bytes(shrink(bytes(p), target_bytes))
+                for p in pdf["payload"]
+            ]
+            out["n_bytes"] = [
+                None if p is None else len(p) for p in out["payload"]
+            ]
             yield out
 
     return df.mapInPandas(run, schema="item_id long, payload binary, mime string, n_bytes int")
@@ -125,6 +132,8 @@ def audio_energy_stage(
         for pdf in batches:
             ids, idxs, lens, energies = [], [], [], []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL asset: no samples, no windows
                 s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 n = len(s)
                 i = 0
@@ -157,6 +166,8 @@ def sample_frames(df: DataFrame, frame_size: int = 32, stride: int = 2) -> DataF
         for pdf in batches:
             ids, idxs, lens, digests = [], [], [], []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL asset: no frames
                 b = bytes(payload)
                 n_frames = (len(b) + frame_size - 1) // frame_size
                 for i in range(0, n_frames, stride):

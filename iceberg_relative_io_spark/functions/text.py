@@ -44,10 +44,14 @@ def token_code(tok: Column) -> Column:
 
 
 def token_code_sql(tok: str) -> str:
+    # NULL guard: DuckDB's list_prepend(seed, NULL) yields [seed] (the
+    # reduce then returns the bare seed), while Spark's aggregate over a
+    # NULL array is NULL — pin Spark's SQL-standard NULL-in/NULL-out
     return (
+        f"CASE WHEN ({tok}) IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST({SEED} AS BIGINT), "
         f"list_transform(string_split({tok}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+        f"(acc, x) -> (acc * 31 + x) % {MOD}) END"
     )
 
 
@@ -167,7 +171,10 @@ def simhash(codes: Column) -> Column:
     for b in range(SIMHASH_BITS):
         contrib = F.aggregate(codes, F.lit(0).cast("long"), _bit_contrib(b))
         total = total + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return total
+    # NULL-in/NULL-out: per-bit 0/1 defaults would otherwise render a
+    # NULL code array as simhash 0 (a real-looking signature), while
+    # the pandas-UDF mirror emits None — pin NULL on both paths
+    return F.when(codes.isNull(), F.lit(None).cast("long")).otherwise(total)
 
 
 def simhash_sql(codes: str) -> str:
@@ -177,7 +184,8 @@ def simhash_sql(codes: str) -> str:
             f"CASE WHEN list_sum([ ((c >> {b}) & 1) * 2 - 1 FOR c IN ({codes}) ]) > 0 "
             f"THEN {1 << b} ELSE 0 END"
         )
-    return "(" + " + ".join(parts) + ")"
+    total = "(" + " + ".join(parts) + ")"
+    return f"CASE WHEN ({codes}) IS NULL THEN NULL ELSE {total} END"
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +358,12 @@ def char_gram_codes_sql(text: str, k: int) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), ({codes})[i : i + {k - 1}]), "
         f"(acc, x) -> (acc * 31 + x) % {MOD})"
     )
-    return f"[{fold} FOR i IN range(1, greatest(len({codes}) - {k - 1}, 0) + 1)]"
+    # NULL guard: Spark's transform over a NULL array is NULL; without
+    # it DuckDB's greatest/range machinery can turn NULL text into []
+    return (
+        f"CASE WHEN ({text}) IS NULL THEN NULL ELSE "
+        f"[{fold} FOR i IN range(1, greatest(len({codes}) - {k - 1}, 0) + 1)] END"
+    )
 
 
 def make_minhash_udf():

@@ -34,10 +34,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_sql(a: str, b: str) -> str:
+    # NULL guard: DuckDB's list_prepend(0.0, NULL) yields [0.0] (the
+    # reduce then returns 0.0), while Spark's aggregate over a NULL
+    # array is NULL — pin Spark's NULL-in/NULL-out
     return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"[CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE) FOR i IN range(1, len({a}) + 1)]), "
-        f"(acc, x) -> acc + x)"
+        f"(acc, x) -> acc + x) END"
     )
 
 

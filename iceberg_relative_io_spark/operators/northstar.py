@@ -1467,7 +1467,11 @@ ORACLE = {
         )
         SELECT vec_id,
                scale,
-               list_reduce(list_prepend(0, codes), (a, x) -> a + x) AS code_sum,
+               -- NULL guard: list_prepend(0, NULL) is [0] in DuckDB,
+               -- but Spark's aggregate over a NULL array is NULL
+               CASE WHEN codes IS NULL THEN NULL
+                    ELSE list_reduce(list_prepend(0, codes), (a, x) -> a + x)
+               END AS code_sum,
                list_min(codes) AS code_min,
                list_max(codes) AS code_max
         FROM c

@@ -1972,10 +1972,14 @@ ORACLE = {
                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT)
                    AS n_long_tokens,
                CAST(list_contains(string_split(text, ' '), 'scan') AS INT) AS has_scan,
-               CAST(list_reduce(
-                        list_prepend(0, list_transform(string_split(text, ' '),
-                                                       t -> CAST(length(t) AS INT))),
-                        (acc, x) -> acc + x) AS INT) AS sum_token_len,
+               -- NULL guard: list_prepend(0, NULL) is [0] in DuckDB,
+               -- but Spark's aggregate over a NULL array is NULL
+               CAST(CASE WHEN text IS NULL THEN NULL
+                         ELSE list_reduce(
+                             list_prepend(0, list_transform(string_split(text, ' '),
+                                                            t -> CAST(length(t) AS INT))),
+                             (acc, x) -> acc + x)
+                    END AS INT) AS sum_token_len,
                CAST(list_max(list_transform(string_split(text, ' '),
                                             t -> CAST(length(t) AS INT))) AS INT)
                    AS max_token_len

@@ -367,13 +367,13 @@ def _curriculum_oracle() -> str:
         ),
         bucketed AS (
             SELECT doc_id, difficulty,
-                   CAST(ntile({_CUR_BUCKETS}) OVER (ORDER BY difficulty ASC, doc_id ASC) AS INT)
+                   CAST(ntile({_CUR_BUCKETS}) OVER (ORDER BY difficulty ASC NULLS FIRST, doc_id ASC) AS INT)
                        AS bucket
             FROM scored
         )
         SELECT doc_id, difficulty, bucket,
                CAST(row_number() OVER (
-                   PARTITION BY bucket ORDER BY difficulty ASC, doc_id ASC
+                   PARTITION BY bucket ORDER BY difficulty ASC NULLS FIRST, doc_id ASC
                ) AS INT) AS pos
         FROM bucketed
     """
