@@ -636,8 +636,11 @@ def _classifier_scored(docs: DataFrame) -> DataFrame:
         wmemo: dict = {}
         ns, ss = [], []
         for t in text:
-            if t is None:  # NULL text scores like the empty string
-                t = ""
+            if t is None:  # NULL text: NULL score (SQL NULL-in/NULL-out,
+                # matching the oracle's len(NULL)=NULL division)
+                ns.append(None)
+                ss.append(None)
+                continue
             acc = 0.0
             n = 0
             for tok in t.split(" "):

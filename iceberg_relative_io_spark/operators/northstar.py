@@ -77,7 +77,14 @@ def q_embedding_neardup(
     bucket)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # a NULL vector has no cosine to anything: it joins no pair on
+    # either engine (the oracle's cosine predicate is NULL), so it must
+    # not enter the banding — np.stack over a None row would crash
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     # shared featurization cache: the hyperplane-bucket pandas UDF is the
     # expensive stage, and without the persist it would run TWICE — once
     # under the skewpairs occupancy pre-count and once under the pair
@@ -594,10 +601,16 @@ def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KM_K))
     assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
-    # elected medoids: a k-row agg (one per cluster) — O(k) driver rows
+    # elected medoids: a k-row agg (one per cluster) — O(k) driver rows.
+    # NULL vectors assign to cluster NULL and must not elect a medoid
+    # (their embedding is unusable as a centroid); they surface as the
+    # NULL-cluster group in the output, same as the oracle
     rep_ids = sorted(
         r.rep_id
-        for r in assign1.groupBy("c0").agg(F.min("vec_id").alias("rep_id")).collect()
+        for r in assign1.filter(F.col("c0").isNotNull())
+        .groupBy("c0")
+        .agg(F.min("vec_id").alias("rep_id"))
+        .collect()
     )
     rep_rows = emb.filter(F.col("vec_id").isin(rep_ids)).orderBy("vec_id").collect()
     bc1 = spark.sparkContext.broadcast(
@@ -1106,6 +1119,9 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             import os as _os
 
             for r in rows:
+                if r.text is None:
+                    continue  # NULL asset: nothing to stage (the
+                    # oracle's len(text) > 0 excludes it the same way)
                 with open(_os.path.join(d, f"{r.doc_id}.bin"), "wb") as fh:
                     fh.write(r.text.encode("utf-8"))
 
@@ -1318,7 +1334,12 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
                        ) AS rn
                 FROM embeddings e, seeds s
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
+            UNION ALL
+            -- NULL vectors: cluster NULL with NULL cos, same as the UDF
+            SELECT vec_id, NULL AS cid, NULL AS cos FROM embeddings
+            WHERE embedding IS NULL
         )
         SELECT cid AS cluster, count(*) AS n_members,
                CAST(SUM(CAST(1.0 - cos AS DECIMAL(28,6))) AS DOUBLE) AS inertia
@@ -1488,6 +1509,7 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
                        ) AS rn
                 FROM embeddings e, seeds s
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
         ),
         reps AS (
@@ -1505,7 +1527,12 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 'rv.rvec')} DESC, rv.rep_id
                        ) AS rn
                 FROM embeddings e, rvecs rv
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
+            UNION ALL
+            -- NULL vectors: cluster NULL, same as the engine's UDF
+            SELECT vec_id, NULL AS rep_id FROM embeddings
+            WHERE embedding IS NULL
         )
         SELECT rep_id AS cluster,
                count(*) AS n_members,
@@ -1525,6 +1552,7 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 's.cvec')} DESC, s.cid
                        ) AS rn
                 FROM embeddings e, seeds s
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
         ),
         cent AS (
@@ -1547,7 +1575,12 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
                        ) AS rn
                 FROM embeddings e, cvecs c
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
+            UNION ALL
+            -- NULL vectors: cluster NULL, same as the engine's UDF
+            SELECT vec_id, NULL AS cid FROM embeddings
+            WHERE embedding IS NULL
         )
         SELECT cid AS cluster,
                count(*) AS n_members,

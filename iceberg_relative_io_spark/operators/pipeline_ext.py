@@ -280,7 +280,10 @@ ORACLE = {
                          FOR j IN range(1, 9) ]),
                        (acc, x) -> acc + x) AS dist
             FROM embeddings e, cent c,
-                 (SELECT CAST(u.i AS INT) AS s FROM UNNEST(range(0, {_PQ_SUB})) AS u(i)) sub)
+                 (SELECT CAST(u.i AS INT) AS s FROM UNNEST(range(0, {_PQ_SUB})) AS u(i)) sub
+            -- NULL vectors emit no codes: the engine's posexplode over
+            -- the UDF's NULL array produces zero rows
+            WHERE e.embedding IS NOT NULL)
         SELECT vec_id, subspace, cid AS code
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
                                            ORDER BY dist, cid) AS rn

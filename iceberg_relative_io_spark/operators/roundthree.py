@@ -1330,15 +1330,22 @@ ORACLE = {
                count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
-               CAST(sum(CASE WHEN n_tok < {_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+               -- NULL n_tok (NULL text) contributes NULL, matching the
+               -- engine's (n_tok < K) boolean-cast NULL propagation
+               CAST(sum(CASE WHEN n_tok IS NULL THEN NULL
+                             WHEN n_tok < {_SHORT_DOC_TOKENS} THEN 1
+                             ELSE 0 END)
                     AS BIGINT) AS n_short_docs
         FROM f GROUP BY source, lang
     """,
     "c05_resize_pipeline": f"""
         SELECT doc_id AS item_id,
                'application/octet-stream' AS mime,
-               CAST(least(octet_length(encode(text)), {_RESIZE_BYTES}) AS INT)
-                   AS n_bytes,
+               -- NULL asset passes through the resize stage as NULL
+               -- (DuckDB's least() would otherwise swallow the NULL)
+               CAST(CASE WHEN text IS NULL THEN NULL
+                         ELSE least(octet_length(encode(text)), {_RESIZE_BYTES})
+                    END AS INT) AS n_bytes,
                substring(hex(encode(text)), 1, {2 * _RESIZE_BYTES}) AS payload_hex
         FROM documents
     """,

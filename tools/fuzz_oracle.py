@@ -46,6 +46,12 @@ DEFAULT_QUERIES = [
     "c06_curriculum_order", "c06_train_split", "c06_shard_shuffle",
     "b12_asof_join", "b13_sessionization", "b15_exact_percentiles",
     "b19_window_frames",
+    # round-6 widened sweep: every one of these diverged (or crashed)
+    # under NULL injection before the round-6 NULL-semantics pass
+    "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",
+    "c03_kmeans_inertia", "c03_pq_codes", "c04_classifier_score",
+    "c05_binary_ingest", "c05_resize_pipeline", "c06_dataset_card",
+    "c06_quality_sampling",
 ]
 
 
