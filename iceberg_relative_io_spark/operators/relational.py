@@ -1378,6 +1378,9 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_tokens int")
     class Chunker:
         def eval(self, text: str):
+            if text is None:
+                return  # NULL doc: no chunks (the oracle's
+                # range(0, NULL) unnests to no rows the same way)
             n = len(text.split(" "))
             for i in range(0, n, 10):
                 yield i // 10, min(10, n - i)
@@ -1400,8 +1403,10 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def delta(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64: a NULL n_chars row keeps a NULL delta (pandas
+        # min already skips NaN, matching SQL MIN OVER)
         m = pdf["n_chars"].min()
-        return pdf.assign(delta_chars=(pdf["n_chars"] - m).astype("int64"))
+        return pdf.assign(delta_chars=(pdf["n_chars"] - m).astype("Int64"))
 
     return docs.groupBy("lang").applyInPandas(
         delta, schema="doc_id long, lang string, n_chars long, delta_chars long"

@@ -51,7 +51,8 @@ DEFAULT_QUERIES = [
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",
     "c03_kmeans_inertia", "c03_pq_codes", "c04_classifier_score",
     "c05_binary_ingest", "c05_resize_pipeline", "c06_dataset_card",
-    "c06_quality_sampling",
+    "c06_quality_sampling", "b32_python_udtf", "b32_apply_in_pandas",
+    "b26_higher_order_funs", "b27_variant_json",
 ]
 
 
