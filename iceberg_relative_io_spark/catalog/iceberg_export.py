@@ -2915,6 +2915,74 @@ def evolve_schema_iceberg(
     }
 
 
+def remove_orphan_files_iceberg(table_dir: str) -> dict:
+    """Delete mirror-owned files under ``<table>/data`` and stray
+    ``.avro``/temp artifacts under ``<table>/metadata`` that NO retained
+    snapshot references — the debris of failed/interrupted writes
+    (every committer here writes data files BEFORE the metadata CAS, so
+    a crashed commit leaves exactly this class of file). Only paths
+    inside ``table_dir`` are candidates; zero-copy references to the
+    source table live outside it and are never touched. Metadata JSON
+    versions and the version hint are never candidates. The walk is
+    O(manifest entries + directory listing), the same planning cost as
+    ``expire_snapshots_iceberg`` — the native twin is
+    ``RelativeTable.remove_orphan_files``."""
+    doc, _version = _load_metadata_versioned(table_dir)
+    referenced: set[str] = set()
+    for s in doc["snapshots"]:
+        referenced.add(os.path.realpath(s["manifest-list"]))
+        try:
+            with open(s["manifest-list"], "rb") as fh:
+                _, _, mls = avro_ocf.read_ocf(fh.read())
+        except OSError:
+            continue
+        for mf in mls:
+            referenced.add(os.path.realpath(mf["manifest_path"]))
+            try:
+                with open(mf["manifest_path"], "rb") as fh:
+                    _, _, entries = avro_ocf.read_ocf(fh.read())
+            except OSError:
+                continue
+            referenced |= {
+                os.path.realpath(e["data_file"]["file_path"]) for e in entries
+            }
+
+    root = os.path.realpath(table_dir)
+    removed = 0
+    data_root = os.path.join(root, "data")
+    for base, _dirs, names in os.walk(data_root):
+        for name in names:
+            p = os.path.realpath(os.path.join(base, name))
+            if p not in referenced:
+                try:
+                    os.unlink(p)
+                    removed += 1
+                except OSError:
+                    pass
+    meta_root = os.path.join(root, "metadata")
+    for name in os.listdir(meta_root):
+        # only avro manifests / manifest lists and abandoned temp files
+        # are candidates — metadata.json versions and the hint are the
+        # commit history itself
+        if not (name.endswith(".avro") or name.startswith(".tmp-")):
+            continue
+        p = os.path.realpath(os.path.join(meta_root, name))
+        if p not in referenced:
+            try:
+                os.unlink(p)
+                removed += 1
+            except OSError:
+                pass
+    # empty data subdirectories left behind by reaped files
+    for base, dirs, names in os.walk(data_root, topdown=False):
+        if base != data_root and not dirs and not names:
+            try:
+                os.rmdir(base)
+            except OSError:
+                pass
+    return {"removed": removed, "referenced": len(referenced)}
+
+
 def set_ref_iceberg(
     table_dir: str,
     name: str,
@@ -3207,6 +3275,7 @@ def read_iceberg(
     eq_filters: dict | None = None,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
     version-hint -> metadata.json (plain or .gz) -> current snapshot
@@ -3236,13 +3305,28 @@ def read_iceberg(
     reader would instead push the constants into a per-file schema
     mapping, but the gate here is correctness of the artifacts."""
     doc = _load_metadata(table_dir)
+    if sum(x is not None for x in (ref, snapshot_id, as_of_ms)) > 1:
+        raise ValueError("pass at most one of ref / snapshot_id / as_of_ms")
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass either ref or snapshot_id, not both")
         try:
             snapshot_id = doc["refs"][ref]["snapshot-id"]
         except KeyError:
             raise ValueError(f"no such ref: {ref!r}") from None
+    if as_of_ms is not None:
+        # TIMESTAMP AS OF: the latest snapshot-log entry at or before
+        # the instant (the spec's resolution rule — the log, not the
+        # snapshot list, orders the visible history incl. rollbacks)
+        older = [
+            h for h in doc.get("snapshot-log", [])
+            if h["timestamp-ms"] <= as_of_ms
+        ]
+        if not older:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_ms} — the "
+                "earliest history entry is "
+                f"{min((h['timestamp-ms'] for h in doc.get('snapshot-log', [])), default=None)}"
+            )
+        snapshot_id = older[-1]["snapshot-id"]
     want_sid = (
         snapshot_id if snapshot_id is not None else doc["current-snapshot-id"]
     )

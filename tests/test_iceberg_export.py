@@ -2320,3 +2320,68 @@ def test_expire_reaps_overwrite_replaced_files(spark, sf_dir):
     # and the current read is intact
     df = iceberg_export.read_iceberg(spark, dest)
     assert df.filter(F.col("n_regionkey") == 2).count() == 1
+
+
+def test_remove_orphan_files_iceberg(spark, sf_dir):
+    """Orphan cleanup reaps only unreferenced mirror-owned artifacts:
+    stray data files, abandoned temp metadata, and unreferenced avro —
+    never live files, metadata.json versions, or the hint."""
+    import os as _os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_orph_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame([(50, "X", 0)], schema=nation.schema),
+    )
+    n_before = iceberg_export.read_iceberg(spark, dest).count()
+
+    # plant debris: a crashed write's data file, a temp metadata file,
+    # and an unreferenced avro
+    stray1 = _os.path.join(dest, "data", "append-deadbeef", "part-crashed.parquet")
+    _os.makedirs(_os.path.dirname(stray1))
+    open(stray1, "wb").write(b"junk")
+    stray2 = _os.path.join(dest, "metadata", ".tmp-abandoned.metadata.json")
+    open(stray2, "w").write("{}")
+    stray3 = _os.path.join(dest, "metadata", "0000-orphan-m0.avro")
+    open(stray3, "wb").write(b"junk")
+
+    info = iceberg_export.remove_orphan_files_iceberg(dest)
+    assert info["removed"] >= 3
+    assert not _os.path.exists(stray1) and not _os.path.exists(stray2)
+    assert not _os.path.exists(stray3)
+    assert not _os.path.exists(_os.path.dirname(stray1))  # empty dir reaped
+    # live state intact: same rows, metadata versions + hint untouched
+    assert iceberg_export.read_iceberg(spark, dest).count() == n_before
+    assert _os.path.exists(_os.path.join(dest, "metadata", "version-hint.text"))
+    assert iceberg_export.remove_orphan_files_iceberg(dest)["removed"] == 0
+
+
+def test_read_iceberg_timestamp_as_of(spark, sf_dir):
+    """TIMESTAMP AS OF resolves through the snapshot-log: at-or-before
+    semantics, pre-history refused, and mutually exclusive with
+    snapshot_id/ref."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 10))
+    dest = tempfile.mkdtemp(prefix="iceexp_asof_")
+    iceberg_export.export_iceberg(table, dest)
+    doc = iceberg_export._load_metadata(dest)
+    t1 = doc["snapshot-log"][-1]["timestamp-ms"]
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame([(50, "LATER", 0)], schema=nation.schema),
+    )
+    t2 = iceberg_export._load_metadata(dest)["snapshot-log"][-1]["timestamp-ms"]
+
+    assert iceberg_export.read_iceberg(spark, dest, as_of_ms=t1).count() == 10
+    assert iceberg_export.read_iceberg(spark, dest, as_of_ms=t2).count() == 11
+    assert (
+        iceberg_export.read_iceberg(spark, dest, as_of_ms=t2 + 10_000).count()
+        == 11
+    )
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        iceberg_export.read_iceberg(spark, dest, as_of_ms=t1 - 10_000_000)
+    with pytest.raises(ValueError, match="at most one"):
+        iceberg_export.read_iceberg(spark, dest, as_of_ms=t1, ref="main")

@@ -8,7 +8,8 @@ drop column, committed metadata-only on the exported v2 directory)
 interleaved with the mirror's own DML — ``append_iceberg``,
 ``delete_where_iceberg``, ``update_where_iceberg``, ``merge_iceberg`` —
 and its maintenance — ``rewrite_manifests_iceberg``,
-``compact_iceberg``, ``expire_snapshots_iceberg`` — plus full-replace
+``compact_iceberg``, ``expire_snapshots_iceberg``,
+``remove_orphan_files_iceberg`` — plus full-replace
 dynamic overwrites, metadata-only rollback, and tag refs (expiry
 protection). These interleavings
 are where era-resolution bugs live: a renamed column resurrecting
@@ -142,7 +143,7 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     OPS = [
         "append", "delete", "update", "merge", "add_col", "rename_col",
         "drop_col", "rewrite_manifests", "compact", "expire", "rollback",
-        "overwrite", "tag",
+        "overwrite", "tag", "orphans",
     ]
     tags: list[str] = []
     failures: list[str] = []
@@ -255,6 +256,21 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                     spark, dest, to_df(batch)
                 )
                 rows = list(batch)
+            elif op == "orphans":
+                # plant debris then reap it: the read must be unchanged
+                import os as _os
+
+                stray = _os.path.join(
+                    dest, "data", f"stray-{step}", "crashed.parquet"
+                )
+                _os.makedirs(_os.path.dirname(stray), exist_ok=True)
+                open(stray, "wb").write(b"junk")
+                iceberg_export.remove_orphan_files_iceberg(dest)
+                if _os.path.exists(stray):
+                    failures.append(
+                        f"seed {seed} step {step}: orphan not reaped"
+                    )
+                    break
             elif op == "tag":
                 # tags protect their snapshot from expiry; occasionally
                 # drop one so later expires can reap it
