@@ -340,8 +340,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts"), F.col("tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # SQL ASOF semantics: a NULL join key matches NOTHING (the window
+    # partition would otherwise group all NULL users together and match
+    # their clicks) — mask the carry for the NULL partition, keeping
+    # the purchase row itself, exactly like DuckDB's native ASOF JOIN
+    carried = F.last("click_ts", ignorenulls=True).over(w)
+    last_click = F.when(
+        F.col("user_id").isNull(), F.lit(None).cast("timestamp")
+    ).otherwise(carried)
     return (
-        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        merged.withColumn("last_click_ts", last_click)
         .filter(F.col("tag") == 1)
         .select(
             "event_id",

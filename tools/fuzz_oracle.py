@@ -112,6 +112,14 @@ def build_fuzz_fixture(dst: Path, seed: int, nulls: bool = False) -> None:
                CASE WHEN b.event_id % 3 = 2 THEN NULL ELSE b.props END
         FROM (SELECT * FROM base USING SAMPLE 15 PERCENT (bernoulli, {seed + 6})) b,
              max_id m
+        UNION ALL
+        -- NULL user_id: the PARTITION key of sessionization / as-of /
+        -- window queries — both engines must group the NULL partition
+        -- identically
+        SELECT m.m + 600000 + row_number() OVER (), b.ts, NULL,
+               b.event_type, b.value, b.props
+        FROM (SELECT * FROM base USING SAMPLE 5 PERCENT (bernoulli, {seed + 7})) b,
+             max_id m
         """
         if nulls
         else ""
