@@ -2648,30 +2648,12 @@ def expire_snapshots_iceberg(table_dir: str, keep_last: int = 1) -> dict:
     if not expired:
         return {"expired": 0, "deleted-files": 0}
 
-    def _refs(snaps: list[dict]) -> tuple[set, set]:
-        manifests: set = set()
-        files: set = set()
-        for s in snaps:
-            with open(s["manifest-list"], "rb") as fh:
-                _, _, mls = avro_ocf.read_ocf(fh.read())
-            for mf in mls:
-                manifests.add(mf["manifest_path"])
-                with open(mf["manifest_path"], "rb") as fh:
-                    _, _, entries = avro_ocf.read_ocf(fh.read())
-                # status=2 DELETED entries (dynamic overwrite's
-                # metadata-only removal) are NOT live references — a
-                # replaced file must reap once no retained snapshot
-                # lists it as live, or an overwrite-heavy mirror holds
-                # dead data forever
-                files |= {
-                    e["data_file"]["file_path"]
-                    for e in entries
-                    if e["status"] != 2
-                }
-        return manifests, files
-
-    keep_mfs, keep_files = _refs(retained)
-    drop_mfs, drop_files = _refs(expired)
+    # status=2 DELETED entries (dynamic overwrite's metadata-only
+    # removal) are NOT live references — a replaced file must reap once
+    # no retained snapshot lists it as live, or an overwrite-heavy
+    # mirror holds dead data forever
+    keep_mfs, keep_files = _snapshot_refs(retained, skip_deleted=True)
+    drop_mfs, drop_files = _snapshot_refs(expired, skip_deleted=True)
     root = os.path.realpath(table_dir)
 
     deleted = 0
@@ -2915,50 +2897,79 @@ def evolve_schema_iceberg(
     }
 
 
-def remove_orphan_files_iceberg(table_dir: str) -> dict:
+def _snapshot_refs(
+    snaps: list[dict], *, skip_deleted: bool
+) -> tuple[set, set]:
+    """(manifest paths, file paths) referenced by the given snapshots,
+    as RECORDED (no normalization). ``skip_deleted`` excludes
+    ``status=2`` entries (a DELETED entry is not a live reference).
+    Shared by expire and orphan cleanup so the two maintenance walkers
+    cannot drift; unreadable metadata RAISES — a reaper that cannot
+    prove a file referenced must abort, never classify it orphaned."""
+    manifests: set = set()
+    files: set = set()
+    for s in snaps:
+        with open(s["manifest-list"], "rb") as fh:
+            _, _, mls = avro_ocf.read_ocf(fh.read())
+        for mf in mls:
+            manifests.add(mf["manifest_path"])
+            with open(mf["manifest_path"], "rb") as fh:
+                _, _, entries = avro_ocf.read_ocf(fh.read())
+            files |= {
+                e["data_file"]["file_path"]
+                for e in entries
+                if not (skip_deleted and e["status"] == 2)
+            }
+    return manifests, files
+
+
+def remove_orphan_files_iceberg(
+    table_dir: str, older_than_s: float = 3 * 24 * 3600
+) -> dict:
     """Delete mirror-owned files under ``<table>/data`` and stray
-    ``.avro``/temp artifacts under ``<table>/metadata`` that NO retained
-    snapshot references — the debris of failed/interrupted writes
-    (every committer here writes data files BEFORE the metadata CAS, so
-    a crashed commit leaves exactly this class of file). Only paths
+    ``.avro``/temp artifacts under ``<table>/metadata`` that NO snapshot
+    references — the debris of failed/interrupted writes (every
+    committer here writes data files BEFORE the metadata CAS, so a
+    crashed commit leaves exactly this class of file). Only paths
     inside ``table_dir`` are candidates; zero-copy references to the
     source table live outside it and are never touched. Metadata JSON
-    versions and the version hint are never candidates. The walk is
-    O(manifest entries + directory listing), the same planning cost as
-    ``expire_snapshots_iceberg`` — the native twin is
+    versions, the version hint, and ``_``/``.``-prefixed job markers
+    (_SUCCESS, .crc — the native twin skips them too) are never
+    candidates. ``older_than_s`` guards in-flight commits: a writer
+    that has produced its files but not yet won the metadata CAS is
+    indistinguishable from debris, so only files older than the
+    threshold reap (Iceberg's own remove_orphan_files has the same
+    olderThan gate; pass 0 only when no writer can be active).
+    Unreadable metadata aborts the cleanup rather than misclassifying
+    the files it references. The native twin is
     ``RelativeTable.remove_orphan_files``."""
     doc, _version = _load_metadata_versioned(table_dir)
-    referenced: set[str] = set()
-    for s in doc["snapshots"]:
-        referenced.add(os.path.realpath(s["manifest-list"]))
-        try:
-            with open(s["manifest-list"], "rb") as fh:
-                _, _, mls = avro_ocf.read_ocf(fh.read())
-        except OSError:
-            continue
-        for mf in mls:
-            referenced.add(os.path.realpath(mf["manifest_path"]))
-            try:
-                with open(mf["manifest_path"], "rb") as fh:
-                    _, _, entries = avro_ocf.read_ocf(fh.read())
-            except OSError:
-                continue
-            referenced |= {
-                os.path.realpath(e["data_file"]["file_path"]) for e in entries
-            }
+    mls, files = _snapshot_refs(doc["snapshots"], skip_deleted=False)
+    referenced = {os.path.realpath(p) for p in mls | files} | {
+        os.path.realpath(s["manifest-list"]) for s in doc["snapshots"]
+    }
 
     root = os.path.realpath(table_dir)
+    cutoff = time.time() - max(0.0, older_than_s)
+
+    def _reap(p: str) -> bool:
+        try:
+            if os.path.getmtime(p) > cutoff:
+                return False  # possibly an in-flight commit's file
+            os.unlink(p)
+            return True
+        except OSError:
+            return False
+
     removed = 0
     data_root = os.path.join(root, "data")
     for base, _dirs, names in os.walk(data_root):
         for name in names:
+            if name.startswith("_") or name.startswith("."):
+                continue  # job markers / checksums of live commits
             p = os.path.realpath(os.path.join(base, name))
             if p not in referenced:
-                try:
-                    os.unlink(p)
-                    removed += 1
-                except OSError:
-                    pass
+                removed += _reap(p)
     meta_root = os.path.join(root, "metadata")
     for name in os.listdir(meta_root):
         # only avro manifests / manifest lists and abandoned temp files
@@ -2968,18 +2979,19 @@ def remove_orphan_files_iceberg(table_dir: str) -> dict:
             continue
         p = os.path.realpath(os.path.join(meta_root, name))
         if p not in referenced:
-            try:
-                os.unlink(p)
-                removed += 1
-            except OSError:
-                pass
-    # empty data subdirectories left behind by reaped files
-    for base, dirs, names in os.walk(data_root, topdown=False):
-        if base != data_root and not dirs and not names:
-            try:
-                os.rmdir(base)
-            except OSError:
-                pass
+            removed += _reap(p)
+    # empty data subdirectories left behind by reaped files — deepest
+    # first so a parent whose only children were just-removed dirs
+    # empties in the SAME pass
+    all_dirs = sorted(
+        (os.path.join(b, d) for b, ds, _ in os.walk(data_root) for d in ds),
+        key=lambda p: -p.count(os.sep),
+    )
+    for d in all_dirs:
+        try:
+            os.rmdir(d)  # fails (kept) unless empty
+        except OSError:
+            pass
     return {"removed": removed, "referenced": len(referenced)}
 
 

@@ -2348,15 +2348,57 @@ def test_remove_orphan_files_iceberg(spark, sf_dir):
     stray3 = _os.path.join(dest, "metadata", "0000-orphan-m0.avro")
     open(stray3, "wb").write(b"junk")
 
-    info = iceberg_export.remove_orphan_files_iceberg(dest)
-    assert info["removed"] >= 3
+    # a job marker inside a live commit dir is NEVER a candidate
+    live_dir = _os.path.dirname(
+        next(
+            e["data_file"]["file_path"]
+            for e in _head_data_entries(dest)
+            if e["data_file"]["file_path"].startswith(dest)
+        )
+    )
+    marker = _os.path.join(live_dir, "_SUCCESS")
+    open(marker, "w").close()
+
+    # default threshold guards in-flight commits: fresh debris survives
+    info0 = iceberg_export.remove_orphan_files_iceberg(dest)
+    assert info0["removed"] == 0 and _os.path.exists(stray1)
+
+    info = iceberg_export.remove_orphan_files_iceberg(dest, older_than_s=0)
+    assert info["removed"] == 3  # exactly the three planted orphans
     assert not _os.path.exists(stray1) and not _os.path.exists(stray2)
     assert not _os.path.exists(stray3)
     assert not _os.path.exists(_os.path.dirname(stray1))  # empty dir reaped
+    assert _os.path.exists(marker)  # job markers skipped
     # live state intact: same rows, metadata versions + hint untouched
     assert iceberg_export.read_iceberg(spark, dest).count() == n_before
     assert _os.path.exists(_os.path.join(dest, "metadata", "version-hint.text"))
-    assert iceberg_export.remove_orphan_files_iceberg(dest)["removed"] == 0
+    assert (
+        iceberg_export.remove_orphan_files_iceberg(dest, older_than_s=0)[
+            "removed"
+        ]
+        == 0
+    )
+    # deep nesting reaps in ONE pass (parent emptied by child removal)
+    deep = _os.path.join(dest, "data", "x1", "x2", "x3.parquet")
+    _os.makedirs(_os.path.dirname(deep))
+    open(deep, "wb").write(b"j")
+    iceberg_export.remove_orphan_files_iceberg(dest, older_than_s=0)
+    assert not _os.path.exists(_os.path.join(dest, "data", "x1"))
+    # unreadable metadata ABORTS instead of misclassifying: corrupt a
+    # manifest-list path and expect a raise, with no deletions
+    doc = iceberg_export._load_metadata(dest)
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    saved = snap["manifest-list"] + ".bak"
+    _os.rename(snap["manifest-list"], saved)
+    try:
+        with pytest.raises(OSError):
+            iceberg_export.remove_orphan_files_iceberg(dest, older_than_s=0)
+    finally:
+        _os.rename(saved, snap["manifest-list"])
+    assert iceberg_export.read_iceberg(spark, dest).count() == n_before
 
 
 def test_read_iceberg_timestamp_as_of(spark, sf_dir):

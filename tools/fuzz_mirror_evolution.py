@@ -265,7 +265,7 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
                 )
                 _os.makedirs(_os.path.dirname(stray), exist_ok=True)
                 open(stray, "wb").write(b"junk")
-                iceberg_export.remove_orphan_files_iceberg(dest)
+                iceberg_export.remove_orphan_files_iceberg(dest, older_than_s=0)
                 if _os.path.exists(stray):
                     failures.append(
                         f"seed {seed} step {step}: orphan not reaped"
