@@ -2427,3 +2427,58 @@ def test_read_iceberg_timestamp_as_of(spark, sf_dir):
         iceberg_export.read_iceberg(spark, dest, as_of_ms=t1 - 10_000_000)
     with pytest.raises(ValueError, match="at most one"):
         iceberg_export.read_iceberg(spark, dest, as_of_ms=t1, ref="main")
+
+
+def test_mirror_merge_and_append_race_through_cas(spark, sf_dir):
+    """All mirror committers share the metadata CAS: a MERGE and an
+    APPEND racing must both land exactly once after retries, in either
+    order, with dense sequence numbers and the union-plus-update as the
+    final state."""
+    import threading
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_race2_")
+    iceberg_export.export_iceberg(table, dest)
+
+    src = nation.filter(F.col("n_nationkey") < 3).withColumn(
+        "n_name", F.lit("MERGED")
+    )
+    batch = spark.createDataFrame([(77, "APPENDED", 0)], schema=nation.schema)
+    results: dict[str, dict] = {}
+    errors: list[Exception] = []
+
+    def run(name, fn):
+        for _ in range(25):
+            try:
+                results[name] = fn()
+                return
+            except ValueError as exc:
+                if "concurrent commit" not in str(exc):
+                    errors.append(exc)
+                    return
+        errors.append(RuntimeError(f"{name} never committed"))
+
+    threads = [
+        threading.Thread(
+            target=run,
+            args=("merge", lambda: iceberg_export.merge_iceberg(
+                spark, dest, src, ["n_nationkey"])),
+        ),
+        threading.Thread(
+            target=run,
+            args=("append", lambda: iceberg_export.append_iceberg(
+                spark, dest, batch)),
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 2
+    seqs = sorted(r["sequence-number"] for r in results.values())
+    assert seqs == [2, 3]  # dense, no lost commit
+    df = iceberg_export.read_iceberg(spark, dest)
+    assert df.count() == nation.count() + 1
+    assert df.filter(F.col("n_name") == "MERGED").count() == 3
+    assert df.filter(F.col("n_nationkey") == 77).count() == 1
