@@ -13,10 +13,11 @@ from __future__ import annotations
 # Round 6 front-loads every query whose PHYSICAL PLAN (or underlying
 # table-format behavior) changed in rounds 5-6 after its last driver
 # grade, plus the round-6 additions: the Iceberg mirror lifecycle
-# (a44-a53, b30_stream_to_iceberg — incremental appends, mirror-side
+# (a44-a54, b30_stream_to_iceberg — incremental appends, mirror-side
 # MOR delete/update/MERGE, dynamic partition overwrite, refs+rollback,
-# schema evolution, min/max-bounds file skipping, mirror metadata
-# tables, rewrite/compact/expire), the B29 metadata tables, the
+# schema evolution incl. era-schema time travel, min/max-bounds file
+# skipping, mirror metadata tables, orphan cleanup, TIMESTAMP AS OF,
+# rewrite/compact/expire), the B29 metadata tables, the
 # export rewrite (sequence-numbered manifests, MOR delete manifests,
 # temporal identity typing), murmur3 bucket transform + pruning, the
 # max_by keep-latest rewrites, the LSH shared-hot-list caching, and the
