@@ -2482,3 +2482,31 @@ def test_mirror_merge_and_append_race_through_cas(spark, sf_dir):
     assert df.count() == nation.count() + 1
     assert df.filter(F.col("n_name") == "MERGED").count() == 3
     assert df.filter(F.col("n_nationkey") == 77).count() == 1
+
+
+def test_expire_respects_branch_ancestry(spark, sf_dir):
+    """A branch ref protects its FULL ancestry from expiry (a tag pins
+    only its one snapshot); dropping the branch frees the chain."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 5))
+    dest = tempfile.mkdtemp(prefix="iceexp_branch_")
+    iceberg_export.export_iceberg(table, dest)
+    for k in range(3):
+        iceberg_export.append_iceberg(
+            spark, dest,
+            spark.createDataFrame([(100 + k, f"X{k}", 0)], schema=nation.schema),
+        )
+    doc = iceberg_export._load_metadata(dest)
+    mid_sid = doc["snapshots"][1]["snapshot-id"]  # snapshot 2 of 4
+    iceberg_export.set_ref_iceberg(
+        dest, "dev", snapshot_id=mid_sid, ref_type="branch"
+    )
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    kept = {s["snapshot-id"] for s in iceberg_export._load_metadata(dest)["snapshots"]}
+    # the branch head AND its ancestor survive alongside main's head
+    assert mid_sid in kept and (mid_sid - 1) in kept
+    assert iceberg_export.read_iceberg(spark, dest, ref="dev").count() == 6
+    iceberg_export.drop_ref_iceberg(dest, "dev")
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    kept2 = {s["snapshot-id"] for s in iceberg_export._load_metadata(dest)["snapshots"]}
+    assert mid_sid not in kept2 and len(kept2) == 1
