@@ -433,12 +433,30 @@ def _bound_from_bytes(ice_type: str, b: bytes):
     return None
 
 
-def _bound_key(ice_type: str, v):
+def _bound_key(ice_type: str, v, session_tz: str | None = None):
     """Coerce a filter value into the same ordered domain the encoded
-    bounds decode to (ints for date/timestamp)."""
+    bounds decode to (ints for date/timestamp).
+
+    A NAIVE datetime against a ``timestamptz`` column is interpreted in
+    the SESSION timezone — that is what the reader's final row filter
+    (``F.col == F.lit(naive)``) does, so the prune and the filter must
+    agree or files holding matching rows get silently skipped on a
+    non-UTC session. When the session tz is unknown or unresolvable the
+    prune is skipped entirely (``None``) — bounds are an optimization,
+    never a correctness gate. Plain ``timestamp`` (ntz) compares naive
+    values directly, no zone enters."""
     if ice_type == "date" and isinstance(v, date):
         return (v - date(1970, 1, 1)).days
     if ice_type in ("timestamp", "timestamptz") and isinstance(v, datetime):
+        if v.tzinfo is None and ice_type == "timestamptz":
+            if not session_tz:
+                return None
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = v.replace(tzinfo=ZoneInfo(session_tz))
+            except Exception:
+                return None
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return int((v - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
@@ -491,7 +509,10 @@ def _boundable_fields(schema_json: dict) -> list[tuple[str, int, str]]:
 
 
 def _stats_prune(
-    data_entries: list[dict], eq_filters: dict, fields_by_name: dict
+    data_entries: list[dict],
+    eq_filters: dict,
+    fields_by_name: dict,
+    session_tz: str | None = None,
 ) -> list[dict]:
     """Skip data files whose recorded [lower, upper] bounds exclude an
     equality filter's value — the spec's file-skipping path, O(entries)
@@ -506,7 +527,7 @@ def _stats_prune(
         ice_type = f["type"]
         if ice_type not in _BOUNDABLE:
             continue
-        key = _bound_key(ice_type, v)
+        key = _bound_key(ice_type, v, session_tz)
         if key is None:
             continue
         fid = f["id"]
@@ -518,8 +539,15 @@ def _stats_prune(
             lo = next((x["value"] for x in lo_list if x["key"] == fid), None)
             hi = next((x["value"] for x in hi_list if x["key"] == fid), None)
             if lo is not None and hi is not None:
-                lo_v = _bound_from_bytes(ice_type, lo)
-                hi_v = _bound_from_bytes(ice_type, hi)
+                # malformed bound bytes (a nonconforming external
+                # writer) are treated as ABSENT, same as the import
+                # path (_native_stats_from_bounds) — never abort a read
+                # over an optimization-only field
+                try:
+                    lo_v = _bound_from_bytes(ice_type, lo)
+                    hi_v = _bound_from_bytes(ice_type, hi)
+                except Exception:
+                    lo_v = hi_v = None
                 if lo_v is not None and hi_v is not None and (
                     key < lo_v or key > hi_v
                 ):
@@ -1520,6 +1548,22 @@ def _commit_next_metadata(
             "metadata-file": _current_metadata_file(table_dir, version),
         }
     ]
+    # cap the log like Iceberg's write.metadata.previous-versions-max
+    # (default 100): a per-batch streaming mirror commits thousands of
+    # times, and an uncapped log makes every metadata.json O(commits)
+    # — the one part of a commit that would otherwise grow without
+    # bound. Oldest entries drop first; the files themselves stay on
+    # disk (delete-after-commit is a separate property in Iceberg too).
+    try:
+        max_prev = int(
+            doc.get("properties", {}).get(
+                "write.metadata.previous-versions-max", 100
+            )
+        )
+    except (TypeError, ValueError):
+        max_prev = 100
+    if max_prev > 0 and len(new_doc["metadata-log"]) > max_prev:
+        new_doc["metadata-log"] = new_doc["metadata-log"][-max_prev:]
     gz = doc.get("properties", {}).get("write.metadata.compression") == "gzip"
     suffix = "gz.metadata.json" if gz else "metadata.json"
     meta_path = os.path.join(table_dir, "metadata", f"v{version + 1}.{suffix}")
@@ -3319,11 +3363,14 @@ def read_iceberg(
     doc = _load_metadata(table_dir)
     if sum(x is not None for x in (ref, snapshot_id, as_of_ms)) > 1:
         raise ValueError("pass at most one of ref / snapshot_id / as_of_ms")
+    ref_is_branch = False
     if ref is not None:
         try:
-            snapshot_id = doc["refs"][ref]["snapshot-id"]
+            ref_doc = doc["refs"][ref]
+            snapshot_id = ref_doc["snapshot-id"]
         except KeyError:
             raise ValueError(f"no such ref: {ref!r}") from None
+        ref_is_branch = ref_doc.get("type", "branch") == "branch"
     if as_of_ms is not None:
         # TIMESTAMP AS OF: the latest snapshot-log entry at or before
         # the instant (the spec's resolution rule — the log, not the
@@ -3348,15 +3395,19 @@ def read_iceberg(
     with open(snap["manifest-list"], "rb") as fh:
         _, _, manifests = avro_ocf.read_ocf(fh.read())
 
-    # an explicit time-travel/ref read resolves under the schema
-    # CURRENT WHEN THE SNAPSHOT WAS COMMITTED (snap["schema-id"]) — so
-    # reading past a later column drop still resolves that era's delete
-    # keys and columns; the head read always uses the current schema
-    # (schema evolution is metadata-only and adds no snapshot, so the
-    # head snapshot's recorded schema-id may legitimately predate it)
+    # explicit time travel (snapshot_id / as_of_ms) and TAG refs
+    # resolve under the schema CURRENT WHEN THE SNAPSHOT WAS COMMITTED
+    # (snap["schema-id"]) — so reading past a later column drop still
+    # resolves that era's delete keys and columns. BRANCH refs (incl.
+    # "main") follow Iceberg's rule and read under the table's CURRENT
+    # schema, same as the default head read — otherwise a metadata-only
+    # evolve_schema_iceberg would make ref="main" and the head read of
+    # the very same state disagree (schema evolution adds no snapshot,
+    # so the head snapshot's recorded schema-id legitimately predates
+    # it).
     want_schema_id = (
         snap.get("schema-id", doc["current-schema-id"])
-        if snapshot_id is not None
+        if snapshot_id is not None and not ref_is_branch
         else doc["current-schema-id"]
     )
     schema = next(
@@ -3465,7 +3516,12 @@ def read_iceberg(
                     if e["data_file"]["partition"].get(fname) in (None, want)
                 ]
         # file skipping on recorded min/max bounds (spec fields 125/128)
-        data_entries = _stats_prune(data_entries, eq_filters, fields_by_name)
+        data_entries = _stats_prune(
+            data_entries,
+            eq_filters,
+            fields_by_name,
+            spark.conf.get("spark.sql.session.timeZone", None),
+        )
 
     # group data files by (identity tuple, applicable delete sets): the
     # spec applies an equality delete to data files with sequence

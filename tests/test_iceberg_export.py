@@ -2510,3 +2510,142 @@ def test_expire_respects_branch_ancestry(spark, sf_dir):
     iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
     kept2 = {s["snapshot-id"] for s in iceberg_export._load_metadata(dest)["snapshots"]}
     assert mid_sid not in kept2 and len(kept2) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-7 advice hardening: tz-aware bound keys, malformed external
+# bounds, branch-vs-tag schema resolution, metadata-log cap
+# ---------------------------------------------------------------------------
+
+
+def test_bound_key_timestamptz_session_timezone():
+    """A NAIVE datetime filtered against a timestamptz column must
+    prune in the SESSION timezone (that is how Spark interprets the
+    naive lit in the final row filter) — or not prune at all when the
+    zone is unknown. A wrong UTC assumption here silently skips files
+    holding matching rows on any non-UTC session."""
+    from datetime import datetime, timezone, timedelta
+
+    naive = datetime(2024, 6, 1, 12, 0, 0)
+    # aware values prune identically regardless of session tz
+    aware = naive.replace(tzinfo=timezone(timedelta(hours=-4)))
+    k_aware = iceberg_export._bound_key("timestamptz", aware, "Asia/Tokyo")
+    assert k_aware == iceberg_export._bound_key("timestamptz", aware, None)
+    # naive + UTC session == the historical behavior
+    k_utc = iceberg_export._bound_key("timestamptz", naive, "UTC")
+    epoch = datetime(1970, 1, 1)
+    assert k_utc == int((naive - epoch).total_seconds() * 1_000_000)
+    # naive + New York session shifts by the UTC offset (EDT = UTC-4)
+    k_ny = iceberg_export._bound_key(
+        "timestamptz", naive, "America/New_York"
+    )
+    assert k_ny == k_utc + 4 * 3600 * 1_000_000
+    # naive + unknown/absent session tz -> no pruning, never a wrong one
+    assert iceberg_export._bound_key("timestamptz", naive, None) is None
+    assert (
+        iceberg_export._bound_key("timestamptz", naive, "Not/AZone") is None
+    )
+    # plain timestamp (ntz) compares naive directly — no zone enters
+    assert (
+        iceberg_export._bound_key("timestamp", naive, "America/New_York")
+        == k_utc
+    )
+
+
+def test_stats_prune_malformed_external_bounds_kept():
+    """Truncated / oversized bound bytes from a nonconforming external
+    writer are treated as ABSENT (entry kept), matching the import
+    path's rule — a read must never abort over an optimization-only
+    field."""
+    fields = {"v": {"id": 7, "type": "long"}}
+
+    def entry(lo, hi):
+        return {
+            "data_file": {
+                "lower_bounds": [{"key": 7, "value": lo}],
+                "upper_bounds": [{"key": 7, "value": hi}],
+            }
+        }
+
+    import struct
+
+    good_lo, good_hi = struct.pack("<q", 10), struct.pack("<q", 20)
+    entries = [
+        entry(good_lo, good_hi),          # excludes 99 -> pruned
+        entry(b"\x01\x02", good_hi),      # truncated lower -> kept
+        entry(good_lo, b"\x00" * 12),     # oversized upper -> kept
+    ]
+    kept = iceberg_export._stats_prune(entries, {"v": 99}, fields)
+    assert kept == entries[1:]
+
+
+def test_branch_ref_reads_current_schema_tag_keeps_era(spark, sf_dir):
+    """Iceberg resolves a BRANCH ref (incl. ``main``) under the table's
+    CURRENT schema and only TAGS under the snapshot-time schema — so
+    after a metadata-only evolve, ``ref='main'`` and the default head
+    read agree, while a tag still time-travels the era schema."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_branchschema_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.set_ref_iceberg(dest, "era", ref_type="tag")
+    iceberg_export.set_ref_iceberg(dest, "dev", ref_type="branch")
+    iceberg_export.evolve_schema_iceberg(
+        dest, rename={"n_nationkey": "n_key"}, add={"n_motto": "string"}
+    )
+
+    head = iceberg_export.read_iceberg(spark, dest)
+    via_main = iceberg_export.read_iceberg(spark, dest, ref="main")
+    via_dev = iceberg_export.read_iceberg(spark, dest, ref="dev")
+    assert via_main.columns == head.columns  # evolved schema
+    assert via_dev.columns == head.columns
+    assert "n_key" in head.columns and "n_motto" in head.columns
+    assert sorted(r.n_key for r in via_main.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+    # the tag still reads the pre-evolution era schema
+    via_tag = iceberg_export.read_iceberg(spark, dest, ref="era")
+    assert via_tag.columns == nation.columns
+    # explicit snapshot_id time travel keeps era semantics too
+    sid = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    via_sid = iceberg_export.read_iceberg(spark, dest, snapshot_id=sid)
+    assert via_sid.columns == nation.columns
+
+
+def test_metadata_log_capped_by_previous_versions_max(spark, sf_dir):
+    """The metadata-log is capped like Iceberg's
+    ``write.metadata.previous-versions-max`` — a per-batch streaming
+    mirror must not grow every metadata.json O(commits)."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_mlog_")
+    iceberg_export.export_iceberg(table, dest)
+    # set the table property the way a client would (on the current
+    # metadata): rewrite v1 in place before further commits
+    meta_path = os.path.join(dest, "metadata", "v1.metadata.json")
+    with open(meta_path) as fh:
+        doc = json.load(fh)
+    doc["properties"]["write.metadata.previous-versions-max"] = "3"
+    with open(meta_path, "w") as fh:
+        json.dump(doc, fh)
+
+    for k in range(6):
+        iceberg_export.append_iceberg(
+            spark, dest,
+            spark.createDataFrame(
+                [(200 + k, f"M{k}", 0)], schema=nation.schema
+            ),
+        )
+    doc = iceberg_export._load_metadata(dest)
+    log = doc["metadata-log"]
+    assert len(log) == 3
+    # the newest predecessors survive, oldest dropped first
+    assert log[-1]["metadata-file"].endswith("v6.metadata.json")
+    assert log[0]["metadata-file"].endswith("v4.metadata.json")
+    # the reads are unaffected and the full history still time-travels
+    assert (
+        iceberg_export.read_iceberg(spark, dest).count()
+        == nation.count() + 6
+    )
