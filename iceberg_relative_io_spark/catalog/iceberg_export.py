@@ -1907,6 +1907,292 @@ def delete_where_iceberg(
     }
 
 
+def delete_positions_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+) -> dict:
+    """Merge-on-read DELETE committed as spec POSITION deletes
+    (``content=1``, parquet of ``file_path``/``pos`` with the reserved
+    field ids 2147483546/2147483545) — the delete shape external
+    compactors and row-level-delete writers produce, now available as a
+    first-class mirror DML op alongside the equality-keyed
+    ``delete_where_iceberg``.
+
+    The ``(file_path, pos)`` tuples are computed DISTRIBUTED: the scan
+    captures ``_metadata.file_path`` / ``_metadata.row_index`` (exactly
+    the spec's ``pos`` — the row ordinal within its physical file) via
+    ``read_iceberg(_with_positions=True)``, so the predicate evaluates
+    against the CURRENT logical table (identity partition columns
+    restored, renames resolved, prior equality AND position deletes
+    already applied — a dead row is never re-deleted) and no data row
+    ever visits the driver. Only the O(files) path-normalization map is
+    driver-side: captured paths are URIs (``file:///…``) while
+    manifests record plain paths, and the spec requires the delete
+    file's ``file_path`` to match the data file's manifest path
+    EXACTLY, so normalized paths map back to their recorded form via a
+    broadcast join. Delete rows are sorted by (file_path, pos) within
+    each part file per the spec's sort rule.
+
+    Commits at ``last-sequence-number + 1``; the spec's ``<=`` scoping
+    applies the delete to every data file that exists now and to none
+    appended later. A predicate matching nothing commits nothing.
+    Use equality deletes when the predicate is a key lookup (the key
+    tuple is smaller than the position list); use position deletes when
+    re-deriving the key set is the expensive part or the rows are
+    identified by provenance."""
+    doc, version = _load_metadata_versioned(table_dir)
+
+    live = read_iceberg(spark, table_dir, _with_positions=True)
+    # recorded-path restore: normalized URI -> the manifest's exact path
+    recorded = _head_data_file_paths(doc)
+    path_map = spark.createDataFrame(
+        [(n, p) for n, p in recorded.items()], "__ir_fp string, file_path string"
+    )
+    hits = (
+        live.filter(condition)
+        .select("__ir_fp", F.col("__ir_pos").cast("long").alias("pos"))
+        .join(F.broadcast(path_map), "__ir_fp", "inner")
+        .select("file_path", "pos")
+    )
+
+    seq = doc["last-sequence-number"] + 1
+    snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
+    spec_fields = _spec_fields_from_doc(doc)
+    entries, total_rows = _write_position_delete_files(
+        table_dir, hits, spec_fields, seq, snap_id
+    )
+    if not entries:
+        return {
+            "metadata": None,
+            "snapshot-id": None,
+            "sequence-number": None,
+            "delete-files": 0,
+            "delete-records": 0,
+        }
+    return _commit_delete_manifest(
+        table_dir,
+        doc,
+        version,
+        entries,
+        total_rows,
+        seq,
+        snap_id,
+        {
+            "operation": "delete",
+            "total-equality-deletes": "0",
+            "total-position-deletes": str(total_rows),
+        },
+    )
+
+
+def _head_data_file_paths(doc: dict) -> dict[str, str]:
+    """Normalized path -> manifest-recorded path for every live data
+    file of the current snapshot. O(files) metadata work, no data
+    read."""
+    import re
+
+    def norm(p: str) -> str:
+        return "/" + re.sub(r"^([A-Za-z][A-Za-z0-9+.\-]*:)?/*", "", p)
+
+    out: dict[str, str] = {}
+    if doc.get("current-snapshot-id") is None:
+        return out
+    cur = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, manifests = avro_ocf.read_ocf(fh.read())
+    for mf in manifests:
+        if mf["content"] == 1:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, mf_entries = avro_ocf.read_ocf(fh.read())
+        for e in mf_entries:
+            if e["status"] == 2 or e["data_file"]["content"] != 0:
+                continue
+            p = e["data_file"]["file_path"]
+            out[norm(p)] = p
+    return out
+
+
+def _write_position_delete_files(
+    table_dir: str,
+    hits: DataFrame,
+    spec_fields: list[dict],
+    seq: int,
+    snap_id: int,
+) -> tuple[list[dict], int]:
+    """Write a ``(file_path, pos)`` DataFrame as spec position-delete
+    parquet (reserved field ids, sorted by file then position within
+    each part file) under ``<table>/data/posdel-<uuid>`` — distributed,
+    like ``_write_delete_key_files`` — and return the ``content=1``
+    manifest entries plus the row count. Clustering by ``file_path``
+    keeps each data file's positions in one delete part file, so a
+    reader's per-group anti-join build side stays proportional to that
+    group's own deletes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as _T
+
+    ids = {"file_path": 2147483546, "pos": 2147483545}
+    tagged = hits.select(
+        *[
+            F.col(c).alias(
+                c,
+                metadata={"parquet.field.id": ids[c]},
+            )
+            for c in ("file_path", "pos")
+        ]
+    )
+    del_dir = os.path.join(table_dir, "data", f"posdel-{uuid.uuid4()}")
+    (
+        tagged.repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.option("parquet.field.id.write.enabled", "true")
+        .mode("overwrite")
+        .parquet(del_dir)
+    )
+    entries: list[dict] = []
+    total_rows = 0
+    for name in sorted(os.listdir(del_dir)):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fpath = os.path.join(del_dir, name)
+        rows = int(pq.ParquetFile(fpath).metadata.num_rows)
+        if rows == 0:
+            os.unlink(fpath)
+            continue
+        total_rows += rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {sf["name"]: None for sf in spec_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
+                },
+            }
+        )
+    return entries, total_rows
+
+
+def _commit_delete_manifest(
+    table_dir: str,
+    doc: dict,
+    version: int,
+    entries: list[dict],
+    total_rows: int,
+    seq: int,
+    snap_id: int,
+    summary: dict,
+) -> dict:
+    """Commit delete-file manifest entries as one ``content=1``
+    manifest in a new snapshot, carrying every prior manifest forward —
+    the shared tail of the MOR delete ops."""
+    spec_fields = _spec_fields_from_doc(doc)
+    entry_schema = _manifest_entry_schema(spec_fields)
+    schema_json = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    spec = next(
+        p for p in doc["partition-specs"]
+        if p["spec-id"] == doc["default-spec-id"]
+    )
+    manifest_path = os.path.join(
+        table_dir, "metadata", f"{uuid.uuid4()}-m1.avro"
+    )
+    mbytes = avro_ocf.write_ocf(
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": str(doc["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(doc["default-spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(mbytes)
+
+    prior = []
+    if doc.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        with open(cur["manifest-list"], "rb") as fh:
+            _, _, prior = avro_ocf.read_ocf(fh.read())
+    ml_records = list(prior) + [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(mbytes),
+            "partition_spec_id": doc["default-spec-id"],
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    ml_path = os.path.join(
+        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    ml_bytes = avro_ocf.write_ocf(
+        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(ml_bytes)
+
+    now_ms = int(time.time() * 1000)
+    new_doc = dict(doc)
+    new_doc["last-sequence-number"] = seq
+    new_doc["last-updated-ms"] = now_ms
+    new_doc["current-snapshot-id"] = snap_id
+    new_doc["refs"] = {
+        **doc.get("refs", {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
+    new_doc["snapshots"] = doc["snapshots"] + [
+        {
+            "sequence-number": seq,
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": doc["current-snapshot-id"],
+            "timestamp-ms": now_ms,
+            "summary": summary,
+            "manifest-list": ml_path,
+            "schema-id": doc["current-schema-id"],
+        }
+    ]
+    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
+    return {
+        "metadata": meta_path,
+        "manifest": manifest_path,
+        "manifest-list": ml_path,
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "delete-files": len(entries),
+        "delete-records": total_rows,
+    }
+
+
 def update_where_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -3332,6 +3618,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     ref: str | None = None,
     as_of_ms: int | None = None,
+    _with_positions: bool = False,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
     version-hint -> metadata.json (plain or .gz) -> current snapshot
@@ -3601,7 +3888,7 @@ def read_iceberg(
         # vanish or the later union would fail, nondeterministically by
         # listing order
         part = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if pos_applicable:
+        if pos_applicable or _with_positions:
             # capture provenance at scan time (before any rename):
             # _metadata.row_index is the row's ordinal within its file —
             # exactly the spec's `pos` — so a position delete becomes an
@@ -3660,7 +3947,9 @@ def read_iceberg(
                 ["__ir_fp", "__ir_pos"],
                 pos_applicable,
                 pos_stats,
-            ).drop("__ir_fp", "__ir_pos")
+            )
+            if not _with_positions:
+                part = part.drop("__ir_fp", "__ir_pos")
         # normalize the group to the CURRENT schema BEFORE equality
         # deletes apply: fields no file in this group carries (added
         # after these files were written) read as typed NULL — the
@@ -3681,7 +3970,8 @@ def read_iceberg(
                 )
                 .alias(f["name"])
                 for f in schema["fields"]
-            ]
+            ],
+            *(["__ir_fp", "__ir_pos"] if _with_positions else []),
         )
         for dpath, dcols in applicable:
             # delete files record key columns by the NAME current at
@@ -3706,6 +3996,14 @@ def read_iceberg(
                 )
                 for f in schema["fields"]
             ]
+            + (
+                [
+                    T.StructField("__ir_fp", T.StringType(), False),
+                    T.StructField("__ir_pos", T.LongType(), False),
+                ]
+                if _with_positions
+                else []
+            )
         )
         out = spark.createDataFrame([], struct)
     if eq_filters:
@@ -3713,7 +4011,10 @@ def read_iceberg(
             if col in out.columns:
                 out = out.filter(F.col(col) == F.lit(v))
     # every group was normalized to the current schema above
-    return out.select(*[f["name"] for f in schema["fields"]])
+    return out.select(
+        *[f["name"] for f in schema["fields"]],
+        *(["__ir_fp", "__ir_pos"] if _with_positions else []),
+    )
 
 
 # ---------------------------------------------------------------------------

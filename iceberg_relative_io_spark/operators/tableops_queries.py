@@ -1113,12 +1113,59 @@ def q_position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_position_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 (round-7): mirror-side POSITION-delete DML —
+    ``delete_positions_iceberg`` computes ``(file_path, pos)`` tuples
+    DISTRIBUTED (scan captures ``_metadata.row_index``; no row visits
+    the driver, unlike A44's fixture-authoring scaffold) and commits a
+    spec ``content=1`` delete manifest. The sequence proves the spec's
+    ``<=`` scoping: delete #1 by predicate, then an append whose row
+    ALSO matches that predicate (it must survive — its sequence is
+    higher), then delete #2 that sees both eras. The oracle restates
+    each delete by value."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_pdml", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_posdml_")
+    iceberg_export.export_iceberg(table, dest)
+
+    iceberg_export.delete_positions_iceberg(
+        spark, dest, (F.col("c_acctbal") < 0) & (F.col("c_custkey") % 7 == 0)
+    )
+    # appended AFTER the delete: matches delete #1's predicate by value
+    # (custkey 7 % 7 == 0, negative balance) but must survive it — the
+    # spec applies a position delete only to files with sequence <= the
+    # delete's
+    late = spark.createDataFrame(
+        [(7, "LATE", -999.99, 1)],
+        schema="c_custkey bigint, c_name string, c_acctbal double, "
+        "c_nationkey int",
+    )
+    iceberg_export.append_iceberg(spark, dest, late)
+    iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("c_custkey") % 53 == 0
+    )
+    return iceberg_export.read_iceberg(spark, dest).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a41_iceberg_export": q_iceberg_export,
     "a42_bucket_export": q_bucket_export,
     "a43_iceberg_import": q_iceberg_import,
     "a44_position_delete_read": q_position_delete_read,
+    "a55_position_delete_dml": q_position_delete_dml,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -1170,6 +1217,15 @@ ORACLE = {
     "a44_position_delete_read": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
         WHERE c_custkey % 31 <> 0
+    """,
+    "a55_position_delete_dml": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE NOT (c_acctbal < 0 AND c_custkey % 7 = 0)
+          AND c_custkey % 53 <> 0
+        UNION ALL
+        SELECT * FROM (VALUES
+            (7, 'LATE', CAST(-999.99 AS DOUBLE), 1)
+        ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
     """,
     "a45_iceberg_append": """
         SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer

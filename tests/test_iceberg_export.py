@@ -2649,3 +2649,145 @@ def test_metadata_log_capped_by_previous_versions_max(spark, sf_dir):
         iceberg_export.read_iceberg(spark, dest).count()
         == nation.count() + 6
     )
+
+
+# ---------------------------------------------------------------------------
+# delete_positions_iceberg (round-7): mirror-side position-delete DML
+# ---------------------------------------------------------------------------
+
+
+def test_delete_positions_iceberg_basic_and_scoping(spark, sf_dir):
+    """Position-delete DML: predicate rows vanish; a row appended AFTER
+    the delete survives even though it matches the predicate by value
+    (<=-sequence scoping); a second delete sees both eras; a predicate
+    matching nothing commits nothing."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table = _table(spark, cust)
+    dest = tempfile.mkdtemp(prefix="iceexp_pdml_")
+    iceberg_export.export_iceberg(table, dest)
+
+    info = iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("c_custkey") % 13 == 0
+    )
+    n13 = cust.filter(F.col("c_custkey") % 13 == 0).count()
+    assert info["delete-records"] == n13
+    got = iceberg_export.read_iceberg(spark, dest)
+    assert got.count() == cust.count() - n13
+    assert got.filter(F.col("c_custkey") % 13 == 0).count() == 0
+
+    # the delete parquet is spec-shaped: reserved field ids, sorted
+    import pyarrow.parquet as pq
+
+    dpath = None
+    doc = iceberg_export._load_metadata(dest)
+    cur = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    for mf in mls:
+        if mf["content"] != 1:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            assert e["data_file"]["content"] == 1
+            assert e["data_file"]["equality_ids"] is None
+            dpath = e["data_file"]["file_path"]
+    assert dpath is not None
+    pf = pq.ParquetFile(dpath)
+    names = {
+        pf.schema_arrow.field(i).name: pf.schema_arrow.field(i).metadata
+        for i in range(2)
+    }
+    assert names["file_path"][b"PARQUET:field_id"] == b"2147483546"
+    assert names["pos"][b"PARQUET:field_id"] == b"2147483545"
+    tbl = pf.read()
+    rows = list(zip(tbl["file_path"].to_pylist(), tbl["pos"].to_pylist()))
+    assert rows == sorted(rows)
+    # and the recorded file_path matches the manifests EXACTLY
+    data_paths = set(iceberg_export._head_data_file_paths(doc).values())
+    assert set(tbl["file_path"].to_pylist()) <= data_paths
+
+    # appended after: matches the predicate by value, must survive
+    iceberg_export.append_iceberg(
+        spark, dest,
+        spark.createDataFrame(
+            [(13, "LATE", -1.0)],
+            schema="c_custkey bigint, c_name string, c_acctbal double",
+        ),
+    )
+    got2 = iceberg_export.read_iceberg(spark, dest)
+    assert got2.filter(F.col("c_name") == "LATE").count() == 1
+    # a second delete kills the late row too (it is in scope now)
+    iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("c_name") == "LATE"
+    )
+    assert (
+        iceberg_export.read_iceberg(spark, dest)
+        .filter(F.col("c_name") == "LATE")
+        .count()
+        == 0
+    )
+    # no-match commits nothing
+    v = iceberg_export._load_metadata(dest)["last-sequence-number"]
+    info3 = iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("c_custkey") == -1
+    )
+    assert info3["delete-records"] == 0 and info3["snapshot-id"] is None
+    assert iceberg_export._load_metadata(dest)["last-sequence-number"] == v
+
+
+def test_delete_positions_iceberg_partitioned_and_renamed(spark, sf_dir):
+    """The predicate evaluates against the CURRENT logical table: a
+    restored identity-partition column and a renamed column both
+    resolve; already-deleted rows are never re-deleted (the position
+    source is the live read)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    table = _table(spark, orders, partition_by=["o_orderstatus"])
+    dest = tempfile.mkdtemp(prefix="iceexp_pdml_part_")
+    iceberg_export.export_iceberg(table, dest)
+
+    # equality delete first; its victims are not live for the position
+    # delete's scan
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("o_orderkey") % 11 == 0, ["o_orderkey"]
+    )
+    iceberg_export.evolve_schema_iceberg(
+        dest, rename={"o_totalprice": "o_price"}
+    )
+    # predicate on BOTH the partition column (restored from the
+    # manifest partition struct) and the renamed column
+    info = iceberg_export.delete_positions_iceberg(
+        spark,
+        dest,
+        (F.col("o_orderstatus") == "F") & (F.col("o_price") > 100000.0),
+    )
+    assert info["delete-records"] > 0
+    got = iceberg_export.read_iceberg(spark, dest)
+    import pyspark.sql.functions as Fn
+
+    expected = (
+        orders.filter(~(Fn.col("o_orderkey") % 11 == 0))
+        .filter(
+            ~(
+                (Fn.col("o_orderstatus") == "F")
+                & (Fn.col("o_totalprice") > 100000.0)
+            )
+        )
+        .count()
+    )
+    assert got.count() == expected
+    assert (
+        got.filter(
+            (Fn.col("o_orderstatus") == "F") & (Fn.col("o_price") > 100000.0)
+        ).count()
+        == 0
+    )

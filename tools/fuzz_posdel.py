@@ -16,7 +16,9 @@ rounds also interleave mirror-side equality deletes
 (``delete_where_iceberg``), atomic MOR updates
 (``update_where_iceberg`` — same-sequence delete + replacement files),
 atomic MERGE upserts (``merge_iceberg`` — matched updates + fresh
-inserts in one snapshot), dynamic partition overwrites
+inserts in one snapshot), mirror-DML position deletes
+(``delete_positions_iceberg`` — predicate over the live read, tuples
+computed distributed; round 7), dynamic partition overwrites
 (``overwrite_partitions_iceberg`` — partition-scoped on the grp-
 partitioned seeds, full INSERT OVERWRITE on the rest), metadata-only
 manifest rewrites, snapshot expiry, and full compaction (mirror
@@ -229,6 +231,27 @@ def run_seed(spark, seed: int) -> list[str]:
             }
             if spark_rows() != sorted(mirror.values()):
                 failures.append(f"seed {seed} round {rnd}: post-eqdel mismatch")
+        # occasionally commit a mirror-DML-initiated POSITION delete
+        # (round 7: delete_positions_iceberg) — the predicate evaluates
+        # against the LIVE table, so already-dead rows are never
+        # re-deleted and files of every era (appends included) are in
+        # scope per the <=-sequence rule; the mirror pops every live
+        # row matching the predicate by value
+        if rng.random() < 0.35:
+            from pyspark.sql import functions as F5
+
+            m, r = rng.randint(2, 7), 0
+            r = rng.randint(0, m - 1)
+            iceberg_export.delete_positions_iceberg(
+                spark, dest, F5.col("id") % m == r
+            )
+            mirror = {
+                k2: row for k2, row in mirror.items() if row[0] % m != r
+            }
+            if spark_rows() != sorted(mirror.values()):
+                failures.append(
+                    f"seed {seed} round {rnd}: post-posdel-dml mismatch"
+                )
         # occasionally commit an atomic mirror-side MOR UPDATE: matched
         # ids' old copies die via the same-sequence equality delete
         # (strict-< scoping) while the rewritten rows land in NEW files
