@@ -2791,3 +2791,212 @@ def test_delete_positions_iceberg_partitioned_and_renamed(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# writer-independent spec conformance gate (round 7): tools/spec_conformance
+# validates raw exported bytes against spec constants WITHOUT importing
+# the writer — a shared wrong assumption between writer and spec-path
+# reader cannot hide from it
+# ---------------------------------------------------------------------------
+
+
+def _conform(dest):
+    from tools.spec_conformance import check_table
+
+    errs = check_table(dest)
+    assert not errs, "spec conformance violations:\n" + "\n".join(errs)
+
+
+def test_spec_conformance_full_lifecycle(spark, sf_dir):
+    """The full mirror DML lifecycle stays spec-conformant under the
+    independent byte-level checker: partitioned export, equality +
+    position deletes, append, atomic update, merge, tag, evolution,
+    manifest rewrite, expiry."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    table = _table(spark, cust, partition_by=["c_nationkey"])
+    dest = tempfile.mkdtemp(prefix="iceexp_conform_")
+    iceberg_export.export_iceberg(table, dest)
+    _conform(dest)
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("c_custkey") % 7 == 0, ["c_custkey"]
+    )
+    _conform(dest)
+    iceberg_export.append_iceberg(
+        spark, dest, cust.filter(F.col("c_custkey") < 5)
+    )
+    iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("c_custkey") % 11 == 0
+    )
+    _conform(dest)
+    iceberg_export.update_where_iceberg(
+        spark,
+        dest,
+        F.col("c_custkey") % 13 == 0,
+        {"c_acctbal": F.col("c_acctbal") + 1},
+        ["c_custkey"],
+    )
+    iceberg_export.merge_iceberg(
+        spark,
+        dest,
+        cust.filter(F.col("c_custkey") < 3).withColumn("c_name", F.lit("M")),
+        ["c_custkey"],
+    )
+    iceberg_export.set_ref_iceberg(dest, "v1", ref_type="tag")
+    iceberg_export.evolve_schema_iceberg(dest, add={"extra": "string"})
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    _conform(dest)
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=3)
+    _conform(dest)
+
+
+def test_spec_conformance_gzip_and_buckets(spark, sf_dir):
+    """gzip metadata and murmur3 bucket[N] specs pass the byte gate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_confb_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(
+        ("ns",),
+        "t",
+        orders.schema.jsonValue(),
+        partition_by=["bucket(8, o_orderkey)"],
+        properties={"write.metadata.compression": "gzip"},
+    )
+    table = RelativeTable(ops)
+    table.append(orders)
+    dest = tempfile.mkdtemp(prefix="iceexp_confb_")
+    iceberg_export.export_iceberg(table, dest)
+    _conform(dest)
+
+
+
+
+def test_spec_conformance_mutation_kill(spark, sf_dir):
+    """The gate actually bites: perturbing a spec field id, dropping a
+    metadata key, truncating a bound value width, or unsorting a
+    position delete each flips the checker to FAIL. Every mutation is
+    applied IN PLACE to a fresh fixture (the metadata records absolute
+    paths, so a copied tree would still validate the original)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.spec_conformance import check_table
+
+    def fresh():
+        nation = load_table(spark, sf_dir, "nation")
+        table = _table(spark, nation)
+        dest = tempfile.mkdtemp(prefix="iceexp_mut_")
+        iceberg_export.export_iceberg(table, dest)
+        iceberg_export.delete_positions_iceberg(
+            spark, dest, F.col("n_nationkey") == 3
+        )
+        assert check_table(dest) == []
+        return dest
+
+    def head_snapshot(dest):
+        doc = iceberg_export._load_metadata(dest)
+        return doc, next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+
+    def rewrite_ocf(path, schema, records, meta):
+        # write_ocf re-derives avro.schema from the schema param; carry
+        # only the Iceberg-stamped extras forward
+        extras = {
+            k: v for k, v in meta.items() if not k.startswith("avro.")
+        }
+        with open(path, "wb") as fh:
+            b = avro_ocf.write_ocf(schema, records, metadata=extras)
+            fh.write(b)
+        return len(b)
+
+    # 1: perturb manifest_file field id 500 -> 999 in the manifest list
+    dest = fresh()
+    _, snap = head_snapshot(dest)
+    with open(snap["manifest-list"], "rb") as fh:
+        schema, meta, records = avro_ocf.read_ocf(fh.read())
+    for f in schema["fields"]:
+        if f["name"] == "manifest_path":
+            f["field-id"] = 999
+    rewrite_ocf(snap["manifest-list"], schema, records, meta)
+    errs = check_table(dest)
+    assert any("manifest_file field ids diverge" in e for e in errs), errs
+
+    # 2: drop a required metadata key from the current metadata.json
+    dest = fresh()
+    hint = open(os.path.join(dest, "metadata", "version-hint.text")).read()
+    mp = os.path.join(dest, "metadata", f"v{int(hint)}.metadata.json")
+    doc = json.load(open(mp))
+    del doc["last-sequence-number"]
+    json.dump(doc, open(mp, "w"))
+    errs = check_table(dest)
+    assert any("missing keys" in e for e in errs), errs
+
+    # 3: unsort the position-delete parquet (keep sizes consistent so
+    # the ORDER is what trips the gate)
+    dest = fresh()
+    _, snap = head_snapshot(dest)
+    with open(snap["manifest-list"], "rb") as fh:
+        lschema, lmeta, mls = avro_ocf.read_ocf(fh.read())
+    mf = next(m for m in mls if m["content"] == 1)
+    with open(mf["manifest_path"], "rb") as fh:
+        eschema, emeta, entries = avro_ocf.read_ocf(fh.read())
+    rec = next(
+        e["data_file"] for e in entries if e["data_file"]["content"] == 1
+    )
+    t = pq.read_table(rec["file_path"])
+    flipped = pa.table(
+        {
+            "file_path": list(t["file_path"].to_pylist()) * 2,
+            "pos": [10**6] + t["pos"].to_pylist()[: t.num_rows * 2 - 1],
+        },
+        schema=t.schema,
+    )
+    pq.write_table(flipped, rec["file_path"])
+    rec["record_count"] = flipped.num_rows
+    rec["file_size_in_bytes"] = os.path.getsize(rec["file_path"])
+    n = rewrite_ocf(mf["manifest_path"], eschema, entries, emeta)
+    mf["manifest_length"] = n
+    rewrite_ocf(snap["manifest-list"], lschema, mls, lmeta)
+    errs = check_table(dest)
+    assert any("not sorted" in e for e in errs), errs
+
+    # 4: record a wrong file size for a data file
+    dest = fresh()
+    _, snap = head_snapshot(dest)
+    with open(snap["manifest-list"], "rb") as fh:
+        lschema, lmeta, mls = avro_ocf.read_ocf(fh.read())
+    mf = next(m for m in mls if m["content"] == 0)
+    with open(mf["manifest_path"], "rb") as fh:
+        eschema, emeta, entries = avro_ocf.read_ocf(fh.read())
+    entries[0]["data_file"]["file_size_in_bytes"] += 1
+    n = rewrite_ocf(mf["manifest_path"], eschema, entries, emeta)
+    mf["manifest_length"] = n
+    rewrite_ocf(snap["manifest-list"], lschema, mls, lmeta)
+    errs = check_table(dest)
+    assert any("file_size_in_bytes" in e for e in errs), errs
+
+    # 5: truncate a bound value below its type's fixed width
+    dest = fresh()
+    _, snap = head_snapshot(dest)
+    with open(snap["manifest-list"], "rb") as fh:
+        lschema, lmeta, mls = avro_ocf.read_ocf(fh.read())
+    mf = next(m for m in mls if m["content"] == 0)
+    with open(mf["manifest_path"], "rb") as fh:
+        eschema, emeta, entries = avro_ocf.read_ocf(fh.read())
+    bounded = next(
+        e["data_file"] for e in entries if e["data_file"].get("lower_bounds")
+    )
+    bounded["lower_bounds"][0]["value"] = b"\x01"
+    n = rewrite_ocf(mf["manifest_path"], eschema, entries, emeta)
+    mf["manifest_length"] = n
+    rewrite_ocf(snap["manifest-list"], lschema, mls, lmeta)
+    errs = check_table(dest)
+    assert any("value width" in e for e in errs), errs
