@@ -43,11 +43,16 @@ Bucket transforms: tables created since the Murmur3 switch
 (``bucket-hash: murmur3`` in metadata) hash buckets with the Iceberg
 spec's Murmur3_x86_32 (catalog/bucket_hash.py, verified against the
 spec's Appendix B vectors), so their ``bucket[N]`` fields export
-verbatim and external engines can bucket-prune. One honest deviation
-remains for LEGACY tables only: pre-switch ``pmod(xxhash64(x), N)``
-layouts still drop the bucket field from the exported spec — exporting
-it as ``bucket[N]`` would invite an external reader to prune by the
-WRONG hash (silent row loss), while dropping it only widens scans.
+verbatim and external engines can bucket-prune. Never-migrated LEGACY
+``pmod(xxhash64(x), N)`` layouts drop the bucket field from the
+exported spec — exporting it as ``bucket[N]`` would invite an external
+reader to prune by the WRONG hash (silent row loss), while dropping it
+only widens scans. ``RelativeTable.migrate_bucket_hash`` closes that
+tail metadata-only: it flips the table to murmur3 with an era point,
+after which the export RETAINS ``bucket[N]`` — legacy-era files export
+their bucket value as NULL (Iceberg's spec-evolution rule: null
+partition values are never pruned by the field), murmur3-era files
+export real prunable values.
 
 Merge-on-read deletes: live equality-delete files export as genuine v2
 delete manifests — the delete payload is already a parquet file of
@@ -608,12 +613,24 @@ def _export_one_snapshot(
     entries = []
     total_rows = 0
     bound_fields = _boundable_fields(schema_json)
+    # bucket-hash migration era point (migrate_bucket_hash): files at or
+    # below it carry LEGACY xxhash64 bucket tuples, which must export as
+    # NULL — Iceberg's spec-evolution rule (null partition values are
+    # never pruned by the field), so an external engine scans the old
+    # files instead of pruning them by the wrong hash
+    mig_snap = meta.get("bucket-hash-migration-snap")
     for f in files:
         rows = int(f.get("row-count", 0))
         total_rows += rows
         part = {
-            sf["name"]: _partition_value(
-                sf, (f.get("partition") or {}).get(sf["name"])
+            sf["name"]: (
+                None
+                if sf["_kind"] == "bucket"
+                and mig_snap is not None
+                and f["_snap"] <= mig_snap
+                else _partition_value(
+                    sf, (f.get("partition") or {}).get(sf["name"])
+                )
             )
             for sf in spec_fields
         }

@@ -867,10 +867,18 @@ class RelativeTable:
             # hidden partitioning: a range predicate on a transform's SOURCE
             # column prunes on the derived layout value. Order-preserving
             # transforms prune ranges; bucket prunes EQUALITY predicates
-            # when the table's hash is the spec Murmur3 (driver-side
-            # mirror in bucket_hash.py — the legacy xxhash64 had no
-            # Python mirror, so those layouts are kept conservatively).
-            bucket_hash = self.ops.current().get("bucket-hash", "xxhash64")
+            # with the era-appropriate driver-side mirror
+            # (bucket_hash.py: spec Murmur3, or the pinned xxhash64
+            # mirror for legacy-era layouts).
+            cur_meta = self.ops.current()
+            bucket_hash = cur_meta.get("bucket-hash", "xxhash64")
+            # bucket-hash migration era point: files with data sequence
+            # at or below it were laid out by the LEGACY xxhash64 and
+            # must keep pruning with that mirror even after the table
+            # flipped to murmur3 (migrate_bucket_hash) — hashing a
+            # legacy tuple with the new function would silently skip
+            # live rows
+            mig_snap = cur_meta.get("bucket-hash-migration-snap")
             for fdef in (parse_partition_field(e) for e in self.partition_spec):
                 if fdef["kind"] == "identity" or fdef["source"] not in column_ranges:
                     continue
@@ -880,32 +888,49 @@ class RelativeTable:
                         continue
                     from iceberg_relative_io_spark.catalog import bucket_hash as bh
 
+                    # Spark's xxhash64 is WIDTH-SENSITIVE for integers
+                    # (hashInt vs hashLong), so the legacy mirror needs
+                    # the source column's type
+                    src_type = None
                     try:
-                        if bucket_hash == "murmur3":
-                            b = bh.bucket_value(lo, fdef["arg"])
-                        else:  # legacy layout: pmod(xxhash64(col), N) mirror
-                            # Spark's xxhash64 is WIDTH-SENSITIVE for
-                            # integers (hashInt vs hashLong), so the
-                            # mirror needs the source column's type
-                            src_type = None
-                            try:
-                                src_type = self.schema()[
-                                    fdef["source"]
-                                ].dataType
-                            except Exception:
-                                pass
+                        src_type = self.schema()[fdef["source"]].dataType
+                    except Exception:
+                        pass
+                    try:
+                        want_m3 = (
+                            str(bh.bucket_value(lo, fdef["arg"]))
+                            if bucket_hash == "murmur3"
+                            else None
+                        )
+                    except TypeError:
+                        want_m3 = None
+                    want_leg = None
+                    if bucket_hash != "murmur3" or mig_snap is not None:
+                        try:
                             b = bh.legacy_bucket_value(
                                 lo, fdef["arg"], source_type=src_type
                             )
-                    except TypeError:
-                        b = None
-                    if b is None:
-                        continue  # unsupported source type: keep all
-                    want = str(b)
+                            want_leg = str(b) if b is not None else None
+                        except TypeError:
+                            want_leg = None
 
-                    def in_bucket(f: dict, name=fdef["name"], want=want) -> bool:
+                    def in_bucket(
+                        f: dict,
+                        name=fdef["name"],
+                        m3=want_m3,
+                        leg=want_leg,
+                    ) -> bool:
                         v = f.get("partition", {}).get(name)
-                        return v is None or v == want
+                        if v is None:
+                            return True
+                        legacy_era = bucket_hash != "murmur3" or (
+                            mig_snap is not None
+                            and f.get("_snap", 0) <= mig_snap
+                        )
+                        want = leg if legacy_era else m3
+                        # unsupported source type for the era's mirror:
+                        # keep (never a wrong skip)
+                        return want is None or v == want
 
                     entries = [f for f in entries if in_bucket(f)]
                     continue
@@ -1281,6 +1306,74 @@ class RelativeTable:
         df = self.read(spark).coalesce(target_partitions)
         _, entries = self._write_snapshot_files(df)
         return self._commit_snapshot("replace", entries)
+
+    def migrate_bucket_hash(self) -> dict:
+        """Metadata-only migration of a legacy ``pmod(xxhash64(x), N)``
+        bucket layout to the Iceberg-spec Murmur3 (``bucket-hash:
+        murmur3``): no file moves, no manifest rewrite — the commit
+        stamps the current snapshot id as
+        ``bucket-hash-migration-snap``, the era point every consumer
+        keys on:
+
+        - WRITES after the migration lay buckets out with the spec
+          Murmur3, so fresh files are externally prunable.
+        - Native point reads prune BOTH eras correctly: ``_prune``
+          hashes with the xxhash64 mirror for entries whose data
+          sequence is at or below the era point and with Murmur3 above
+          it (hashing a legacy tuple with the new function would
+          silently skip live rows).
+        - EXPORT retains ``bucket[N]`` in the partition spec (the whole
+          point of migrating); legacy-era entries export their bucket
+          value as NULL — Iceberg's own spec-evolution rule (files
+          predating a partition field carry null and are never pruned
+          by it), so an external engine scans the old files and prunes
+          the new ones.
+        - Old snapshots still time-travel: their entries all sit at or
+          below the era point, so they keep legacy-mirror pruning; a
+          later ``compact`` / ``rewrite_zorder`` rewrites everything
+          into murmur3-era files and retires the split entirely.
+        - Caveat (same as Iceberg partition-spec evolution): a dynamic
+          partition overwrite matches partitions by their RECORDED
+          tuples, so it replaces only same-era files of a bucket
+          partition; compact first if an overwrite must span both eras.
+
+        Refused when the table already hashes with murmur3 or has no
+        bucket field (nothing to migrate — a no-op flip would only
+        confuse the era rule)."""
+        if not any(
+            parse_partition_field(e)["kind"] == "bucket"
+            for e in self.partition_spec
+        ):
+            raise ValueError(
+                "migrate_bucket_hash: table has no bucket[] partition field"
+            )
+        last_err: Exception | None = None
+        for _ in range(_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(self.ops.current()))
+            base_version = self.ops.current_version()
+            if meta.get("bucket-hash") == "murmur3":
+                raise ValueError(
+                    "migrate_bucket_hash: table already hashes buckets "
+                    "with the spec murmur3"
+                )
+            mig_snap = meta.get("current-snapshot-id")
+            meta["bucket-hash"] = "murmur3"
+            if mig_snap is not None:
+                meta["bucket-hash-migration-snap"] = mig_snap
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            try:
+                self.ops.commit(base_version, meta)
+                return {
+                    "bucket-hash": "murmur3",
+                    "migration-snap": mig_snap,
+                }
+            except CommitFailedError as err:
+                last_err = err
+                self.ops._should_refresh = True
+        raise CommitFailedError(
+            f"migrate_bucket_hash failed after {_COMMIT_RETRIES} retries: "
+            f"{last_err}"
+        )
 
     def rewrite_manifests(self) -> dict:
         """Manifest compaction (Iceberg's `rewrite_manifests` procedure):

@@ -1548,3 +1548,94 @@ def test_rewrite_manifests_preserves_mor_deletes(spark, catalog):
     table.delete_where_mor(spark, F.col("id") == 0, equality_cols=["id"])
     table.ops._should_refresh = True
     assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_migrate_bucket_hash_era_pruning_and_time_travel(spark, catalog):
+    """migrate_bucket_hash is metadata-only: after the flip, point
+    reads prune legacy-era files with the xxhash64 mirror and new-era
+    files with the spec murmur3 — both eras prune, neither wrongly
+    skips — and pre-migration snapshots still time-travel."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        bucket_value,
+        legacy_bucket_value,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id long, v string"
+    )
+    ops = catalog.create_table(
+        ("hp",), "mig_b", df.schema.jsonValue(), partition_by=["bucket(4, id)"]
+    )
+    meta = _json.loads(_json.dumps(ops.current()))
+    del meta["bucket-hash"]  # age to the pre-switch dialect
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(df)
+    pre_snap = ops.current()["current-snapshot-id"]
+
+    with pytest.raises(ValueError, match="no bucket"):
+        ops2 = catalog.create_table(
+            ("hp",), "mig_none", df.schema.jsonValue()
+        )
+        RelativeTable(ops2).migrate_bucket_hash()
+
+    info = table.migrate_bucket_hash()
+    assert info["bucket-hash"] == "murmur3"
+    assert ops.current()["bucket-hash-migration-snap"] == pre_snap
+    with pytest.raises(ValueError, match="already"):
+        table.migrate_bucket_hash()
+
+    # post-migration appends lay out with the spec murmur3
+    df2 = spark.createDataFrame(
+        [(1000 + i, f"n{i}") for i in range(60)], "id long, v string"
+    )
+    table.append(df2)
+    files = table.scan_files()
+    new_files = [f for f in files if f["_snap"] > pre_snap]
+    assert new_files
+    want_new = str(bucket_value(1007, 4))
+    hit = [
+        f for f in new_files
+        if any(
+            r.id == 1007
+            for r in spark.read.parquet(
+                table.ops.io.spark_path(f["path"])
+            ).select("id").collect()
+        )
+    ]
+    assert hit and all(f["partition"]["id_bucket"] == want_new for f in hit)
+
+    # era-aware pruning: a legacy-era point read prunes by xxhash64...
+    want_leg = str(legacy_bucket_value(7, 4, T.LongType()))
+    legacy_pruned = table.scan_files(column_ranges={"id": (7, 7)})
+    legacy_era = [f for f in legacy_pruned if f["_snap"] <= pre_snap]
+    assert legacy_era
+    assert {f["partition"]["id_bucket"] for f in legacy_era} == {want_leg}
+    # ...and a new-era point read prunes by murmur3
+    new_pruned = table.scan_files(column_ranges={"id": (1007, 1007)})
+    new_era = [f for f in new_pruned if f["_snap"] > pre_snap]
+    assert new_era
+    assert {f["partition"]["id_bucket"] for f in new_era} == {want_new}
+    assert len(new_pruned) < len(files)
+
+    # correctness: both eras' point reads return exactly their row
+    got = table.read(spark, column_ranges={"id": (7, 7)}).filter("id = 7")
+    assert got.count() == 1
+    got2 = table.read(
+        spark, column_ranges={"id": (1007, 1007)}
+    ).filter("id = 1007")
+    assert got2.count() == 1
+    assert table.read(spark).count() == 120
+
+    # pre-migration snapshot still time-travels, with legacy pruning
+    old = table.read(spark, snapshot_id=pre_snap)
+    assert old.count() == 60
+    old_pruned = table.scan_files(
+        snapshot_id=pre_snap, column_ranges={"id": (7, 7)}
+    )
+    assert {f["partition"]["id_bucket"] for f in old_pruned} == {want_leg}

@@ -3000,3 +3000,99 @@ def test_spec_conformance_mutation_kill(spark, sf_dir):
     rewrite_ocf(snap["manifest-list"], lschema, mls, lmeta)
     errs = check_table(dest)
     assert any("value width" in e for e in errs), errs
+
+
+def test_migrated_bucket_table_exports_bucket_field(spark, sf_dir):
+    """After migrate_bucket_hash, a formerly-legacy table's export
+    RETAINS bucket[N]: legacy-era files carry NULL bucket values
+    (Iceberg's spec-evolution rule — scanned, never pruned) while
+    murmur3-era files carry real prunable values; the round trip is
+    exact and the byte-level conformance gate passes."""
+    import json as _json
+
+    from iceberg_relative_io_spark.catalog import FsCatalog
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+    from tools.spec_conformance import check_table
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string"
+    )
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceexp_migb_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(
+        ("ns",), "t", df.schema.jsonValue(), partition_by=["bucket(4, id)"]
+    )
+    meta = _json.loads(_json.dumps(ops.current()))
+    del meta["bucket-hash"]  # age to the pre-switch dialect
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(df)
+
+    # pre-migration: the legacy layout DROPS the bucket field on export
+    dest0 = tempfile.mkdtemp(prefix="iceexp_migb0_")
+    iceberg_export.export_iceberg(table, dest0)
+    doc0 = iceberg_export._load_metadata(dest0)
+    spec0 = next(
+        p for p in doc0["partition-specs"]
+        if p["spec-id"] == doc0["default-spec-id"]
+    )
+    assert all(
+        not pf["transform"].startswith("bucket[") for pf in spec0["fields"]
+    )
+
+    pre_snap = ops.current()["current-snapshot-id"]
+    table.migrate_bucket_hash()
+    df2 = spark.createDataFrame(
+        [(1000 + i, f"n{i}") for i in range(50)], "id long, v string"
+    )
+    table.append(df2)
+
+    dest = tempfile.mkdtemp(prefix="iceexp_migb_")
+    iceberg_export.export_iceberg(table, dest)
+    assert check_table(dest) == []
+    doc = iceberg_export._load_metadata(dest)
+    spec = next(
+        p for p in doc["partition-specs"]
+        if p["spec-id"] == doc["default-spec-id"]
+    )
+    assert any(
+        pf["transform"] == "bucket[4]" for pf in spec["fields"]
+    ), spec["fields"]
+
+    # manifest partition values: NULL for legacy-era files, murmur3 for
+    # new-era files
+    snap = next(
+        s for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mls = avro_ocf.read_ocf(fh.read())
+    vals = []
+    for mf in mls:
+        if mf["content"] != 0:
+            continue
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        vals += [e["data_file"]["partition"]["id_bucket"] for e in entries]
+    assert None in vals  # legacy era exported as null
+    assert any(v is not None for v in vals)  # murmur3 era exported real
+
+    # exact round trip, and an external point read on a NEW-era key
+    # prunes to the murmur3 bucket while still returning exactly the row
+    got = sorted(
+        (r.id, r.v)
+        for r in iceberg_export.read_iceberg(spark, dest).collect()
+    )
+    want = sorted([(i, f"v{i}") for i in range(50)]
+                  + [(1000 + i, f"n{i}") for i in range(50)])
+    assert got == want
+    one = iceberg_export.read_iceberg(
+        spark, dest, eq_filters={"id": 1007}
+    ).collect()
+    assert [(r.id, r.v) for r in one] == [(1007, "n7")]
+    # and a legacy-era key still resolves (scanned via the null entries)
+    one2 = iceberg_export.read_iceberg(
+        spark, dest, eq_filters={"id": 7}
+    ).collect()
+    assert [(r.id, r.v) for r in one2] == [(7, "v7")]
