@@ -5,12 +5,17 @@ heavy per-item work (decode, resize, feature-extract, frame-sample) runs
 as Arrow-batched ``mapInPandas`` stages so executors stream record
 batches through Python without per-row overhead.
 
-The actual codecs are STUBBED: this container has no media libraries, so
-``decode_image`` raises ``NotImplementedError`` unless a decoder callable
-is injected (tests inject a deterministic fake). Everything Spark-side —
-schemas, batch iteration, partitioning by payload size, UDF signatures —
-is real and tested; swapping the stub for Pillow/ffmpeg is a pure Python
-change invisible to the plan.
+The default codecs are STUBBED: this container has no media libraries,
+so ``decode_image`` raises ``NotImplementedError`` unless a decoder
+callable is injected (tests inject a deterministic fake). One REAL codec
+ships pure-stdlib: ``functions/png_codec.py`` (minimal PNG from the
+public spec — zlib + struct only) plugs in as
+``decode_features(df, decoder=png_codec.png_decoder)`` /
+``resize_stage(df, n, resizer=png_codec.png_resizer)`` and is tested end
+to end on real PNG bytes. Everything Spark-side — schemas, batch
+iteration, partitioning by payload size, UDF signatures — is real and
+tested; swapping in Pillow/ffmpeg is a pure Python change invisible to
+the plan.
 """
 
 from __future__ import annotations

@@ -518,3 +518,131 @@ def test_kmeans_lloyd_update_reduces_inertia(spark, sf_dir):
         .cast("double")
     ).collect()[0][0]
     assert after_total < seed_total
+
+
+# ---------------------------------------------------------------------------
+# round 7: one REAL codec, pure stdlib — minimal PNG (functions/png_codec)
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_byte_exact_round_trip():
+    """encode -> decode -> encode is a fixed point (byte-exact), for
+    both grayscale and RGB, including non-square and 1-pixel edges."""
+    from iceberg_relative_io_spark.functions import png_codec as P
+
+    cases = [
+        (5, 3, 1),
+        (3, 5, 3),
+        (1, 1, 1),
+        (16, 16, 3),
+        (7, 1, 3),
+    ]
+    for w, h, c in cases:
+        px = bytes((i * 37 + c) % 256 for i in range(w * h * c))
+        data = P.encode_png(w, h, px, c)
+        w2, h2, c2, px2 = P.decode_png(data)
+        assert (w2, h2, c2) == (w, h, c)
+        assert px2 == px
+        assert P.encode_png(w2, h2, px2, c2) == data  # fixed point
+
+    import pytest as _pytest
+
+    with _pytest.raises(P.PngError):
+        P.encode_png(2, 2, b"\x00" * 3, 1)  # wrong buffer size
+    with _pytest.raises(P.PngError):
+        P.decode_png(b"NOT A PNG AT ALL")
+    good = P.encode_png(2, 2, b"\x01\x02\x03\x04", 1)
+    with _pytest.raises(P.PngError):  # corrupt CRC must be detected
+        P.decode_png(good[:-1] + bytes([good[-1] ^ 0xFF]))
+
+
+def test_png_decoder_handles_all_five_filters():
+    """PNGs from OTHER writers use Sub/Up/Average/Paeth scanline
+    filters; the decoder must unfilter all of them. Build one image per
+    filter type by filtering the scanlines by hand (the spec's exact
+    arithmetic) and assert identical decoded pixels."""
+    import struct
+    import zlib
+
+    from iceberg_relative_io_spark.functions import png_codec as P
+
+    w, h, c = 6, 4, 3
+    px = bytes((i * 53 + 11) % 256 for i in range(w * h * c))
+    stride, bpp = w * c, c
+
+    def filt(ftype):
+        raw = bytearray()
+        prev = bytearray(stride)
+        for y in range(h):
+            line = bytearray(px[y * stride : (y + 1) * stride])
+            enc = bytearray(line)
+            if ftype == 1:
+                for i in range(stride - 1, bpp - 1, -1):
+                    enc[i] = (line[i] - line[i - bpp]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    enc[i] = (line[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    enc[i] = (line[i] - P._paeth(left, prev[i], ul)) & 0xFF
+            raw += bytes([ftype]) + bytes(enc)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + P._chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        w2, h2, c2, got = P.decode_png(filt(ftype))
+        assert (w2, h2, c2) == (w, h, c)
+        assert got == px, f"filter {ftype} mis-decoded"
+
+
+def test_multimodal_stages_run_real_png_end_to_end(spark):
+    """The Spark-side multimodal plumbing runs a REAL format end to
+    end: PNG payloads through decode_features (real dimensions, quadrant
+    features) and resize_stage (decode -> nearest-neighbor downscale ->
+    re-encode, output is a valid PNG within the size budget). The stub
+    path stays the default (separate test)."""
+    from iceberg_relative_io_spark.functions import multimodal as M
+    from iceberg_relative_io_spark.functions import png_codec as P
+
+    imgs = []
+    for item_id, (w, h, c) in enumerate(
+        [(40, 30, 1), (64, 64, 3), (9, 17, 3), (128, 32, 1)]
+    ):
+        px = bytes((item_id * 31 + i * 7) % 256 for i in range(w * h * c))
+        imgs.append((item_id, P.encode_png(w, h, px, c), "image/png", w, h))
+    mm = spark.createDataFrame(
+        [(i, p, m, len(p)) for i, p, m, *_ in imgs],
+        schema="item_id long, payload binary, mime string, n_bytes int",
+    )
+
+    feats = {
+        r.item_id: r
+        for r in M.decode_features(mm, decoder=P.png_decoder).collect()
+    }
+    for item_id, _, _, w, h in imgs:
+        r = feats[item_id]
+        assert (r.width, r.height) == (w, h)
+        assert 0.0 <= r.feature_norm <= 2.0  # 4-dim vector in [0,1]^4
+
+    resized = M.resize_stage(mm, target_bytes=16, resizer=P.png_resizer)
+    out = {r.item_id: bytes(r.payload) for r in resized.collect()}
+    for item_id, payload, _, w, h in imgs:
+        w2, h2, c2, _ = P.decode_png(out[item_id])
+        assert max(w2, h2) <= 16
+        # aspect ratio approximately preserved
+        assert abs(w2 / h2 - w / h) <= max(w / h, h2 and w2 / h2) * 0.5
+        # decode feature of the resized payload still works
+        rw, rh, feat = P.png_decoder(out[item_id])
+        assert (rw, rh) == (w2, h2) and len(feat) == 4
