@@ -9,72 +9,49 @@ from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
 # bounded budget (it records exactly the first 50 entries). Cumulative
-# driver evidence through round 5 covers all 187 registry names green.
-# Round 6 front-loads every query whose PHYSICAL PLAN (or underlying
-# table-format behavior) changed in rounds 5-6 after its last driver
-# grade, plus the round-6 additions: the Iceberg mirror lifecycle
-# (a44-a54, b30_stream_to_iceberg — incremental appends, mirror-side
-# MOR delete/update/MERGE, dynamic partition overwrite, refs+rollback,
-# schema evolution incl. era-schema time travel, min/max-bounds file
-# skipping, mirror metadata tables, orphan cleanup, TIMESTAMP AS OF,
-# rewrite/compact/expire), the B29 metadata tables, the
-# export rewrite (sequence-numbered manifests, MOR delete manifests,
-# temporal identity typing), murmur3 bucket transform + pruning, the
-# max_by keep-latest rewrites, the LSH shared-hot-list caching, and the
-# broadcast-audit rewires (label accuracy, capstone). Spare slots
-# re-grade the round-5 prefix names so the freshest evidence stays
-# broad.
+# driver evidence through round 6 covers all 204 previously-registered
+# names green (r6 itself graded 50/50).
+#
+# FRESHNESS INVARIANT (round 7 onward): the prefix is built so that no
+# query's latest driver grade is ever older than ~3 rounds. Each round
+# it front-loads (a) every never-graded new query, then (b) the
+# stalest-graded names, oldest round first. Entering round 7 the
+# last-graded histogram was {r1:34, r2:9, r3:37, r4:46, r5:28, r6:50};
+# the 50 slots below take the one new query (a55), all 34 r1- and all
+# 9 r2-graded names, and 6 r3-graded picks whose physical plans were
+# touched after their last grade (the r6 NULL-key as-of fix, the r6
+# B32 NULL guards, the join/broadcast core, MOR delete-carry, snapshot
+# expiry). After r7 grades, nothing is older than r3 (the remaining 31
+# r3 names rotate in next round).
 # Everything rotated out stays in the registry and in the judge's full
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # --- round-6 plan/format changes + new queries ---
-    "a54_iceberg_era_read",        # NEW: era-schema time travel past a drop
-    "a53_iceberg_meta_tables",     # NEW: mirror .snapshots/.refs introspection
-    "a52_stats_pruned_read",       # NEW: min/max bounds file skipping
-    "a51_iceberg_evolution",       # NEW: mirror-side schema evolution
-    "a50_iceberg_rollback",        # NEW: mirror refs + metadata-only rollback
-    "a49_iceberg_overwrite",       # NEW: mirror-side dynamic partition overwrite
-    "a48_iceberg_merge",           # NEW: atomic mirror-side MERGE upsert
-    "a47_iceberg_update",          # NEW: atomic mirror-side MOR update
-    "a46_iceberg_mor_delete",      # NEW: distributed mirror-side MOR delete
-    "a45_iceberg_append",          # NEW: incremental append_iceberg commits
-    "b30_stream_to_iceberg",       # NEW: per-micro-batch Iceberg mirror sink
-    "b29_partitions_table",        # NEW: .partitions metadata table
-    "b29_files_table",             # NEW: .files metadata table
-    "b29_manifests_table",         # NEW: .manifests metadata table
-    "c03_knn_label_accuracy",      # r6 broadcast-audit rewire (probe corpus, not ship it)
-    "c06_pipeline_capstone",       # r6 broadcast-audit rewire (survivors via SHJ)
-    "a44_position_delete_read",    # NEW: spec position-delete write + read
-    "a43_iceberg_import",          # NEW: export -> zero-copy import round trip
-    "a42_bucket_export",           # NEW: murmur3 bucket[N] export + pruned reads
-    "a41_iceberg_export",          # export rewritten (sequences, deletes, gzip)
-    "a32_hidden_partitioning",     # bucket layout now spec murmur3
-    "a32_partition_pruning",       # _prune gained the bucket-equality branch
-    "b01_python_datasource",       # datasource pruning path rides _prune
-    "a_merge_upsert",              # r5 max_by merge_latest rewrite
-    "b31_stream_upsert_to_table",  # per-batch merge_latest sink
-    "b14_dedup_keep_latest",       # r6 max_by rewrite (window-sort removed)
-    "a_mor_delete",                # delete-carry fix + export-path coupling
-    "a26_compaction",              # rewrite_manifests delete preservation
-    "c02_lsh_candidate_pairs",     # shared hot-list cache + NO_HOT fast path
-    "c01_embedding_neardup",       # persisted hyperplane featurization
-    "c02_dedup_survivors",         # composes the cached LSH pass
-    "b04_sql_views",               # r5 timing jitter watch
-    # --- spare slots: re-grade the round-5 prefix (broad fresh evidence) ---
-    "b25_math_funs", "b26_array_funs", "b26_map_funs",
-    "b30_stream_static_join",
-    "c02_cluster_size_histogram", "c02_doc_containment",
-    "c02_duplicate_ngrams", "c02_minhash_error_eval",
-    "c02_substring_removal", "c02_threshold_sweep", "c02_triangle_count",
-    "c03_kmeans_inertia", "c03_knn_filtered",
-    "c03_label_centroids", "c03_outlier_filter",
-    "c04_bigram_logprob", "c04_classifier_score", "c04_keyword_rarity",
-    "c04_normalize_editdist", "c04_repetition_ratio", "c04_term_frequency",
-    "c04_text_normalize", "c04_token_ids",
-    "c05_audio_vad", "c05_frame_sample", "c05_resize_pipeline",
-    "c05_image_hash_neardup", "c05_video_neardup",
-    "c06_contamination_check", "c06_curriculum_order", "c06_dataset_card",
-    "c06_dataset_diff", "c06_mixture_weights", "c06_quality_sampling",
+    # --- never driver-graded (new in round 7) ---
+    "a55_position_delete_dml",     # NEW: mirror-side position-delete DML
+    # --- last graded round 1 (34) ---
+    "b07_skew_salted_join", "b08_join_full", "b08_join_left",
+    "b09_join_anti", "b09_join_semi", "b09_order_priority",
+    "b10_promo_revenue", "b11_bucketed_interval_join",
+    "b13_column_profile", "b13_correlated_agg_filter",
+    "b13_funnel_analysis", "b13_integrity_audit", "b13_median_exact",
+    "b13_priority_classes", "b13_retention_cohorts", "b13_salted_agg",
+    "b13_stats_exact", "b14_distinct", "b15_approx_quantile",
+    "b15_cms_heavy_hitters", "b16_cube", "b16_grouping_sets",
+    "b16_pivot", "b16_unpivot", "b18_window_lag_lead",
+    "b19_window_frames", "b19_window_range_frame", "b20_sort_global",
+    "b22_set_except", "b22_set_intersect", "b22_set_union",
+    "b23_string_funs", "b24_datetime_funs", "c04_boolean_search",
+    # --- last graded round 2 (9) ---
+    "c02_minhash_signatures", "c02_ngram_jaccard_topk", "c02_simhash",
+    "c03_ann_ivf", "c04_langid", "c04_quality_score", "c04_token_count",
+    "c05_binary_ingest", "c05_multimodal_schema",
+    # --- last graded round 3, plan touched since (6) ---
+    "b12_asof_join",       # r6: NULL keys match nothing (f17b57f)
+    "b32_pandas_udf",      # r6: B32 NULL guards (7d7b869)
+    "b07_join_inner",      # join core; r6 NULL-semantics pass
+    "b10_star_broadcast",  # broadcast-audit era; r5 jitter watch
+    "a_row_delete",        # MOR delete-carry fix landed after r3 grade
+    "a18_expire_snapshots", # expiry path hardened r5-r6
 ]
 
 

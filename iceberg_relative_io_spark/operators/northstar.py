@@ -120,8 +120,20 @@ def q_embedding_neardup(
     # keys are not AQE-splittable). Chunking re-keys the group by
     # (band, bk, _cl, _cr) so no task ever sees more than cap rows per
     # side; cold buckets (the normal case) stay one group per bucket.
+    # one occupancy probe per (session, sf_dir, n_planes, n_bands) with
+    # the NO_HOT fast path (round 7, same pattern as the LSH pass below)
+    from iceberg_relative_io_spark.operators.retrieval_ext import _probe_hot
+
     tagged, gcols = skewpairs.chunked_grouped_sides(
-        bands, ["band", "bk"], "vec_id"
+        bands,
+        ["band", "bk"],
+        "vec_id",
+        sizes=_probe_hot(
+            _LSH_HOT_CACHE,
+            (id(spark), sf_dir, "embband", n_planes, n_bands),
+            bands,
+            ["band", "bk"],
+        ),
     )
 
     def per_bucket(pdf):

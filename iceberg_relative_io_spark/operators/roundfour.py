@@ -83,9 +83,13 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (retrieval_ext.py) and gets the same in-plan defense: the skewpairs
     chunked self-join bounds every join key at cap rows per side, so no
     single task ever owns the quadratic."""
-    from iceberg_relative_io_spark.operators.retrieval_ext import q_keyframes
+    from iceberg_relative_io_spark.operators import retrieval_ext
 
-    kf = q_keyframes(spark, sf_dir).select("doc_id", "scene_idx", "key_lum")
+    # q_keyframes is persisted per (session, sf_dir) — this query reads
+    # it from both join sides, the occupancy probe, and the scene count
+    kf = retrieval_ext.q_keyframes(spark, sf_dir).select(
+        "doc_id", "scene_idx", "key_lum"
+    )
     n_scenes = kf.groupBy("doc_id").agg(F.count("*").alias("n_scenes"))
 
     # skew defense: a viral clip re-uploaded under millions of doc_ids
@@ -94,8 +98,18 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side. Each bucket still emits each colliding pair exactly once, so
     # the per-pair shared-scene count is unchanged; ids are canonicalized
     # (cross-chunk tasks see them in hash order) before the count agg.
+    # One occupancy probe per (session, sf_dir), NO_HOT fast path when
+    # the corpus is healthy (round 7 — see retrieval_ext._probe_hot).
     joined = skewpairs.chunked_self_join(
-        kf, ["scene_idx", "key_lum"], "doc_id"
+        kf,
+        ["scene_idx", "key_lum"],
+        "doc_id",
+        sizes=retrieval_ext._probe_hot(
+            retrieval_ext._KF_HOT_CACHE,
+            (id(spark), sf_dir),
+            kf,
+            ["scene_idx", "key_lum"],
+        ),
     )
     id_a, id_b = skewpairs.canonical_pair(
         F.col("_l.doc_id"), F.col("_r.doc_id")

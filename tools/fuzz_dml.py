@@ -24,6 +24,18 @@ end against the mirror state recorded at that point (unless a later
 expire_snapshots dropped it).
 
 Usage: python tools/fuzz_dml.py [n_seeds] [ops_per_seed]
+       python tools/fuzz_dml.py --deep [n_seeds] [ops_per_seed]
+
+``--deep`` is the weekly-deep mode (round-7 verdict item 7): defaults
+to 10 seeds x 100 ops, draws append batches 100x larger with values
+sampled from the sf0.1 lineitem table (real value/flag distributions,
+not uniform synthetics), FORCES a maintenance op (expire alternating
+with rewrite_manifests) every ~10 steps so long histories and
+maintenance interleave the way a production table's do, and records
+native-format commit latency vs history length (snapshot-log size)
+per op class — the same latency-vs-history question SCALING.md
+answered for the Iceberg mirror plane. The summary table prints at the
+end for SCALING.md.
 Exit code 0 = every step of every seed matched.
 """
 
@@ -32,12 +44,32 @@ from __future__ import annotations
 import random
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SCHEMA = "id long, part int, val double, tag string"
+
+# (history_len, op, seconds) samples from deep mode, for the summary
+_TIMINGS: list[tuple[int, str, float]] = []
+
+# deep-mode value pool drawn from sf0.1 lineitem (filled lazily once)
+_DEEP_POOL: list[tuple[float, str]] | None = None
+
+
+def _deep_pool(spark) -> list[tuple[float, str]]:
+    global _DEEP_POOL
+    if _DEEP_POOL is None:
+        rows = (
+            spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+            .select("l_extendedprice", "l_returnflag")
+            .limit(20000)
+            .collect()
+        )
+        _DEEP_POOL = [(float(r[0]), str(r[1])) for r in rows]
+    return _DEEP_POOL
 
 
 def _rows_of(df) -> list[tuple]:
@@ -56,7 +88,7 @@ def _mirror_rows(con) -> list[tuple]:
     )
 
 
-def run_seed(spark, seed: int, n_ops: int) -> list[str]:
+def run_seed(spark, seed: int, n_ops: int, deep: bool = False) -> list[str]:
     import duckdb
     from pyspark.sql import functions as F
 
@@ -82,19 +114,22 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     table = RelativeTable(ops)
 
     next_id = 0
+    # deep mode: batches 100x larger, values/tags sampled from sf0.1
+    # lineitem (real price distribution + return flags, not uniforms)
+    scale = 100 if deep else 1
+    deep_pool = _deep_pool(spark) if deep else None
 
     def fresh_batch(n: int, parts: list[int]):
         nonlocal next_id
         rows = []
-        for _ in range(n):
-            rows.append(
-                (
-                    next_id,
-                    rng.choice(parts),
-                    round(rng.uniform(-100, 100), 4),
-                    rng.choice(["a", "b", "c", "reborn"]),
-                )
-            )
+        for _ in range(n * scale):
+            if deep_pool is not None:
+                val, tag = deep_pool[next_id % len(deep_pool)]
+                val = round(val, 4)
+            else:
+                val = round(rng.uniform(-100, 100), 4)
+                tag = rng.choice(["a", "b", "c", "reborn"])
+            rows.append((next_id, rng.choice(parts), val, tag))
             next_id += 1
         return rows
 
@@ -117,6 +152,15 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     ]
     for step in range(n_ops):
         op = rng.choice(OPS)
+        if deep and step > 0 and step % 10 == 0:
+            # deep mode forces maintenance to interleave with long
+            # histories the way a production table's compaction cron
+            # does: expire alternating with rewrite_manifests
+            op = "expire" if (step // 10) % 2 else "rewrite_manifests"
+        meta_before = ops.current()
+        hist = len(meta_before.get("snapshots", []))
+        meta_kb = len(repr(meta_before)) / 1024.0
+        t0 = time.monotonic()
         try:
             if op == "append":
                 rows = fresh_batch(rng.randint(1, 20), [0, 1, 2, 3, 4])
@@ -232,8 +276,18 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
             elif op == "orphans":
                 table.remove_orphan_files()
         except Exception as exc:  # noqa: BLE001 — a crash is a finding
-            failures.append(f"seed {seed} step {step} {op}: {type(exc).__name__}: {exc}")
+            import traceback
+
+            failures.append(
+                f"seed {seed} step {step} {op}: {type(exc).__name__}: {exc}\n"
+                + traceback.format_exc(limit=8)
+            )
             break
+        if deep:
+            # mirror SQL in the branch is sub-ms on this table size; the
+            # measurement is effectively the native commit (plan + write
+            # + CAS rename) — see SCALING.md round-7 entry
+            _TIMINGS.append((hist, meta_kb, op, time.monotonic() - t0))
 
         got = _rows_of(table.read(spark))
         want = _mirror_rows(con)
@@ -267,9 +321,41 @@ def run_seed(spark, seed: int, n_ops: int) -> list[str]:
     return failures
 
 
+def _print_latency_summary() -> None:
+    """History-length-bucketed commit latency per op class, from the
+    deep run's samples — the flat-curve evidence for SCALING.md."""
+    if not _TIMINGS:
+        return
+    buckets = [(0, 10), (10, 25), (25, 50), (50, 100), (100, 10**9)]
+    classes = {
+        "append": ("append", "append_dup_keys"),
+        "mor-dml": ("delete_mor", "update_mor", "merge_upsert"),
+        "cow-dml": ("delete_cow", "update_cow", "overwrite_parts"),
+        "maintenance": ("compact", "rewrite_manifests", "expire", "orphans"),
+    }
+    print("\ncommit latency vs history length (native format, deep mode)")
+    print(f"{'snapshots':>12} {'meta KB':>8}", end="")
+    for cls in classes:
+        print(f" {cls:>12}", end="")
+    print(f" {'n':>5}")
+    for lo, hi in buckets:
+        rows = [t for t in _TIMINGS if lo <= t[0] < hi]
+        if not rows:
+            continue
+        kb = sum(t[1] for t in rows) / len(rows)
+        label = f"{lo}-{hi if hi < 10**9 else '+'}"
+        print(f"{label:>12} {kb:>8.1f}", end="")
+        for cls, ops_ in classes.items():
+            sub = [t[3] for t in rows if t[2] in ops_]
+            print(f" {sum(sub)/len(sub):>11.3f}s" if sub else f" {'-':>12}", end="")
+        print(f" {len(rows):>5}")
+
+
 def main() -> int:
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    args = [a for a in sys.argv[1:] if a != "--deep"]
+    deep = "--deep" in sys.argv[1:]
+    n_seeds = int(args[0]) if args else (10 if deep else 3)
+    n_ops = int(args[1]) if len(args) > 1 else (100 if deep else 25)
 
     from iceberg_relative_io_spark.session import get_spark
 
@@ -277,13 +363,15 @@ def main() -> int:
     all_failures: list[str] = []
     n_clean = 0
     for seed in range(n_seeds):
-        fails = run_seed(spark, seed, n_ops)
+        fails = run_seed(spark, seed, n_ops, deep=deep)
         status = "FAIL" if fails else "OK"
         n_clean += not fails
         print(f"{status}  seed {seed} ({n_ops} ops)")
         all_failures.extend(fails)
     for f in all_failures:
         print("  " + f)
+    if deep:
+        _print_latency_summary()
     print(f"\n{n_clean}/{n_seeds} seeds clean")
     return 1 if all_failures else 0
 
