@@ -3628,6 +3628,165 @@ _BROADCAST_DELETE_MAX_BYTES = 32 << 20
 _BROADCAST_DELETE_MAX_ROWS = 4_000_000
 
 
+def _walk_manifests(manifests: list[dict]) -> tuple[list, list, list]:
+    """Walk a snapshot's manifest list into (data_entries, equality
+    deletes, position deletes), applying the spec's classification:
+    live entries only (status=2 DELETED rows skipped); ``content=1``
+    entries — or data_file.content=1 without equality_ids — are
+    position deletes; data_file.content=2 with equality_ids are
+    equality deletes (returned with raw field ``ids`` — name
+    resolution is era-schema-dependent and stays with the caller);
+    everything else is a data entry. Shared by the spec-path reader
+    and the changelog planner so their scoping views cannot drift."""
+    data_entries: list[dict] = []
+    eq_deletes: list[dict] = []  # {seq, path, ids, rows, bytes}
+    pos_deletes: list[dict] = []  # {seq, path, rows, bytes}
+    for mf in manifests:
+        with open(mf["manifest_path"], "rb") as fh:
+            _, _, entries = avro_ocf.read_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            rec = e["data_file"]
+            if mf["content"] == 1 or rec["content"] in (1, 2):
+                if rec["content"] == 1 or not rec.get("equality_ids"):
+                    # content=1 entries (no equality_ids) are POSITION
+                    # deletes: parquet of (file_path, pos), applied to
+                    # data files with sequence <= the delete's (spec rule
+                    # — note <= where equality deletes use strict <)
+                    pos_deletes.append(
+                        {
+                            "seq": e["sequence_number"],
+                            "path": rec["file_path"],
+                            "rows": int(rec.get("record_count") or 0),
+                            "bytes": int(rec.get("file_size_in_bytes") or 0),
+                        }
+                    )
+                    continue
+                eq_deletes.append(
+                    {
+                        "seq": e["sequence_number"],
+                        "path": rec["file_path"],
+                        "ids": list(rec.get("equality_ids") or []),
+                        "rows": int(rec.get("record_count") or 0),
+                        "bytes": int(rec.get("file_size_in_bytes") or 0),
+                    }
+                )
+            else:
+                data_entries.append(e)
+    return data_entries, eq_deletes, pos_deletes
+
+
+def _changelog_file_plan(
+    doc: dict, from_sid: int, to_sid: int
+) -> tuple[set, set, set]:
+    """Metadata-only scan plan for ``changelog_iceberg``: which data
+    files of each snapshot must be READ to compute the net row diff.
+
+    A data file contributes identical row multisets to both snapshots
+    — and therefore cancels exactly in the diff — iff it is present in
+    both AND its applicable delete view is identical on both sides
+    (same equality-delete files with the same key ids scoping it, same
+    position-delete files). Those files are excluded from BOTH reads
+    before any IO: at 100 TB an incremental batch touches a sliver of
+    the table's files, so the changelog scans O(changed files), never
+    O(table). Returns (keep_from, keep_to, cancelled) path sets."""
+    states: dict[int, dict] = {}
+    for sid in (from_sid, to_sid):
+        snap = next(
+            (s for s in doc["snapshots"] if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            raise ValueError(f"no such snapshot: {sid}")
+        with open(snap["manifest-list"], "rb") as fh:
+            _, _, manifests = avro_ocf.read_ocf(fh.read())
+        data_entries, eq_d, pos_d = _walk_manifests(manifests)
+        st: dict[str, tuple] = {}
+        for e in data_entries:
+            rec = e["data_file"]
+            eq_app = tuple(
+                sorted(
+                    (d["path"], tuple(d["ids"]))
+                    for d in eq_d
+                    if d["seq"] > e["sequence_number"]
+                )
+            )
+            pos_app = tuple(
+                sorted(
+                    d["path"]
+                    for d in pos_d
+                    if d["seq"] >= e["sequence_number"]
+                )
+            )
+            st[rec["file_path"]] = (eq_app, pos_app)
+        states[sid] = st
+    sf, st2 = states[from_sid], states[to_sid]
+    cancelled = {p for p, v in sf.items() if st2.get(p) == v}
+    return set(sf) - cancelled, set(st2) - cancelled, cancelled
+
+
+def changelog_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental changelog between two mirror snapshots: the NET
+    multiset row diff, one output row per changed row value with
+    ``_change_type`` (``INSERT``/``DELETE``) and ``_n`` (how many
+    copies appeared/disappeared). This is the consumption shape of
+    Iceberg's incremental scan / CDC read — a downstream pipeline
+    applies the changelog instead of re-reading the table.
+
+    Semantics: rows are compared under the TO snapshot's schema (FROM
+    rows missing later-added columns read as NULL, dropped columns fall
+    away — the same era rule as the reader). An UPDATE surfaces as its
+    value pair (DELETE of the old row, INSERT of the new); rows whose
+    multiplicity is unchanged between the snapshots produce nothing.
+
+    Scale: the plan is metadata-first (``_changelog_file_plan``) — data
+    files whose content provably cancels (present in both snapshots
+    under an identical applicable-delete view) are pruned from BOTH
+    scans before any IO, so the shuffle (one hash aggregation keyed on
+    the full row) carries only rows from files that changed. No
+    driver-side row ever materializes. Parity target: Iceberg's
+    changelog scan over the v2 sequence-number scoping rules the
+    reference's table format pins (README.md:24-109)."""
+    doc = _load_metadata(table_dir)
+    to_sid = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else doc["current-snapshot-id"]
+    )
+    keep_from, keep_to, _ = _changelog_file_plan(doc, from_snapshot_id, to_sid)
+    old = read_iceberg(
+        spark, table_dir, snapshot_id=from_snapshot_id, _keep_paths=keep_from
+    )
+    new = read_iceberg(
+        spark, table_dir, snapshot_id=to_sid, _keep_paths=keep_to
+    )
+    cols = [f.name for f in new.schema.fields]
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    old = old.select(*cols)
+    tagged = new.withColumn("_w", F.lit(1)).unionByName(
+        old.withColumn("_w", F.lit(-1))
+    )
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_w").alias("_net"))
+        .filter(F.col("_net") != 0)
+    )
+    return net.select(
+        *cols,
+        F.when(F.col("_net") > 0, F.lit("INSERT"))
+        .otherwise(F.lit("DELETE"))
+        .alias("_change_type"),
+        F.abs(F.col("_net")).cast("long").alias("_n"),
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -3636,6 +3795,7 @@ def read_iceberg(
     ref: str | None = None,
     as_of_ms: int | None = None,
     _with_positions: bool = False,
+    _keep_paths: set | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
     version-hint -> metadata.json (plain or .gz) -> current snapshot
@@ -3742,57 +3902,32 @@ def read_iceberg(
         if pf["transform"].startswith("bucket[")
     ]
 
-    data_entries: list[dict] = []
+    data_entries, eq_raw, pos_deletes = _walk_manifests(manifests)
     eq_deletes: list[dict] = []  # {seq, path, cols}
-    pos_deletes: list[dict] = []  # {seq, path}
-    for mf in manifests:
-        with open(mf["manifest_path"], "rb") as fh:
-            _, _, entries = avro_ocf.read_ocf(fh.read())
-        for e in entries:
-            if e["status"] == 2:  # DELETED
-                continue
-            rec = e["data_file"]
-            if mf["content"] == 1 or rec["content"] in (1, 2):
-                if rec["content"] == 1 or not rec.get("equality_ids"):
-                    # content=1 entries (no equality_ids) are POSITION
-                    # deletes: parquet of (file_path, pos), applied to
-                    # data files with sequence <= the delete's (spec rule
-                    # — note <= where equality deletes use strict <)
-                    pos_deletes.append(
-                        {
-                            "seq": e["sequence_number"],
-                            "path": rec["file_path"],
-                            "rows": int(rec.get("record_count") or 0),
-                            "bytes": int(rec.get("file_size_in_bytes") or 0),
-                        }
-                    )
-                    continue
-                unknown = [
-                    i for i in (rec.get("equality_ids") or [])
-                    if i not in fields_by_id
-                ]
-                if unknown:
-                    raise ValueError(
-                        f"equality delete {rec['file_path']!r} keys on "
-                        f"field id(s) {unknown} absent from schema "
-                        f"{want_schema_id} — the table's schema history "
-                        "does not cover this delete; compact before "
-                        "dropping delete-key columns"
-                    )
-                eq_deletes.append(
-                    {
-                        "seq": e["sequence_number"],
-                        "path": rec["file_path"],
-                        "cols": [
-                            fields_by_id[i]["name"]
-                            for i in (rec.get("equality_ids") or [])
-                        ],
-                        "rows": int(rec.get("record_count") or 0),
-                        "bytes": int(rec.get("file_size_in_bytes") or 0),
-                    }
-                )
-            else:
-                data_entries.append(e)
+    for d in eq_raw:
+        unknown = [i for i in d["ids"] if i not in fields_by_id]
+        if unknown:
+            raise ValueError(
+                f"equality delete {d['path']!r} keys on "
+                f"field id(s) {unknown} absent from schema "
+                f"{want_schema_id} — the table's schema history "
+                "does not cover this delete; compact before "
+                "dropping delete-key columns"
+            )
+        eq_deletes.append(
+            {**d, "cols": [fields_by_id[i]["name"] for i in d["ids"]]}
+        )
+
+    if _keep_paths is not None:
+        # changelog pruning: files whose content provably cancels in a
+        # snapshot diff are excluded from the scan BEFORE any IO — the
+        # delete-file lists stay complete so scoping for the kept files
+        # is unchanged
+        data_entries = [
+            e
+            for e in data_entries
+            if e["data_file"]["file_path"] in _keep_paths
+        ]
 
     if eq_filters:
         for fname, src, n in buckets:

@@ -1159,6 +1159,46 @@ def q_position_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 (round-7): incremental CDC read on the mirror —
+    ``changelog_iceberg`` computes the NET multiset row diff between
+    two snapshots, pruned metadata-first so data files whose applicable
+    delete view is identical in both snapshots never scan (at 100 TB an
+    incremental batch touches a sliver of files; the diff shuffle
+    carries only rows from files that changed). The sequence exercises
+    all three change sources: an era of appended rows (INSERTs), an
+    equality delete spanning both eras (DELETEs), and the base rows the
+    delete removed. The oracle replays both states by value and takes
+    the same group-by-all-columns diff."""
+    import tempfile
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_cl", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    dest = tempfile.mkdtemp(prefix="iceberg_changelog_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    appended = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + F.lit(900000)).cast("long").alias("c_custkey"),
+        F.col("s_name").alias("c_name"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.col("s_nationkey").alias("c_nationkey"),
+    )
+    iceberg_export.append_iceberg(spark, dest, appended)
+    # spans both eras: removes base customers AND appended rows
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("c_custkey") % 13 == 0, ["c_custkey"]
+    )
+    return iceberg_export.changelog_iceberg(spark, dest, s1)
+
+
 QUERIES = {
     "b02_catalog_insert_select": q_catalog_insert_select,
     "a41_iceberg_export": q_iceberg_export,
@@ -1166,6 +1206,7 @@ QUERIES = {
     "a43_iceberg_import": q_iceberg_import,
     "a44_position_delete_read": q_position_delete_read,
     "a55_position_delete_dml": q_position_delete_dml,
+    "a56_iceberg_changelog": q_iceberg_changelog,
     "b04_sql_frontend": q_sql_frontend,
     "b04_sql_views": q_sql_views,
     "b01_python_datasource": q_python_datasource,
@@ -1226,6 +1267,38 @@ ORACLE = {
         SELECT * FROM (VALUES
             (7, 'LATE', CAST(-999.99 AS DOUBLE), 1)
         ) AS t(c_custkey, c_name, c_acctbal, c_nationkey)
+    """,
+    "a56_iceberg_changelog": """
+        WITH state_from AS (
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        ),
+        state_to AS (
+            SELECT * FROM (
+                SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+                UNION ALL
+                SELECT CAST(s_suppkey + 900000 AS BIGINT) AS c_custkey,
+                       s_name AS c_name, s_acctbal AS c_acctbal,
+                       s_nationkey AS c_nationkey
+                FROM supplier
+            ) WHERE c_custkey % 13 <> 0
+        ),
+        tagged AS (
+            SELECT *, 1 AS w FROM state_to
+            UNION ALL
+            SELECT *, -1 AS w FROM state_from
+        ),
+        net AS (
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                   SUM(w) AS n
+            FROM tagged
+            GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+            HAVING SUM(w) <> 0
+        )
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+               CASE WHEN n > 0 THEN 'INSERT' ELSE 'DELETE' END
+                   AS _change_type,
+               CAST(abs(n) AS BIGINT) AS _n
+        FROM net
     """,
     "a45_iceberg_append": """
         SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer

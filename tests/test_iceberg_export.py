@@ -3096,3 +3096,133 @@ def test_migrated_bucket_table_exports_bucket_field(spark, sf_dir):
         spark, dest, eq_filters={"id": 7}
     ).collect()
     assert [(r.id, r.v) for r in one2] == [(7, "v7")]
+
+
+# ---------------------------------------------------------------------------
+# round 7: incremental changelog (CDC read) between mirror snapshots
+# ---------------------------------------------------------------------------
+
+
+def _snap_ids(dest):
+    doc = iceberg_export._load_metadata(dest)
+    return [s["snapshot-id"] for s in doc["snapshots"]]
+
+
+def test_changelog_plan_cancels_unchanged_files(spark, sf_dir):
+    """Data files present in both snapshots under an identical
+    applicable-delete view are pruned from BOTH scans before any IO —
+    the metadata-only guarantee that makes the changelog O(changed
+    files), not O(table)."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation.filter(F.col("n_nationkey") < 10).repartition(3))
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    iceberg_export.append_iceberg(
+        spark, dest, nation.filter(F.col("n_nationkey") >= 10).coalesce(1)
+    )
+    doc = iceberg_export._load_metadata(dest)
+    s2 = doc["current-snapshot-id"]
+    keep_from, keep_to, cancelled = iceberg_export._changelog_file_plan(
+        doc, s1, s2
+    )
+    # every s1 file is unchanged -> cancelled; only the appended file scans
+    assert keep_from == set()
+    assert len(keep_to) == 1
+    assert len(cancelled) >= 1
+    out = iceberg_export.changelog_iceberg(spark, dest, s1)
+    rows = {(r.n_nationkey, r._change_type, r._n) for r in out.collect()}
+    assert rows == {(k, "INSERT", 1) for k in range(10, 25)}
+
+
+def test_changelog_delete_uncancels_scoped_files(spark, sf_dir):
+    """An equality delete added between the snapshots changes the
+    applicable-delete view of every file it scopes — those files must
+    scan on both sides and the removed rows surface as DELETEs."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_regionkey") == 2, ["n_nationkey"]
+    )
+    doc = iceberg_export._load_metadata(dest)
+    s2 = doc["current-snapshot-id"]
+    keep_from, keep_to, _ = iceberg_export._changelog_file_plan(doc, s1, s2)
+    # the delete scopes every pre-existing data file: nothing cancels
+    assert keep_from == keep_to and len(keep_from) >= 1
+    out = iceberg_export.changelog_iceberg(spark, dest, s1)
+    want = {
+        (r.n_nationkey, "DELETE", 1)
+        for r in nation.filter(F.col("n_regionkey") == 2).collect()
+    }
+    got = {(r.n_nationkey, r._change_type, r._n) for r in out.collect()}
+    assert got == want
+
+
+def test_changelog_update_surfaces_as_delete_insert_pair(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    iceberg_export.update_where_iceberg(
+        spark,
+        dest,
+        F.col("n_nationkey") == 3,
+        {"n_name": F.lit("RENAMED")},
+        ["n_nationkey"],
+    )
+    out = iceberg_export.changelog_iceberg(spark, dest, s1)
+    got = {(r.n_nationkey, r.n_name, r._change_type) for r in out.collect()}
+    old_name = nation.filter(F.col("n_nationkey") == 3).collect()[0].n_name
+    assert got == {(3, old_name, "DELETE"), (3, "RENAMED", "INSERT")}
+
+
+def test_changelog_identity_and_same_snapshot_empty(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    assert iceberg_export.changelog_iceberg(spark, dest, s1, s1).count() == 0
+    # maintenance between the snapshots is invisible to the changelog
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    doc = iceberg_export._load_metadata(dest)
+    assert (
+        iceberg_export.changelog_iceberg(
+            spark, dest, s1, doc["current-snapshot-id"]
+        ).count()
+        == 0
+    )
+
+
+def test_changelog_across_schema_evolution_reads_to_era(spark, sf_dir):
+    """The diff is computed under the TO snapshot's schema: FROM rows
+    missing a later-added column read as typed NULL, so an old row
+    surviving unchanged still cancels (NULL-for-NULL) while changed
+    rows carry the new column."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    iceberg_export.evolve_schema_iceberg(dest, add={"note": "string"})
+    extra = spark.createDataFrame(
+        [(99, "ZETA", 0, "fresh")],
+        schema="n_nationkey int, n_name string, n_regionkey int, note string",
+    )
+    iceberg_export.append_iceberg(spark, dest, extra)
+    out = iceberg_export.changelog_iceberg(spark, dest, s1)
+    rows = [(r.n_nationkey, r.n_name, r.note, r._change_type) for r in out.collect()]
+    assert rows == [(99, "ZETA", "fresh", "INSERT")]
+
+
+def test_changelog_rejects_unknown_snapshot(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_cl_")
+    iceberg_export.export_iceberg(table, dest)
+    with pytest.raises(ValueError, match="no such snapshot"):
+        iceberg_export.changelog_iceberg(spark, dest, 123456789)
