@@ -1,0 +1,238 @@
+"""Structured-Streaming SOURCE over an exported Iceberg v2 mirror.
+
+The mirror DML plane (catalog/iceberg_export.py) lets this engine and
+external writers commit appends/deletes/updates to an exported table;
+this module closes the CDC loop by letting Spark *tail* that table as
+a stream — the consumption half of the story whose production half is
+the ``b30_stream_to_iceberg`` sink:
+
+    spark.dataSource.register(IcebergMirrorDataSource)
+    spark.readStream.format("iceberg_mirror").option("path", dir).load()
+
+Semantics follow Iceberg's own streaming read (incremental APPEND
+scan):
+
+- The stream offset is ``{"log": N, "max_seq": M}`` — the number of
+  snapshot-log entries consumed plus the highest data sequence number
+  emitted. The snapshot LOG (not the snapshot list) orders the visible
+  history, including rollbacks, so tailing follows exactly what a
+  reader of the table would have seen.
+- Each new log entry is classified by its snapshot summary operation:
+  ``append`` emits the snapshot's ADDED data files (entry status=1 AND
+  entry snapshot-id = that snapshot — carried-forward manifests keep
+  their old ADDED entries, so status alone over-selects);
+  ``replace`` (rewrite_manifests / expire) is invisible — no row
+  change; ``delete`` / ``overwrite`` RAISE unless the
+  ``skip-deletes`` option is true, mirroring Iceberg's
+  ``streaming-skip-delete/overwrite-snapshots`` contract (a plain
+  append tail cannot represent row removal; use
+  ``changelog_iceberg`` for the net-diff shape).
+- Rollback writes a log entry pointing at an old snapshot; its files
+  carry sequence numbers at or below ``max_seq`` and are skipped, so
+  a rollback is consumed without re-emission while appends AFTER the
+  rollback (always at fresh, higher sequences — the spec never reuses
+  sequence numbers) flow normally.
+
+Like the native-format stream reader (relative_datasource.py), rows
+ride the driver through ``SimpleDataSourceStreamReader`` — ample for a
+tailing control/CDC stream; a partition-planning
+``DataSourceStreamReader`` (one input partition per added file) is the
+drop-in upgrade for bulk tails. Partition-spec'd mirrors are refused
+for the same reason as the native source: identity values live in the
+manifest tuple, not the data files.
+
+Reference parity: the reference delegates streaming to Spark's Iceberg
+connector (README.md:8-11); this is the PySpark-native analogue built
+on the Python DataSource API.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructField, StructType
+
+
+def _doc(path: str) -> dict:
+    from iceberg_relative_io_spark.catalog import iceberg_export as ie
+
+    return ie._load_metadata(path)
+
+
+def _spark_type(iceberg_type):
+    from iceberg_relative_io_spark.catalog import iceberg_export as ie
+    from pyspark.sql import types as T
+
+    name = iceberg_type if isinstance(iceberg_type, str) else "string"
+    return ie._ICEBERG_TO_SPARK.get(name, T.StringType())
+
+
+class IcebergMirrorDataSource(DataSource):
+    """``format("iceberg_mirror")`` — streaming source over an exported
+    Iceberg v2 table directory. Options: ``path`` (the table dir,
+    required); ``skip-deletes`` ("true" to silently pass delete /
+    overwrite snapshots instead of raising)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_mirror"
+
+    def schema(self) -> StructType:
+        doc = _doc(self.options["path"])
+        schema = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        return StructType(
+            [
+                StructField(
+                    f["name"], _spark_type(f["type"]), not f["required"]
+                )
+                for f in schema["fields"]
+            ]
+        )
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "IcebergMirrorStreamReader":
+        return IcebergMirrorStreamReader(self.options, schema)
+
+
+class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options["path"]
+        self.skip_deletes = (
+            str(options.get("skip-deletes", "false")).lower() == "true"
+        )
+        self.schema = schema
+        doc = _doc(self.path)
+        spec = next(
+            p
+            for p in doc["partition-specs"]
+            if p["spec-id"] == doc["default-spec-id"]
+        )
+        if spec["fields"]:
+            raise ValueError(
+                "streaming a partition-spec'd mirror is not supported: "
+                "identity partition values live in the manifest tuple, "
+                "not the data files (same contract as the native-format "
+                "stream source)"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"log": 0, "max_seq": 0}
+
+    def read(self, start: dict):
+        doc = _doc(self.path)
+        log = doc.get("snapshot-log", [])
+        if len(log) <= start["log"]:
+            return iter([]), start
+        rows, max_seq = self._collect(doc, start["log"], len(log),
+                                      start["max_seq"])
+        return iter(rows), {"log": len(log), "max_seq": max_seq}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        doc = _doc(self.path)
+        rows, _ = self._collect(
+            doc, start["log"], end["log"], start["max_seq"]
+        )
+        return iter(rows)
+
+    def _collect(
+        self, doc: dict, log_from: int, log_to: int, max_seq: int
+    ) -> tuple[list, int]:
+        # list-backed, not a generator: Spark pickles the batch for its
+        # prefetch/replay cache (same constraint as the native reader)
+        import pyarrow.parquet as pq
+
+        from iceberg_relative_io_spark.catalog import avro_ocf
+
+        by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+        log = doc.get("snapshot-log", [])
+        names = [f.name for f in self.schema.fields]
+        # renamed columns: physical (old) name in pre-rename files ->
+        # current name, via schema.name-mapping.default (the same
+        # mechanism the batch reader uses)
+        try:
+            mapping = json.loads(
+                doc.get("properties", {}).get(
+                    "schema.name-mapping.default", "[]"
+                )
+            )
+        except ValueError:
+            mapping = []
+        cur_schema = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        id_to_current = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        aliases_of: dict[str, list[str]] = {}
+        for m in mapping:
+            cur = id_to_current.get(m.get("field-id"))
+            if cur is None:
+                continue
+            for a in m.get("names", []):
+                if a != cur:
+                    aliases_of.setdefault(cur, []).append(a)
+
+        rows: list[tuple] = []
+        for entry in log[log_from:log_to]:
+            sid = entry["snapshot-id"]
+            snap = by_id.get(sid)
+            if snap is None:
+                raise ValueError(
+                    f"stream offset points at expired snapshot {sid}: "
+                    "the tail fell behind expire_snapshots_iceberg — "
+                    "restart the stream from a fresh checkpoint"
+                )
+            op = snap.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue  # rewrite/expire: no visible row change
+            if op in ("delete", "overwrite"):
+                if (
+                    (snap.get("sequence-number") or 0) <= max_seq
+                    or self.skip_deletes
+                ):
+                    continue
+                raise ValueError(
+                    f"snapshot {sid} is a {op!r} — an append tail cannot "
+                    "represent row removal. Pass option "
+                    "skip-deletes=true to pass over it (Iceberg's "
+                    "streaming-skip-delete-snapshots contract), or "
+                    "consume changelog_iceberg for the net-diff shape"
+                )
+            with open(snap["manifest-list"], "rb") as fh:
+                _, _, manifests = avro_ocf.read_ocf(fh.read())
+            seen_max = max_seq
+            for mf in manifests:
+                if mf.get("content") == 1:
+                    continue  # delete manifests carry no appended rows
+                with open(mf["manifest_path"], "rb") as fh:
+                    _, _, entries = avro_ocf.read_ocf(fh.read())
+                for e in entries:
+                    rec = e["data_file"]
+                    if (
+                        e["status"] != 1  # ADDED in this snapshot only
+                        or e.get("snapshot_id") not in (None, sid)
+                        or rec["content"] != 0
+                        or e["sequence_number"] <= max_seq
+                    ):
+                        continue
+                    seen_max = max(seen_max, e["sequence_number"])
+                    data = pq.read_table(rec["file_path"]).to_pylist()
+                    for r in data:
+                        rows.append(
+                            tuple(self._value(r, n, aliases_of) for n in names)
+                        )
+            max_seq = seen_max
+        return rows, max_seq
+
+    @staticmethod
+    def _value(row: dict, name: str, aliases_of: dict):
+        if name in row:
+            return row[name]
+        for a in aliases_of.get(name, []):
+            if a in row:
+                return row[a]
+        return None  # column added after this file was written

@@ -488,7 +488,57 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "complete")
 
 
+def q_stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (mirror CDC tail — the consumption half of
+    b30_stream_to_iceberg's production half): register the
+    ``iceberg_mirror`` streaming source, build a mirror with one export
+    era and two ``append_iceberg`` eras plus an interleaved
+    rewrite_manifests (a ``replace`` snapshot the tail must pass over
+    without emitting), then tail it to completion. Offsets are
+    snapshot-log positions + the max consumed data sequence, so the
+    micro-batches replay the mirror's commit history exactly; a
+    downstream pipeline gets each appended era once. The memory sink's
+    content (= every row ever appended) is the oracle surface."""
+    import tempfile as _tf
+
+    from iceberg_relative_io_spark.catalog import (
+        FsCatalog,
+        RelativeTable,
+        iceberg_export,
+    )
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergMirrorDataSource)
+    except Exception:
+        pass  # already registered in this session
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    cat = FsCatalog(_tf.mkdtemp(prefix="mirror_tail_wh_"))
+    cat.create_namespace(("ns",))
+    ops = cat.create_table(("ns",), "tail", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust.filter(F.col("c_custkey") % 3 == 0))
+    dest = _tf.mkdtemp(prefix="mirror_tail_")
+    iceberg_export.export_iceberg(table, dest)
+    iceberg_export.append_iceberg(
+        spark, dest, cust.filter(F.col("c_custkey") % 3 == 1)
+    )
+    iceberg_export.rewrite_manifests_iceberg(dest)  # replace: no rows
+    iceberg_export.append_iceberg(
+        spark, dest, cust.filter(F.col("c_custkey") % 3 == 2)
+    )
+    stream = (
+        spark.readStream.format("iceberg_mirror").option("path", dest).load()
+    )
+    return _run_to_memory(stream, "append")
+
+
 QUERIES = {
+    "b30_stream_from_iceberg": q_stream_from_iceberg,
     "b30_stream_tumbling_window": q_stream_tumbling_window,
     "b30_stream_sliding_window": q_stream_sliding_window,
     "b31_stream_dedup": q_stream_dedup,
@@ -502,6 +552,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "b30_stream_from_iceberg": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
     "b30_stream_static_join": """
         SELECT c.c_mktsegment, e.event_type,
                count(*) AS n_events,

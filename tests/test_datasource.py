@@ -288,3 +288,125 @@ def test_stream_writer_partitioned(spark, tmp_path):
     assert files and all(f["partition"] == {"kind": "view"} for f in files)
     got = {(r.id, r.kind) for r in table.read(spark).collect()}
     assert got == {(1, "click"), (2, "view"), (3, "click")}
+
+
+# ---------------------------------------------------------------------------
+# round 7: streaming SOURCE over the Iceberg mirror (iceberg_mirror_source)
+# ---------------------------------------------------------------------------
+
+
+def _mirror(spark, rows, schema="id long, v string"):
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    wh = tempfile.mkdtemp(prefix="mirror_src_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(rows, schema)
+    ops = cat.create_table(("ns",), "m", df.schema.jsonValue())
+    t = RelativeTable(ops)
+    t.append(df)
+    dest = tempfile.mkdtemp(prefix="mirror_src_")
+    iceberg_export.export_iceberg(t, dest)
+    return dest
+
+
+def _reader(dest, **opts):
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorDataSource,
+    )
+
+    src = IcebergMirrorDataSource(options={"path": dest, **opts})
+    return src.simpleStreamReader(src.schema())
+
+
+def test_mirror_tail_emits_each_era_once(spark):
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a"), (2, "b")])
+    r = _reader(dest)
+    rows, off = r.read(r.initialOffset())
+    assert sorted(rows) == [(1, "a"), (2, "b")]
+    # caught up: same offset, nothing emitted
+    rows2, off2 = r.read(off)
+    assert list(rows2) == [] and off2 == off
+    # a new append era arrives exactly once
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    rows3, off3 = r.read(off)
+    assert list(rows3) == [(3, "c")] and off3["log"] == off["log"] + 1
+    # replay (readBetweenOffsets) reproduces the same batch
+    assert list(r.readBetweenOffsets(off, off3)) == [(3, "c")]
+
+
+def test_mirror_tail_replace_is_invisible(spark):
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a")])
+    r = _reader(dest)
+    _, off = r.read(r.initialOffset())
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    rows, off2 = r.read(off)
+    assert list(rows) == []
+    assert off2["log"] == off["log"] + 1  # consumed, emitted nothing
+
+
+def test_mirror_tail_delete_raises_unless_skipped(spark):
+    import pytest as _pytest
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a"), (2, "b")])
+    r = _reader(dest)
+    _, off = r.read(r.initialOffset())
+    iceberg_export.delete_where_iceberg(spark, dest, F.col("id") == 1, ["id"])
+    with _pytest.raises(ValueError, match="append tail cannot represent"):
+        r.read(off)
+    rows, off2 = _reader(dest, **{"skip-deletes": "true"}).read(off)
+    assert list(rows) == [] and off2["log"] == off["log"] + 1
+
+
+def test_mirror_tail_rollback_does_not_reemit(spark):
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a")])
+    doc = iceberg_export._load_metadata(dest)
+    s1 = doc["current-snapshot-id"]
+    r = _reader(dest)
+    _, off0 = r.read(r.initialOffset())
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    rows, off1 = r.read(off0)
+    assert list(rows) == [(2, "b")]
+    # metadata-only rollback to s1: the log gains an entry pointing at
+    # the OLD snapshot — already-consumed sequences must not re-emit
+    iceberg_export.rollback_iceberg(dest, s1)
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []
+    # an append AFTER the rollback takes a fresh sequence and flows
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(9, "z")], "id long, v string")
+    )
+    rows3, _ = r.read(off2)
+    assert list(rows3) == [(9, "z")]
+
+
+def test_mirror_tail_refuses_partitioned_spec(spark):
+    import pytest as _pytest
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    wh = tempfile.mkdtemp(prefix="mirror_src_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame([(1, "a", 0)], "id long, v string, p int")
+    ops = cat.create_table(
+        ("ns",), "mp", df.schema.jsonValue(), partition_by=["p"]
+    )
+    t = RelativeTable(ops)
+    t.append(df)
+    dest = tempfile.mkdtemp(prefix="mirror_src_")
+    iceberg_export.export_iceberg(t, dest)
+    with _pytest.raises(ValueError, match="partition-spec"):
+        _reader(dest)
