@@ -149,6 +149,11 @@ def run_seed(spark, seed: int) -> list[str]:
     if spark_rows() != sorted(mirror.values()):
         failures.append(f"seed {seed}: pre-delete mismatch")
 
+    # round-7 changelog invariant state: the snapshot + mirror values at
+    # the top of each round, diffed against the head at round end
+    prev_sid = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    prev_values = list(mirror.values())
+
     already: list[tuple[str, int]] = []
     next_id = n_rows
     for rnd in range(rng.randint(1, 3)):
@@ -377,6 +382,35 @@ def run_seed(spark, seed: int) -> list[str]:
                 failures.append(f"seed {seed} round {rnd}: compact changed values")
             if spark_rows() != values_before:
                 failures.append(f"seed {seed} round {rnd}: post-compact mismatch")
+        # round-7 changelog invariant: the CDC net diff between the
+        # round's opening snapshot and the head must equal the python
+        # mirror's value diff — on every interleaving of appends, both
+        # delete kinds, updates, merges, overwrites, rewrites, and
+        # compaction (maintenance must contribute nothing). Skipped only
+        # when expiry reaped the opening snapshot.
+        from collections import Counter
+
+        doc_now = iceberg_export._load_metadata(dest)
+        head = doc_now["current-snapshot-id"]
+        if any(s["snapshot-id"] == prev_sid for s in doc_now["snapshots"]):
+            cl = iceberg_export.changelog_iceberg(spark, dest, prev_sid, head)
+            got_cl: Counter = Counter()
+            for r in cl.collect():
+                got_cl[(r.id, r.grp, round(r.val, 4), r._change_type)] += r._n
+            plus = Counter(mirror.values())
+            minus = Counter(prev_values)
+            want_cl: Counter = Counter()
+            for row, n in (plus - minus).items():
+                want_cl[(*row, "INSERT")] = n
+            for row, n in (minus - plus).items():
+                want_cl[(*row, "DELETE")] = n
+            if got_cl != want_cl:
+                failures.append(
+                    f"seed {seed} round {rnd}: changelog diverges from "
+                    f"mirror diff (extra {dict(got_cl - want_cl)}, "
+                    f"missing {dict(want_cl - got_cl)})"
+                )
+        prev_sid, prev_values = head, list(mirror.values())
     return failures
 
 
