@@ -139,13 +139,25 @@ def main() -> None:
     qs = e.queries()
 
     def run(name: str, sf_dir: str) -> float:
-        from iceberg_relative_io_spark.operators import northstar
+        from iceberg_relative_io_spark.operators import northstar, retrieval_ext
 
-        # the shared featurization cache would make the base timing
-        # unrepresentative of a cold pipeline — measure uncached
-        for df in northstar._SIG_CACHE.values():
-            df.unpersist()
-        northstar._SIG_CACHE.clear()
+        # the shared featurization caches would make the base timing
+        # unrepresentative of a cold pipeline — measure uncached (all
+        # per-session persists: LSH signatures, hyperplane buckets,
+        # image hashes, video keyframes, and the hot-bucket probes)
+        for cache in (
+            northstar._SIG_CACHE,
+            northstar._BUCKETED_CACHE,
+            northstar._LSH_HOT_CACHE,
+            retrieval_ext._HASH_CACHE,
+            retrieval_ext._HASH_HOT_CACHE,
+            retrieval_ext._KF_CACHE,
+            retrieval_ext._KF_HOT_CACHE,
+        ):
+            for df in cache.values():
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
+            cache.clear()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
