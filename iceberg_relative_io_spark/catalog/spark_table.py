@@ -31,12 +31,24 @@ from iceberg_relative_io_spark.catalog.table_ops import CommitFailedError, Table
 _COMMIT_RETRIES = 4
 
 
-def _json_safe(v):
-    """Parquet footer stats -> JSON-storable scalar (datetime -> isoformat)."""
+def _json_safe(v, floor: bool | None = None):
+    """Parquet footer stats -> JSON-storable scalar (datetime ->
+    isoformat). DECIMAL bounds convert to float widened OUTWARD by one
+    ulp in the bound's direction (``floor=True`` for a min, ``False``
+    for a max): json can't carry Decimal, and an unwidened lossy float
+    could round INWARD past the true bound — a silent wrong-skip on a
+    later pruned read. Widening only ever admits extra files."""
     import datetime
+    import decimal
+    import math
 
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if floor is None or math.isinf(f):
+            return f
+        return math.nextafter(f, -math.inf if floor else math.inf)
     return v
 
 
@@ -179,6 +191,25 @@ class RelativeTable:
             # 'hash' write.distribution-mode solves the same problem)
             df = df.repartition(*layout_cols)
         writer = df.write.mode("overwrite")
+        # write.target-file-size-bytes (Iceberg property parity): cap
+        # each output file near the target by translating bytes ->
+        # rows/file with the table's OWN measured bytes/row (manifest
+        # size-bytes / row-count of recent files — the same feedback
+        # Iceberg's rolling writers use). The cap tames the huge-file
+        # direction exactly; the small-file direction is handled by the
+        # distribution shuffles above (AQE coalesces their partitions to
+        # the advisory size). A table's first write has no history and
+        # proceeds uncapped — the second write onward is sized from real
+        # files, never from a guessed compression ratio.
+        target_raw = meta_now.get("properties", {}).get(
+            "write.target-file-size-bytes"
+        )
+        if target_raw:
+            bpr = self._bytes_per_row_estimate(meta_now)
+            if bpr:
+                writer = writer.option(
+                    "maxRecordsPerFile", max(1, int(int(target_raw) / bpr))
+                )
         if layout_cols:
             writer = writer.partitionBy(*layout_cols)
         writer.parquet(abs_dir)
@@ -206,6 +237,26 @@ class RelativeTable:
                 entry.update(self._file_blooms(fi.location, bloom_cols))
             entries.append(entry)
         return snap_dir, entries
+
+    def _bytes_per_row_estimate(self, meta: dict | None = None) -> float | None:
+        """On-disk bytes/row measured from the table's own most recent
+        data files (manifest ``size-bytes`` / ``row-count``) — the
+        feedback signal for ``write.target-file-size-bytes``. None on an
+        empty table or when entries carry no row counts, in which case
+        the write proceeds uncapped rather than trusting a guessed
+        parquet compression ratio."""
+        meta = meta or self.ops.current()
+        sid = meta.get("current-snapshot-id")
+        if sid is None:
+            return None
+        try:
+            files = self._data_files(meta, sid)
+        except Exception:
+            return None
+        recent = [f for f in files if f.get("row-count")][-16:]
+        rows = sum(f["row-count"] for f in recent)
+        size = sum(f.get("size-bytes", 0) for f in recent)
+        return (size / rows) if rows and size else None
 
     # -- bloom filters (manifest-level, Iceberg write.*.bloom-filter parity) ------
     _BLOOM_M = 8192  # bits per (file, column)
@@ -284,7 +335,7 @@ class RelativeTable:
                     lo, hi = stats.min, stats.max
                     if isinstance(lo, bytes):
                         continue  # undecoded types: skip, never wrong-skip
-                    lo, hi = _json_safe(lo), _json_safe(hi)
+                    lo, hi = _json_safe(lo, floor=True), _json_safe(hi, floor=False)
                     if name not in mins or lo < mins[name]:
                         mins[name] = lo
                     if name not in maxs or hi > maxs[name]:

@@ -1639,3 +1639,125 @@ def test_migrate_bucket_hash_era_pruning_and_time_travel(spark, catalog):
         snapshot_id=pre_snap, column_ranges={"id": (7, 7)}
     )
     assert {f["partition"]["id_bucket"] for f in old_pruned} == {want_leg}
+
+
+# -- write.target-file-size-bytes (round 7): manifest-fed file-size cap --------
+
+def test_target_file_size_caps_output_files(spark, tmp_path):
+    """With write.target-file-size-bytes set, appends after the first
+    are capped near the target via the table's OWN measured bytes/row
+    (maxRecordsPerFile under the hood); the first write (no history)
+    proceeds uncapped, and unsetting the property removes the cap."""
+    cat = FsCatalog(str(tmp_path / "wh"))
+    cat.create_namespace(("ns",))
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS v"
+    ).coalesce(1)
+    ops = cat.create_table(("ns",), "t", df.schema.jsonValue())
+    table = RelativeTable(ops)
+
+    # first write: no history -> uncapped; coalesce(1) -> one file
+    table.append(df)
+    meta = table.ops.current()
+    files1 = table._data_files(meta, meta["current-snapshot-id"])
+    assert len(files1) == 1 and files1[0]["row-count"] == 2000
+    bpr = table._bytes_per_row_estimate()
+    assert bpr and bpr > 0
+
+    # target ~ 250 rows worth of bytes -> a 1000-row append must split
+    # into ~4 files of <= cap rows each
+    target = int(bpr * 250)
+    table.set_properties({"write.target-file-size-bytes": str(target)})
+    df2 = spark.range(2000, 3000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS v"
+    ).coalesce(1)
+    table.append(df2)
+    meta = table.ops.current()
+    new_files = [
+        f
+        for f in table._data_files(meta, meta["current-snapshot-id"])
+        if f["path"] not in {x["path"] for x in files1}
+    ]
+    cap = max(1, int(target / bpr))
+    assert len(new_files) >= 3, [f["row-count"] for f in new_files]
+    assert all(f["row-count"] <= cap for f in new_files)
+    assert sum(f["row-count"] for f in new_files) == 1000
+    # file sizes actually land near the target (within 2x either way —
+    # parquet framing overhead dominates at this tiny scale)
+    assert all(f["size-bytes"] < target * 2 for f in new_files)
+
+    # unset -> next append is uncapped again
+    table.unset_properties(["write.target-file-size-bytes"])
+    df3 = spark.range(3000, 4000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS v"
+    ).coalesce(1)
+    before = {f["path"] for f in table._data_files(meta, meta["current-snapshot-id"])} | {
+        x["path"] for x in files1
+    }
+    table.append(df3)
+    meta = table.ops.current()
+    last = [
+        f
+        for f in table._data_files(meta, meta["current-snapshot-id"])
+        if f["path"] not in before
+    ]
+    assert len(last) == 1 and last[0]["row-count"] == 1000
+
+
+def test_target_file_size_composes_with_partition_layout(spark, tmp_path):
+    """The cap applies per task x partition-dir: a partitioned append
+    with the property set still lands hive-style files, each under the
+    row cap."""
+    cat = FsCatalog(str(tmp_path / "wh2"))
+    cat.create_namespace(("ns",))
+    df = spark.range(1200).selectExpr("id", "CAST(id % 2 AS INT) AS part")
+    ops = cat.create_table(
+        ("ns",), "tp", df.schema.jsonValue(), partition_by=["part"]
+    )
+    table = RelativeTable(ops)
+    table.append(df)
+    bpr = table._bytes_per_row_estimate()
+    table.set_properties(
+        {"write.target-file-size-bytes": str(int(bpr * 100))}
+    )
+    table.append(
+        spark.range(1200, 2400).selectExpr("id", "CAST(id % 2 AS INT) AS part")
+    )
+    meta = table.ops.current()
+    files = table._data_files(meta, meta["current-snapshot-id"])
+    new = [f for f in files if f.get("row-count", 0) <= 1000 and "part=" in f["path"]]
+    assert new  # hive layout preserved
+    # every capped-era file respects the cap
+    cap = max(1, int(int(bpr * 100) / bpr))
+    second_era = [f for f in files if f["row-count"] <= cap]
+    assert sum(f["row-count"] for f in second_era) >= 1200
+    # read-back exactness: the cap is layout-only
+    assert table.read(spark).count() == 2400
+
+
+def test_decimal_column_stats_widen_never_wrong_skip(spark, tmp_path):
+    """DECIMAL footer stats can't ride JSON as-is; they are stored as
+    floats widened OUTWARD one ulp per bound, so a stats-pruned scan by
+    the decimal column may admit an extra file but can never skip a
+    live row (an unwidened float bound rounding inward would)."""
+    from decimal import Decimal
+
+    cat = FsCatalog(str(tmp_path / "whd"))
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.{i % 10}1")) for i in range(100)],
+        "id long, amt decimal(20,2)",
+    ).coalesce(1)
+    ops = cat.create_table(("ns",), "td", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df)  # would TypeError on commit before the fix
+    meta = table.ops.current()
+    [entry] = table._data_files(meta, meta["current-snapshot-id"])
+    lo, hi = entry["min"]["amt"], entry["max"]["amt"]
+    assert isinstance(lo, float) and isinstance(hi, float)
+    assert lo <= 0.01 and hi >= 99.91  # widened outward, never inward
+    # a range scan keyed on the decimal column keeps the file
+    kept = table.scan_files(column_ranges={"amt": (50, 50)})
+    assert len(kept) == 1
+    # and one strictly outside the widened range prunes it
+    assert table.scan_files(column_ranges={"amt": (500, 600)}) == []
