@@ -3095,12 +3095,20 @@ def evolve_schema_iceberg(
     ]
     if clash:
         raise ValueError(f"column name(s) already in schema: {sorted(set(clash))}")
-    for cname, tname in add.items():
-        if tname not in _ICEBERG_TO_SPARK:
+    for cname, tname in list(add.items()):
+        try:
+            _spark_type_of(tname)  # decimal(p,s) included
+        except ValueError:
             raise ValueError(
                 f"add column {cname!r}: type {tname!r} is not a supported "
-                f"primitive ({sorted(_ICEBERG_TO_SPARK)})"
-            )
+                f"primitive ({sorted(_ICEBERG_TO_SPARK)} or decimal(p, s))"
+            ) from None
+        m = _DECIMAL_TYPE_RE.fullmatch(tname.strip())
+        if m:
+            # canonical spacing ("decimal(10, 3)") — the append-time
+            # schema check compares type STRINGS against what Spark
+            # types render to, so a spacing variant would be refused
+            add[cname] = f"decimal({int(m.group(1))}, {int(m.group(2))})"
     overlap = set(rename) & set(drop)
     if overlap:
         raise ValueError(f"column(s) both renamed and dropped: {sorted(overlap)}")
@@ -3527,6 +3535,27 @@ _ICEBERG_TO_SPARK = {
     "timestamptz": T.TimestampType(),
     "timestamp": T.TimestampNTZType(),
 }
+
+_DECIMAL_TYPE_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _spark_type_of(tname, default: T.DataType | None = None) -> T.DataType:
+    """Spark type for an Iceberg primitive type string, INCLUDING the
+    parametrized ``decimal(p, s)`` (a bare dict lookup silently degraded
+    decimal columns to the caller's string fallback — wrong schema on
+    the empty-read / added-column / stream-source paths). ``default``
+    is returned for unknown/nested types where the caller tolerates
+    them; ``None`` raises instead."""
+    if isinstance(tname, str):
+        dt = _ICEBERG_TO_SPARK.get(tname)
+        if dt is not None:
+            return dt
+        m = _DECIMAL_TYPE_RE.fullmatch(tname.strip())
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if default is not None:
+        return default
+    raise ValueError(f"unsupported column type {tname!r}")
 
 
 _VERSION_FILE_RE = re.compile(r"^v(\d+)\.(?:gz\.)?metadata\.json$")
@@ -4073,7 +4102,7 @@ def read_iceberg(
                 if isinstance(src_field["type"], str)
                 else "string"
             )
-            dt = _ICEBERG_TO_SPARK.get(tname)
+            dt = _spark_type_of(tname, default=T.StringType())
             val = raw
             if raw is not None and tname == "date":
                 # spec partition value is days since epoch
@@ -4114,12 +4143,7 @@ def read_iceberg(
                 F.col(f["name"])
                 if f["name"] in part.columns
                 else F.lit(None)
-                .cast(
-                    _ICEBERG_TO_SPARK.get(
-                        f["type"] if isinstance(f["type"], str) else "string",
-                        T.StringType(),
-                    )
-                )
+                .cast(_spark_type_of(f["type"], default=T.StringType()))
                 .alias(f["name"])
                 for f in schema["fields"]
             ],
@@ -4140,10 +4164,7 @@ def read_iceberg(
             [
                 T.StructField(
                     f["name"],
-                    _ICEBERG_TO_SPARK.get(
-                        f["type"] if isinstance(f["type"], str) else "string",
-                        T.StringType(),
-                    ),
+                    _spark_type_of(f["type"], default=T.StringType()),
                     not f["required"],
                 )
                 for f in schema["fields"]
@@ -4278,15 +4299,7 @@ def import_iceberg(spark: SparkSession, catalog, namespace, name: str,
             raise ValueError(
                 f"nested type on column {f['name']!r} not supported by import"
             )
-        if t.startswith("decimal"):
-            import re as _re
-
-            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
-            dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
-        else:
-            dt = _ICEBERG_TO_SPARK.get(t)
-            if dt is None:
-                raise ValueError(f"unsupported column type {t!r}")
+        dt = _spark_type_of(t)  # raises on unsupported types
         fields.append(T.StructField(f["name"], dt, not f["required"]))
     struct = T.StructType(fields)
     fields_by_id = {f["id"]: f for f in schema["fields"]}

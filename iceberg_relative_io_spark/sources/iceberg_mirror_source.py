@@ -64,8 +64,9 @@ def _spark_type(iceberg_type):
     from iceberg_relative_io_spark.catalog import iceberg_export as ie
     from pyspark.sql import types as T
 
-    name = iceberg_type if isinstance(iceberg_type, str) else "string"
-    return ie._ICEBERG_TO_SPARK.get(name, T.StringType())
+    # parametrized types (decimal(p,s)) included — a bare dict lookup
+    # would degrade them to string in the stream schema
+    return ie._spark_type_of(iceberg_type, default=T.StringType())
 
 
 class IcebergMirrorDataSource(DataSource):

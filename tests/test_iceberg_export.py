@@ -3226,3 +3226,52 @@ def test_changelog_rejects_unknown_snapshot(spark, sf_dir):
     iceberg_export.export_iceberg(table, dest)
     with pytest.raises(ValueError, match="no such snapshot"):
         iceberg_export.changelog_iceberg(spark, dest, 123456789)
+
+
+def test_decimal_columns_through_mirror_lifecycle(spark, sf_dir):
+    """decimal(p,s) columns ride the whole mirror surface: export,
+    schema-fill paths (empty read, changelog), decimal ADD via
+    evolve_schema (spacing-canonicalized so append's type-string check
+    accepts it), append, changelog across the evolution, zero-copy
+    import, and the byte-level conformance gate. A bare
+    _ICEBERG_TO_SPARK lookup used to degrade decimal to string on the
+    fill paths."""
+    from decimal import Decimal
+
+    from tools.spec_conformance import check_table
+
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.25")) for i in range(10)],
+        "id long, amt decimal(20,2)",
+    )
+    table = _table(spark, df)
+    dest = tempfile.mkdtemp(prefix="iceexp_dec_")
+    iceberg_export.export_iceberg(table, dest)
+    sid = iceberg_export._load_metadata(dest)["current-snapshot-id"]
+    # empty-diff path must carry the decimal type, not string
+    empty = iceberg_export.changelog_iceberg(spark, dest, sid, sid)
+    assert "decimal(20,2)" in empty.schema.simpleString()
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorDataSource,
+    )
+
+    src = IcebergMirrorDataSource(options={"path": dest})
+    assert "decimal(20,2)" in src.schema().simpleString()
+    iceberg_export.evolve_schema_iceberg(dest, add={"fee": "decimal(10,3)"})
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        spark.createDataFrame(
+            [(100, Decimal("1.25"), Decimal("0.125"))],
+            "id long, amt decimal(20,2), fee decimal(10,3)",
+        ),
+    )
+    cl = iceberg_export.changelog_iceberg(spark, dest, sid)
+    rows = [(r.id, str(r.amt), str(r.fee), r._change_type) for r in cl.collect()]
+    assert rows == [(100, "1.25", "0.125", "INSERT")]
+    wh = tempfile.mkdtemp(prefix="iceexp_dec_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    imp = iceberg_export.import_iceberg(spark, cat, ("ns",), "imp", dest)
+    assert imp.read(spark).count() == 11
+    assert check_table(dest) == []
