@@ -1075,6 +1075,102 @@ class RelativeTable:
             spark, meta, schema, entries, deletes=self._delete_files(meta, snap)
         )
 
+    def _changelog_plan(
+        self, meta: dict, from_sid: int, to_sid: int
+    ) -> tuple[list[dict], list[dict], set]:
+        """Metadata-only scan plan for :meth:`changelog`: which data
+        files of each snapshot must be read to compute the net row
+        diff. A file present in both snapshots under an identical
+        delete view (same applicable equality-delete files by the
+        strict-sequence rule, same data sequence) contributes the same
+        row multiset to both sides and cancels exactly — it is pruned
+        from BOTH reads before any IO, so an incremental diff scans
+        O(changed files), never O(table). Returns
+        (old_entries, new_entries, cancelled_paths)."""
+
+        def state(sid):
+            files = self._data_files(meta, sid)
+            dels = self._delete_files(meta, sid)
+            view = {
+                f["path"]: (
+                    tuple(
+                        sorted(
+                            d["path"] for d in dels if d["_snap"] > f["_snap"]
+                        )
+                    ),
+                    f["_snap"],
+                )
+                for f in files
+            }
+            return view, files, dels
+
+        view_f, files_f, _ = state(from_sid)
+        view_t, files_t, _ = state(to_sid)
+        cancelled = {p for p, v in view_f.items() if view_t.get(p) == v}
+        return (
+            [f for f in files_f if f["path"] not in cancelled],
+            [f for f in files_t if f["path"] not in cancelled],
+            cancelled,
+        )
+
+    def changelog(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """CDC read: the NET multiset row diff between two snapshots —
+        one output row per changed row value with ``_change_type``
+        (``INSERT``/``DELETE``) and ``_n`` (copies appeared/vanished).
+        Native-format parity with the mirror plane's
+        ``changelog_iceberg``; an UPDATE surfaces as its value pair,
+        maintenance (compact / rewrite_manifests / expire) contributes
+        nothing. Both reads resolve onto the CURRENT schema (the native
+        read path's id-based era resolution), and the plan is
+        metadata-first (:meth:`_changelog_plan`) so unchanged files
+        never scan and the single hash aggregation shuffles only rows
+        from files that changed."""
+        from pyspark.sql import functions as F
+
+        meta = self.ops.current()
+        to_sid = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        # validates existence (and trips the expired guard in
+        # _manifest_for when history was reaped)
+        self._snapshot_entry(meta, from_snapshot_id)
+        self._snapshot_entry(meta, to_sid)
+        schema = StructType.fromJson(meta["schema"])
+        old_e, new_e, _ = self._changelog_plan(meta, from_snapshot_id, to_sid)
+        old = self._read_entries(
+            spark, meta, schema, old_e,
+            deletes=self._delete_files(meta, from_snapshot_id),
+        )
+        new = self._read_entries(
+            spark, meta, schema, new_e,
+            deletes=self._delete_files(meta, to_sid),
+        )
+        cols = [fld.name for fld in schema.fields]
+        tagged = (
+            new.select(*cols)
+            .withColumn("_w", F.lit(1))
+            .unionByName(old.select(*cols).withColumn("_w", F.lit(-1)))
+        )
+        net = (
+            tagged.groupBy(*cols)
+            .agg(F.sum("_w").alias("_net"))
+            .filter(F.col("_net") != 0)
+        )
+        return net.select(
+            *cols,
+            F.when(F.col("_net") > 0, F.lit("INSERT"))
+            .otherwise(F.lit("DELETE"))
+            .alias("_change_type"),
+            F.abs(F.col("_net")).cast("long").alias("_n"),
+        )
+
     def _read_entries(
         self,
         spark: SparkSession,

@@ -17,12 +17,12 @@ from __future__ import annotations
 # it front-loads (a) every never-graded new query, then (b) the
 # stalest-graded names, oldest round first. Entering round 7 the
 # last-graded histogram was {r1:34, r2:9, r3:37, r4:46, r5:28, r6:50};
-# the 50 slots below take the three new queries (a55, a56,
-# b30_stream_from_iceberg), all 34 r1- and all 9 r2-graded names, and
-# 4 r3-graded picks whose physical plans were touched after their last
-# grade (the r6 NULL-key as-of fix, the r6 B32 NULL guards, the
-# join/broadcast core). After r7 grades, nothing is older than r3 (the
-# remaining 33 r3 names rotate in next round).
+# the 50 slots below take the four never-graded round-7 queries (a55,
+# a56, b30_stream_from_iceberg, a_changelog), all 34 r1- and all 9
+# r2-graded names, and 3 r3-graded picks whose physical plans were
+# touched after their last grade (the r6 NULL-key as-of fix, the r6
+# B32 NULL guards, the join core). After r7 grades, nothing is older
+# than r3 (the remaining 34 r3 names rotate in next round).
 # Everything rotated out stays in the registry and in the judge's full
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
@@ -30,6 +30,7 @@ PRIORITY_ORDER = [
     "a55_position_delete_dml",     # NEW: mirror-side position-delete DML
     "a56_iceberg_changelog",       # NEW: incremental CDC read (net diff)
     "b30_stream_from_iceberg",     # NEW: streaming tail of the mirror
+    "a_changelog",                 # NEW: native-format CDC net diff
     # --- last graded round 1 (34) ---
     "b07_skew_salted_join", "b08_join_full", "b08_join_left",
     "b09_join_anti", "b09_join_semi", "b09_order_priority",
@@ -47,11 +48,10 @@ PRIORITY_ORDER = [
     "c02_minhash_signatures", "c02_ngram_jaccard_topk", "c02_simhash",
     "c03_ann_ivf", "c04_langid", "c04_quality_score", "c04_token_count",
     "c05_binary_ingest", "c05_multimodal_schema",
-    # --- last graded round 3, plan touched since (4) ---
+    # --- last graded round 3, plan touched since (3) ---
     "b12_asof_join",       # r6: NULL keys match nothing (f17b57f)
     "b32_pandas_udf",      # r6: B32 NULL guards (7d7b869)
     "b07_join_inner",      # join core; r6 NULL-semantics pass
-    "b10_star_broadcast",  # broadcast-audit era; r5 jitter watch
 ]
 
 

@@ -1159,6 +1159,37 @@ def q_position_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-layer (round-7): native-format CDC read —
+    ``RelativeTable.changelog`` computes the net multiset row diff
+    between two snapshots with the same metadata-first file
+    cancellation as the mirror plane's a56 (unchanged files never
+    scan). The sequence exercises an append era (INSERTs) and a MOR
+    equality delete spanning both eras (DELETEs); the oracle replays
+    both states by value and takes the same group-by-all-columns
+    diff."""
+    cat = _fresh_catalog()
+    cat.create_namespace(("ns",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    ops = cat.create_table(("ns",), "cust_ncl", cust.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(cust)
+    s1 = ops.current()["current-snapshot-id"]
+    appended = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + F.lit(900000)).cast("long").alias("c_custkey"),
+        F.col("s_name").alias("c_name"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.col("s_nationkey").alias("c_nationkey"),
+    )
+    table.append(appended)
+    table.delete_where_mor(
+        spark, F.col("c_custkey") % 13 == 0, ["c_custkey"]
+    )
+    return table.changelog(spark, s1)
+
+
 def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A56 (round-7): incremental CDC read on the mirror —
     ``changelog_iceberg`` computes the NET multiset row diff between
@@ -1217,6 +1248,7 @@ QUERIES = {
     "a32_bloom_pruning": q_bloom_pruning,
     "a32_hidden_partitioning": q_hidden_partitioning,
     "a_cdc_incremental_read": q_cdc_incremental_read,
+    "a_changelog": q_changelog_native,
     "a32_zorder_pruning": q_zorder_pruning,
     "a_mor_delete": q_mor_delete,
     "a26_compaction": q_compaction,
@@ -1408,6 +1440,40 @@ ORACLE = {
     """,
     "a26_compaction": "SELECT * FROM nation",
     "a_cdc_incremental_read": "SELECT * FROM nation WHERE n_nationkey >= 8",
+    # identical replay to a56 — the two changelogs implement the same
+    # semantics on the two table formats
+    "a_changelog": """
+        WITH state_from AS (
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        ),
+        state_to AS (
+            SELECT * FROM (
+                SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+                UNION ALL
+                SELECT CAST(s_suppkey + 900000 AS BIGINT) AS c_custkey,
+                       s_name AS c_name, s_acctbal AS c_acctbal,
+                       s_nationkey AS c_nationkey
+                FROM supplier
+            ) WHERE c_custkey % 13 <> 0
+        ),
+        tagged AS (
+            SELECT *, 1 AS w FROM state_to
+            UNION ALL
+            SELECT *, -1 AS w FROM state_from
+        ),
+        net AS (
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                   SUM(w) AS n
+            FROM tagged
+            GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+            HAVING SUM(w) <> 0
+        )
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+               CASE WHEN n > 0 THEN 'INSERT' ELSE 'DELETE' END
+                   AS _change_type,
+               CAST(abs(n) AS BIGINT) AS _n
+        FROM net
+    """,
     "a32_zorder_pruning": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         FROM lineitem

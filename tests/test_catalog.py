@@ -1761,3 +1761,69 @@ def test_decimal_column_stats_widen_never_wrong_skip(spark, tmp_path):
     assert len(kept) == 1
     # and one strictly outside the widened range prunes it
     assert table.scan_files(column_ranges={"amt": (500, 600)}) == []
+
+
+# -- native-format changelog (round 7): CDC diff with file cancellation -------
+
+def _cl_table(spark, tmp_path, name="cl"):
+    cat = FsCatalog(str(tmp_path / f"wh_{name}"))
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)], "id long, grp int, v double"
+    ).repartition(3)
+    ops = cat.create_table(("ns",), name, df.schema.jsonValue())
+    t = RelativeTable(ops)
+    t.append(df)
+    return t
+
+
+def test_native_changelog_cancels_unchanged_files(spark, tmp_path):
+    t = _cl_table(spark, tmp_path)
+    meta = t.ops.current()
+    s1 = meta["current-snapshot-id"]
+    t.append(
+        spark.createDataFrame(
+            [(100, 0, 1.0)], "id long, grp int, v double"
+        ).coalesce(1)
+    )
+    meta = t.ops.current()
+    old_e, new_e, cancelled = t._changelog_plan(
+        meta, s1, meta["current-snapshot-id"]
+    )
+    assert old_e == [] and len(new_e) == 1 and len(cancelled) >= 1
+    rows = [(r.id, r._change_type, r._n) for r in t.changelog(spark, s1).collect()]
+    assert rows == [(100, "INSERT", 1)]
+
+
+def test_native_changelog_mor_delete_and_update_pair(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _cl_table(spark, tmp_path, "cl2")
+    s1 = t.ops.current()["current-snapshot-id"]
+    t.delete_where_mor(spark, F.col("id") == 7, ["id"])
+    t.update_where_mor(
+        spark, F.col("id") == 9, {"v": F.lit(99.0)}, ["id"]
+    )
+    got = {(r.id, r.v, r._change_type) for r in t.changelog(spark, s1).collect()}
+    assert got == {
+        (7, 7.0, "DELETE"),
+        (9, 9.0, "DELETE"),
+        (9, 99.0, "INSERT"),
+    }
+
+
+def test_native_changelog_maintenance_invisible(spark, tmp_path):
+    t = _cl_table(spark, tmp_path, "cl3")
+    s1 = t.ops.current()["current-snapshot-id"]
+    t.rewrite_manifests()
+    assert t.changelog(spark, s1).count() == 0
+    t.compact(spark)
+    # compact rewrites every (file) but values are unchanged -> the
+    # plan can't cancel (new paths), the DIFF is still empty
+    assert t.changelog(spark, s1).count() == 0
+
+
+def test_native_changelog_rejects_unknown_snapshot(spark, tmp_path):
+    t = _cl_table(spark, tmp_path, "cl4")
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.changelog(spark, 424242)
