@@ -145,6 +145,12 @@ def run_seed(spark, seed: int, n_ops: int, deep: bool = False) -> list[str]:
     table.append(spark.createDataFrame(rows, SCHEMA))
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
 
+    # round-7 changelog invariant state: a periodically-captured
+    # (snapshot, mirror rows) pair diffed against the head (native
+    # RelativeTable.changelog vs the mirror's value diff)
+    cl_sid = ops.current().get("current-snapshot-id")
+    cl_rows = _mirror_rows(con)
+
     OPS = [
         "append", "append_dup_keys", "delete_mor", "update_mor",
         "delete_cow", "update_cow", "merge_upsert", "overwrite_parts",
@@ -300,6 +306,60 @@ def run_seed(spark, seed: int, n_ops: int, deep: bool = False) -> list[str]:
                 f"spark-only {only_spark}, mirror-only {only_duck})"
             )
             break
+
+        # round-7: every ~5 ops, the native changelog between the last
+        # captured snapshot and the head must equal the mirror's value
+        # diff — across every DML kind, both partition layouts, and
+        # interleaved maintenance. Skipped when expiry reaped the
+        # captured snapshot (then re-capture from the head).
+        if step % 5 == 4:
+            from collections import Counter
+
+            meta_now = ops.current()
+            head = meta_now.get("current-snapshot-id")
+            alive = any(
+                s["snapshot-id"] == cl_sid
+                and not s.get("expired")
+                for s in meta_now.get("snapshots", [])
+            )
+            if cl_sid is not None and head is not None and alive:
+                try:
+                    cl = table.changelog(spark, cl_sid, head)
+                    got_cl: Counter = Counter()
+                    for r in cl.collect():
+                        got_cl[
+                            (
+                                r.id,
+                                r.part,
+                                None if r.val is None else round(r.val, 6),
+                                r.tag,
+                                r._change_type,
+                            )
+                        ] += r._n
+                    now_rows = _mirror_rows(con)
+                    plus = Counter(now_rows)
+                    minus = Counter(cl_rows)
+                    want_cl: Counter = Counter()
+                    for row, n in (plus - minus).items():
+                        want_cl[(*row, "INSERT")] = n
+                    for row, n in (minus - plus).items():
+                        want_cl[(*row, "DELETE")] = n
+                    if got_cl != want_cl:
+                        failures.append(
+                            f"seed {seed} step {step}: changelog diverges "
+                            f"from mirror diff (extra "
+                            f"{dict((got_cl - want_cl))}, missing "
+                            f"{dict((want_cl - got_cl))})"
+                        )
+                        break
+                except Exception as exc:  # noqa: BLE001
+                    failures.append(
+                        f"seed {seed} step {step}: changelog raised "
+                        f"{type(exc).__name__}: {exc}"
+                    )
+                    break
+            cl_sid = ops.current().get("current-snapshot-id")
+            cl_rows = _mirror_rows(con)
 
         # capture one mid-history snapshot for a time-travel check
         if tt_snapshot is None and step >= n_ops // 2:
