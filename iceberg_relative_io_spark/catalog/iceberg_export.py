@@ -1823,105 +1823,28 @@ def delete_where_iceberg(
         .distinct()
     )
     spec_fields = _spec_fields_from_doc(doc)
-    entry_schema = _manifest_entry_schema(spec_fields)
-    spec = next(
-        p for p in doc["partition-specs"] if p["spec-id"] == doc["default-spec-id"]
-    )
     seq = doc["last-sequence-number"] + 1
     snap_id = max((s["snapshot-id"] for s in doc["snapshots"]), default=0) + 1
     entries, total_rows = _write_delete_key_files(
         table_dir, keys, spec_fields, eq_ids, seq, snap_id
     )
 
-    manifest_path = os.path.join(
-        table_dir, "metadata", f"{uuid.uuid4()}-m1.avro"
-    )
-    mbytes = avro_ocf.write_ocf(
-        entry_schema,
+    # shared MOR-delete commit tail (one copy — a second one drifted
+    # apart from this helper before the round-7 review merged them)
+    return _commit_delete_manifest(
+        table_dir,
+        doc,
+        version,
         entries,
-        metadata={
-            "schema": json.dumps(schema_json),
-            "schema-id": str(doc["current-schema-id"]),
-            "partition-spec": json.dumps(spec["fields"]),
-            "partition-spec-id": str(doc["default-spec-id"]),
-            "format-version": "2",
-            "content": "deletes",
+        total_rows,
+        seq,
+        snap_id,
+        {
+            "operation": "delete",
+            "total-equality-deletes": str(total_rows),
+            "total-position-deletes": "0",
         },
     )
-    with open(manifest_path, "wb") as fh:
-        fh.write(mbytes)
-
-    prior = []
-    if doc.get("current-snapshot-id") is not None:
-        cur = next(
-            s for s in doc["snapshots"]
-            if s["snapshot-id"] == doc["current-snapshot-id"]
-        )
-        with open(cur["manifest-list"], "rb") as fh:
-            _, _, prior = avro_ocf.read_ocf(fh.read())
-    ml_records = list(prior) + [
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": len(mbytes),
-            "partition_spec_id": doc["default-spec-id"],
-            "content": 1,  # deletes
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(entries),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    ]
-    ml_path = os.path.join(
-        table_dir, "metadata", f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
-    )
-    ml_bytes = avro_ocf.write_ocf(
-        _MANIFEST_FILE_SCHEMA, ml_records, metadata={"format-version": "2"}
-    )
-    with open(ml_path, "wb") as fh:
-        fh.write(ml_bytes)
-
-    now_ms = int(time.time() * 1000)
-    new_doc = dict(doc)
-    new_doc["last-sequence-number"] = seq
-    new_doc["last-updated-ms"] = now_ms
-    new_doc["current-snapshot-id"] = snap_id
-    new_doc["refs"] = {
-        **doc.get("refs", {}),
-        "main": {"snapshot-id": snap_id, "type": "branch"},
-    }
-    new_doc["snapshots"] = doc["snapshots"] + [
-        {
-            "sequence-number": seq,
-            "snapshot-id": snap_id,
-            "parent-snapshot-id": doc["current-snapshot-id"],
-            "timestamp-ms": now_ms,
-            "summary": {
-                "operation": "delete",
-                "total-equality-deletes": str(total_rows),
-                "total-position-deletes": "0",
-            },
-            "manifest-list": ml_path,
-            "schema-id": doc["current-schema-id"],
-        }
-    ]
-    new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
-    meta_path = _commit_next_metadata(table_dir, version, doc, new_doc)
-    return {
-        "metadata": meta_path,
-        "manifest": manifest_path,
-        "manifest-list": ml_path,
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "delete-files": len(entries),
-        "delete-records": total_rows,
-    }
 
 
 def delete_positions_iceberg(
@@ -2098,6 +2021,14 @@ def _write_position_delete_files(
                 },
             }
         )
+    if not entries:
+        # no-match predicate: remove the empty posdel dir (only
+        # _SUCCESS markers remain after the zero-row unlinks) so a
+        # periodic no-op delete job doesn't litter the data/ tree with
+        # one orphan directory per invocation
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
     return entries, total_rows
 
 
@@ -3788,11 +3719,32 @@ def changelog_iceberg(
         else doc["current-snapshot-id"]
     )
     keep_from, keep_to, _ = _changelog_file_plan(doc, from_snapshot_id, to_sid)
+    # BOTH reads resolve under the TO snapshot's era schema: a column
+    # renamed between the snapshots must carry ONE name across the diff
+    # (the FROM side's old physical name resolves through the
+    # name-mapping), or every unchanged row would surface as a spurious
+    # DELETE(new_col=NULL)+INSERT pair
+    snap_to = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == to_sid
+    )
+    to_schema_id = snap_to.get("schema-id", doc["current-schema-id"])
+    if to_snapshot_id is None:
+        # head read: the head resolves under the CURRENT schema (the
+        # branch rule), so the diff does too
+        to_schema_id = doc["current-schema-id"]
     old = read_iceberg(
-        spark, table_dir, snapshot_id=from_snapshot_id, _keep_paths=keep_from
+        spark,
+        table_dir,
+        snapshot_id=from_snapshot_id,
+        _keep_paths=keep_from,
+        _use_schema_id=to_schema_id,
     )
     new = read_iceberg(
-        spark, table_dir, snapshot_id=to_sid, _keep_paths=keep_to
+        spark,
+        table_dir,
+        snapshot_id=to_sid,
+        _keep_paths=keep_to,
+        _use_schema_id=to_schema_id,
     )
     cols = [f.name for f in new.schema.fields]
     for f in new.schema.fields:
@@ -3825,6 +3777,7 @@ def read_iceberg(
     as_of_ms: int | None = None,
     _with_positions: bool = False,
     _keep_paths: set | None = None,
+    _use_schema_id: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table the way a compliant client does:
     version-hint -> metadata.json (plain or .gz) -> current snapshot
@@ -3898,11 +3851,17 @@ def read_iceberg(
     # the very same state disagree (schema evolution adds no snapshot,
     # so the head snapshot's recorded schema-id legitimately predates
     # it).
-    want_schema_id = (
-        snap.get("schema-id", doc["current-schema-id"])
-        if snapshot_id is not None and not ref_is_branch
-        else doc["current-schema-id"]
-    )
+    if _use_schema_id is not None:
+        # changelog: both snapshot reads must resolve under ONE schema
+        # (the TO era's) or a rename between the snapshots would make
+        # the two sides' column names diverge and the diff nonsense
+        want_schema_id = _use_schema_id
+    else:
+        want_schema_id = (
+            snap.get("schema-id", doc["current-schema-id"])
+            if snapshot_id is not None and not ref_is_branch
+            else doc["current-schema-id"]
+        )
     schema = next(
         (s for s in doc["schemas"] if s["schema-id"] == want_schema_id),
         next(

@@ -205,10 +205,14 @@ class RelativeTable:
             "write.target-file-size-bytes"
         )
         if target_raw:
-            bpr = self._bytes_per_row_estimate(meta_now)
+            try:
+                target = int(target_raw)
+            except (TypeError, ValueError):
+                target = 0  # a malformed property must not brick appends
+            bpr = self._bytes_per_row_estimate(meta_now) if target > 0 else None
             if bpr:
                 writer = writer.option(
-                    "maxRecordsPerFile", max(1, int(int(target_raw) / bpr))
+                    "maxRecordsPerFile", max(1, int(target / bpr))
                 )
         if layout_cols:
             writer = writer.partitionBy(*layout_cols)
@@ -1503,7 +1507,16 @@ class RelativeTable:
                     "migrate_bucket_hash: table already hashes buckets "
                     "with the spec murmur3"
                 )
-            mig_snap = meta.get("current-snapshot-id")
+            # era point = the HIGHEST existing snapshot id, not main's
+            # head: snapshot ids are a global max+1 counter, so a branch
+            # or WAP stage-only append can sit ABOVE main's head while
+            # still being legacy-hashed — anchoring on main would
+            # classify those files as murmur3-era and prune/export them
+            # by the wrong hash (silent row loss on branch reads)
+            mig_snap = max(
+                (s["snapshot-id"] for s in meta.get("snapshots", [])),
+                default=meta.get("current-snapshot-id"),
+            )
             meta["bucket-hash"] = "murmur3"
             if mig_snap is not None:
                 meta["bucket-hash-migration-snap"] = mig_snap

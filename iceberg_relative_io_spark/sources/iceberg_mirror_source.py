@@ -12,11 +12,18 @@ the ``b30_stream_to_iceberg`` sink:
 Semantics follow Iceberg's own streaming read (incremental APPEND
 scan):
 
-- The stream offset is ``{"log": N, "max_seq": M}`` — the number of
-  snapshot-log entries consumed plus the highest data sequence number
-  emitted. The snapshot LOG (not the snapshot list) orders the visible
-  history, including rollbacks, so tailing follows exactly what a
-  reader of the table would have seen.
+- The stream offset is ``{"last_sid": S, "max_seq": M}`` — the head
+  snapshot at the last read plus the highest data sequence number
+  consumed. The SEQUENCE WATERMARK, not a log position, is what
+  deduplicates work: every batch re-walks the surviving snapshot log
+  (cheap — append entries at or below the watermark skip without IO)
+  and emits only files above it. A positional index would silently
+  misalign when ``expire_snapshots_iceberg`` trims log entries; the
+  watermark is immune to trimming, and the anchor turns a reaped
+  anchor snapshot into a LOUD "restart from a fresh checkpoint" error
+  instead of silent loss. A fresh stream replays the SURVIVING log —
+  history reaped before the stream started is not replayed (bootstrap
+  with a batch read when the full table state is needed).
 - Each new log entry is classified by its snapshot summary operation:
   ``append`` emits the snapshot's ADDED data files (entry status=1 AND
   entry snapshot-id = that snapshot — carried-forward manifests keep
@@ -122,26 +129,23 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
             )
 
     def initialOffset(self) -> dict:
-        return {"log": 0, "max_seq": 0}
+        return {"last_sid": None, "max_seq": 0}
 
     def read(self, start: dict):
         doc = _doc(self.path)
-        log = doc.get("snapshot-log", [])
-        if len(log) <= start["log"]:
+        head = doc.get("current-snapshot-id")
+        if head is None or head == start.get("last_sid"):
             return iter([]), start
-        rows, max_seq = self._collect(doc, start["log"], len(log),
-                                      start["max_seq"])
-        return iter(rows), {"log": len(log), "max_seq": max_seq}
+        rows, max_seq = self._collect(doc, start)
+        return iter(rows), {"last_sid": head, "max_seq": max_seq}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         doc = _doc(self.path)
-        rows, _ = self._collect(
-            doc, start["log"], end["log"], start["max_seq"]
-        )
+        rows, _ = self._collect(doc, start, stop_seq=end["max_seq"])
         return iter(rows)
 
     def _collect(
-        self, doc: dict, log_from: int, log_to: int, max_seq: int
+        self, doc: dict, start: dict, stop_seq: int | None = None
     ) -> tuple[list, int]:
         # list-backed, not a generator: Spark pickles the batch for its
         # prefetch/replay cache (same constraint as the native reader)
@@ -150,6 +154,15 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
         from iceberg_relative_io_spark.catalog import avro_ocf
 
         by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+        max_seq = start["max_seq"]
+        anchor = start.get("last_sid")
+        if anchor is not None and anchor not in by_id:
+            raise ValueError(
+                f"stream offset anchored at expired snapshot {anchor}: "
+                "the tail fell behind expire_snapshots_iceberg — "
+                "restart the stream from a fresh checkpoint (a batch "
+                "read bootstraps the current state)"
+            )
         log = doc.get("snapshot-log", [])
         names = [f.name for f in self.schema.fields]
         # renamed columns: physical (old) name in pre-rename files ->
@@ -178,21 +191,23 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                     aliases_of.setdefault(cur, []).append(a)
 
         rows: list[tuple] = []
-        for entry in log[log_from:log_to]:
+        for entry in log:
             sid = entry["snapshot-id"]
             snap = by_id.get(sid)
             if snap is None:
+                # expiry trims log entries with their snapshots; a
+                # dangling entry means external tampering — loud stop
                 raise ValueError(
-                    f"stream offset points at expired snapshot {sid}: "
-                    "the tail fell behind expire_snapshots_iceberg — "
-                    "restart the stream from a fresh checkpoint"
+                    f"snapshot-log entry {sid} has no snapshot record"
                 )
+            snap_seq = snap.get("sequence-number") or 0
             op = snap.get("summary", {}).get("operation", "append")
             if op == "replace":
                 continue  # rewrite/expire: no visible row change
             if op in ("delete", "overwrite"):
                 if (
-                    (snap.get("sequence-number") or 0) <= max_seq
+                    snap_seq <= max_seq
+                    or (stop_seq is not None and snap_seq > stop_seq)
                     or self.skip_deletes
                 ):
                     continue
@@ -203,6 +218,13 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                     "streaming-skip-delete-snapshots contract), or "
                     "consume changelog_iceberg for the net-diff shape"
                 )
+            # sequence watermark: already-consumed appends (including
+            # log entries REPLAYED by a rollback) skip without any IO —
+            # an append's added files all carry its own sequence
+            if snap_seq <= max_seq or (
+                stop_seq is not None and snap_seq > stop_seq
+            ):
+                continue
             with open(snap["manifest-list"], "rb") as fh:
                 _, _, manifests = avro_ocf.read_ocf(fh.read())
             seen_max = max_seq
@@ -218,6 +240,10 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                         or e.get("snapshot_id") not in (None, sid)
                         or rec["content"] != 0
                         or e["sequence_number"] <= max_seq
+                        or (
+                            stop_seq is not None
+                            and e["sequence_number"] > stop_seq
+                        )
                     ):
                         continue
                     seen_max = max(seen_max, e["sequence_number"])
@@ -226,7 +252,7 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                         rows.append(
                             tuple(self._value(r, n, aliases_of) for n in names)
                         )
-            max_seq = seen_max
+            max_seq = max(seen_max, snap_seq)
         return rows, max_seq
 
     @staticmethod

@@ -1827,3 +1827,57 @@ def test_native_changelog_rejects_unknown_snapshot(spark, tmp_path):
     t = _cl_table(spark, tmp_path, "cl4")
     with pytest.raises(ValueError, match="no snapshot"):
         t.changelog(spark, 424242)
+
+
+def test_migrate_bucket_hash_era_covers_branch_snapshots(spark, catalog):
+    """Snapshot ids are a global max+1 counter, so a BRANCH append can
+    sit above main's head while still being legacy-hashed; the
+    migration era point must be the max snapshot id, or branch reads
+    would prune those files with the wrong hash (review round 7)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        legacy_bucket_value,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, v string"
+    )
+    ops = catalog.create_table(
+        ("hp",), "mig_br", df.schema.jsonValue(), partition_by=["bucket(4, id)"]
+    )
+    meta = _json.loads(_json.dumps(ops.current()))
+    del meta["bucket-hash"]  # age to the pre-switch dialect
+    ops.commit(ops.current_version(), meta)
+    ops.refresh()
+    table = RelativeTable(ops)
+    table.append(df)
+    main_head = ops.current()["current-snapshot-id"]
+    # branch append AFTER main's head: higher snapshot id, legacy layout
+    table.create_branch("audit")
+    table.append(
+        spark.createDataFrame([(500, "b0")], "id long, v string"),
+        branch="audit",
+    )
+    branch_sid = ops.current()["refs"]["audit"]
+    if isinstance(branch_sid, dict):
+        branch_sid = branch_sid.get("snapshot-id", branch_sid)
+    assert branch_sid > main_head
+
+    table.migrate_bucket_hash()
+    era = ops.current()["bucket-hash-migration-snap"]
+    assert era >= branch_sid  # the branch snapshot is inside the era
+
+    # the branch's point read prunes with the LEGACY mirror and finds
+    # its row — anchoring the era on main's head would murmur3-hash it
+    got = table.read(spark, branch="audit", column_ranges={"id": (500, 500)})
+    assert [r.id for r in got.filter("id = 500").collect()] == [500]
+    want_leg = str(legacy_bucket_value(500, 4, T.LongType()))
+    pruned = table.scan_files(
+        snapshot_id=branch_sid, column_ranges={"id": (500, 500)}
+    )
+    branch_files = [f for f in pruned if f["_snap"] == branch_sid]
+    assert branch_files
+    assert {f["partition"]["id_bucket"] for f in branch_files} == {want_leg}

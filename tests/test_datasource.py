@@ -334,7 +334,8 @@ def test_mirror_tail_emits_each_era_once(spark):
         spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
     )
     rows3, off3 = r.read(off)
-    assert list(rows3) == [(3, "c")] and off3["log"] == off["log"] + 1
+    assert list(rows3) == [(3, "c")]
+    assert off3["max_seq"] > off["max_seq"] and off3["last_sid"] != off["last_sid"]
     # replay (readBetweenOffsets) reproduces the same batch
     assert list(r.readBetweenOffsets(off, off3)) == [(3, "c")]
 
@@ -348,7 +349,9 @@ def test_mirror_tail_replace_is_invisible(spark):
     iceberg_export.rewrite_manifests_iceberg(dest)
     rows, off2 = r.read(off)
     assert list(rows) == []
-    assert off2["log"] == off["log"] + 1  # consumed, emitted nothing
+    # consumed (anchor moved to the replace snapshot), emitted nothing
+    assert off2["last_sid"] != off["last_sid"]
+    assert off2["max_seq"] == off["max_seq"]
 
 
 def test_mirror_tail_delete_raises_unless_skipped(spark):
@@ -363,7 +366,7 @@ def test_mirror_tail_delete_raises_unless_skipped(spark):
     with _pytest.raises(ValueError, match="append tail cannot represent"):
         r.read(off)
     rows, off2 = _reader(dest, **{"skip-deletes": "true"}).read(off)
-    assert list(rows) == [] and off2["log"] == off["log"] + 1
+    assert list(rows) == [] and off2["last_sid"] != off["last_sid"]
 
 
 def test_mirror_tail_rollback_does_not_reemit(spark):
@@ -410,3 +413,46 @@ def test_mirror_tail_refuses_partitioned_spec(spark):
     iceberg_export.export_iceberg(t, dest)
     with _pytest.raises(ValueError, match="partition-spec"):
         _reader(dest)
+
+
+def test_mirror_tail_survives_log_trimming_by_expiry(spark):
+    """Offsets are a sequence watermark + snapshot anchor, NOT a log
+    position: expire_snapshots_iceberg trims snapshot-log entries, and
+    a positional offset would silently misalign — either reporting
+    'caught up' forever or skipping appends (the round-7 review
+    finding). With the watermark, appends after the trim emit exactly
+    once; a reaped ANCHOR is a loud restart error, never silence."""
+    import pytest as _pytest
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a")])
+    r = _reader(dest)
+    _, off0 = r.read(r.initialOffset())
+    # build history: three appends, consume them
+    for i in range(2, 5):
+        iceberg_export.append_iceberg(
+            spark,
+            dest,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+        )
+    rows, off1 = r.read(off0)
+    assert sorted(rows) == [(2, "v2"), (3, "v3"), (4, "v4")]
+    # expiry trims the log below the head — the anchor (head) survives
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    doc = iceberg_export._load_metadata(dest)
+    assert len(doc.get("snapshot-log", [])) < 4
+    # post-trim append: emitted exactly once, nothing re-emitted
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(9, "z")], "id long, v string")
+    )
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == [(9, "z")]
+    assert list(r.read(off2)[0]) == []  # caught up
+    # a reaped anchor raises the documented restart error
+    stale = {"last_sid": 424242, "max_seq": 0}
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(10, "y")], "id long, v string")
+    )
+    with _pytest.raises(ValueError, match="restart the stream"):
+        r.read(stale)

@@ -3275,3 +3275,27 @@ def test_decimal_columns_through_mirror_lifecycle(spark, sf_dir):
     imp = iceberg_export.import_iceberg(spark, cat, ("ns",), "imp", dest)
     assert imp.read(spark).count() == 11
     assert check_table(dest) == []
+
+
+def test_changelog_across_rename_carries_one_name(spark, sf_dir):
+    """A column renamed BETWEEN the changelog endpoints must carry one
+    name across the diff (both reads resolve under the TO era's schema;
+    the FROM side's old physical name resolves through the
+    name-mapping). Before the round-7 review fix, the FROM read used
+    its own era schema, so every unchanged row in a non-cancelled file
+    surfaced as a spurious DELETE(new=NULL)+INSERT pair."""
+    nation = load_table(spark, sf_dir, "nation")
+    table = _table(spark, nation)
+    dest = tempfile.mkdtemp(prefix="iceexp_clrn_")
+    iceberg_export.export_iceberg(table, dest)
+    s1 = _snap_ids(dest)[-1]
+    iceberg_export.evolve_schema_iceberg(dest, rename={"n_name": "nation_name"})
+    # a delete AFTER the rename makes the pre-rename files non-cancelled
+    iceberg_export.delete_where_iceberg(
+        spark, dest, F.col("n_nationkey") == 3, ["n_nationkey"]
+    )
+    out = iceberg_export.changelog_iceberg(spark, dest, s1)
+    rows = [(r.n_nationkey, r.nation_name, r._change_type) for r in out.collect()]
+    old_name = nation.filter(F.col("n_nationkey") == 3).collect()[0].n_name
+    # exactly the deleted row, under the NEW column name with its real value
+    assert rows == [(3, old_name, "DELETE")]
