@@ -1787,6 +1787,13 @@ def _write_delete_key_files(
                 },
             }
         )
+    if not entries:
+        # no-match predicate: remove the empty delete dir so periodic
+        # no-op DML jobs don't litter data/ (same rule as the position-
+        # delete writer below)
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
     return entries, total_rows
 
 
@@ -3006,7 +3013,8 @@ def evolve_schema_iceberg(
     equality delete keys on. Type widening is not offered here — widen
     through the source ``RelativeTable`` and re-export (mixed-width
     eras need per-file casts the mirror reader does not do)."""
-    add = add or {}
+    add = dict(add or {})  # copied: decimal canonicalization below
+    # must not mutate the caller's dict as a side effect
     rename = rename or {}
     drop = list(drop or [])
     if not add and not rename and not drop:

@@ -248,19 +248,31 @@ class RelativeTable:
         feedback signal for ``write.target-file-size-bytes``. None on an
         empty table or when entries carry no row counts, in which case
         the write proceeds uncapped rather than trusting a guessed
-        parquet compression ratio."""
+        parquet compression ratio.
+
+        Deliberately NOT a full ``_data_files`` chain walk (O(history)
+        manifest reads per commit would put the property itself on the
+        commit-latency-vs-history curve): only the newest few snapshots'
+        OWN manifests are opened, newest first, stopping at the first
+        that yields sized files — O(1) metadata IO per commit."""
         meta = meta or self.ops.current()
-        sid = meta.get("current-snapshot-id")
-        if sid is None:
+        if meta.get("current-snapshot-id") is None:
             return None
-        try:
-            files = self._data_files(meta, sid)
-        except Exception:
-            return None
-        recent = [f for f in files if f.get("row-count")][-16:]
-        rows = sum(f["row-count"] for f in recent)
-        size = sum(f.get("size-bytes", 0) for f in recent)
-        return (size / rows) if rows and size else None
+        for snap in reversed(meta.get("snapshots", [])[-8:]):
+            if snap.get("expired"):
+                continue
+            try:
+                man = self._manifest_for(meta, snap["snapshot-id"])
+            except Exception:
+                continue
+            sized = [
+                f for f in man.get("added-files", []) if f.get("row-count")
+            ][:16]
+            rows = sum(f["row-count"] for f in sized)
+            size = sum(f.get("size-bytes", 0) for f in sized)
+            if rows and size:
+                return size / rows
+        return None
 
     # -- bloom filters (manifest-level, Iceberg write.*.bloom-filter parity) ------
     _BLOOM_M = 8192  # bits per (file, column)
@@ -1081,7 +1093,7 @@ class RelativeTable:
 
     def _changelog_plan(
         self, meta: dict, from_sid: int, to_sid: int
-    ) -> tuple[list[dict], list[dict], set]:
+    ) -> tuple[list[dict], list[dict], set, list[dict], list[dict]]:
         """Metadata-only scan plan for :meth:`changelog`: which data
         files of each snapshot must be read to compute the net row
         diff. A file present in both snapshots under an identical
@@ -1090,7 +1102,9 @@ class RelativeTable:
         row multiset to both sides and cancels exactly — it is pruned
         from BOTH reads before any IO, so an incremental diff scans
         O(changed files), never O(table). Returns
-        (old_entries, new_entries, cancelled_paths)."""
+        (old_entries, new_entries, cancelled_paths, old_deletes,
+        new_deletes) — the delete lists ride along so the caller never
+        re-walks the snapshot chains this plan already walked."""
 
         def state(sid):
             files = self._data_files(meta, sid)
@@ -1108,13 +1122,15 @@ class RelativeTable:
             }
             return view, files, dels
 
-        view_f, files_f, _ = state(from_sid)
-        view_t, files_t, _ = state(to_sid)
+        view_f, files_f, dels_f = state(from_sid)
+        view_t, files_t, dels_t = state(to_sid)
         cancelled = {p for p, v in view_f.items() if view_t.get(p) == v}
         return (
             [f for f in files_f if f["path"] not in cancelled],
             [f for f in files_t if f["path"] not in cancelled],
             cancelled,
+            dels_f,
+            dels_t,
         )
 
     def changelog(
@@ -1142,20 +1158,17 @@ class RelativeTable:
             if to_snapshot_id is not None
             else meta.get("current-snapshot-id")
         )
-        # validates existence (and trips the expired guard in
-        # _manifest_for when history was reaped)
-        self._snapshot_entry(meta, from_snapshot_id)
-        self._snapshot_entry(meta, to_sid)
+        # same endpoint validation as read(): unknown ids raise, and an
+        # EXPIRED endpoint raises rather than planning reaped files into
+        # a scan (an expired snapshot's unreferenced files are deleted)
+        self._resolve_snapshot(meta, from_snapshot_id, None)
+        self._resolve_snapshot(meta, to_sid, None)
         schema = StructType.fromJson(meta["schema"])
-        old_e, new_e, _ = self._changelog_plan(meta, from_snapshot_id, to_sid)
-        old = self._read_entries(
-            spark, meta, schema, old_e,
-            deletes=self._delete_files(meta, from_snapshot_id),
+        old_e, new_e, _, dels_f, dels_t = self._changelog_plan(
+            meta, from_snapshot_id, to_sid
         )
-        new = self._read_entries(
-            spark, meta, schema, new_e,
-            deletes=self._delete_files(meta, to_sid),
-        )
+        old = self._read_entries(spark, meta, schema, old_e, deletes=dels_f)
+        new = self._read_entries(spark, meta, schema, new_e, deletes=dels_t)
         cols = [fld.name for fld in schema.fields]
         tagged = (
             new.select(*cols)

@@ -34,11 +34,15 @@ scan):
   ``streaming-skip-delete/overwrite-snapshots`` contract (a plain
   append tail cannot represent row removal; use
   ``changelog_iceberg`` for the net-diff shape).
-- Rollback writes a log entry pointing at an old snapshot; its files
-  carry sequence numbers at or below ``max_seq`` and are skipped, so
-  a rollback is consumed without re-emission while appends AFTER the
-  rollback (always at fresh, higher sequences — the spec never reuses
-  sequence numbers) flow normally.
+- Rollback: only snapshots on the CURRENT head's parent chain are
+  consumable content. A rollback's log entry replays an old snapshot
+  (skipped — at or below the watermark), appends AFTER the rollback
+  flow at fresh higher sequences, and an append that was committed but
+  rolled back before consumption NEVER emits (it is not reachable from
+  any current table state); it re-emerges naturally if a later
+  fast-forward makes it reachable again. Rows consumed before a
+  rollback cannot be retracted — an append tail has no delete shape
+  (use ``changelog_iceberg`` for net diffs).
 
 Like the native-format stream reader (relative_datasource.py), rows
 ride the driver through ``SimpleDataSourceStreamReader`` — ample for a
@@ -136,17 +140,33 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
         head = doc.get("current-snapshot-id")
         if head is None or head == start.get("last_sid"):
             return iter([]), start
-        rows, max_seq = self._collect(doc, start)
-        return iter(rows), {"last_sid": head, "max_seq": max_seq}
+        rows, max_seq, first_sid = self._collect(doc, start)
+        return iter(rows), {
+            "last_sid": head,
+            "max_seq": max_seq,
+            # the oldest snapshot this batch consumed: replay needs it
+            # (and, expiry being oldest-first, everything newer) alive
+            "first_sid": first_sid,
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
         doc = _doc(self.path)
-        rows, _ = self._collect(doc, start, stop_seq=end["max_seq"])
+        need = end.get("first_sid")
+        if need is not None and not any(
+            s["snapshot-id"] == need for s in doc["snapshots"]
+        ):
+            raise ValueError(
+                f"batch replay needs expired snapshot {need}: "
+                "expire_snapshots_iceberg reaped history under an "
+                "uncommitted batch — restart the stream from a fresh "
+                "checkpoint"
+            )
+        rows, _, _ = self._collect(doc, start, stop_seq=end["max_seq"])
         return iter(rows)
 
     def _collect(
         self, doc: dict, start: dict, stop_seq: int | None = None
-    ) -> tuple[list, int]:
+    ) -> tuple[list, int, int | None]:
         # list-backed, not a generator: Spark pickles the batch for its
         # prefetch/replay cache (same constraint as the native reader)
         import pyarrow.parquet as pq
@@ -190,6 +210,20 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                 if a != cur:
                     aliases_of.setdefault(cur, []).append(a)
 
+        # head ancestry: a metadata-only rollback leaves the abandoned
+        # snapshots (and their log entries) in place, but their rows are
+        # NOT table content — emitting them would hand the sink data no
+        # reader of any current state can see. Only snapshots on the
+        # current head's parent chain are consumable; an abandoned
+        # append whose sequence stays above the watermark re-emerges
+        # naturally if a later fast-forward makes it reachable again.
+        ancestry: set = set()
+        walk = doc.get("current-snapshot-id")
+        while walk is not None:
+            ancestry.add(walk)
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
+
+        first_sid: int | None = None
         rows: list[tuple] = []
         for entry in log:
             sid = entry["snapshot-id"]
@@ -200,6 +234,8 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"snapshot-log entry {sid} has no snapshot record"
                 )
+            if sid not in ancestry:
+                continue  # rolled-back branch of history: not content
             snap_seq = snap.get("sequence-number") or 0
             op = snap.get("summary", {}).get("operation", "append")
             if op == "replace":
@@ -225,6 +261,8 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                 stop_seq is not None and snap_seq > stop_seq
             ):
                 continue
+            if first_sid is None:
+                first_sid = sid  # log order: the batch's oldest consumed
             with open(snap["manifest-list"], "rb") as fh:
                 _, _, manifests = avro_ocf.read_ocf(fh.read())
             seen_max = max_seq
@@ -253,7 +291,7 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                             tuple(self._value(r, n, aliases_of) for n in names)
                         )
             max_seq = max(seen_max, snap_seq)
-        return rows, max_seq
+        return rows, max_seq, first_sid
 
     @staticmethod
     def _value(row: dict, name: str, aliases_of: dict):

@@ -1787,7 +1787,7 @@ def test_native_changelog_cancels_unchanged_files(spark, tmp_path):
         ).coalesce(1)
     )
     meta = t.ops.current()
-    old_e, new_e, cancelled = t._changelog_plan(
+    old_e, new_e, cancelled, _, _ = t._changelog_plan(
         meta, s1, meta["current-snapshot-id"]
     )
     assert old_e == [] and len(new_e) == 1 and len(cancelled) >= 1

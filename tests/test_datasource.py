@@ -391,8 +391,22 @@ def test_mirror_tail_rollback_does_not_reemit(spark):
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(9, "z")], "id long, v string")
     )
-    rows3, _ = r.read(off2)
+    rows3, off3 = r.read(off2)
     assert list(rows3) == [(9, "z")]
+    # PHANTOM guard (round-7 review): an append committed but rolled
+    # back BEFORE consumption is not reachable table content and must
+    # never emit — only post-rollback appends do
+    doc = iceberg_export._load_metadata(dest)
+    head_before = doc["current-snapshot-id"]
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(66, "ghost")], "id long, v string")
+    )
+    iceberg_export.rollback_iceberg(dest, head_before)  # abandon it unseen
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(77, "real")], "id long, v string")
+    )
+    rows4, _ = r.read(off3)
+    assert list(rows4) == [(77, "real")]  # the ghost row never surfaces
 
 
 def test_mirror_tail_refuses_partitioned_spec(spark):
