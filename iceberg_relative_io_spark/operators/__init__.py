@@ -22,7 +22,12 @@ from __future__ import annotations
 # r2-graded names, and 3 r3-graded picks whose physical plans were
 # touched after their last grade (the r6 NULL-key as-of fix, the r6
 # B32 NULL guards, the join core). After r7 grades, nothing is older
-# than r3 (the remaining 34 r3 names rotate in next round).
+# than r3 (the remaining 34 r3 names rotate in next round). Queries
+# whose plans changed in round 7 but hold r5/r6 grades (the cached
+# image/video near-dup family; the a41-a54 mirror family over the
+# refactored read_iceberg) are covered by this round's full-inventory
+# rerun (208/208) and take prefix slots next round under the same
+# staleness rule.
 # Everything rotated out stays in the registry and in the judge's full
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
