@@ -33,7 +33,8 @@ the format provides):
   ``CALL cat.system.expire_snapshots('ns.t', keep_last)`` /
   ``remove_orphan_files('ns.t')`` / ``rewrite_data_files('ns.t', n)`` /
   ``rewrite_zorder('ns.t', 'c1,c2')`` / ``rollback_to_snapshot('ns.t', id)`` /
-  ``fast_forward('ns.t', 'branch')``
+  ``fast_forward('ns.t', 'branch')`` /
+  ``create_changelog_view('ns.t', from_sid[, to_sid[, view]])``
 
 Known limitation (documented, not defended): qualified names are located
 lexically, so a string literal containing ``cat.ns.t`` would be rewritten
@@ -392,6 +393,27 @@ class RelativeSqlSession:
         elif proc == "cherrypick_snapshot":
             result = table.cherry_pick_snapshot(int(arg))
             rows = [(str(result["snapshot-id"]),)]
+        elif proc == "create_changelog_view":
+            # Iceberg's CDC procedure shape: register the net row diff
+            # between two snapshots as a temp view, return its name.
+            # CALL cat.system.create_changelog_view('ns.t', from_sid
+            # [, to_sid [, view_name]])
+            args = [a.strip().strip("'") for a in (arg or "").split(",")]
+            if not args or not args[0]:
+                raise SqlParseError(
+                    "create_changelog_view needs a from-snapshot id"
+                )
+            from_sid = int(args[0])
+            to_sid = int(args[1]) if len(args) > 1 and args[1] else None
+            view = (
+                args[2]
+                if len(args) > 2 and args[2]
+                else f"{parts[-1]}_changes"
+            )
+            table.changelog(self.spark, from_sid, to_sid).createOrReplaceTempView(
+                view
+            )
+            rows = [(view,)]
         else:
             raise SqlParseError(f"unknown procedure {proc!r}")
         return self.spark.createDataFrame(rows, "result string")

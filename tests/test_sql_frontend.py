@@ -417,3 +417,38 @@ def test_call_rewrite_manifests(spark, tmp_path):
     assert len(out) == 1 and out[0].result.isdigit()
     got = sorted(r.id for r in s.sql("SELECT id FROM test.ns.t").collect())
     assert got == [0, 1, 2]
+
+
+def test_call_create_changelog_view(sess):
+    """CALL cat.system.create_changelog_view registers the CDC net diff
+    between two snapshots as a temp view (Iceberg's procedure shape),
+    queryable through plain spark.sql."""
+    _readme_flow(sess)
+    tops = sess.catalog.load_table(("my_ns",), "my_table")
+    s1 = tops.current()["current-snapshot-id"]
+    sess.sql(
+        "INSERT INTO test.my_ns.my_table VALUES (3, 'c', 'odd')"
+    )
+    sess.sql("DELETE FROM test.my_ns.my_table WHERE id = 1")
+    out = sess.sql(
+        f"CALL test.system.create_changelog_view('my_ns.my_table', {s1})"
+    )
+    view = out.collect()[0][0]
+    assert view == "my_table_changes"
+    got = {
+        (r.id, r.data, r._change_type, r._n)
+        for r in sess.spark.sql(f"SELECT * FROM {view}").collect()
+    }
+    assert got == {
+        (3, "c", "INSERT", 1),
+        (1, "a", "DELETE", 1),
+    }
+    # explicit view name + endpoint
+    tops.refresh()
+    head = tops.current()["current-snapshot-id"]
+    out2 = sess.sql(
+        "CALL test.system.create_changelog_view("
+        f"'my_ns.my_table', {s1}, {head}, 'cl_v2')"
+    )
+    assert out2.collect()[0][0] == "cl_v2"
+    assert sess.spark.sql("SELECT count(*) AS n FROM cl_v2").collect()[0].n == 2
