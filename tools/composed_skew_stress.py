@@ -72,7 +72,13 @@ def build_corpus(spark, dst: str, m_hot: int, replicas: int) -> tuple[int, int]:
 
 
 def main() -> int:
-    m_hot = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    # default matches the documented study scale (SCALING.md): 20k
+    # planted members -> ~200M planted pairs -> ~10 GB of shuffle
+    # spill. The earlier 50k default shuffles ~1.25B pairs (~60 GB of
+    # spill), which exhausts this box's /tmp mid-stage and surfaces as
+    # executor 'temp_local ... No such file' errors — pass m_hot
+    # explicitly on a machine with the disk for it.
+    m_hot = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
