@@ -136,6 +136,11 @@ class RelativeFileIO:
         if "://" in absolute:
             absolute = absolute.split("://", 1)[1]
             # object stores keep bucket in path; local fs path is already bare
+        elif absolute.startswith("file:"):
+            # Hadoop's single-slash rendering ('file:/tmp/x') — treated
+            # as absolute by paths.is_absolute, so it must strip here
+            # too or the local delegate gets a literal 'file:/...' path
+            absolute = "/" + absolute[len("file:"):].lstrip("/")
         return absolute
 
     # -- path discipline (A2/A3) -----------------------------------------
@@ -242,17 +247,36 @@ class RelativeFileIO:
 
     def list_prefix(self, prefix: str) -> list[FileInfo]:
         """List files under a prefix, reporting *relative* locations
-        (reference RelativeFileIO.java:83-87)."""
+        (reference RelativeFileIO.java:83-87).
+
+        Relativization strips the DELEGATE-NATIVE warehouse root
+        (``_fs_path("")``), because ``info.path`` comes back in the
+        delegate's own dialect: ``/abs/posix`` locally but
+        ``bucket/key`` (no scheme, no leading slash) on object stores.
+        The previous prepend-a-slash + URI-relative() combination was a
+        no-op for object stores — listings leaked bucket-qualified
+        absolute paths into manifests, which silently defeats the
+        warehouse-move invariant on exactly the stores the reference
+        targets."""
         from pyarrow import fs as pafs
 
+        base = self._fs_path("")  # delegate-native warehouse root + '/'
         sel = pafs.FileSelector(self._fs_path(prefix), recursive=True, allow_not_found=True)
         out = []
         for info in self.fs.get_file_info(sel):
             if info.type == pafs.FileType.File:
                 loc = info.path
-                if not loc.startswith("/") and "://" not in loc:
-                    loc = "/" + loc
-                out.append(FileInfo(location=self.relative(loc), size=info.size))
+                if loc.startswith(base):
+                    rel = loc[len(base):]
+                elif ("/" + loc).startswith(base):
+                    rel = ("/" + loc)[len(base):]
+                else:
+                    # foreign path (shouldn't happen under a warehouse
+                    # listing): keep the old behavior, absolute
+                    if not loc.startswith("/") and "://" not in loc:
+                        loc = "/" + loc
+                    rel = self.relative(loc)
+                out.append(FileInfo(location=rel, size=info.size))
         return out
 
     def rename(self, src: str, dst: str) -> bool:

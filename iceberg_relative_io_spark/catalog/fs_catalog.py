@@ -20,6 +20,7 @@ import posixpath
 
 from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
 from iceberg_relative_io_spark.catalog.table_ops import (
+    CommitFailedError,
     NoSuchTableError,
     TableOperations,
     new_table_metadata,
@@ -97,7 +98,13 @@ class FsCatalog:
                 if self.suppress_permission_error:
                     return None
                 raise
-            return False
+            if isinstance(exc, (FileNotFoundError, NotADirectoryError)):
+                return False  # genuinely no metadata dir -> not a table
+            # anything else is a transient store error: mislabeling a
+            # table as a namespace (or vice versa) corrupts listings —
+            # propagate (the docstring's contract; missing dirs never
+            # reach here anyway, list_prefix allows not-found)
+            raise
         return any(
             fi.location.rsplit("/", 1)[-1].endswith(_METADATA_GLOB_RE) for fi in listing
         )
@@ -108,7 +115,10 @@ class FsCatalog:
     def _child_dirs(self, rel_path: str) -> list[str]:
         from pyarrow import fs as pafs
 
-        base = self.io._fs_path(rel_path if rel_path else ".")
+        # '' resolves to the warehouse root itself; the old '.' form
+        # made a literal '<wh>/.' key prefix that real object stores
+        # treat as nonexistent, silently emptying root-level listings
+        base = self.io._fs_path(rel_path)
         sel = pafs.FileSelector(base, recursive=False, allow_not_found=True)
         out = []
         try:
@@ -192,7 +202,13 @@ class FsCatalog:
         if ops.find_version() > 0:
             raise AlreadyExistsError(f"table {rel} already exists")
         meta = new_table_metadata(rel, schema_json, partition_by, properties, sort_order)
-        ops.commit(0, meta)
+        try:
+            ops.commit(0, meta)
+        except CommitFailedError:
+            # two racing creators: the loser's failed v1 commit means
+            # the table now exists — surface the type the sequential
+            # path raises, not a commit-protocol internal
+            raise AlreadyExistsError(f"table {rel} already exists") from None
         return ops
 
     def load_table(self, namespace, name: str) -> TableOperations:

@@ -264,7 +264,27 @@ class TableOperations:
             # forbid relocation inside commit (reference :155-158)
             raise CommitFailedError("cannot change table location in a commit")
 
-        codec = metadata.get("properties", {}).get("write.metadata.compression", "none")
+        # the codec for v(base+1) comes from the BASE state, so two
+        # racers committing from one base always target ONE filename
+        # and rename-if-absent yields a single winner — deriving it
+        # from the NEW doc let a commit that flips
+        # write.metadata.compression race a plain committer into
+        # v{N}.metadata.json AND v{N}.gz.metadata.json both "winning",
+        # silently shadowing one snapshot. Net behavior: a compression
+        # change takes effect on the commit AFTER the one carrying it
+        # (the contract the SQL-frontend test already states).
+        if base_version == 0:
+            base_props = metadata.get("properties", {})
+        elif self._version == base_version and self._current is not None:
+            base_props = self._current.get("properties", {})
+        else:
+            try:
+                base_props = self._read_metadata(base_version).get(
+                    "properties", {}
+                )
+            except Exception:
+                base_props = metadata.get("properties", {})
+        codec = base_props.get("write.metadata.compression", "none")
         payload = json.dumps(metadata, indent=1).encode()
         if codec == "gzip":
             payload = gzip.compress(payload)
@@ -275,8 +295,10 @@ class TableOperations:
         if not self.io.rename(tmp, final):
             try:
                 self.io.delete_file(tmp)
-            finally:
-                pass
+            except Exception:
+                pass  # loser cleanup is best-effort; the race verdict
+                # (CommitFailedError -> caller retries) must not be
+                # masked by a transient delete failure
             raise CommitFailedError(f"lost commit race for v{base_version + 1}")
 
         self._write_version_hint(base_version + 1)
@@ -292,7 +314,12 @@ class TableOperations:
             hint = self.version_hint_file()
             if self.io.exists(hint):
                 self.io.delete_file(hint)
-            self.io.rename(tmp, hint)
+            if not self.io.rename(tmp, hint):
+                # lost the hint race (another committer recreated it
+                # between our delete and rename): reap our temp file,
+                # or every lost race leaves a permanent .tmp in
+                # metadata/ that inflates the find_version fallback scan
+                self.io.delete_file(tmp)
         except Exception:
             pass  # the hint is an optimization; findVersion recovers without it
 
@@ -311,7 +338,15 @@ class TableOperations:
         if props.get("write.metadata.delete-after-commit.enabled", "false") != "true":
             return
         keep = int(props.get("write.metadata.previous-versions-max", "100"))
-        cutoff = new_version - keep
+        # 'keep N previous versions' after committing vN means
+        # v(new-keep)..v(new-1) survive; the highest deletable is
+        # v(new-keep-1). The old 'new - keep' cutoff deleted one extra
+        # — and with keep=0 it included new_version ITSELF, letting the
+        # async reaper delete the just-committed file and brick the
+        # table.
+        cutoff = new_version - keep - 1
+        if cutoff < 1:
+            return
         versions = range(max(1, cutoff - 10), cutoff + 1)
 
         def _reap(v: int) -> None:
@@ -323,11 +358,15 @@ class TableOperations:
                     pass
 
         pool = _gc_pool()
-        try:
-            futures = [pool.submit(_reap, v) for v in versions]
-        except RuntimeError:  # interpreter shutdown: skip, best-effort
-            return
+        # submit and register under ONE lock acquisition: a concurrent
+        # drain_metadata_gc between submit and extend would swap the
+        # pending list while these reaps are in flight and return
+        # before they land — the exact flake the drain contract forbids
         with _gc_lock():
+            try:
+                futures = [pool.submit(_reap, v) for v in versions]
+            except RuntimeError:  # interpreter shutdown: skip, best-effort
+                return
             _GC_PENDING.extend(futures)
             # bound the tracking list (done futures only help drain_metadata_gc)
             if len(_GC_PENDING) > 256:

@@ -1881,3 +1881,66 @@ def test_migrate_bucket_hash_era_covers_branch_snapshots(spark, catalog):
     branch_files = [f for f in pruned if f["_snap"] == branch_sid]
     assert branch_files
     assert {f["partition"]["id_bucket"] for f in branch_files} == {want_leg}
+
+
+def test_metadata_gc_keep_semantics_and_keep_zero(spark, catalog):
+    """previous-versions-max=N keeps exactly the newest N previous
+    metadata files; keep=0 deletes all previous but NEVER the
+    just-committed one (the old off-by-one included it, letting the
+    async reaper brick the table)."""
+    from iceberg_relative_io_spark.catalog.table_ops import drain_metadata_gc
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    ops = catalog.create_table(
+        ("gcns",), "t", df.schema.jsonValue(),
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "2",
+        },
+    )
+    table = RelativeTable(ops)
+    for i in range(5):
+        table.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    drain_metadata_gc()
+    present = sorted(
+        int(fi.location.rsplit("/v", 1)[-1].split(".")[0])
+        for fi in ops.io.list_prefix(ops.metadata_dir)
+        if ".metadata.json" in fi.location and ".tmp" not in fi.location
+    )
+    head = ops.current_version()
+    # newest 2 previous + current survive
+    assert present == [head - 2, head - 1, head]
+
+    ops2 = catalog.create_table(
+        ("gcns",), "t0", df.schema.jsonValue(),
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "0",
+        },
+    )
+    t2 = RelativeTable(ops2)
+    t2.append(df)
+    t2.append(df)
+    drain_metadata_gc()
+    head2 = ops2.current_version()
+    left = [
+        fi.location
+        for fi in ops2.io.list_prefix(ops2.metadata_dir)
+        if ".metadata.json" in fi.location and ".tmp" not in fi.location
+    ]
+    assert len(left) == 1 and f"v{head2}." in left[0]
+    ops2.refresh()  # the table must still resolve
+    assert t2.read(spark).count() == 2
+
+
+def test_fs_path_handles_single_slash_file_uri(tmp_path):
+    """'file:/tmp/x' (Hadoop's single-slash rendering) is treated as
+    absolute by paths.is_absolute, so the IO layer must strip it too."""
+    from iceberg_relative_io_spark.catalog.fileio import RelativeFileIO
+
+    wh = str(tmp_path / "wh")
+    io = RelativeFileIO(wh)
+    io.write_bytes("t/a.txt", b"hi")
+    single = "file:" + wh + "/t/a.txt"
+    assert io.exists(single)
+    assert io.read_bytes(single) == b"hi"
