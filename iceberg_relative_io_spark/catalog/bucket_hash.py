@@ -110,6 +110,12 @@ def bucket_value(v, n: int) -> int | None:
     if isinstance(v, bool):
         raise TypeError("bucket transform is undefined for boolean")
     if isinstance(v, int):
+        if not (-(1 << 63) <= v < (1 << 63)):
+            # outside int64: no stored long can equal this predicate
+            # value, but the PRUNING caller guards on TypeError only —
+            # struct.error from the pack would crash scan planning
+            # instead of falling back to keep-all
+            raise TypeError(f"bucket source value out of int64 range: {v}")
         h = _hash_long(v)
     elif isinstance(v, datetime):
         if v.tzinfo is not None:
@@ -339,13 +345,35 @@ def bucket_column(source: str, n: int, dtype):
             else (_hash_decimal(x) & 0x7FFFFFFF) % n
         ).astype("Int32")
 
+    def _null_safe_long(expr):
+        # nulls are handled SPARK-SIDE: a batch containing any null
+        # reaches pandas as float64 with some pyarrow/pandas versions,
+        # and int64 values beyond 2^53 then round BEFORE hashing — a
+        # silently wrong bucket (wrong file placement + wrong pruning).
+        # Coalescing to 0 keeps every batch pure int64; the when()
+        # restores NULL for null sources.
+        return F.when(
+            expr.isNull(), F.lit(None).cast("int")
+        ).otherwise(_bucket_long(F.coalesce(expr, F.lit(0).cast("long"))))
+
     col = F.col(source)
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return _bucket_long(col.cast("long"))
+        return _null_safe_long(col.cast("long"))
     if isinstance(dtype, T.DateType):
-        return _bucket_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return _bucket_long(F.unix_micros(col.cast("timestamp")))
+        return _null_safe_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+    if isinstance(dtype, T.TimestampType):
+        return _null_safe_long(F.unix_micros(col))
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ micros must be WALL-CLOCK: casting NTZ -> timestamp routes
+        # through the session timezone and shifts the value (wrong
+        # bucket on any non-UTC session); timestampdiff on NTZ operands
+        # is pure calendar arithmetic, timezone-free
+        return _null_safe_long(
+            F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {source})"
+            )
+        )
     if isinstance(dtype, T.StringType):
         return _bucket_str(col)
     if isinstance(dtype, T.BinaryType):

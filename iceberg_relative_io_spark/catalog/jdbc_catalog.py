@@ -318,12 +318,24 @@ class JdbcCatalog:
             (self.name, ns),
         ):
             return True
-        # implicit namespaces: any prefix of an existing table's namespace
+        # implicit namespaces: any PREFIX of an existing table's
+        # namespace, or of an explicitly created deeper namespace
+        # (create_namespace(('a','b')) makes ('a',) listable, so
+        # exists() must agree with list_namespaces()). LIKE wildcards
+        # in the name itself are escaped — an underscore namespace
+        # ('a_c') must not match unrelated rows ('abc/...').
+        esc = ns.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
         return bool(
             self._fetchone(
                 "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND "
-                "(table_namespace=? OR table_namespace LIKE ?)",
-                (self.name, ns, ns + "/%"),
+                "(table_namespace=? OR table_namespace LIKE ? ESCAPE '\\')",
+                (self.name, ns, esc + "/%"),
+            )
+        ) or bool(
+            self._fetchone(
+                "SELECT 1 FROM iceberg_namespace_properties WHERE "
+                "catalog_name=? AND namespace LIKE ? ESCAPE '\\'",
+                (self.name, esc + "/%"),
             )
         )
 
@@ -547,6 +559,18 @@ class JdbcCatalog:
 
     def rename_view(self, src_namespace, src_name: str, dst_namespace, dst_name: str) -> None:
         self._require_views()
+        # destination-exists guard (same contract as rename_table):
+        # without it the UPDATE violates the primary key and a raw
+        # driver-specific IntegrityError escapes to the caller
+        if self._fetchone(
+            "SELECT 1 FROM iceberg_tables WHERE catalog_name=? AND "
+            "table_namespace=? AND table_name=?",
+            (self.name, _ns_str(dst_namespace), dst_name),
+        ):
+            raise ValueError(
+                f"cannot rename view: {dst_name!r} already exists in "
+                f"{_ns_str(dst_namespace)!r}"
+            )
         with self._conn() as con:
             cur = con.execute(
                 "UPDATE iceberg_tables SET table_namespace=?, table_name=? "

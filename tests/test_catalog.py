@@ -1944,3 +1944,44 @@ def test_fs_path_handles_single_slash_file_uri(tmp_path):
     single = "file:" + wh + "/t/a.txt"
     assert io.exists(single)
     assert io.read_bytes(single) == b"hi"
+
+
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_namespace_exists_nested_and_like_escaping(tmp_path, db_driver):
+    """exists() must agree with list_namespaces(): the parent of an
+    explicitly created nested namespace exists; and namespaces with
+    LIKE wildcards in their name ('a_c') must not match unrelated rows
+    ('abc/...')."""
+    import os
+
+    wh = str(tmp_path / f"jwh_{db_driver}")
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / f"cat_{db_driver}.db"), wh, driver=db_driver)
+    cat.create_namespace(("a", "b"))
+    assert cat.namespace_exists(("a", "b"))
+    assert cat.namespace_exists(("a",))  # implicit parent of explicit child
+    assert ("a",) in cat.list_namespaces(())
+    # underscore is a LIKE wildcard: 'a_c' must not match tables in 'abc'
+    cat.create_namespace(("abc",))
+    schema = {"type": "struct", "fields": []}
+    cat.create_table(("abc",), "t", schema)
+    assert not cat.namespace_exists(("a_c",))
+
+
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_rename_view_onto_existing_raises_cleanly(tmp_path, db_driver):
+    """Renaming a view onto an existing table/view name must raise the
+    same clean ValueError contract as rename_table — not a raw
+    driver-specific IntegrityError from the primary-key violation."""
+    import os
+
+    wh = str(tmp_path / f"jwhv_{db_driver}")
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / f"catv_{db_driver}.db"), wh, driver=db_driver)
+    cat.create_namespace(("db1",))
+    cat.create_view(("db1",), "v1", "SELECT 1 AS one")
+    cat.create_view(("db1",), "v2", "SELECT 2 AS two")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_view(("db1",), "v1", ("db1",), "v2")
+    # and the original views are untouched
+    assert sorted(cat.list_views(("db1",))) == ["v1", "v2"]

@@ -3299,3 +3299,69 @@ def test_changelog_across_rename_carries_one_name(spark, sf_dir):
     old_name = nation.filter(F.col("n_nationkey") == 3).collect()[0].n_name
     # exactly the deleted row, under the NEW column name with its real value
     assert rows == [(3, old_name, "DELETE")]
+
+
+def test_bucket_column_exact_above_2pow53_with_nulls(spark):
+    """A null in the Arrow batch can demote int64 to float64 in pandas,
+    rounding values beyond 2^53 BEFORE hashing — a silently wrong
+    bucket (wrong placement + wrong pruning). The transform now
+    null-coalesces Spark-side so batches stay pure int64."""
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        bucket_column,
+        bucket_value,
+    )
+
+    from pyspark.sql import types as T
+
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(big,), (None,), (big + 2,)], "v long"
+    ).coalesce(1)
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", bucket_column("v", 16, T.LongType()).alias("b")
+        ).collect()
+    }
+    assert got[big] == bucket_value(big, 16)
+    assert got[big + 2] == bucket_value(big + 2, 16)
+    assert got[None] is None
+
+
+def test_bucket_column_ntz_is_session_timezone_free(spark):
+    """NTZ bucket ids must hash the WALL-CLOCK micros (the spec's
+    rule): the old NTZ->timestamp cast routed through the session
+    timezone, so a non-UTC session wrote buckets that disagreed with
+    every compliant reader."""
+    import datetime
+
+    from iceberg_relative_io_spark.catalog.bucket_hash import (
+        bucket_column,
+        bucket_value,
+    )
+
+    from pyspark.sql import types as T
+
+    val = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    df = spark.createDataFrame([(val,)], "t timestamp_ntz")
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = df.select(
+                bucket_column("t", 64, T.TimestampNTZType()).alias("b")
+            ).collect()[0].b
+            assert got == bucket_value(val, 64), tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_bucket_value_out_of_int64_range_raises_typeerror():
+    """Pruning callers guard on TypeError only; struct.error from the
+    int64 pack would crash scan planning instead of keeping all files."""
+    from iceberg_relative_io_spark.catalog.bucket_hash import bucket_value
+
+    with pytest.raises(TypeError, match="int64"):
+        bucket_value(1 << 63, 4)
+    with pytest.raises(TypeError, match="int64"):
+        bucket_value(-(1 << 63) - 1, 4)

@@ -539,3 +539,59 @@ def test_mock_s3_manifests_record_relative_paths(spark, tmp_path):
         assert not p.startswith("/"), p
         assert "bkt-m" not in p, p
     assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+
+
+def test_inmemory_lock_nonowner_release_is_noop_and_entries_prune():
+    """release() from a non-owner thread must not free the holder's
+    critical section (lock.locked() is true for ANY holder), and
+    per-key entries must not accumulate forever (commit keys are
+    versioned paths — one fresh key per commit)."""
+    import threading
+
+    from iceberg_relative_io_spark.catalog.locks import InMemoryLockManager
+
+    mgr = InMemoryLockManager("wh", timeout=2.0)
+    assert mgr.acquire("k1")
+    released_by_other = []
+
+    def other():
+        mgr.release("k1")  # must be a no-op: not the owner
+        released_by_other.append(
+            InMemoryLockManager("wh", timeout=0.05).acquire("k1")
+        )
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    assert released_by_other == [False]  # still held by the owner
+    mgr.release("k1")
+    assert "k1" not in InMemoryLockManager._held  # pruned when free
+    assert mgr.acquire("k1") and (mgr.release("k1") or True)
+    assert "k1" not in InMemoryLockManager._held
+
+
+def test_file_lock_ttl_expiry_claims_safely(tmp_path):
+    """A stale (crashed-holder) lock expires and is re-acquirable; a
+    FRESH lock is never reaped by a waiter (the old stat-then-rmdir
+    let a waiter delete a just-re-created lock — two holders at
+    once)."""
+    import os
+    import time
+
+    from iceberg_relative_io_spark.catalog.locks import FileLockManager
+
+    mgr = FileLockManager("wh", scratch=str(tmp_path / "locks"),
+                          timeout=1.0, ttl=0.2)
+    assert mgr.acquire("k")
+    path = mgr._path("k")
+    # simulate a crashed holder: age the stamp past the ttl
+    old = time.time() - 10
+    os.utime(os.path.join(path, "owner"), (old, old))
+    assert mgr.acquire("k")  # expires the stale dir, takes the lock
+    # a FRESH lock must NOT be expirable
+    mgr2 = FileLockManager("wh", scratch=str(tmp_path / "locks"),
+                           timeout=0.3, ttl=300.0)
+    assert not mgr2.acquire("k")  # held and fresh -> times out
+    assert os.path.isdir(path)  # and the holder's dir survived
+    mgr.release("k")
+    assert mgr2.acquire("k")
