@@ -119,12 +119,22 @@ def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
 # the driver ever sees exactly k rows.
 
 def sample_key(vec_id: Column) -> Column:
-    """Deterministic sampling key: multiplicative hash of the id."""
-    return (vec_id.cast("long") * F.lit(_LCG)) % F.lit(_TWO31)
+    """Deterministic sampling key: multiplicative hash of the id.
+    Operands are pre-reduced mod 2^31 so the product stays under 2^62:
+    a raw ``id * LCG`` overflows int64 for ids >= ~3.47e9 (silent
+    wraparound on non-ANSI Spark, a hard error on DuckDB/ANSI) — and
+    ((id mod m) * (LCG mod m)) mod m equals (id * LCG) mod m, so every
+    key for in-range ids is byte-identical to the old formula."""
+    return (
+        (vec_id.cast("long") % F.lit(_TWO31)) * F.lit(_LCG % _TWO31)
+    ) % F.lit(_TWO31)
 
 
 def sample_key_sql(col: str) -> str:
-    return f"((CAST({col} AS BIGINT) * {_LCG}) % {_TWO31})"
+    return (
+        f"(((CAST({col} AS BIGINT) % {_TWO31}) * {_LCG % _TWO31})"
+        f" % {_TWO31})"
+    )
 
 
 def bounded_sample(emb, k: int):
@@ -244,13 +254,17 @@ def make_dot_udf():
 
     @F.pandas_udf(DoubleType())
     def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, A_all = _stack_valid(a)
-        mb, B_all = _stack_valid(b)
+        av, bv = a.to_numpy(), b.to_numpy()
+        # masks first, ONE stack under the combined mask: this is the
+        # millions-of-pairs path, and stacking each side twice (once
+        # per-side, again combined) doubled the batch conversion cost
+        ma = np.array([v is not None for v in av], dtype=bool)
+        mb = np.array([v is not None for v in bv], dtype=bool)
         mask = ma & mb
         if not mask.any():
             return pd.Series([None] * len(mask), dtype=object)
-        A = np.stack(a.to_numpy()[mask]).astype(np.float64)
-        B = np.stack(b.to_numpy()[mask]).astype(np.float64)
+        A = np.stack(av[mask]).astype(np.float64)
+        B = np.stack(bv[mask]).astype(np.float64)
         acc = np.zeros(len(A), dtype=np.float64)
         for i in range(A.shape[1]):
             acc = acc + A[:, i] * B[:, i]
@@ -263,6 +277,12 @@ def pack_centroids(rows):
     """Collected (id, embedding) rows -> (ids, matrix, norms) for a
     nearest-centroid broadcast. Rows must be sorted by id; norms use the
     same dimension-sequential accumulation as norm()/norm_sql."""
+    rows = list(rows)
+    if not rows:
+        raise ValueError(
+            "no centroids to pack: the sampled input is empty (or every "
+            "embedding is NULL) — nearest-centroid stages need at least one"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([r[1] for r in rows], dtype=np.float64)
     nc = np.zeros(len(C), dtype=np.float64)
@@ -316,7 +336,8 @@ def make_bucket_udf(n_planes: int = N_PLANES):
     def bucket(vec: pd.Series) -> pd.Series:
         mask, V_ = _stack_valid(vec)
         if len(V_) == 0:
-            return pd.Series([None] * len(mask), dtype=object)
+            # all-NULL batch: bucket 0 everywhere, like the twins
+            return pd.Series(np.zeros(len(mask), dtype=np.int32))
         out = np.zeros(len(V_), dtype=np.int64)
         for j in range(n_planes):
             acc = np.zeros(len(V_), dtype=np.float64)
@@ -325,7 +346,12 @@ def make_bucket_udf(n_planes: int = N_PLANES):
             out = out + (acc > 0).astype(np.int64) * (1 << j)
         if mask.all():
             return pd.Series(out.astype(np.int32))
-        return _scatter(mask, [int(x) for x in out])
+        # NULL vectors bucket to 0, like the Column/SQL twins (their
+        # CASE WHEN NULL > 0 falls to ELSE 0 on every plane) — the
+        # three builders are documented as exact mirrors
+        res = np.zeros(len(mask), dtype=np.int64)
+        res[mask] = out
+        return pd.Series(res.astype(np.int32))
 
     return bucket
 

@@ -131,7 +131,18 @@ def chunked_sides(
 
     Join the two on ``bucket_cols + ["_cl", "_cr"]`` plus
     ``pair_condition(left_id, right_id)``; every unordered member pair
-    of every bucket appears exactly once (see module docstring)."""
+    of every bucket appears exactly once (see module docstring).
+
+    NULL bucket keys are dropped up front: the self-join's equality
+    condition never matches NULL = NULL (those rows produce zero pairs
+    anyway), but the grouped-map variant's groupBy would collect every
+    NULL-bucket row into ONE group — and the hot-list join that sizes
+    the chunks is not null-safe, so a hot NULL bucket (e.g. a million
+    rows with no band signature) bypassed the chunking entirely and
+    became exactly the m² straggler/OOM this module exists to prevent.
+    Dropping them makes the two APIs agree AND keeps the bound."""
+    for c in bucket_cols:
+        df = df.filter(F.col(c).isNotNull())
     t = with_chunks(df, bucket_cols, id_col, cap, sizes=sizes)
     left = t.withColumn("_cl", F.col("_chunk")).withColumn(
         "_cr", F.explode(F.sequence(F.col("_chunk"), F.col("_nchunks") - 1))

@@ -74,6 +74,7 @@ class FilePartition(InputPartition):
     path: str  # relative to the warehouse
     partition_json: str
     column_ids_json: str  # name->id mapping in force when the file was written
+    deletes_json: str = "[]"  # applicable MOR equality deletes [(path, cols)]
 
 
 @dataclass
@@ -113,13 +114,13 @@ class RelativeBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
         self.schema = schema
-        self.io = _load_table(options).ops.io
+        table = _load_table(options)  # one load serves io + spec + ids
+        self.io = table.ops.io
         self.snapshot_id = (
             int(options["snapshot_id"]) if "snapshot_id" in options else None
         )
         self.partition_filter: dict = {}
         self.column_ranges: dict = {}
-        table = _load_table(options)
         from iceberg_relative_io_spark.catalog.spark_table import parse_partition_field
 
         # equality filters map to partition dirs only for identity entries;
@@ -163,11 +164,25 @@ class RelativeBatchReader(DataSourceReader):
             partition_filter=self.partition_filter or None,
             column_ranges=self.column_ranges or None,
         )
+        # merge-on-read scoping: each file ships the equality-delete
+        # files that apply to it (strictly newer sequence) — without
+        # this the DSv2 read RESURRECTED rows deleted by
+        # delete_where_mor, silently diverging from RelativeTable.read
+        meta = table.ops.current()
+        snap = table._resolve_snapshot(meta, self.snapshot_id, None)
+        dels = table._delete_files(meta, snap) if snap is not None else []
         return [
             FilePartition(
                 e["path"],
                 json.dumps(e.get("partition", {})),
                 json.dumps(e.get("column-ids", {})),
+                json.dumps(
+                    [
+                        (d["path"], list(d["equality-cols"]))
+                        for d in dels
+                        if d["_snap"] > e.get("_snap", 0)
+                    ]
+                ),
             )
             for e in entries
         ]
@@ -196,13 +211,42 @@ class RelativeBatchReader(DataSourceReader):
                 cols.append(tbl.column(phys).cast(field.type))
             elif field.name in part_values:
                 # partition column physically split out of the file:
-                # re-attach as a constant from the manifest's tuple
-                raw = pa.array([part_values[field.name]] * len(tbl), pa.string())
-                cols.append(raw.cast(field.type))
+                # re-attach as a constant from the manifest's tuple.
+                # Spark's hive layout writes NULL partitions as the
+                # __HIVE_DEFAULT_PARTITION__ sentinel — decode it back
+                # to NULL (casting it to int/date would crash; leaving
+                # it on strings returned the literal sentinel)
+                v = part_values[field.name]
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    cols.append(pa.nulls(len(tbl), field.type))
+                else:
+                    raw = pa.array([v] * len(tbl), pa.string())
+                    cols.append(raw.cast(field.type))
             else:
                 # column added (or dropped-and-readded) after this file
                 cols.append(pa.nulls(len(tbl), field.type))
-        yield from pa.table(dict(zip(target.names, cols))).cast(target).to_batches()
+        out = pa.table(dict(zip(target.names, cols))).cast(target)
+        for dpath, dcols in json.loads(partition.deletes_json):
+            # equality-delete anti-join (the spec's strictly-newer
+            # scoping was applied at planning): drop rows whose key
+            # tuple appears in the delete file. Key sets are the
+            # deleted-row keys — small relative to the data; the join
+            # runs per file inside the task
+            dk = pq.read_table(
+                self.io._fs_path(dpath), filesystem=self.io.fs,
+                columns=list(dcols),
+            )
+            doomed = set(
+                zip(*[dk.column(c).to_pylist() for c in dcols])
+            ) if len(dk) else set()
+            if not doomed:
+                continue
+            keep_mask = [
+                t not in doomed
+                for t in zip(*[out.column(c).to_pylist() for c in dcols])
+            ]
+            out = out.filter(pa.array(keep_mask, pa.bool_()))
+        yield from out.to_batches()
 
 
 def _write_task_batches(io, base_dir: str, part_cols: list, iterator) -> list:
@@ -229,22 +273,39 @@ def _write_task_batches(io, base_dir: str, part_cols: list, iterator) -> list:
             continue
         tbl = pa.Table.from_batches([batch])
         combos = {
-            tuple(str(v) for v in t)
+            tuple(t)  # raw values: None must stay distinct, not "None"
             for t in zip(*[tbl.column(c).to_pylist() for c in part_cols])
         }
+        _NULL_SEG = "__HIVE_DEFAULT_PARTITION__"  # Spark's hive sentinel
         for combo in combos:
             mask = None
             for c, v in zip(part_cols, combo):
-                eq = pc.equal(pc.cast(tbl[c], pa.string()), v)
+                if v is None:
+                    # equal(NULL, x) is NULL and Table.filter drops
+                    # NULL-mask rows — NULL partitions were silently
+                    # LOST; null-test explicitly instead
+                    eq = pc.is_null(tbl[c])
+                else:
+                    eq = pc.fill_null(
+                        pc.equal(pc.cast(tbl[c], pa.string()), str(v)),
+                        False,
+                    )
                 mask = eq if mask is None else pc.and_(mask, eq)
             sub = tbl.filter(mask).drop(part_cols)
             if combo not in writers:
-                segs = "/".join(f"{c}={v}" for c, v in zip(part_cols, combo))
+                seg_vals = [
+                    _NULL_SEG if v is None else str(v) for v in combo
+                ]
+                segs = "/".join(
+                    f"{c}={v}" for c, v in zip(part_cols, seg_vals)
+                )
                 rel = f"{base_dir}/{segs}/part-{uuid.uuid4().hex}.parquet"
                 writers[combo] = [
                     _open(rel, sub.schema),
                     rel,
-                    json.dumps(dict(zip(part_cols, combo)), sort_keys=True),
+                    json.dumps(
+                        dict(zip(part_cols, seg_vals)), sort_keys=True
+                    ),
                 ]
             writers[combo][0].write_table(sub)
     files = []
@@ -334,13 +395,27 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
             _write_task_batches(self.io, self.data_root, self.part_cols, iterator)
         )
 
+    def _batch_key(self, batchId: int) -> str:
+        # batch ids are per-CHECKPOINT (every query starts at 0): keyed
+        # on batchId alone, a second query writing to the same table had
+        # its first batches silently swallowed as "replays". Scope the
+        # dedup to the checkpoint identity when one is provided.
+        ckpt = self.options.get("checkpointLocation")
+        if ckpt:
+            import hashlib
+
+            return hashlib.sha1(ckpt.encode()).hexdigest()[:12] + ":" + str(
+                batchId
+            )
+        return str(batchId)
+
     def commit(self, messages, batchId: int) -> None:
         table = _load_table(self.options)
         already = {
             s["summary"].get("stream-batch-id")
             for s in table.ops.current()["snapshots"]
         }
-        if str(batchId) in already:
+        if self._batch_key(batchId) in already:
             return  # replayed batch: snapshot already committed
         entries = []
         for m in messages:
@@ -354,7 +429,9 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
                 entry.update(table._file_stats(rel))
                 entries.append(entry)
         table._commit_snapshot(
-            "append", entries, extra_summary={"stream-batch-id": str(batchId)}
+            "append",
+            entries,
+            extra_summary={"stream-batch-id": self._batch_key(batchId)},
         )
 
     def abort(self, messages, batchId: int) -> None:

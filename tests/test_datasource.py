@@ -470,3 +470,113 @@ def test_mirror_tail_survives_log_trimming_by_expiry(spark):
     )
     with _pytest.raises(ValueError, match="restart the stream"):
         r.read(stale)
+
+
+def test_batch_read_applies_mor_deletes(spark, wh):
+    """spark.read.format('relative') must agree with RelativeTable.read
+    after a merge-on-read delete — the planner now ships each file's
+    applicable equality-delete files (strictly-newer sequence) and the
+    reader anti-joins them (deleted rows used to RESURRECT)."""
+    table = _make_table(spark, wh, name="mor")
+    table.delete_where_mor(spark, F.col("id") == 2, ["id"])
+    got = sorted(
+        r.id
+        for r in spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.mor")
+        .load()
+        .collect()
+    )
+    want = sorted(r.id for r in table.read(spark).collect())
+    assert got == want and 2 not in got
+    # a re-appended key survives (strictly-newer sequence: delete skips it)
+    table.append(
+        spark.createDataFrame([(2, "reborn", "x")], table.read(spark).schema)
+    )
+    got2 = sorted(
+        r.id
+        for r in spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.mor")
+        .load()
+        .collect()
+    )
+    assert got2 == sorted(r.id for r in table.read(spark).collect())
+    assert 2 in got2
+
+
+def test_dsv2_writer_keeps_null_partition_rows(spark, wh):
+    """Rows with NULL identity-partition values were silently dropped
+    (equal(NULL, x) is NULL and Table.filter drops NULL-mask rows);
+    they now land under the hive sentinel and read back as NULL."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, kind string"
+    )
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    cat.create_table(("ns",), "np", df.schema.jsonValue(), partition_by=["kind"])
+    (
+        df.write.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.np")
+        .mode("append")
+        .save()
+    )
+    got = {
+        (r.id, r.kind)
+        for r in spark.read.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.np")
+        .load()
+        .collect()
+    }
+    assert got == {(1, "a"), (2, None), (3, None), (4, "b")}
+    # the native read path agrees
+    t = RelativeTable(cat.load_table(("ns",), "np"))
+    assert {(r.id, r.kind) for r in t.read(spark).collect()} == got
+
+
+def test_stream_sink_dedup_scoped_to_checkpoint(spark, wh):
+    """Batch ids are per-checkpoint (every query starts at 0): the sink
+    dedup is scoped to the checkpoint identity, so a second query's
+    batch 0 is not swallowed as a 'replay' of the first query's."""
+    from iceberg_relative_io_spark.sources.relative_datasource import (
+        RelativeStreamWriter,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    ops = cat.create_table(("ns",), "sq", df.schema.jsonValue())
+
+    def writer(ckpt):
+        return RelativeStreamWriter(
+            {"warehouse": wh, "table": "ns.sq", "checkpointLocation": ckpt},
+            df.schema,
+            False,
+        )
+
+    import pyarrow as pa
+
+    def batch(i):
+        return pa.record_batch(
+            {"id": pa.array([i], pa.int64()), "v": pa.array(["x"], pa.string())}
+        )
+
+    w1, w2 = writer("/tmp/ckpt-A"), writer("/tmp/ckpt-B")
+    def n_snaps():
+        ops.refresh()  # the handle caches metadata between commits
+        return len(ops.current()["snapshots"])
+
+    m1 = w1.write(iter([batch(1)]))
+    w1.commit([m1], 0)
+    n1 = n_snaps()
+    m2 = w2.write(iter([batch(2)]))
+    w2.commit([m2], 0)  # second QUERY, same batch id: must land
+    assert n_snaps() == n1 + 1
+    w1.commit([m1], 0)  # genuine replay of query 1 batch 0: deduped
+    assert n_snaps() == n1 + 1
+    t = RelativeTable(ops)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
