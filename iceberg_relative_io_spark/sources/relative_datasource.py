@@ -26,16 +26,17 @@ and each half maps onto the format's native strengths:
   into a manifest and commits the snapshot pointer with the atomic CAS.
 - **stream read**: snapshot tailing. The offset is a snapshot id; each
   micro-batch is ``incremental_files(start, end)`` — the CDC read the
-  incremental manifests make O(changed files). Driver-side row transport
-  (SimpleDataSourceStreamReader) is plenty for a tailing control stream;
-  a partition-planning DataSourceStreamReader is the drop-in upgrade if
-  a tailed table ever carries bulk data.
+  incremental manifests make O(changed files) — planned as one
+  ``InputPartition`` per added file (DataSourceStreamReader), so
+  executors read micro-batches through the same per-file path as the
+  batch reader and a bulk tail scales with the cluster; no row ever
+  rides the driver.
 
-Partitioned tables: the batch reader re-attaches hive partition columns
-from the manifest's partition tuples; the batch and stream writers lay
-out identity partition specs hive-style (one file per task×partition)
-and record each file's tuple in the manifest; transform layouts route
-through ``RelativeTable.append``.
+Partitioned tables: the batch AND stream readers re-attach hive
+partition columns from the manifest's partition tuples; the batch and
+stream writers lay out identity partition specs hive-style (one file
+per task×partition) and record each file's tuple in the manifest;
+transform layouts route through ``RelativeTable.append``.
 """
 
 from __future__ import annotations
@@ -49,13 +50,13 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -103,7 +104,7 @@ class RelativeDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "RelativeWriter":
         return RelativeWriter(self.options, schema, overwrite)
 
-    def simpleStreamReader(self, schema: StructType) -> "RelativeStreamReader":
+    def streamReader(self, schema: StructType) -> "RelativeStreamReader":
         return RelativeStreamReader(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "RelativeStreamWriter":
@@ -188,65 +189,72 @@ class RelativeBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: FilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self.schema)
-        tbl = pq.read_table(
-            self.io._fs_path(partition.path), filesystem=self.io.fs
+        yield from _read_file_partition(
+            self.io, self.schema, partition, self._cur_ids
         )
-        part_values = json.loads(partition.partition_json)
-        # current logical name -> name physically written in this file
-        # (identity for unevolved tables; resolved by stable column id after
-        # a rename, same reconciliation as RelativeTable._read_entries)
-        file_ids = json.loads(partition.column_ids_json)
-        id_to_phys = {v: k for k, v in file_ids.items()}
-        cur_ids = self._cur_ids
-        cols = []
-        for field in target:
-            phys = id_to_phys.get(cur_ids.get(field.name), field.name)
-            if phys in tbl.column_names:
-                cols.append(tbl.column(phys).cast(field.type))
-            elif field.name in part_values:
-                # partition column physically split out of the file:
-                # re-attach as a constant from the manifest's tuple.
-                # Spark's hive layout writes NULL partitions as the
-                # __HIVE_DEFAULT_PARTITION__ sentinel — decode it back
-                # to NULL (casting it to int/date would crash; leaving
-                # it on strings returned the literal sentinel)
-                v = part_values[field.name]
-                if v == "__HIVE_DEFAULT_PARTITION__":
-                    cols.append(pa.nulls(len(tbl), field.type))
-                else:
-                    raw = pa.array([v] * len(tbl), pa.string())
-                    cols.append(raw.cast(field.type))
-            else:
-                # column added (or dropped-and-readded) after this file
+
+
+def _read_file_partition(io, schema: StructType, partition: FilePartition, cur_ids: dict):
+    """Executor-side per-file read shared by the batch and stream
+    readers: parquet scan, column-id reconciliation across schema
+    evolution, hive partition-constant re-attachment from the manifest
+    tuple, and per-file equality-delete anti-joins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(io._fs_path(partition.path), filesystem=io.fs)
+    part_values = json.loads(partition.partition_json)
+    # current logical name -> name physically written in this file
+    # (identity for unevolved tables; resolved by stable column id after
+    # a rename, same reconciliation as RelativeTable._read_entries)
+    file_ids = json.loads(partition.column_ids_json)
+    id_to_phys = {v: k for k, v in file_ids.items()}
+    cols = []
+    for field in target:
+        phys = id_to_phys.get(cur_ids.get(field.name), field.name)
+        if phys in tbl.column_names:
+            cols.append(tbl.column(phys).cast(field.type))
+        elif field.name in part_values:
+            # partition column physically split out of the file:
+            # re-attach as a constant from the manifest's tuple.
+            # Spark's hive layout writes NULL partitions as the
+            # __HIVE_DEFAULT_PARTITION__ sentinel — decode it back
+            # to NULL (casting it to int/date would crash; leaving
+            # it on strings returned the literal sentinel)
+            v = part_values[field.name]
+            if v == "__HIVE_DEFAULT_PARTITION__":
                 cols.append(pa.nulls(len(tbl), field.type))
-        out = pa.table(dict(zip(target.names, cols))).cast(target)
-        for dpath, dcols in json.loads(partition.deletes_json):
-            # equality-delete anti-join (the spec's strictly-newer
-            # scoping was applied at planning): drop rows whose key
-            # tuple appears in the delete file. Key sets are the
-            # deleted-row keys — small relative to the data; the join
-            # runs per file inside the task
-            dk = pq.read_table(
-                self.io._fs_path(dpath), filesystem=self.io.fs,
-                columns=list(dcols),
-            )
-            doomed = set(
-                zip(*[dk.column(c).to_pylist() for c in dcols])
-            ) if len(dk) else set()
-            if not doomed:
-                continue
-            keep_mask = [
-                t not in doomed
-                for t in zip(*[out.column(c).to_pylist() for c in dcols])
-            ]
-            out = out.filter(pa.array(keep_mask, pa.bool_()))
-        yield from out.to_batches()
+            else:
+                raw = pa.array([v] * len(tbl), pa.string())
+                cols.append(raw.cast(field.type))
+        else:
+            # column added (or dropped-and-readded) after this file
+            cols.append(pa.nulls(len(tbl), field.type))
+    out = pa.table(dict(zip(target.names, cols))).cast(target)
+    for dpath, dcols in json.loads(partition.deletes_json):
+        # equality-delete anti-join (the spec's strictly-newer
+        # scoping was applied at planning): drop rows whose key
+        # tuple appears in the delete file. Key sets are the
+        # deleted-row keys — small relative to the data; the join
+        # runs per file inside the task
+        dk = pq.read_table(
+            io._fs_path(dpath), filesystem=io.fs,
+            columns=list(dcols),
+        )
+        doomed = set(
+            zip(*[dk.column(c).to_pylist() for c in dcols])
+        ) if len(dk) else set()
+        if not doomed:
+            continue
+        keep_mask = [
+            t not in doomed
+            for t in zip(*[out.column(c).to_pylist() for c in dcols])
+        ]
+        out = out.filter(pa.array(keep_mask, pa.bool_()))
+    yield from out.to_batches()
 
 
 def _write_task_batches(io, base_dir: str, part_cols: list, iterator) -> list:
@@ -445,50 +453,70 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
 
-class RelativeStreamReader(SimpleDataSourceStreamReader):
+class RelativeStreamReader(DataSourceStreamReader):
+    """Partition-planning stream reader: the offset is a snapshot id,
+    each micro-batch plans ONE :class:`FilePartition` per data file the
+    window's append snapshots added (``incremental_files`` — the CDC
+    read incremental manifests make O(changed files)), and executors
+    read the files through the same per-file path as the batch reader
+    (:func:`_read_file_partition`) — no row ever rides the driver, so a
+    bulk tail scales with the cluster exactly like a batch scan.
+    Identity-partitioned tables stream for free: the manifest tuple
+    rides each partition and the shared read path re-attaches the hive
+    constants (transform layouts keep their source columns in the data
+    files, so nothing needs re-attaching)."""
+
     def __init__(self, options, schema: StructType):
         self.options = options
         self.schema = schema
-        if _load_table(options).partition_spec:
-            raise ValueError("streaming a partition-spec table is not supported")
+        table = _load_table(options)  # one load serves io for executors
+        self.io = table.ops.io
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": 0}
 
-    def read(self, start: dict):
+    def latestOffset(self) -> dict:
         table = _load_table(self.options)
-        current = table.ops.current().get("current-snapshot-id") or 0
-        if current == start["snapshot_id"]:
-            return iter([]), start
-        end = {"snapshot_id": current}
-        return iter(self.readBetweenOffsets(start, end)), end
+        return {
+            "snapshot_id": table.ops.current().get("current-snapshot-id") or 0
+        }
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # list-backed (not a generator): Spark pickles the batch for its
-        # prefetch cache / replay log, and generators don't pickle
-        import pyarrow.parquet as pq
-
+    def partitions(self, start: dict, end: dict):
+        if start["snapshot_id"] == end["snapshot_id"]:
+            return []
         table = _load_table(self.options)
+        # the CURRENT column-id map rides each partition so executors
+        # reconcile renamed columns without re-reading table metadata;
+        # stream appends are append-only chains, so no delete files apply
         cur_ids = table.ops.current().get("column-ids") or {}
         entries = table.incremental_files(
             start["snapshot_id"] or None, end["snapshot_id"]
         )
-        names = [f.name for f in self.schema.fields]
-        rows = []
-        for entry in entries:
-            tbl = pq.read_table(
-                table.ops.io._fs_path(entry["path"]), filesystem=table.ops.io.fs
+        return [
+            StreamFilePartition(
+                e["path"],
+                json.dumps(e.get("partition", {})),
+                json.dumps(e.get("column-ids", {})),
+                "[]",
+                json.dumps(cur_ids),
             )
-            # current logical name -> name written in this file (see batch
-            # reader: identity unless the schema evolved since the write)
-            id_to_phys = {v: k for k, v in entry.get("column-ids", {}).items()}
-            data = tbl.to_pylist()
-            per_row = []
-            for row in data:
-                per_row.append(
-                    tuple(
-                        row.get(id_to_phys.get(cur_ids.get(n), n)) for n in names
-                    )
-                )
-            rows.extend(per_row)
-        return iter(rows)
+            for e in entries
+        ]
+
+    def read(self, partition: "StreamFilePartition"):
+        yield from _read_file_partition(
+            self.io, self.schema, partition, json.loads(partition.cur_ids_json)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class StreamFilePartition(FilePartition):
+    # current name->id map at planning time: executors resolve physical
+    # column names across schema evolution without a metadata round trip
+    cur_ids_json: str = "{}"

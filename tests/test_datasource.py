@@ -580,3 +580,74 @@ def test_stream_sink_dedup_scoped_to_checkpoint(spark, wh):
     assert n_snaps() == n1 + 1
     t = RelativeTable(ops)
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_stream_plans_one_partition_per_file(spark, wh):
+    """Round-8: the stream reader is partition-planning
+    (DataSourceStreamReader) — a micro-batch over a multi-file append
+    plans one InputPartition per added file, read executor-side through
+    the same per-file path as the batch reader; no row rides the
+    driver."""
+    from iceberg_relative_io_spark.sources.relative_datasource import (
+        RelativeStreamReader,
+    )
+
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.concat(F.lit("d"), F.col("id")).alias("data"),
+        F.lit("k").alias("kind"),
+    )
+    ops = cat.create_table(("ns",), "bulk", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.repartition(8))  # multi-file snapshot
+
+    r = RelativeStreamReader({"warehouse": wh, "table": "ns.bulk"}, df.schema)
+    start, end = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(start, end)
+    assert len(parts) == len(table.scan_files()) > 1
+    total = sum(
+        sum(b.num_rows for b in r.read(p)) for p in parts
+    )
+    assert total == 4000
+    # caught up: the empty window plans no partitions
+    assert r.partitions(end, end) == []
+
+
+def test_stream_tails_partitioned_table(spark, wh):
+    """Round-8: identity-partitioned tables stream (the refusal is
+    lifted) — the manifest tuple rides each planned partition and the
+    shared per-file read re-attaches the hive constants, exactly like
+    the batch reader."""
+    _make_table(spark, wh, name="ps", partition_by=["kind"])
+    stream = (
+        spark.readStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.ps")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("part_tail_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.id, r.kind) for r in spark.table("part_tail_sink").collect()
+        }
+        assert got == {(1, "x"), (2, "y"), (3, "x")}
+        t = RelativeTable(FsCatalog(wh).load_table(("ns",), "ps"))
+        t.append(
+            spark.createDataFrame([(7, "g", None)], "id long, data string, kind string")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.id, r.kind) for r in spark.table("part_tail_sink").collect()
+        }
+        # NULL partition rows round-trip through the hive sentinel
+        assert got == {(1, "x"), (2, "y"), (3, "x"), (7, None)}
+    finally:
+        q.stop()
