@@ -13,44 +13,54 @@ Semantics follow Iceberg's own streaming read (incremental APPEND
 scan):
 
 - The stream offset is ``{"last_sid": S, "max_seq": M}`` — the head
-  snapshot at the last read plus the highest data sequence number
-  consumed. The SEQUENCE WATERMARK, not a log position, is what
-  deduplicates work: every batch re-walks the surviving snapshot log
-  (cheap — append entries at or below the watermark skip without IO)
-  and emits only files above it. A positional index would silently
-  misalign when ``expire_snapshots_iceberg`` trims log entries; the
-  watermark is immune to trimming, and the anchor turns a reaped
-  anchor snapshot into a LOUD "restart from a fresh checkpoint" error
-  instead of silent loss. A fresh stream replays the SURVIVING log —
-  history reaped before the stream started is not replayed (bootstrap
-  with a batch read when the full table state is needed).
-- Each new log entry is classified by its snapshot summary operation:
-  ``append`` emits the snapshot's ADDED data files (entry status=1 AND
-  entry snapshot-id = that snapshot — carried-forward manifests keep
-  their old ADDED entries, so status alone over-selects);
-  ``replace`` (rewrite_manifests / expire) is invisible — no row
-  change; ``delete`` / ``overwrite`` RAISE unless the
+  snapshot at planning time plus the table's ``last-sequence-number``.
+  The SEQUENCE WATERMARK, not a log position, is what deduplicates
+  work: every batch re-walks the surviving snapshot log (cheap —
+  append entries at or below the watermark skip without IO) and plans
+  only files in ``(start.max_seq, end.max_seq]``. A positional index
+  would silently misalign when ``expire_snapshots_iceberg`` trims log
+  entries; the watermark is immune to trimming, and the anchor turns a
+  reaped anchor snapshot into a LOUD "restart from a fresh checkpoint"
+  error instead of silent loss (expiry is oldest-first, so any
+  unconsumed snapshot being reaped implies the strictly-older anchor
+  was reaped too — the anchor check is both necessary and sufficient).
+  ``latestOffset`` advertises ``last-sequence-number`` (table-global,
+  monotone through rollbacks — rollback_iceberg is metadata-only)
+  rather than the head snapshot's own sequence, so the watermark NEVER
+  regresses: a rollback followed by a fast-forward cannot re-emit rows
+  consumed before the rollback. A fresh stream replays the SURVIVING
+  log — history reaped before the stream started is not replayed
+  (bootstrap with a batch read when the full table state is needed).
+- Each in-window log entry is classified by its snapshot summary
+  operation: ``append`` plans the snapshot's ADDED data files (entry
+  status=1 AND entry snapshot-id = that snapshot — carried-forward
+  manifests keep their old ADDED entries, so status alone
+  over-selects); ``replace`` (rewrite_manifests / expire) is invisible
+  — no row change; ``delete`` / ``overwrite`` RAISE unless the
   ``skip-deletes`` option is true, mirroring Iceberg's
   ``streaming-skip-delete/overwrite-snapshots`` contract (a plain
-  append tail cannot represent row removal; use
-  ``changelog_iceberg`` for the net-diff shape).
-- Rollback: only snapshots on the CURRENT head's parent chain are
+  append tail cannot represent row removal; use ``changelog_iceberg``
+  for the net-diff shape).
+- Rollback: only snapshots on the batch END's parent chain are
   consumable content. A rollback's log entry replays an old snapshot
   (skipped — at or below the watermark), appends AFTER the rollback
   flow at fresh higher sequences, and an append that was committed but
   rolled back before consumption NEVER emits (it is not reachable from
   any current table state); it re-emerges naturally if a later
-  fast-forward makes it reachable again. Rows consumed before a
-  rollback cannot be retracted — an append tail has no delete shape
-  (use ``changelog_iceberg`` for net diffs).
+  fast-forward makes it reachable again — unless the watermark already
+  passed it, in which case exactly-once wins over completeness.
 
-Like the native-format stream reader (relative_datasource.py), rows
-ride the driver through ``SimpleDataSourceStreamReader`` — ample for a
-tailing control/CDC stream; a partition-planning
-``DataSourceStreamReader`` (one input partition per added file) is the
-drop-in upgrade for bulk tails. Partition-spec'd mirrors are refused
-for the same reason as the native source: identity values live in the
-manifest tuple, not the data files.
+Transport is partition-planned (``DataSourceStreamReader``): the
+driver plans ONE ``InputPartition`` per added data file from the
+manifests (metadata-only IO) and executors open the parquet — no row
+ever rides the driver, so a bulk tail scales with the cluster exactly
+like a batch scan. Identity-partitioned mirrors stream too: identity
+source values live in the manifest partition tuple, not the data
+files (Iceberg spec — readers must fill identity partition columns
+from the partition struct, same rule ``read_iceberg`` applies), so
+each planned partition carries its decoded constants and the executor
+re-attaches them; transform fields (bucket/day/…) keep their source
+columns in the data files and need nothing.
 
 Reference parity: the reference delegates streaming to Spark's Iceberg
 connector (README.md:8-11); this is the PySpark-native analogue built
@@ -60,9 +70,17 @@ on the Python DataSource API.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, field as dc_field
+from datetime import date, datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructField, StructType
+
+_EPOCH = date(1970, 1, 1)
 
 
 def _doc(path: str) -> dict:
@@ -105,76 +123,46 @@ class IcebergMirrorDataSource(DataSource):
             ]
         )
 
-    def simpleStreamReader(
+    def streamReader(
         self, schema: StructType
     ) -> "IcebergMirrorStreamReader":
         return IcebergMirrorStreamReader(self.options, schema)
 
 
-class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
+@dataclass
+class MirrorFilePartition(InputPartition):
+    file_path: str
+    # identity partition constants for THIS file, decoded to python
+    # values at planning time: [(current_column_name, value)]
+    identity: list = dc_field(default_factory=list)
+    # current name -> pre-rename aliases (schema.name-mapping.default)
+    aliases: dict = dc_field(default_factory=dict)
+
+
+class IcebergMirrorStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self.path = options["path"]
         self.skip_deletes = (
             str(options.get("skip-deletes", "false")).lower() == "true"
         )
         self.schema = schema
-        doc = _doc(self.path)
-        spec = next(
-            p
-            for p in doc["partition-specs"]
-            if p["spec-id"] == doc["default-spec-id"]
-        )
-        if spec["fields"]:
-            raise ValueError(
-                "streaming a partition-spec'd mirror is not supported: "
-                "identity partition values live in the manifest tuple, "
-                "not the data files (same contract as the native-format "
-                "stream source)"
-            )
 
     def initialOffset(self) -> dict:
         return {"last_sid": None, "max_seq": 0}
 
-    def read(self, start: dict):
+    def latestOffset(self) -> dict:
         doc = _doc(self.path)
         head = doc.get("current-snapshot-id")
-        if head is None or head == start.get("last_sid"):
-            return iter([]), start
-        rows, max_seq, first_sid = self._collect(doc, start)
-        return iter(rows), {
-            "last_sid": head,
-            "max_seq": max_seq,
-            # the oldest snapshot this batch consumed: replay needs it
-            # (and, expiry being oldest-first, everything newer) alive
-            "first_sid": first_sid,
-        }
+        if head is None:
+            return {"last_sid": None, "max_seq": 0}
+        # last-sequence-number, NOT the head snapshot's own sequence:
+        # global and monotone through metadata-only rollbacks, so the
+        # watermark never regresses (see module docstring)
+        return {"last_sid": head, "max_seq": doc["last-sequence-number"]}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         doc = _doc(self.path)
-        need = end.get("first_sid")
-        if need is not None and not any(
-            s["snapshot-id"] == need for s in doc["snapshots"]
-        ):
-            raise ValueError(
-                f"batch replay needs expired snapshot {need}: "
-                "expire_snapshots_iceberg reaped history under an "
-                "uncommitted batch — restart the stream from a fresh "
-                "checkpoint"
-            )
-        rows, _, _ = self._collect(doc, start, stop_seq=end["max_seq"])
-        return iter(rows)
-
-    def _collect(
-        self, doc: dict, start: dict, stop_seq: int | None = None
-    ) -> tuple[list, int, int | None]:
-        # list-backed, not a generator: Spark pickles the batch for its
-        # prefetch/replay cache (same constraint as the native reader)
-        import pyarrow.parquet as pq
-
-        from iceberg_relative_io_spark.catalog import avro_ocf
-
         by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
-        max_seq = start["max_seq"]
         anchor = start.get("last_sid")
         if anchor is not None and anchor not in by_id:
             raise ValueError(
@@ -183,49 +171,37 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                 "restart the stream from a fresh checkpoint (a batch "
                 "read bootstraps the current state)"
             )
-        log = doc.get("snapshot-log", [])
-        names = [f.name for f in self.schema.fields]
-        # renamed columns: physical (old) name in pre-rename files ->
-        # current name, via schema.name-mapping.default (the same
-        # mechanism the batch reader uses)
-        try:
-            mapping = json.loads(
-                doc.get("properties", {}).get(
-                    "schema.name-mapping.default", "[]"
-                )
+        head = end.get("last_sid")
+        if head is None:
+            return []
+        if head not in by_id:
+            raise ValueError(
+                f"batch replay needs expired snapshot {head}: "
+                "expire_snapshots_iceberg reaped history under an "
+                "uncommitted batch — restart the stream from a fresh "
+                "checkpoint"
             )
-        except ValueError:
-            mapping = []
-        cur_schema = next(
-            s for s in doc["schemas"]
-            if s["schema-id"] == doc["current-schema-id"]
-        )
-        id_to_current = {f["id"]: f["name"] for f in cur_schema["fields"]}
-        aliases_of: dict[str, list[str]] = {}
-        for m in mapping:
-            cur = id_to_current.get(m.get("field-id"))
-            if cur is None:
-                continue
-            for a in m.get("names", []):
-                if a != cur:
-                    aliases_of.setdefault(cur, []).append(a)
+        lo, hi = start["max_seq"], end["max_seq"]
+        if hi <= lo:
+            return []
 
-        # head ancestry: a metadata-only rollback leaves the abandoned
-        # snapshots (and their log entries) in place, but their rows are
-        # NOT table content — emitting them would hand the sink data no
-        # reader of any current state can see. Only snapshots on the
-        # current head's parent chain are consumable; an abandoned
-        # append whose sequence stays above the watermark re-emerges
-        # naturally if a later fast-forward makes it reachable again.
+        # head ancestry OF THE BATCH END (not the live table head, so
+        # replays stay deterministic while the table advances): a
+        # metadata-only rollback leaves abandoned snapshots (and their
+        # log entries) in place, but their rows are NOT table content —
+        # emitting them would hand the sink data no reader of any
+        # current state can see.
         ancestry: set = set()
-        walk = doc.get("current-snapshot-id")
+        walk = head
         while walk is not None:
             ancestry.add(walk)
             walk = by_id.get(walk, {}).get("parent-snapshot-id")
 
-        first_sid: int | None = None
-        rows: list[tuple] = []
-        for entry in log:
+        identity, aliases_of = self._schema_maps(doc)
+        from iceberg_relative_io_spark.catalog import avro_ocf
+
+        parts: list[MirrorFilePartition] = []
+        for entry in doc.get("snapshot-log", []):
             sid = entry["snapshot-id"]
             snap = by_id.get(sid)
             if snap is None:
@@ -240,12 +216,14 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
             op = snap.get("summary", {}).get("operation", "append")
             if op == "replace":
                 continue  # rewrite/expire: no visible row change
+            if snap_seq <= lo or snap_seq > hi:
+                # sequence watermark: already-consumed snapshots
+                # (including log entries REPLAYED by a rollback) skip
+                # without any IO — an append's added files all carry
+                # its own sequence
+                continue
             if op in ("delete", "overwrite"):
-                if (
-                    snap_seq <= max_seq
-                    or (stop_seq is not None and snap_seq > stop_seq)
-                    or self.skip_deletes
-                ):
+                if self.skip_deletes:
                     continue
                 raise ValueError(
                     f"snapshot {sid} is a {op!r} — an append tail cannot "
@@ -254,18 +232,8 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                     "streaming-skip-delete-snapshots contract), or "
                     "consume changelog_iceberg for the net-diff shape"
                 )
-            # sequence watermark: already-consumed appends (including
-            # log entries REPLAYED by a rollback) skip without any IO —
-            # an append's added files all carry its own sequence
-            if snap_seq <= max_seq or (
-                stop_seq is not None and snap_seq > stop_seq
-            ):
-                continue
-            if first_sid is None:
-                first_sid = sid  # log order: the batch's oldest consumed
             with open(snap["manifest-list"], "rb") as fh:
                 _, _, manifests = avro_ocf.read_ocf(fh.read())
-            seen_max = max_seq
             for mf in manifests:
                 if mf.get("content") == 1:
                     continue  # delete manifests carry no appended rows
@@ -277,27 +245,122 @@ class IcebergMirrorStreamReader(SimpleDataSourceStreamReader):
                         e["status"] != 1  # ADDED in this snapshot only
                         or e.get("snapshot_id") not in (None, sid)
                         or rec["content"] != 0
-                        or e["sequence_number"] <= max_seq
-                        or (
-                            stop_seq is not None
-                            and e["sequence_number"] > stop_seq
-                        )
+                        or e["sequence_number"] <= lo
+                        or e["sequence_number"] > hi
                     ):
                         continue
-                    seen_max = max(seen_max, e["sequence_number"])
-                    data = pq.read_table(rec["file_path"]).to_pylist()
-                    for r in data:
-                        rows.append(
-                            tuple(self._value(r, n, aliases_of) for n in names)
+                    parts.append(
+                        MirrorFilePartition(
+                            rec["file_path"],
+                            [
+                                (name, _decode_identity(
+                                    rec.get("partition", {}).get(pf_name),
+                                    tname,
+                                ))
+                                for pf_name, name, tname in identity
+                            ],
+                            aliases_of,
                         )
-            max_seq = max(seen_max, snap_seq)
-        return rows, max_seq, first_sid
+                    )
+        return parts
 
-    @staticmethod
-    def _value(row: dict, name: str, aliases_of: dict):
-        if name in row:
-            return row[name]
-        for a in aliases_of.get(name, []):
-            if a in row:
-                return row[a]
-        return None  # column added after this file was written
+    def _schema_maps(self, doc: dict):
+        """Planning-time schema reconciliation: identity partition
+        fields as (spec_field_name, current_source_name, type) and the
+        rename-alias map (schema.name-mapping.default), both under the
+        CURRENT schema — recomputed every batch so mid-stream
+        evolve_schema_iceberg is honored for new files."""
+        cur_schema = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        fields_by_id = {f["id"]: f for f in cur_schema["fields"]}
+        spec = next(
+            p for p in doc["partition-specs"]
+            if p["spec-id"] == doc["default-spec-id"]
+        )
+        identity = [
+            (
+                pf["name"],
+                fields_by_id[pf["source-id"]]["name"],
+                fields_by_id[pf["source-id"]]["type"]
+                if isinstance(fields_by_id[pf["source-id"]]["type"], str)
+                else "string",
+            )
+            for pf in spec["fields"]
+            if pf["transform"] == "identity"
+            and pf["source-id"] in fields_by_id
+        ]
+        try:
+            mapping = json.loads(
+                doc.get("properties", {}).get(
+                    "schema.name-mapping.default", "[]"
+                )
+            )
+        except ValueError:
+            mapping = []
+        id_to_current = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        aliases_of: dict[str, list[str]] = {}
+        for m in mapping:
+            cur = id_to_current.get(m.get("field-id"))
+            if cur is None:
+                continue
+            for a in m.get("names", []):
+                if a != cur:
+                    aliases_of.setdefault(cur, []).append(a)
+        return identity, aliases_of
+
+    def read(self, partition: MirrorFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.file_path)
+        ident = dict(partition.identity)
+        cols = []
+        for f in target:
+            phys = f.name if f.name in tbl.column_names else next(
+                (
+                    a
+                    for a in partition.aliases.get(f.name, [])
+                    if a in tbl.column_names
+                ),
+                None,
+            )
+            if phys is not None:
+                cols.append(tbl.column(phys).cast(f.type))
+            elif f.name in ident:
+                # identity partition column absent from the data file:
+                # restore as a constant from the manifest tuple (spec
+                # rule), decoded at planning time
+                v = ident[f.name]
+                if v is None:
+                    cols.append(pa.nulls(len(tbl), f.type))
+                else:
+                    cols.append(pa.array([v] * len(tbl)).cast(f.type))
+            else:
+                # column added after this file was written
+                cols.append(pa.nulls(len(tbl), f.type))
+        out = pa.table(dict(zip(target.names, cols))).cast(target)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+def _decode_identity(raw, tname: str):
+    """Spec partition-tuple encodings -> python values (the same
+    decode read_iceberg applies): date = days since epoch, timestamp =
+    micros since epoch; everything else rides as written."""
+    if raw is None:
+        return None
+    if tname == "date":
+        return date.fromordinal(_EPOCH.toordinal() + int(raw))
+    if tname in ("timestamp", "timestamptz"):
+        return datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
+    return raw

@@ -316,7 +316,26 @@ def _reader(dest, **opts):
     )
 
     src = IcebergMirrorDataSource(options={"path": dest, **opts})
-    return src.simpleStreamReader(src.schema())
+    return src.streamReader(src.schema())
+
+
+def _advance(r, start):
+    """Drive one micro-batch through the partition-planning API the way
+    the engine does: latestOffset -> partitions(start, end) -> per-file
+    executor reads. Returns (rows_as_tuples, end_offset)."""
+    end = r.latestOffset()
+    rows = _replay(r, start, end)
+    return rows, end
+
+
+def _replay(r, start, end):
+    names = [f.name for f in r.schema.fields]
+    return [
+        tuple(row[n] for n in names)
+        for p in r.partitions(start, end)
+        for b in r.read(p)
+        for row in b.to_pylist()
+    ]
 
 
 def test_mirror_tail_emits_each_era_once(spark):
@@ -324,20 +343,40 @@ def test_mirror_tail_emits_each_era_once(spark):
 
     dest = _mirror(spark, [(1, "a"), (2, "b")])
     r = _reader(dest)
-    rows, off = r.read(r.initialOffset())
+    rows, off = _advance(r, r.initialOffset())
     assert sorted(rows) == [(1, "a"), (2, "b")]
-    # caught up: same offset, nothing emitted
-    rows2, off2 = r.read(off)
-    assert list(rows2) == [] and off2 == off
+    # caught up: same offset, nothing planned
+    rows2, off2 = _advance(r, off)
+    assert rows2 == [] and off2 == off
     # a new append era arrives exactly once
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
     )
-    rows3, off3 = r.read(off)
-    assert list(rows3) == [(3, "c")]
+    rows3, off3 = _advance(r, off)
+    assert rows3 == [(3, "c")]
     assert off3["max_seq"] > off["max_seq"] and off3["last_sid"] != off["last_sid"]
-    # replay (readBetweenOffsets) reproduces the same batch
-    assert list(r.readBetweenOffsets(off, off3)) == [(3, "c")]
+    # replay (partitions over the same recorded window) reproduces the batch
+    assert _replay(r, off, off3) == [(3, "c")]
+
+
+def test_mirror_tail_plans_one_partition_per_file(spark):
+    """Round-8: the mirror tail is partition-planning — a micro-batch
+    over a multi-file append plans one InputPartition per added data
+    file and executors open the parquet; no row rides the driver."""
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(0, "seed")])
+    r = _reader(dest)
+    _, off = _advance(r, r.initialOffset())
+    big = spark.range(1, 2001).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    iceberg_export.append_iceberg(spark, dest, big.repartition(6))
+    end = r.latestOffset()
+    parts = r.partitions(off, end)
+    assert len(parts) > 1  # one per added file, not one blob
+    total = sum(b.num_rows for p in parts for b in r.read(p))
+    assert total == 2000
 
 
 def test_mirror_tail_replace_is_invisible(spark):
@@ -345,13 +384,19 @@ def test_mirror_tail_replace_is_invisible(spark):
 
     dest = _mirror(spark, [(1, "a")])
     r = _reader(dest)
-    _, off = r.read(r.initialOffset())
+    _, off = _advance(r, r.initialOffset())
     iceberg_export.rewrite_manifests_iceberg(dest)
-    rows, off2 = r.read(off)
-    assert list(rows) == []
+    rows, off2 = _advance(r, off)
+    assert rows == []
     # consumed (anchor moved to the replace snapshot), emitted nothing
     assert off2["last_sid"] != off["last_sid"]
-    assert off2["max_seq"] == off["max_seq"]
+    # and the NEXT append still arrives exactly once after the replace
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    rows3, off3 = _advance(r, off2)
+    assert rows3 == [(2, "b")]
+    assert _advance(r, off3)[0] == []
 
 
 def test_mirror_tail_delete_raises_unless_skipped(spark):
@@ -361,12 +406,12 @@ def test_mirror_tail_delete_raises_unless_skipped(spark):
 
     dest = _mirror(spark, [(1, "a"), (2, "b")])
     r = _reader(dest)
-    _, off = r.read(r.initialOffset())
+    _, off = _advance(r, r.initialOffset())
     iceberg_export.delete_where_iceberg(spark, dest, F.col("id") == 1, ["id"])
     with _pytest.raises(ValueError, match="append tail cannot represent"):
-        r.read(off)
-    rows, off2 = _reader(dest, **{"skip-deletes": "true"}).read(off)
-    assert list(rows) == [] and off2["last_sid"] != off["last_sid"]
+        _advance(r, off)
+    rows, off2 = _advance(_reader(dest, **{"skip-deletes": "true"}), off)
+    assert rows == [] and off2["last_sid"] != off["last_sid"]
 
 
 def test_mirror_tail_rollback_does_not_reemit(spark):
@@ -376,23 +421,25 @@ def test_mirror_tail_rollback_does_not_reemit(spark):
     doc = iceberg_export._load_metadata(dest)
     s1 = doc["current-snapshot-id"]
     r = _reader(dest)
-    _, off0 = r.read(r.initialOffset())
+    _, off0 = _advance(r, r.initialOffset())
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
     )
-    rows, off1 = r.read(off0)
-    assert list(rows) == [(2, "b")]
+    rows, off1 = _advance(r, off0)
+    assert rows == [(2, "b")]
     # metadata-only rollback to s1: the log gains an entry pointing at
     # the OLD snapshot — already-consumed sequences must not re-emit
+    # (latestOffset's last-sequence-number watermark is monotone
+    # through rollbacks, so the window stays empty)
     iceberg_export.rollback_iceberg(dest, s1)
-    rows2, off2 = r.read(off1)
-    assert list(rows2) == []
+    rows2, off2 = _advance(r, off1)
+    assert rows2 == []
     # an append AFTER the rollback takes a fresh sequence and flows
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(9, "z")], "id long, v string")
     )
-    rows3, off3 = r.read(off2)
-    assert list(rows3) == [(9, "z")]
+    rows3, off3 = _advance(r, off2)
+    assert rows3 == [(9, "z")]
     # PHANTOM guard (round-7 review): an append committed but rolled
     # back BEFORE consumption is not reachable table content and must
     # never emit — only post-rollback appends do
@@ -405,19 +452,53 @@ def test_mirror_tail_rollback_does_not_reemit(spark):
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(77, "real")], "id long, v string")
     )
-    rows4, _ = r.read(off3)
-    assert list(rows4) == [(77, "real")]  # the ghost row never surfaces
+    rows4, _ = _advance(r, off3)
+    assert rows4 == [(77, "real")]  # the ghost row never surfaces
 
 
-def test_mirror_tail_refuses_partitioned_spec(spark):
-    import pytest as _pytest
+def test_mirror_tail_rollback_then_fast_forward_no_reemit(spark):
+    """Round-8 regression pin for the new watermark: rows consumed
+    BEFORE a rollback must not re-emit when a fast-forward makes their
+    snapshot reachable again (latestOffset advertises the table-global
+    last-sequence-number, which never regresses)."""
+    from iceberg_relative_io_spark.catalog import iceberg_export
 
+    dest = _mirror(spark, [(1, "a")])
+    doc = iceberg_export._load_metadata(dest)
+    s1 = doc["current-snapshot-id"]
+    r = _reader(dest)
+    _, off0 = _advance(r, r.initialOffset())
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    doc = iceberg_export._load_metadata(dest)
+    s2 = doc["current-snapshot-id"]
+    rows, off1 = _advance(r, off0)
+    assert rows == [(2, "b")]  # s2 consumed
+    iceberg_export.rollback_iceberg(dest, s1)
+    rows2, off2 = _advance(r, off1)
+    assert rows2 == []
+    iceberg_export.rollback_iceberg(dest, s2)  # fast-forward back
+    rows3, off3 = _advance(r, off2)
+    assert rows3 == []  # exactly-once: s2 was already consumed
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    assert _advance(r, off3)[0] == [(3, "c")]
+
+
+def test_mirror_tail_streams_partitioned_spec(spark):
+    """Round-8: identity-partitioned mirrors stream — the identity
+    source values live in the manifest partition tuple (not the data
+    files) and each planned partition carries the decoded constants."""
     from iceberg_relative_io_spark.catalog import iceberg_export
 
     wh = tempfile.mkdtemp(prefix="mirror_src_wh_")
     cat = FsCatalog(wh)
     cat.create_namespace(("ns",))
-    df = spark.createDataFrame([(1, "a", 0)], "id long, v string, p int")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id long, v string, p int"
+    )
     ops = cat.create_table(
         ("ns",), "mp", df.schema.jsonValue(), partition_by=["p"]
     )
@@ -425,8 +506,17 @@ def test_mirror_tail_refuses_partitioned_spec(spark):
     t.append(df)
     dest = tempfile.mkdtemp(prefix="mirror_src_")
     iceberg_export.export_iceberg(t, dest)
-    with _pytest.raises(ValueError, match="partition-spec"):
-        _reader(dest)
+    r = _reader(dest)
+    rows, off = _advance(r, r.initialOffset())
+    assert sorted(rows) == [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+    # incremental appends to the partitioned mirror keep flowing
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        spark.createDataFrame([(4, "d", 7)], "id long, v string, p int"),
+    )
+    rows2, _ = _advance(r, off)
+    assert rows2 == [(4, "d", 7)]
 
 
 def test_mirror_tail_survives_log_trimming_by_expiry(spark):
@@ -442,7 +532,7 @@ def test_mirror_tail_survives_log_trimming_by_expiry(spark):
 
     dest = _mirror(spark, [(1, "a")])
     r = _reader(dest)
-    _, off0 = r.read(r.initialOffset())
+    _, off0 = _advance(r, r.initialOffset())
     # build history: three appends, consume them
     for i in range(2, 5):
         iceberg_export.append_iceberg(
@@ -450,7 +540,7 @@ def test_mirror_tail_survives_log_trimming_by_expiry(spark):
             dest,
             spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
         )
-    rows, off1 = r.read(off0)
+    rows, off1 = _advance(r, off0)
     assert sorted(rows) == [(2, "v2"), (3, "v3"), (4, "v4")]
     # expiry trims the log below the head — the anchor (head) survives
     iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
@@ -460,16 +550,17 @@ def test_mirror_tail_survives_log_trimming_by_expiry(spark):
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(9, "z")], "id long, v string")
     )
-    rows2, off2 = r.read(off1)
-    assert list(rows2) == [(9, "z")]
-    assert list(r.read(off2)[0]) == []  # caught up
+    rows2, off2 = _advance(r, off1)
+    assert rows2 == [(9, "z")]
+    assert _advance(r, off2)[0] == []  # caught up
     # a reaped anchor raises the documented restart error
     stale = {"last_sid": 424242, "max_seq": 0}
     iceberg_export.append_iceberg(
         spark, dest, spark.createDataFrame([(10, "y")], "id long, v string")
     )
     with _pytest.raises(ValueError, match="restart the stream"):
-        r.read(stale)
+        _advance(r, stale)
+
 
 
 def test_batch_read_applies_mor_deletes(spark, wh):
