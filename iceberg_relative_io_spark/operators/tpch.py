@@ -4,10 +4,13 @@ The reference ships the whole Spark SQL surface as its query engine
 (reference pom.xml:17-26, README.md:14-18), so the canonical decision-
 support suite is the natural parity benchmark for the relational layer.
 The fixture star schema (FIXTURES.md) is TPC-H minus ``partsupp`` and a
-few columns. Twelve shapes run directly on it (Q3 Q5 Q6 Q7 Q8 Q10 Q13
-Q15 Q17 Q18 Q19 Q22); Q1/Q4/Q12/Q14 shapes already live in relational.py
-(b13_agg_pricing_summary, b09_order_priority, b13_priority_classes,
-b10_promo_revenue). The remaining six (Q2 Q9 Q11 Q16 Q20 Q21) need
+few columns. Sixteen shapes run directly on it (Q1 Q3 Q4 Q5 Q6 Q7 Q8
+Q10 Q13 Q14 Q15 Q17 Q18 Q19 Q22, plus Q12 via derived ship-mode /
+lateness columns) — all 22 are registered here as ``b34_tpch_q*`` (the
+Q1/Q4/Q12/Q14 SHAPES also live in relational.py as
+b13_agg_pricing_summary / b09_order_priority / b13_priority_classes /
+b10_promo_revenue with different predicates; the literal forms below
+close the set). Six (Q2 Q9 Q11 Q16 Q20 Q21) need
 ``partsupp`` / ``l_commitdate``-``l_receiptdate``, which the fixtures
 lack; they run over DERIVED columns instead — a deterministic dbgen-style
 ``partsupp`` (4 suppliers per part via the real dbgen supplier-spread
@@ -694,7 +697,142 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 literal (pricing summary report): the
+    b13_agg_pricing_summary shape (relational.py) plus the literal
+    ORDER BY — the spec's ``DATE '1998-12-01' - 90 days`` IS the
+    1998-09-02 cutoff that query already applies. 6 output groups:
+    partial aggregation collapses the fact scan before the shuffle and
+    the sort is over 6 rows."""
+    from iceberg_relative_io_spark.operators.relational import (
+        q_agg_pricing_summary,
+    )
+
+    return q_agg_pricing_summary(spark, sf_dir).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 literal (order priority checking): orders in 1995-Q2
+    with at least one late line. The fixture has no
+    l_commitdate/l_receiptdate, so lateness derives from the SAME
+    integer-hash offsets Q21 uses (``receipt > commit`` reduces to
+    comparing two BIGINT hash digits), identically derived in the
+    oracle. The EXISTS compiles to a left-semi join on orderkey —
+    one shuffle; the priority agg is 5 groups."""
+    late_lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            (
+                ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) * _LCG)
+                % 2_147_483_647
+            ).alias("h"),
+        )
+        .filter(F.expr("(h div 97) % 97 > h % 97"))
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    return (
+        orders.join(
+            late_lines,
+            orders["o_orderkey"] == late_lines["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SHIP_MODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 literal (shipping modes and order priority): MAIL/SHIP
+    lines received in 1996 that were committed after shipping and
+    received after committing. The fixture has no
+    l_shipmode/l_commitdate/l_receiptdate: ship mode derives from the
+    Q21 hash (``h % 7`` into the literal 7-mode domain),
+    ``commit < receipt`` is the Q21 lateness digit test, and
+    ``ship < commit`` is an independent hash bit — all identically
+    derived in the oracle; the receipt-year window adapts to
+    l_shipdate. One orderkey shuffle joins the filtered fact to
+    orders; the final agg is 2 groups."""
+    h = ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) * _LCG) % 2_147_483_647
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", h.alias("h"))
+        .withColumn(
+            "l_shipmode",
+            F.element_at(
+                F.array(*[F.lit(m) for m in _SHIP_MODES]),
+                (F.col("h") % 7 + 1).cast("int"),
+            ),
+        )
+        .filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & F.expr("(h div 97) % 97 > h % 97")  # commit < receipt
+            & F.expr("(h div 13) % 2 = 0")  # ship < commit
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 literal (promotion effect): the percentage of September
+    1995 revenue from PROMO parts (the fixture p_type domain is flat
+    categories, so ``LIKE 'PROMO%'`` matches exactly 'PROMO').
+    Single-value output per the spec; part broadcasts, the decimal
+    discipline matches b10_promo_revenue (relational.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+                        F.lit(0).cast("decimal(28,6)")
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
 QUERIES = {
+    "b34_tpch_q1": q_tpch_q1,
+    "b34_tpch_q4": q_tpch_q4,
+    "b34_tpch_q12": q_tpch_q12,
+    "b34_tpch_q14": q_tpch_q14,
     "b34_tpch_q2": q_tpch_q2,
     "b34_tpch_q9": q_tpch_q9,
     "b34_tpch_q11": q_tpch_q11,
@@ -717,6 +855,79 @@ QUERIES = {
 
 
 ORACLE = {
+    "b34_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sum_charge,
+               ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               ROUND(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "b34_tpch_q4": f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01'
+          AND EXISTS (
+            SELECT 1 FROM (
+                SELECT l_orderkey,
+                       ((l_orderkey * 31 + l_linenumber) * {_LCG}) % 2147483647 AS h
+                FROM lineitem) t
+            WHERE t.l_orderkey = o_orderkey
+              AND (h // 97) % 97 > h % 97)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "b34_tpch_q12": f"""
+        WITH li AS (
+            SELECT l_orderkey,
+                   ((l_orderkey * 31 + l_linenumber) * {_LCG}) % 2147483647 AS h
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        ),
+        modes AS (
+            SELECT l_orderkey,
+                   CASE h % 7 WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB'
+                              WHEN 2 THEN 'MAIL' WHEN 3 THEN 'RAIL'
+                              WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP'
+                              ELSE 'TRUCK' END AS l_shipmode
+            FROM li
+            WHERE (h // 97) % 97 > h % 97
+              AND (h // 13) % 2 = 0
+        )
+        SELECT l_shipmode,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM modes JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+        GROUP BY l_shipmode
+        ORDER BY l_shipmode
+    """,
+    "b34_tpch_q14": """
+        SELECT ROUND(
+            CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(28,6))
+                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            * 100.0
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
     "b34_tpch_q2": f"""
         WITH {_PARTSUPP_CTE.strip().rstrip()},
         scoped AS (
