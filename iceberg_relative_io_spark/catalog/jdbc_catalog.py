@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import sqlite3
+import threading
 import time
 import uuid
 
@@ -76,6 +77,10 @@ _NAMESPACE_EXISTS_PROP = "exists"  # reserved marker (reference :53)
 
 class SqliteDriver:
     name = "sqlite"
+    # server/shared-file engines benefit from connection reuse (the
+    # reference's JdbcClientPool role); sqlite's file lock is per-txn,
+    # so held connections coexist across catalog instances
+    poolable = True
     # ALTER ... ADD COLUMN accepts inline constraints on sqlite
     migrate_v1_sql = (
         "ALTER TABLE iceberg_tables ADD COLUMN record_type TEXT NOT NULL DEFAULT 'TABLE'"
@@ -86,7 +91,14 @@ class SqliteDriver:
         return (sqlite3.IntegrityError,)
 
     def connect(self, db_path: str):
-        return sqlite3.connect(db_path)
+        # the pool hands one connection to one transaction at a time,
+        # possibly on different threads — safe without the same-thread
+        # guard because the txn scope serializes access
+        return sqlite3.connect(db_path, check_same_thread=False)
+
+    @staticmethod
+    def end_txn(con, ok: bool) -> None:
+        (con.commit if ok else con.rollback)()
 
     @staticmethod
     def changes(cur) -> int:
@@ -95,6 +107,11 @@ class SqliteDriver:
 
 class DuckDbDriver:
     name = "duckdb"
+    # duckdb takes an EXCLUSIVE file lock per open write connection: a
+    # held connection would block every other catalog instance on the
+    # same db file, so this driver stays connect-per-transaction
+    # (autocommit; the connection context manager closes it)
+    poolable = False
     # DuckDB can't ADD COLUMN with constraints; DEFAULT backfills rows
     migrate_v1_sql = (
         "ALTER TABLE iceberg_tables ADD COLUMN record_type TEXT DEFAULT 'TABLE'"
@@ -148,6 +165,45 @@ def resolve_db_driver(driver):
 
 def _ns_str(namespace) -> str:
     return "/".join(namespace)  # slash-joined like the reference (:55)
+
+
+class _PooledTxn:
+    """One transaction over a pooled connection (the reference builds a
+    JdbcClientPool and runs each catalog op on a leased client,
+    JdbcRelativeCatalog.java:100-104). ``__enter__`` leases a connection
+    (reusing an idle one, else connecting); ``__exit__`` commits on
+    success / rolls back on error and returns the connection to the
+    pool — never closing it mid-life, so a catalog against a server
+    RDBMS pays the TCP+auth handshake once, not per statement.
+    ``JdbcCatalog.close()`` drains the pool."""
+
+    def __init__(self, catalog: "JdbcCatalog"):
+        self.catalog = catalog
+        self.con = None
+
+    def __enter__(self):
+        cat = self.catalog
+        with cat._pool_lock:
+            if cat._closed:
+                raise ValueError(f"catalog {cat.name!r} is closed")
+            self.con = (
+                cat._pool.pop()
+                if cat._pool
+                else cat._driver.connect(cat.db_path)
+            )
+        return self.con
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        cat, con = self.catalog, self.con
+        try:
+            cat._driver.end_txn(con, exc_type is None)
+        finally:
+            with cat._pool_lock:
+                if cat._closed or len(cat._pool) >= cat._POOL_MAX:
+                    con.close()
+                else:
+                    cat._pool.append(con)
+        return False
 
 
 class JdbcTableOperations:
@@ -244,6 +300,13 @@ class JdbcCatalog:
         self.db_path = db_path
         self.name = name
         self._driver = resolve_db_driver(driver)
+        # connection pool (reference JdbcClientPool parity): poolable
+        # drivers lease connections per transaction and return them;
+        # non-poolable ones (duckdb: exclusive file lock) connect per
+        # transaction and the `with` scope closes the connection
+        self._pool: list = []
+        self._pool_lock = threading.Lock()
+        self._closed = False
         self.io = RelativeFileIO(warehouse, io_impl=io_impl, lock_impl=lock_impl)
         self.warehouse = self.io.warehouse
         with self._conn() as con:
@@ -283,8 +346,31 @@ class JdbcCatalog:
                 "JdbcRelativeCatalog view warning)"
             )
 
+    _POOL_MAX = 4  # idle connections kept; concurrent txns may exceed it
+
     def _conn(self):
+        if getattr(self._driver, "poolable", False):
+            return _PooledTxn(self)
+        if self._closed:
+            raise ValueError(f"catalog {self.name!r} is closed")
         return self._driver.connect(self.db_path)
+
+    def close(self) -> None:
+        """Shut the catalog's connection pool (reference ``close()``,
+        JdbcRelativeCatalog.java:460-464). Idempotent; later catalog
+        calls raise. The IO handle is stateless and needs no teardown."""
+        with self._pool_lock:
+            self._closed = True
+            pool, self._pool = self._pool, []
+        for con in pool:
+            con.close()
+
+    def __enter__(self) -> "JdbcCatalog":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        self.close()
+        return False
 
     def _fetchone(self, sql, params=()):
         with self._conn() as con:

@@ -1985,3 +1985,64 @@ def test_jdbc_rename_view_onto_existing_raises_cleanly(tmp_path, db_driver):
         cat.rename_view(("db1",), "v1", ("db1",), "v2")
     # and the original views are untouched
     assert sorted(cat.list_views(("db1",))) == ["v1", "v2"]
+
+
+def test_jdbc_sqlite_pool_reuses_connections(tmp_path):
+    """Round-8 (reference JdbcClientPool, JdbcRelativeCatalog.java:100-104,
+    460-464): poolable drivers lease ONE held connection per transaction
+    and return it — repeated catalog ops reuse the same DB connection
+    instead of reconnecting per statement — and close() drains the pool,
+    making later ops raise."""
+    import os
+
+    wh = str(tmp_path / "pool_wh")
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / "pool.db"), wh, driver="sqlite")
+    cat.create_namespace(("p",))
+    with cat._conn() as con_a:
+        pass
+    with cat._conn() as con_b:
+        pass
+    assert con_a is con_b  # leased back from the pool, not reconnected
+    assert cat.list_namespaces() == [("p",)]
+    assert len(cat._pool) == 1
+    cat.close()
+    assert cat._pool == []
+    with pytest.raises(ValueError, match="closed"):
+        cat.list_namespaces()
+    cat.close()  # idempotent
+
+
+def test_jdbc_pool_rolls_back_failed_txn(tmp_path):
+    """A transaction that raises must roll back before the connection
+    returns to the pool — the next lease must not observe its writes."""
+    import os
+
+    wh = str(tmp_path / "rb_wh")
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / "rb.db"), wh, driver="sqlite")
+    with pytest.raises(RuntimeError):
+        with cat._conn() as con:
+            con.execute(
+                "INSERT INTO iceberg_namespace_properties VALUES "
+                "('jdbc','ghost','exists','true')"
+            )
+            raise RuntimeError("abort txn")
+    assert cat.namespace_exists(("ghost",)) is False
+
+
+@pytest.mark.parametrize("db_driver", ["sqlite", "duckdb"])
+def test_jdbc_catalog_context_manager(tmp_path, db_driver):
+    """`with JdbcCatalog(...)` tears the pool down on exit (reference
+    close()); duckdb (non-poolable) closes per-txn so close is a no-op
+    beyond refusing further pooled leases."""
+    import os
+
+    wh = str(tmp_path / f"cm_wh_{db_driver}")
+    os.makedirs(wh)
+    with JdbcCatalog(str(tmp_path / f"cm_{db_driver}.db"), wh, driver=db_driver) as cat:
+        cat.create_namespace(("c",))
+        assert cat.namespace_exists(("c",))
+    assert cat._closed and cat._pool == []
+    with pytest.raises(ValueError, match="closed"):
+        cat.namespace_exists(("c",))
