@@ -282,3 +282,50 @@ def test_bucketed_tables_join_without_a_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_cust")
+
+
+def test_scd2_intervals_semantics(spark):
+    """b17_scd2_intervals: runs collapse, intervals chain exactly
+    (valid_to = next valid_from), only the last run per user is
+    current, and same-ts ties break on event_id."""
+    from iceberg_relative_io_spark.operators.roundeight import q_scd2_intervals
+    import tempfile, os
+
+    rows = [
+        # user 1: a,a,b,a  -> 3 runs (a:2 events, b:1, a:1)
+        (1, 1, "a", "2024-01-01 00:00:01"),
+        (2, 1, "a", "2024-01-01 00:00:02"),
+        (3, 1, "b", "2024-01-01 00:00:03"),
+        (4, 1, "a", "2024-01-01 00:00:04"),
+        # user 2: same-ts tie -> event_id orders (b then a): 2 runs
+        (6, 2, "b", "2024-01-01 00:00:05"),
+        (7, 2, "a", "2024-01-01 00:00:05"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "cast(ts as timestamp) ts"
+    )
+    d = tempfile.mkdtemp(prefix="scd2_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = sorted(
+        (r.user_id, r.state, r.n_events, r.is_current)
+        for r in q_scd2_intervals(spark, d).collect()
+    )
+    assert got == [
+        (1, "a", 1, True),
+        (1, "a", 2, False),
+        (1, "b", 1, False),
+        (2, "a", 1, True),
+        (2, "b", 1, False),
+    ]
+    # intervals chain: each non-current run's valid_to equals the next
+    # run's valid_from, per user
+    per_user = {}
+    for r in q_scd2_intervals(spark, d).collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    for runs in per_user.values():
+        runs.sort(key=lambda r: r.valid_from_us)
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to_us == b.valid_from_us and not a.is_current
+        assert runs[-1].is_current and runs[-1].valid_to_us is None
