@@ -949,6 +949,7 @@ def export_iceberg(
     snapshots_meta = []
     snapshot_log = []
     prev: int | None = None
+    prev_total_files = 0
     head_info: dict = {}
     head_export_id = 1
     rows_cache: dict = {}
@@ -969,6 +970,13 @@ def export_iceberg(
                 "operation": _ICEBERG_OPERATION.get(
                     src_entry.get("operation", "append"), "append"
                 ),
+                # appends grow the file set monotonically, so the total
+                # delta IS the added count (consumed by the streaming
+                # tail's admission control); non-append totals can
+                # shrink, hence the floor
+                "added-data-files": str(
+                    max(0, info["data-files"] - prev_total_files)
+                ),
                 "total-records": str(info["records"]),
                 "total-data-files": str(info["data-files"]),
                 "total-delete-files": str(info["delete-files"]),
@@ -983,6 +991,7 @@ def export_iceberg(
         snapshots_meta.append(snap_doc)
         snapshot_log.append({"timestamp-ms": ts, "snapshot-id": export_id})
         prev = export_id
+        prev_total_files = info["data-files"]
         head_info = info
         head_export_id = export_id
 

@@ -102,7 +102,12 @@ class IcebergMirrorDataSource(DataSource):
     """``format("iceberg_mirror")`` — streaming source over an exported
     Iceberg v2 table directory. Options: ``path`` (the table dir,
     required); ``skip-deletes`` ("true" to silently pass delete /
-    overwrite snapshots instead of raising)."""
+    overwrite snapshots instead of raising);
+    ``max-files-per-trigger`` (admission control: cap how many added
+    data files a micro-batch may plan — Iceberg's
+    ``streaming-max-files-per-micro-batch`` analogue; snapshot
+    granularity, minimum one snapshot per trigger so progress is
+    guaranteed even by an oversized commit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -145,9 +150,26 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         self.skip_deletes = (
             str(options.get("skip-deletes", "false")).lower() == "true"
         )
+        cap = options.get("max-files-per-trigger")
+        self.max_files = int(cap) if cap is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max-files-per-trigger must be >= 1")
+        # admission-control base: the highest sequence watermark this
+        # reader has advertised or planned. Self-tracked because the
+        # Python DataSource API passes no start offset to latestOffset
+        # AND the engine's first latestOffset call precedes both
+        # initialOffset and partitions — so the first planned window
+        # after reader construction (fresh backfill or post-restart
+        # catch-up) is uncapped (anything less could advertise an
+        # offset behind a restarted checkpoint); every window after the
+        # engine teaches the base honors the cap. Monotone by
+        # construction (sequence numbers never regress — see
+        # latestOffset's watermark note).
+        self._pos_seq: int | None = None
         self.schema = schema
 
     def initialOffset(self) -> dict:
+        self._pos_seq = max(self._pos_seq or 0, 0)
         return {"last_sid": None, "max_seq": 0}
 
     def latestOffset(self) -> dict:
@@ -155,12 +177,70 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         head = doc.get("current-snapshot-id")
         if head is None:
             return {"last_sid": None, "max_seq": 0}
+        if self.max_files is not None and self._pos_seq is not None:
+            capped = self._capped_offset(doc, head)
+            if capped is not None:
+                self._pos_seq = max(self._pos_seq, capped["max_seq"])
+                return capped
         # last-sequence-number, NOT the head snapshot's own sequence:
         # global and monotone through metadata-only rollbacks, so the
         # watermark never regresses (see module docstring)
+        self._pos_seq = max(self._pos_seq or 0, doc["last-sequence-number"])
         return {"last_sid": head, "max_seq": doc["last-sequence-number"]}
 
+    def _capped_offset(self, doc: dict, head: int) -> dict | None:
+        """Advance the sequence watermark along the head's ancestry only
+        while the cumulative ``added-data-files`` of in-window APPEND
+        snapshots fits ``max_files``. The watermark advances
+        SEQUENCE-BY-SEQUENCE, never between snapshots sharing a
+        sequence (rewrite_manifests commits a replace at the sequence
+        it rewrote — a per-snapshot split there is unrepresentable by a
+        sequence offset); non-append snapshots cost zero files
+        (``partitions`` governs their semantics). Returns None when the
+        whole backlog fits (caller advertises the global
+        last-sequence-number so the uncapped invariants hold)."""
+        by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+        chain: list[dict] = []  # head-first ancestry above the base
+        walk: int | None = head
+        while walk is not None:
+            snap = by_id.get(walk)
+            if snap is None:
+                break
+            if (snap.get("sequence-number") or 0) > self._pos_seq:
+                chain.append(snap)
+            walk = snap.get("parent-snapshot-id")
+        cost: dict[int, int] = {}  # sequence -> added data files
+        for snap in chain:
+            seq = snap.get("sequence-number") or 0
+            summ = snap.get("summary", {})
+            n = (
+                # the export era records totals (== added for the first
+                # snapshot); missing both, 1 is the conservative floor
+                int(summ.get("added-data-files")
+                    or summ.get("total-data-files") or 1)
+                if summ.get("operation", "append") == "append"
+                else 0
+            )
+            cost[seq] = cost.get(seq, 0) + n
+        budget = self.max_files
+        capped_seq: int | None = None
+        for seq in sorted(cost):
+            if capped_seq is not None and cost[seq] > budget:
+                # anchor at the highest-ancestry snapshot at or below
+                # the watermark (ties resolve toward the head, so the
+                # anchor's parent walk covers every taken snapshot)
+                sid = next(
+                    s["snapshot-id"]
+                    for s in chain
+                    if (s.get("sequence-number") or 0) <= capped_seq
+                )
+                return {"last_sid": sid, "max_seq": capped_seq}
+            capped_seq = seq
+            budget -= cost[seq]
+        return None  # whole backlog fits this trigger
+
     def partitions(self, start: dict, end: dict):
+        self._pos_seq = max(self._pos_seq or 0, end.get("max_seq") or 0)
         doc = _doc(self.path)
         by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
         anchor = start.get("last_sid")
@@ -347,7 +427,7 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._pos_seq = max(self._pos_seq or 0, end.get("max_seq") or 0)
 
     def stop(self) -> None:
         pass

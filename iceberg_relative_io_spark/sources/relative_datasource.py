@@ -464,24 +464,84 @@ class RelativeStreamReader(DataSourceStreamReader):
     Identity-partitioned tables stream for free: the manifest tuple
     rides each partition and the shared read path re-attaches the hive
     constants (transform layouts keep their source columns in the data
-    files, so nothing needs re-attaching)."""
+    files, so nothing needs re-attaching).
+
+    Admission control (``max-files-per-trigger`` option): at scale a
+    tail that falls behind must not plan one giant catch-up batch —
+    every backlogged file becomes a task in a single micro-batch and
+    end-to-end latency (plus sink-commit size) grows unbounded. With
+    the cap set, ``latestOffset`` advances the end snapshot along the
+    head's parent chain only while the cumulative ``added-data-files``
+    stays within budget (always at least one snapshot, so progress is
+    guaranteed even by an oversized commit — the same floor Spark's
+    file source applies). Snapshot granularity is deliberate: offsets
+    stay snapshot ids and a batch never splits a commit, so each
+    micro-batch is still an exact CDC window.
+
+    The position base is self-tracked, because the Python DataSource
+    API has no ``ReadLimit`` hook handing ``latestOffset`` the start
+    offset (Scala sources get ``SupportsAdmissionControl``), and the
+    engine's FIRST ``latestOffset`` call precedes both
+    ``initialOffset`` and any ``partitions`` call. The first planned
+    window after reader construction — a fresh stream's initial
+    backfill, or the first batch after a restart — is therefore
+    UNCAPPED (capping it from an assumed base could advertise an
+    offset behind a restarted checkpoint, which corrupts the offset
+    log; uncapped-to-head is the only restart-safe answer). Every
+    window after the engine has taught the base (``initialOffset`` /
+    ``partitions`` / ``commit`` — all monotone) honors the cap: the
+    steady-state tail that falls behind catches up in bounded
+    micro-batches."""
 
     def __init__(self, options, schema: StructType):
         self.options = options
         self.schema = schema
         table = _load_table(options)  # one load serves io for executors
         self.io = table.ops.io
+        cap = options.get("max-files-per-trigger")
+        self.max_files = int(cap) if cap is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max-files-per-trigger must be >= 1")
+        self._pos: int | None = None  # last advertised/planned end sid
 
     def initialOffset(self) -> dict:
+        self._pos = max(self._pos or 0, 0)  # fresh stream: base known
         return {"snapshot_id": 0}
 
     def latestOffset(self) -> dict:
         table = _load_table(self.options)
-        return {
-            "snapshot_id": table.ops.current().get("current-snapshot-id") or 0
-        }
+        meta = table.ops.current()
+        head = meta.get("current-snapshot-id") or 0
+        end = head
+        if self.max_files is not None and self._pos is not None and head:
+            by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+            chain: list[int] = []  # head -> exclusive base, newest first
+            sid: int | None = head
+            while sid and sid != self._pos and sid in by_id:
+                chain.append(sid)
+                sid = by_id[sid].get("parent-snapshot-id")
+            if sid == self._pos or self._pos == 0:
+                budget = self.max_files
+                end = self._pos
+                for cand in reversed(chain):  # oldest first
+                    n = int(
+                        by_id[cand].get("summary", {}).get(
+                            "added-data-files", 1
+                        )
+                    )
+                    if end != self._pos and n > budget:
+                        break  # budget spent; cand waits for next trigger
+                    end = cand
+                    budget -= n
+            # base not on head's chain (rollback rewrote history):
+            # advertise the head and let partitions() raise loudly
+        self._pos = max(self._pos or 0, end)
+        return {"snapshot_id": end}
 
     def partitions(self, start: dict, end: dict):
+        # planning teaches the admission-control base (offsets replay in
+        # order, snapshot ids are monotone)
+        self._pos = max(self._pos or 0, end["snapshot_id"])
         if start["snapshot_id"] == end["snapshot_id"]:
             return []
         table = _load_table(self.options)
@@ -509,7 +569,7 @@ class RelativeStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._pos = end["snapshot_id"] or self._pos
 
     def stop(self) -> None:
         pass

@@ -537,8 +537,81 @@ def q_stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "append")
 
 
+def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 (admission control): a RUNNING tail of a native table falls
+    behind a multi-snapshot, multi-file backlog with
+    ``max-files-per-trigger`` set — the catch-up is carved into bounded
+    micro-batches instead of one giant batch (the 100 TB failure mode:
+    a tail that falls behind plans every backlogged file into a single
+    batch and latency plus sink-commit size grow unbounded). Three
+    2-file appends land after the stream's first batch; at
+    max-files-per-trigger=2 the catch-up must take >= 3 micro-batches.
+    The oracle checks the content is exactly-once regardless of the
+    batching. (The first planned window after reader construction is
+    uncapped by design — restart safety; see RelativeStreamReader.)"""
+    import tempfile as _tf
+
+    from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
+    from iceberg_relative_io_spark.sources.relative_datasource import (
+        RelativeDataSource,
+    )
+
+    try:
+        spark.dataSource.register(RelativeDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cat = FsCatalog(_tf.mkdtemp(prefix="bp_wh_"))
+    cat.create_namespace(("bp",))
+    ops = cat.create_table(("bp",), "events_log", ev.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(ev.filter(F.col("event_id") % 4 == 0).repartition(1))  # seed
+
+    stream = (
+        spark.readStream.format("relative")
+        .option("warehouse", cat.warehouse)
+        .option("table", "bp.events_log")
+        .option("max-files-per-trigger", "2")
+        .load()
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_bp_"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: the seed
+    for k in range(3):  # the tail falls behind a 6-file backlog
+        table.append(
+            ev.filter(
+                (F.col("event_id") % 4 != 0) & (F.col("event_id") % 3 == k)
+            ).repartition(2)
+        )
+    q.processAllAvailable()  # capped catch-up
+    q.stop()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 4, (
+        f"seed + >=3 capped catch-up batches expected, got {len(fed)}"
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "b30_stream_from_iceberg": q_stream_from_iceberg,
+    "b30_stream_backpressure": q_stream_backpressure,
     "b30_stream_tumbling_window": q_stream_tumbling_window,
     "b30_stream_sliding_window": q_stream_sliding_window,
     "b31_stream_dedup": q_stream_dedup,
@@ -554,6 +627,13 @@ QUERIES = {
 ORACLE = {
     "b30_stream_from_iceberg": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+    "b30_stream_backpressure": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
     """,
     "b30_stream_static_join": """
         SELECT c.c_mktsegment, e.event_type,

@@ -742,3 +742,152 @@ def test_stream_tails_partitioned_table(spark, wh):
         assert got == {(1, "x"), (2, "y"), (3, "x"), (7, None)}
     finally:
         q.stop()
+
+
+def test_stream_max_files_per_trigger_caps_batches(spark, wh):
+    """Round-8 admission control: with max-files-per-trigger set, a
+    backlogged tail carves catch-up into snapshot-granular windows whose
+    cumulative added-data-files fit the budget — never one giant batch."""
+    from iceberg_relative_io_spark.sources.relative_datasource import (
+        RelativeStreamReader,
+    )
+
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.range(0, 900).select(
+        F.col("id"), F.lit("d").alias("data"), F.lit("k").alias("kind")
+    )
+    ops = cat.create_table(("ns",), "bp", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    for k, nfiles in enumerate((4, 2, 3)):  # 3-snapshot, 9-file backlog
+        table.append(df.filter(F.col("id") % 3 == k).repartition(nfiles))
+
+    opts = {"warehouse": wh, "table": "ns.bp", "max-files-per-trigger": "4"}
+    r = RelativeStreamReader(opts, df.schema)
+    pos = r.initialOffset()
+    windows = []
+    while True:
+        end = r.latestOffset()
+        if end == pos:
+            break
+        parts = r.partitions(pos, end)
+        windows.append(len(parts))
+        r.commit(end)
+        pos = end
+    # budget 4: snap1 (4 files) fills a window; snap2 (2) + snap3 (3 > 2
+    # left) split; every window fits the cap and the union is complete
+    assert windows == [4, 2, 3]
+
+    # oversized commit still advances (>=1 snapshot floor, no stall)
+    table.append(df.repartition(6))
+    r2 = RelativeStreamReader(
+        {"warehouse": wh, "table": "ns.bp", "max-files-per-trigger": "1"},
+        df.schema,
+    )
+    r2._pos = pos["snapshot_id"]  # simulate mid-stream position
+    end = r2.latestOffset()
+    assert len(r2.partitions(pos, end)) == 6
+
+    # uncapped reader: one window covers the whole backlog
+    r3 = RelativeStreamReader({"warehouse": wh, "table": "ns.bp"}, df.schema)
+    assert len(r3.partitions(r3.initialOffset(), r3.latestOffset())) == 15
+
+
+def test_stream_cap_engine_end_to_end(spark, wh):
+    """The cap through the real engine, in the scenario it exists for:
+    a RUNNING tail falls behind a 3x2-file backlog and catches up in
+    >=3 bounded micro-batches (the first planned window after reader
+    construction is uncapped by design — the Python DataSource API
+    passes latestOffset no start position, so capping it would not be
+    restart-safe; see RelativeStreamReader docstring)."""
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"d{i}", "k") for i in range(12)], "id long, data string, kind string"
+    )
+    ops = cat.create_table(("ns",), "bpe", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.filter(F.col("id") < 3).repartition(1))  # seed
+
+    stream = (
+        spark.readStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.bpe")
+        .option("max-files-per-trigger", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bpe_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bpe_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: the seed (uncapped window)
+        for k in range(3):  # the tail falls behind a 6-file backlog
+            table.append(
+                df.filter((F.col("id") >= 3) & (F.col("id") % 3 == k)).repartition(2)
+            )
+        q.processAllAvailable()  # catch-up: capped at 2 files/batch
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(fed) >= 4, (
+            f"seed + >=3 capped catch-up batches expected, got {len(fed)}"
+        )
+        assert sorted(r.id for r in spark.table("bpe_sink").collect()) == list(
+            range(12)
+        )
+    finally:
+        q.stop()
+
+
+def test_mirror_stream_max_files_per_trigger(spark):
+    """Round-8 admission control on the mirror tail: the sequence
+    watermark advances snapshot-by-snapshot within the file budget;
+    replace snapshots ride along at zero cost; the capped union equals
+    the uncapped read."""
+    from iceberg_relative_io_spark.catalog import iceberg_export
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorStreamReader,
+    )
+
+    wh = tempfile.mkdtemp(prefix="mirror_bp_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string"
+    )
+    ops = cat.create_table(("ns",), "m", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.filter(F.col("id") < 10).repartition(1))
+    dest = tempfile.mkdtemp(prefix="mirror_bp_")
+    iceberg_export.export_iceberg(table, dest)  # era 1: 1 file
+    iceberg_export.append_iceberg(
+        spark, dest, df.filter((F.col("id") >= 10) & (F.col("id") < 20)).repartition(2)
+    )
+    iceberg_export.rewrite_manifests_iceberg(dest)  # replace: zero cost
+    iceberg_export.append_iceberg(
+        spark, dest, df.filter(F.col("id") >= 20).repartition(2)
+    )
+
+    r = IcebergMirrorStreamReader(
+        {"path": dest, "max-files-per-trigger": "2"}, df.schema
+    )
+    pos = r.initialOffset()
+    windows, got = [], []
+    while True:
+        end = r.latestOffset()
+        if end == pos:
+            break
+        parts = r.partitions(pos, end)
+        windows.append(len(parts))
+        for p in parts:
+            for b in r.read(p):
+                got.extend(b.column("id").to_pylist())
+        r.commit(end)
+        pos = end
+    # budget 2: era1 (1 file) + era2 (2 > 1 left) split; era2 fills a
+    # window; the replace rides along with era3 at zero file cost
+    assert windows == [1, 2, 2]
+    assert sorted(got) == list(range(30))
