@@ -875,7 +875,7 @@ def test_mirror_stream_max_files_per_trigger(spark):
         {"path": dest, "max-files-per-trigger": "2"}, df.schema
     )
     pos = r.initialOffset()
-    windows, got = [], []
+    windows, got, offsets = [], [], [pos]
     while True:
         end = r.latestOffset()
         if end == pos:
@@ -887,7 +887,80 @@ def test_mirror_stream_max_files_per_trigger(spark):
                 got.extend(b.column("id").to_pylist())
         r.commit(end)
         pos = end
+        offsets.append(end)
     # budget 2: era1 (1 file) + era2 (2 > 1 left) split; era2 fills a
     # window; the replace rides along with era3 at zero file cost
     assert windows == [1, 2, 2]
     assert sorted(got) == list(range(30))
+
+    # restart simulation: a NEW reader (fresh process, no state) replays
+    # the checkpointed batch via partitions(start, end) — that call
+    # teaches the admission-control base, so the NEXT advertised offset
+    # is capped relative to the replayed position, not uncapped-to-head
+    r2 = IcebergMirrorStreamReader(
+        {"path": dest, "max-files-per-trigger": "2"}, df.schema
+    )
+    assert len(r2.partitions(offsets[0], offsets[1])) == 1  # replay era1
+    assert r2.latestOffset() == offsets[2]  # capped continuation
+
+
+def test_stream_restart_from_checkpoint(spark, wh):
+    """Round-8 transport rewrite, the contract that must survive it:
+    offsets in the checkpoint log recover across a stop/restart — rows
+    consumed before the stop never re-emit, rows appended while the
+    stream was down all arrive, and a cap set on the restarted reader
+    does not corrupt recovery (its first planned window is uncapped by
+    design, then the engine teaches the base)."""
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"d{i}", "k") for i in range(9)], "id long, data string, kind string"
+    )
+    ops = cat.create_table(("ns",), "rst", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.filter(F.col("id") < 3))  # era A
+    cat.create_table(("ns",), "rst_out", df.schema.jsonValue())
+
+    # the memory sink refuses checkpoint recovery; the format's own
+    # stream sink is the recoverable one (and its stream-batch-id dedup
+    # is scoped to this checkpoint, so replays stay idempotent)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rst_")
+
+    def run():
+        return (
+            spark.readStream.format("relative")
+            .option("warehouse", wh)
+            .option("table", "ns.rst")
+            .option("max-files-per-trigger", "1")
+            .load()
+            .writeStream.format("relative")
+            .option("warehouse", wh)
+            .option("table", "ns.rst_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sink_ids():
+        out = RelativeTable(FsCatalog(wh).load_table(("ns",), "rst_out"))
+        return sorted(r.id for r in out.read(spark).collect())
+
+    q = run()
+    try:
+        q.processAllAvailable()
+        assert sink_ids() == [0, 1, 2]
+    finally:
+        q.stop()
+
+    # the stream is down; two more snapshots land
+    table.append(df.filter((F.col("id") >= 3) & (F.col("id") < 6)))
+    table.append(df.filter(F.col("id") >= 6))
+
+    q = run()
+    try:
+        q.processAllAvailable()
+        # era A was committed before the stop: never re-emitted.
+        # both down-time eras arrive exactly once.
+        assert sink_ids() == list(range(9))
+    finally:
+        q.stop()
