@@ -329,3 +329,7 @@ def test_scd2_intervals_semantics(spark):
         for a, b in zip(runs, runs[1:]):
             assert a.valid_to_us == b.valid_from_us and not a.is_current
         assert runs[-1].is_current and runs[-1].valid_to_us is None
+    # the scale claim in the docstring: lag + running sum + run groupBy
+    # + lead all share the user_id partitioning — ONE shuffle total
+    plan = q_scd2_intervals(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -79,6 +79,12 @@ MEASURED = [
     "c05_audio_vad",
     "c04_text_normalize",
     "c02_score_propagation",
+    # round 8 additions: SCD2 interval build + the TPC-H literals
+    "b17_scd2_intervals",
+    "b34_tpch_q1",
+    "b34_tpch_q4",
+    "b34_tpch_q12",
+    "b34_tpch_q14",
 ]
 
 
