@@ -964,3 +964,36 @@ def test_stream_restart_from_checkpoint(spark, wh):
         assert sink_ids() == list(range(9))
     finally:
         q.stop()
+
+
+def test_stream_trigger_available_now(spark, wh):
+    """Trigger.AvailableNow — the production catch-up trigger — works
+    over the Python stream source: the query terminates on its own and
+    the backlog arrives exactly once. (With a cap set, the backlog
+    still lands in ONE batch here: AvailableNow latches the FIRST
+    planned window, which is uncapped by design — see
+    RelativeStreamReader. Steady-state caps need a running trigger.)"""
+    cat = FsCatalog(wh)
+    if ("ns",) not in cat.list_namespaces():
+        cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"d{i}", "k") for i in range(12)], "id long, data string, kind string"
+    )
+    ops = cat.create_table(("ns",), "an", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    for k in range(3):
+        table.append(df.filter(F.col("id") % 3 == k).repartition(2))
+    q = (
+        spark.readStream.format("relative")
+        .option("warehouse", wh)
+        .option("table", "ns.an")
+        .option("max-files-per-trigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("an_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_an_"))
+        .start()
+    )
+    assert q.awaitTermination(120), "AvailableNow must self-terminate"
+    assert sorted(r.id for r in spark.table("an_sink").collect()) == list(range(12))
