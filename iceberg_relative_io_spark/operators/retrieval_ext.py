@@ -687,8 +687,93 @@ def _keyframes_oracle() -> str:
 # registries
 # ---------------------------------------------------------------------------
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (contrastive training data): HARD-NEGATIVE MINING — documents
+    the lexical ranker (BM25 top-{_RRF_TOPN}) scores high but the
+    semantic ranker (cosine top-{_RRF_TOPN}, seeded by the lexical
+    winner's embedding like c03_hybrid_rrf) does NOT — the classic
+    negatives a dual-encoder / reranker trains on: lexically plausible,
+    semantically wrong. Each mined negative carries its exact cosine to
+    the query vector so the training pair ships its margin.
+
+    At 100 TB: both corpus passes live inside the upstream rankers (one
+    postings shuffle for BM25, one map-only Arrow scan for the cosine
+    top-n); the mining itself is an anti-join of two <=n-row rankings
+    plus a broadcast fetch of <=n full vectors — constant-size work
+    independent of corpus scale, the same k-row property as
+    c03_hybrid_rrf. Cosine numerics ride the dimension-sequential dot
+    (vectors.make_dot_udf), bit-identical to the oracle's list_reduce."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.roundthree import q_bm25_search
+
+    dot_udf = V.make_dot_udf()
+    lex = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lex_rank")
+    )
+    sem = _semantic_topn(spark, sf_dir, lex)  # doc_id, sem_rank
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.join(
+            lex.filter(F.col("lex_rank") == 1).select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+        )
+        .select(F.col("embedding").alias("qvec"))
+        .withColumn("qnrm", F.sqrt(dot_udf("qvec", "qvec")))
+    )
+    negs = lex.join(sem, "doc_id", "left_anti")  # lexical-only docs
+    fetched = emb.join(
+        F.broadcast(negs), emb.vec_id == negs.doc_id
+    ).select("doc_id", "lex_rank", "embedding")
+    cos = dot_udf("qvec", "embedding") / (
+        F.col("qnrm") * F.sqrt(dot_udf("embedding", "embedding"))
+    )
+    scored = fetched.crossJoin(F.broadcast(q)).select(
+        "doc_id", "lex_rank", cos.alias("cos_sim")
+    )
+    w = Window.orderBy("lex_rank")
+    return scored.withColumn("neg_rank", F.row_number().over(w)).select(
+        "neg_rank", "doc_id", "lex_rank", "cos_sim"
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators.roundthree import _bm25_oracle
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rnk AS lex_rank FROM ({_bm25_oracle()})
+        ),
+        q AS (
+            SELECT qe.embedding AS qvec
+            FROM embeddings qe JOIN lex ON qe.vec_id = lex.doc_id
+            WHERE lex.lex_rank = 1
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id
+            FROM (
+                SELECT e.vec_id,
+                       {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+                FROM embeddings e, q
+            )
+            ORDER BY cos_sim DESC, vec_id LIMIT {_RRF_TOPN}
+        ),
+        negs AS (
+            SELECT lex.doc_id, lex.lex_rank
+            FROM lex ANTI JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY lex_rank) AS neg_rank,
+               n.doc_id, n.lex_rank,
+               {V.cosine_sql('q.qvec', 'e.embedding')} AS cos_sim
+        FROM negs n JOIN embeddings e ON e.vec_id = n.doc_id, q
+    """
+
+
 QUERIES = {
     "c03_hybrid_rrf": q_hybrid_rrf,
+    "c03_hard_negatives": q_hard_negatives,
     "c03_ann_rerank": q_ann_rerank,
     "c05_image_hash_neardup": q_image_hash_neardup,
     "c05_scene_cuts": q_scene_cuts,
@@ -824,6 +909,7 @@ def _ah_oracle(n_bands: int = _AH_BANDS) -> str:
 
 ORACLE = {
     "c03_hybrid_rrf": _rrf_oracle(),
+    "c03_hard_negatives": _hard_negatives_oracle(),
     "c03_ann_rerank": _rerank_oracle(),
     "c05_image_hash_neardup": _ah_oracle(),
     "c05_scene_cuts": _scene_oracle(),

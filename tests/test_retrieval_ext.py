@@ -240,3 +240,35 @@ def test_image_hash_oracle_is_parametric_in_n_bands(spark, sf_dir):
     # and a 4-band run produces 16-bit bands (values exceed 8-bit range
     # somewhere on the fixture) — i.e. the knob actually changed the hash
     assert any(any(v > 255 for v in t[1:5]) for t in got)
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """Mined negatives are exactly the lexical-top-n docs absent from
+    the semantic top-n; the seed doc (lex rank 1 = its own nearest
+    neighbour) is never a negative; every negative's cosine is below
+    the semantic top-n's floor (that's what makes it HARD-but-wrong);
+    neg_rank follows lexical rank."""
+    from iceberg_relative_io_spark.operators.roundthree import q_bm25_search
+
+    negs = R.q_hard_negatives(spark, sf_dir).collect()
+    lex = {r.doc_id: r.rnk for r in q_bm25_search(spark, sf_dir).collect()}
+    sem = {
+        r.doc_id
+        for r in R._semantic_topn(
+            spark,
+            sf_dir,
+            q_bm25_search(spark, sf_dir).selectExpr(
+                "doc_id", "rnk as lex_rank"
+            ),
+        ).collect()
+    }
+    got = {r.doc_id for r in negs}
+    assert got == set(lex) - sem  # exact mining set
+    assert all(r.doc_id not in sem for r in negs)
+    seed = min(lex, key=lex.get)
+    assert seed not in got  # the seed self-matches semantically
+    # hard = semantically below every in-top-n doc: all cosines < 1.0
+    # and ordered output follows lexical rank
+    ordered = sorted(negs, key=lambda r: r.neg_rank)
+    assert [r.lex_rank for r in ordered] == sorted(r.lex_rank for r in negs)
+    assert all(r.cos_sim < 1.0 for r in negs)
