@@ -558,6 +558,73 @@ def q_ann_ivf(
     )
 
 
+_KNN_GRAPH_K = 3  # neighbors kept per node
+
+
+def q_knn_graph(
+    spark: SparkSession, sf_dir: str, nlist: int | None = None
+) -> DataFrame:
+    """C3 (kNN-graph construction): for EVERY corpus vector, its
+    _KNN_GRAPH_K nearest cosine neighbors WITHIN ITS IVF CELL — the
+    cell-blocked kNN graph that feeds graph-based dedup, diversity
+    sampling, label propagation, and kNN classification at corpus
+    scale. Brute force is O(N²); cell blocking makes it
+    O(Σ cell²) ≈ O(N²/nlist) = O(N^1.5) at the corpus-derived
+    nlist = max(32, ceil(sqrt(N))) (same quantizer + derivation as
+    c03_ann_ivf, mirrored in the oracle), and the within-cell
+    self-join rides the skew-proof chunked machinery (skewpairs:
+    no join key ever carries more than CAP rows per side, so one hot
+    cell cannot produce an unbounded task). Recall < 1 at cell
+    boundaries — the standard blocked trade; the dial is nlist, and
+    c03_ann_recall_eval shows how any setting is measured. Pairs are
+    computed once (unordered) and symmetrized: dot products and norm
+    products commute multiplication-wise, so the mirrored direction
+    reuses the identical IEEE double — the per-node top-k then costs
+    one window over 2·pairs rows. Nodes alone in their cell have no
+    in-cell neighbors and are absent, identically in the oracle."""
+    from iceberg_relative_io_spark.operators import skewpairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    if nlist is None:
+        nlist = V.derived_sqrt(emb.count(), _IVF_FLOOR)
+    cids, C, nc = V.collect_centroids(emb, nlist)
+    bc = spark.sparkContext.broadcast((cids, C, nc))
+    cell_of = V.make_nearest_udf(bc)
+    # the assignment pass feeds both self-join sides: persist so the
+    # corpus is featurized once (the shared-featurization pattern of
+    # retrieval_ext._HASH_CACHE, scoped to this query's lifetime)
+    bucketed = emb.withColumn("cell", cell_of(F.col("embedding"))).persist()
+
+    pairs = skewpairs.chunked_self_join(bucketed, ["cell"], "vec_id")
+    dot_udf = V.make_dot_udf()
+    cos = dot_udf(F.col("_l.embedding"), F.col("_r.embedding")) / (
+        F.col("_l.nrm") * F.col("_r.nrm")
+    )
+    und = pairs.select(
+        F.col("_l.vec_id").alias("a"),
+        F.col("_r.vec_id").alias("b"),
+        cos.alias("cos_sim"),
+    )
+    sym = und.unionByName(
+        und.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_GRAPH_K)
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("nbr_id"),
+            "rnk",
+            "cos_sim",
+        )
+    )
+
+
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (embedding compression): symmetric int8 quantization, the
     standard 4× shrink applied to embedding corpora before ANN serving.
@@ -1199,6 +1266,7 @@ QUERIES = {
     "c03_knn_bruteforce": q_knn_bruteforce,
     "c03_ann_lsh": q_ann_lsh,
     "c03_ann_ivf": q_ann_ivf,
+    "c03_knn_graph": q_knn_graph,
     "c03_cluster_medoids": q_cluster_medoids,
     "c03_kmeans_lloyd": q_kmeans_lloyd,
     "c03_kmeans_inertia": q_kmeans_inertia,
@@ -1483,6 +1551,36 @@ ORACLE = {
                    cos_sim
             FROM scored
         ) WHERE rnk <= {_TOP_K}
+    """,
+    "c03_knn_graph": f"""
+        WITH cents AS (
+            {V.sample_cte_sql(V.derived_sqrt_sql(_IVF_FLOOR))}
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {V.cosine_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+            FROM assign a
+            JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        )
+        SELECT vec_id, nbr_id, rnk, cos_sim FROM (
+            SELECT va AS vec_id, vb AS nbr_id,
+                   row_number() OVER (PARTITION BY va
+                                      ORDER BY cos_sim DESC, vb) AS rnk,
+                   cos_sim
+            FROM pairs
+        ) WHERE rnk <= {_KNN_GRAPH_K}
     """,
     "c03_quantize_int8": """
         WITH t AS (

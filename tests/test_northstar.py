@@ -646,3 +646,42 @@ def test_multimodal_stages_run_real_png_end_to_end(spark):
         # decode feature of the resized payload still works
         rw, rh, feat = P.png_decoder(out[item_id])
         assert (rw, rh) == (w2, h2) and len(feat) == 4
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    """c03_knn_graph: neighbors share the node's IVF cell (recomputed
+    independently), ranks are consecutive per node, the symmetric pair
+    reuses the identical IEEE cosine, and the fuzz/oracle gate covers
+    exactness — this pins what the oracle can't express."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from pyspark.sql import functions as F
+
+    rows = N.q_knn_graph(spark, sf_dir).collect()
+    assert rows, "fixture cells must produce neighbors"
+    # recompute cell assignments the same way the query does
+    emb = N.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    nlist = V.derived_sqrt(emb.count(), N._IVF_FLOOR)
+    cids, C, nc = V.collect_centroids(emb, nlist)
+    bc = spark.sparkContext.broadcast((cids, C, nc))
+    cell = {
+        r.vec_id: r.cell
+        for r in emb.withColumn(
+            "cell", V.make_nearest_udf(bc)(F.col("embedding"))
+        ).collect()
+    }
+    by_node: dict = {}
+    cos_of: dict = {}
+    for r in rows:
+        assert cell[r.vec_id] == cell[r.nbr_id]  # in-cell neighbors only
+        by_node.setdefault(r.vec_id, []).append(r.rnk)
+        cos_of[(r.vec_id, r.nbr_id)] = r.cos_sim
+    for node, rnks in by_node.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= N._KNN_GRAPH_K
+    # symmetry: when both directions survive the top-k, the cosine is
+    # the SAME double (multiplication commutes; sums are dim-ordered)
+    for (a, b), c in cos_of.items():
+        if (b, a) in cos_of:
+            assert cos_of[(b, a)] == c
