@@ -568,15 +568,21 @@ def q_knn_graph(
     _KNN_GRAPH_K nearest cosine neighbors WITHIN ITS IVF CELL — the
     cell-blocked kNN graph that feeds graph-based dedup, diversity
     sampling, label propagation, and kNN classification at corpus
-    scale. Brute force is O(N²); cell blocking makes it
-    O(Σ cell²) ≈ O(N²/nlist) = O(N^1.5) at the corpus-derived
-    nlist = max(32, ceil(sqrt(N))) (same quantizer + derivation as
-    c03_ann_ivf, mirrored in the oracle), and the within-cell
-    self-join rides the skew-proof chunked machinery (skewpairs:
-    no join key ever carries more than CAP rows per side, so one hot
-    cell cannot produce an unbounded task). Recall < 1 at cell
-    boundaries — the standard blocked trade; the dial is nlist, and
-    c03_ann_recall_eval shows how any setting is measured. Pairs are
+    scale. Brute force is O(N²). TOTAL blocked cost is
+    assignment + pairs = N·nlist·dim + N·(N/nlist)·dim, which is
+    MINIMIZED at nlist = sqrt(N) — both stages then cost O(N^1.5·dim)
+    (a fixed-occupancy derivation would make the pair stage linear but
+    the assignment stage quadratic: measured 58.6x wall at 10x data
+    before this derivation landed; sqrt rebalances it). nlist therefore
+    DERIVES as max(32, ceil(sqrt(N))) — the same quantizer + derivation
+    as c03_ann_ivf, mirrored in the oracle; at extreme scale the
+    assignment flops drop further via hierarchical / two-level
+    quantization, the named next step. The self-join rides the
+    skew-proof chunked machinery (skewpairs: no join key ever carries
+    more than CAP rows per side, so one hot cell cannot produce an
+    unbounded task). Recall < 1 at cell boundaries — the standard
+    blocked trade; the dial is nlist, and c03_ann_recall_eval shows how
+    any setting is measured. Pairs are
     computed once (unordered) and symmetrized: dot products and norm
     products commute multiplication-wise, so the mirrored direction
     reuses the identical IEEE double — the per-node top-k then costs

@@ -85,6 +85,9 @@ MEASURED = [
     "b34_tpch_q4",
     "b34_tpch_q12",
     "b34_tpch_q14",
+    # round 8 batch 2: retrieval-training data ops
+    "c03_hard_negatives",
+    "c03_knn_graph",
 ]
 
 
