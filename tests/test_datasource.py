@@ -997,3 +997,60 @@ def test_stream_trigger_available_now(spark, wh):
     )
     assert q.awaitTermination(120), "AvailableNow must self-terminate"
     assert sorted(r.id for r in spark.table("an_sink").collect()) == list(range(12))
+
+
+def test_mirror_stream_cap_engine_end_to_end(spark):
+    """The mirror tail's cap through the real engine, same scenario as
+    the native test: a RUNNING tail falls behind two 2-file append eras
+    and catches up in >=2 bounded micro-batches, exactly once."""
+    from iceberg_relative_io_spark.catalog import iceberg_export
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergMirrorDataSource)
+    except Exception:
+        pass
+    wh = tempfile.mkdtemp(prefix="mbpe_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string"
+    )
+    ops = cat.create_table(("ns",), "mbpe", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.filter(F.col("id") < 10).repartition(1))
+    dest = tempfile.mkdtemp(prefix="mbpe_")
+    iceberg_export.export_iceberg(table, dest)  # seed era
+
+    q = (
+        spark.readStream.format("iceberg_mirror")
+        .option("path", dest)
+        .option("max-files-per-trigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("mbpe_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mbpe_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: the seed (uncapped window)
+        for lo in (10, 20):  # the tail falls behind two 2-file eras
+            iceberg_export.append_iceberg(
+                spark,
+                dest,
+                df.filter(
+                    (F.col("id") >= lo) & (F.col("id") < lo + 10)
+                ).repartition(2),
+            )
+        q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(fed) >= 3, (
+            f"seed + >=2 capped catch-up batches expected, got {len(fed)}"
+        )
+        assert sorted(r.id for r in spark.table("mbpe_sink").collect()) == list(
+            range(30)
+        )
+    finally:
+        q.stop()
