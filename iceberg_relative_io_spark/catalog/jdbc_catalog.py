@@ -195,12 +195,22 @@ class _PooledTxn:
 
     def __exit__(self, exc_type, exc, tb) -> bool:
         cat, con = self.catalog, self.con
+        ended = False
         try:
             cat._driver.end_txn(con, exc_type is None)
+            ended = True
         finally:
+            # a connection whose commit/rollback itself FAILED may hold a
+            # half-applied open transaction; pooling it would let the next
+            # lease commit this op's writes along with its own (a CAS
+            # reported failed becoming half-applied). Failed-end
+            # connections are closed, never pooled.
             with cat._pool_lock:
-                if cat._closed or len(cat._pool) >= cat._POOL_MAX:
-                    con.close()
+                if not ended or cat._closed or len(cat._pool) >= cat._POOL_MAX:
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
                 else:
                     cat._pool.append(con)
         return False

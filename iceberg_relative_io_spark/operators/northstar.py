@@ -1563,6 +1563,10 @@ ORACLE = {
             {V.sample_cte_sql(V.derived_sqrt_sql(_IVF_FLOOR))}
         ),
         assign AS (
+            -- NULL-embedding rows get a NULL cell in the engine
+            -- (make_nearest_udf) and the non-null-safe cell join drops
+            -- them; mirror the exclusion here or the oracle would give
+            -- them rn=1 at an arbitrary cid and emit phantom neighbors
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (
@@ -1570,6 +1574,7 @@ ORACLE = {
                            ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
                        ) AS rn
                 FROM embeddings e, cents c
+                WHERE e.embedding IS NOT NULL
             ) WHERE rn = 1
         ),
         pairs AS (

@@ -77,11 +77,13 @@ ORACLE = {
                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END AS chg
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
         ),
         runs AS (
             SELECT user_id, event_type, ts,
-                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS run_id
             FROM seq
         ),

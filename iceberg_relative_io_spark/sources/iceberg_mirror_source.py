@@ -23,7 +23,10 @@ scan):
   reaped anchor snapshot into a LOUD "restart from a fresh checkpoint"
   error instead of silent loss (expiry is oldest-first, so any
   unconsumed snapshot being reaped implies the strictly-older anchor
-  was reaped too — the anchor check is both necessary and sufficient).
+  was reaped too — the anchor check is both necessary and sufficient
+  once a batch has committed; batch 1, whose start has no anchor,
+  carries the oldest surviving ancestor observed at start as a
+  ``first_sid`` witness with the same oldest-first argument).
   ``latestOffset`` advertises ``last-sequence-number`` (table-global,
   monotone through rollbacks — rollback_iceberg is metadata-only)
   rather than the head snapshot's own sequence, so the watermark NEVER
@@ -170,7 +173,24 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         self._pos_seq = max(self._pos_seq or 0, 0)
-        return {"last_sid": None, "max_seq": 0}
+        # a fresh stream has no consumed-snapshot anchor yet, so the
+        # expiry guard needs a different witness: record the OLDEST
+        # surviving ancestor observed at start. If expiry later reaps
+        # it while batch 1 is still uncommitted, the replay raises the
+        # documented restart error instead of silently planning a
+        # window whose trimmed log entries no longer exist (expiry is
+        # oldest-first, so any in-window reap implies this witness was
+        # reaped too — same argument as the consumed anchor).
+        doc = _doc(self.path)
+        by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+        walk, oldest = doc.get("current-snapshot-id"), None
+        while walk is not None and walk in by_id:
+            oldest = walk
+            walk = by_id[walk].get("parent-snapshot-id")
+        off = {"last_sid": None, "max_seq": 0}
+        if oldest is not None:
+            off["first_sid"] = oldest
+        return off
 
     def latestOffset(self) -> dict:
         doc = _doc(self.path)
@@ -250,6 +270,19 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
                 "the tail fell behind expire_snapshots_iceberg — "
                 "restart the stream from a fresh checkpoint (a batch "
                 "read bootstraps the current state)"
+            )
+        # fresh-stream replay guard: batch 1's start carries the oldest
+        # surviving ancestor observed at initialOffset time; if expiry
+        # reaped it while the batch was uncommitted, the window's
+        # trimmed log entries are unplannable — raise, never silence
+        witness = start.get("first_sid")
+        if anchor is None and witness is not None and witness not in by_id:
+            raise ValueError(
+                f"first batch replay needs expired snapshot {witness}: "
+                "expire_snapshots_iceberg reaped history under the "
+                "uncommitted initial batch — restart the stream from a "
+                "fresh checkpoint (a batch read bootstraps the current "
+                "state)"
             )
         head = end.get("last_sid")
         if head is None:

@@ -2046,3 +2046,42 @@ def test_jdbc_catalog_context_manager(tmp_path, db_driver):
     assert cat._closed and cat._pool == []
     with pytest.raises(ValueError, match="closed"):
         cat.namespace_exists(("c",))
+
+
+def test_jdbc_pool_discards_connection_when_commit_fails(tmp_path):
+    """Review finding (round 8): if end_txn itself raises (e.g. sqlite
+    'database is locked' on commit), the connection may hold an open
+    half-applied transaction — pooling it would let the NEXT lease
+    commit this op's writes along with its own. The failed-end
+    connection must be closed, never pooled."""
+    import os
+
+    wh = str(tmp_path / "poison_wh")
+    os.makedirs(wh)
+    cat = JdbcCatalog(str(tmp_path / "poison.db"), wh, driver="sqlite")
+    cat.create_namespace(("p",))
+    assert len(cat._pool) == 1
+
+    orig = cat._driver.end_txn
+    state = {"fail_next_commit": True}
+
+    def flaky_end_txn(con, ok):
+        if ok and state["fail_next_commit"]:
+            state["fail_next_commit"] = False
+            raise RuntimeError("simulated commit failure (database is locked)")
+        return orig(con, ok)
+
+    cat._driver.end_txn = flaky_end_txn
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated commit failure"):
+        with cat._conn() as con:
+            con.execute(
+                "INSERT INTO iceberg_namespace_properties VALUES "
+                "('jdbc','ghost','exists','true')"
+            )
+    cat._driver.end_txn = orig
+    assert cat._pool == []  # the poisoned connection was closed, not pooled
+    # a later lease (fresh connection) must not see the failed write
+    assert cat.namespace_exists(("ghost",)) is False
+    assert cat.namespace_exists(("p",))  # catalog still functional

@@ -1054,3 +1054,37 @@ def test_mirror_stream_cap_engine_end_to_end(spark):
         )
     finally:
         q.stop()
+
+
+def test_mirror_fresh_batch_replay_detects_expiry(spark):
+    """Review finding (round 8): batch 1's start has no consumed-snapshot
+    anchor, so it carries the oldest surviving ancestor observed at
+    initialOffset as a first_sid witness. If expiry reaps history while
+    batch 1 is still uncommitted, the replay must RAISE — silently
+    planning the window would drop the reaped snapshots' rows (their
+    log entries are trimmed). A stream STARTED after the expiry still
+    replays the surviving log without error."""
+    import pytest as _pytest
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a")])
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    r = _reader(dest)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    # expiry reaps the two oldest snapshots under the uncommitted batch
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    with _pytest.raises(ValueError, match="first batch replay"):
+        r.partitions(start, end)
+
+    # a FRESH stream (post-expiry witness) replays the surviving log
+    r2 = _reader(dest)
+    rows, _ = _advance(r2, r2.initialOffset())
+    assert rows == [(3, "c")]
+
