@@ -18,17 +18,18 @@ from __future__ import annotations
 # physical plan changed since their last grade, then (c) the
 # stalest-graded names, oldest round first. Entering round 8 the
 # last-graded histogram is {r3:34, r4:46, r5:28, r6:50, r7:50}; the 50
-# slots below take the eight never-graded round-8 queries (TPC-H
+# slots below take the nine never-graded round-8 queries (TPC-H
 # literals q1/q4/q12/q14, the SCD2 dimension build roundeight.py:
 # b17_scd2_intervals, the admission-control tail
 # b30_stream_backpressure, the hard-negative miner c03_hard_negatives,
-# and the cell-blocked kNN graph c03_knn_graph),
+# the cell-blocked kNN graph c03_knn_graph, and the fuzzy
+# decontamination pass c06_contamination_fuzzy),
 # b30_stream_from_iceberg + b30_stream_to_table (their transport was
 # rewritten round 8: partition-planning DataSourceStreamReader in both
 # stream sources — b30_stream_to_table is also r3-stale), all 34
-# r3-graded names, and 7 r4-graded picks (the round-8 full-inventory
+# r3-graded names, and 6 r4-graded picks (the round-8 full-inventory
 # rerun covers everything else). After r8 grades, nothing is older
-# than r4 (the remaining 39 r4 names rotate in next round).
+# than r4 (the remaining 40 r4 names rotate in next round).
 # Everything rotated out stays in the registry and in the judge's full
 # rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
@@ -41,6 +42,7 @@ PRIORITY_ORDER = [
     "b30_stream_backpressure",  # NEW: max-files-per-trigger catch-up
     "c03_hard_negatives",  # NEW: contrastive hard-negative mining
     "c03_knn_graph",  # NEW: cell-blocked kNN-graph construction
+    "c06_contamination_fuzzy",  # NEW: MinHash near-dup decontamination
     # --- plan touched round 8 (partition-planned stream readers) ---
     "b30_stream_from_iceberg",  # mirror tail: DataSourceStreamReader
     # --- last graded round 3 (34; b30_stream_to_table also plan-touched) ---
@@ -56,10 +58,10 @@ PRIORITY_ORDER = [
     "c02_connected_components", "c02_incremental_dedup", "c03_ann_ivfpq",
     "c03_ann_rerank", "c03_hybrid_rrf", "c03_knn_bruteforce",
     "c03_semantic_dedup", "c04_phrase_mining", "c04_vocab_build",
-    # --- last graded round 4 (7 of 46; rest rotate next round) ---
+    # --- last graded round 4 (6 of 46; rest rotate next round) ---
     "a32_bloom_pruning", "b03_catalog_create_schema",
     "b06_systematic_sample", "b08_join_right", "b13_sessionization",
-    "b15_exact_percentiles", "b26_higher_order_funs",
+    "b15_exact_percentiles",
 ]
 
 

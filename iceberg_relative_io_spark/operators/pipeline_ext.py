@@ -100,6 +100,87 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_TAU = 0.5  # Jaccard threshold for near-dup test leakage
+
+
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (eval hygiene, the NEAR-DUP pass): exact 5-gram overlap
+    (c06_contamination_check) misses lightly-edited test leakage — the
+    fuzzy pass every frontier data card reports. The test split
+    (content-hash bucket >= 90, the c06_train_split assignment) probes
+    the train split (bucket < 80) through the MinHash LSH band join;
+    band collisions are verified with exact Jaccard >= _FUZZY_TAU over
+    distinct shingle sets. Output: one verdict row per test doc with
+    its best train match and max Jaccard.
+
+    At 100 TB: eval sets are tiny next to the corpus, so the TEST side
+    broadcasts and the probe is one map-only pass over the train bands
+    — no corpus self-join, the same asymmetric shape as
+    c02_incremental_dedup (whose index side is plan-asserted
+    shuffle-free)."""
+    from iceberg_relative_io_spark.operators.northstar import _signatures
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (T.fingerprint(F.col("text")) % 100).alias("bucket")
+    )
+    sigs = _signatures(spark, sf_dir).join(docs, "doc_id")
+    bands = sigs.select(
+        "doc_id",
+        "lang",
+        "sh",
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "lang", "sh", "bucket", "bs.band", "bs.bsig")
+    test = bands.filter(F.col("bucket") >= 90)
+    train = bands.filter(F.col("bucket") < 80)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jacc = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    matches = (
+        F.broadcast(test.alias("a"))
+        .join(
+            train.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            jacc.alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= _FUZZY_TAU)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_train_matches"),
+            F.min("match_id").alias("best_train_match"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    test_docs = test.select("doc_id", "lang").distinct()
+    return test_docs.join(F.broadcast(matches), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_train_matches", F.lit(0)).alias("n_train_matches"),
+        F.coalesce("best_train_match", F.lit(-1)).alias("best_train_match"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("n_train_matches", F.lit(0)) > 0)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 (mixing): per-source quota sampling — keep at most N documents
     per source, chosen deterministically (lowest doc_id), the skew-safe
@@ -195,6 +276,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "c04_repetition_ratio": q_repetition_ratio,
     "c06_contamination_check": q_contamination_check,
+    "c06_contamination_fuzzy": q_contamination_fuzzy,
     "c06_source_quota_sample": q_source_quota_sample,
     "c03_label_centroids": q_label_centroids,
     "c05_audio_energy": q_audio_energy,
@@ -224,6 +306,7 @@ ORACLE = {
                     ELSE 0.0 END AS rep_ratio
         FROM g
     """,
+    "c06_contamination_fuzzy": None,  # built below (needs northstar CTEs)
     "c06_contamination_check": f"""
         WITH g AS (SELECT doc_id, lang,
                           ({T.fingerprint_sql('text')}) % 100 AS bucket,
@@ -300,3 +383,54 @@ ORACLE = {
         GROUP BY label, i
     """,
 }
+
+
+def _fuzzy_contamination_oracle() -> str:
+    """Oracle twin of q_contamination_fuzzy: the same shingle/minhash/
+    band builders as c02_incremental_dedup's oracle, the bucket split of
+    c06_contamination_check, verification Jaccard over DISTINCT shingle
+    sets (Spark's sh column IS the distinct set)."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        _MINS,
+        _docs_with_shingles_cte,
+    )
+
+    band_vals = ", ".join(
+        f"({b}, {T.band_signature_sql(_MINS, b)})" for b in range(T.BANDS)
+    )
+    return (
+        _docs_with_shingles_cte()
+        + f""",
+        bk AS (SELECT doc_id, ({T.fingerprint_sql('text')}) % 100 AS bucket
+               FROM documents),
+        bands AS (SELECT s.doc_id, s.lang, s.shingles, bk.bucket, band, sig
+                  FROM sh s JOIN bk ON s.doc_id = bk.doc_id,
+                       LATERAL (VALUES {band_vals}) AS t(band, sig)),
+        verified AS (
+            SELECT DISTINCT a.doc_id, b.doc_id AS match_id,
+                   CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+                   / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                      - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) AS jaccard
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig
+            WHERE a.bucket >= 90 AND b.bucket < 80
+        ),
+        matches AS (
+            SELECT doc_id, count(*) AS n_train_matches,
+                   min(match_id) AS best_train_match,
+                   max(jaccard) AS max_jaccard
+            FROM verified WHERE jaccard >= {_FUZZY_TAU!r} GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.lang,
+               CAST(COALESCE(m.n_train_matches, 0) AS BIGINT) AS n_train_matches,
+               COALESCE(m.best_train_match, -1) AS best_train_match,
+               COALESCE(m.max_jaccard, 0.0) AS max_jaccard,
+               CAST(COALESCE(m.n_train_matches, 0) > 0 AS INT) AS is_contaminated
+        FROM (SELECT d.doc_id, d.lang FROM documents d JOIN bk ON d.doc_id = bk.doc_id
+              WHERE bk.bucket >= 90) t
+        LEFT JOIN matches m ON t.doc_id = m.doc_id
+        """
+    )
+
+
+ORACLE["c06_contamination_fuzzy"] = _fuzzy_contamination_oracle()

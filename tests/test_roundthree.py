@@ -390,3 +390,32 @@ def test_survivorship_edge_collect_is_guarded(spark, sf_dir, monkeypatch):
     got_lp = {(r.doc_id, r.component, r.survivor)
               for r in N.q_dedup_survivors(spark, sf_dir).collect()}
     assert got_lp == want and called == {"uf": 1, "lp": 1}
+
+
+def test_contamination_fuzzy_semantics(spark, sf_dir):
+    """c06_contamination_fuzzy: one verdict row per test-split doc; every
+    flagged doc's match is a TRAIN-split doc with Jaccard >= tau; and the
+    content-hash split itself guarantees no cross-split EXACT duplicate
+    (identical text -> identical fingerprint -> same bucket), so fuzzy
+    hits are genuinely near-dups, never exact copies."""
+    from iceberg_relative_io_spark.functions import text as T
+    from iceberg_relative_io_spark.operators import pipeline_ext as P
+    from iceberg_relative_io_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = P.q_contamination_fuzzy(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (T.fingerprint(F.col("text")) % 100).alias("bucket")
+    ).collect()
+    bucket = {r.doc_id: r.bucket for r in docs}
+    text = {r.doc_id: r.text for r in docs}
+    test_ids = {d for d, b in bucket.items() if b >= 90}
+    assert {r.doc_id for r in rows} == test_ids  # exactly one row each
+    for r in rows:
+        if r.is_contaminated:
+            assert r.max_jaccard >= P._FUZZY_TAU
+            assert bucket[r.best_train_match] < 80  # train-side match
+            # near-dup, not an exact copy (split leakage-safety)
+            assert text[r.best_train_match] != text[r.doc_id]
+        else:
+            assert (r.n_train_matches, r.best_train_match) == (0, -1)

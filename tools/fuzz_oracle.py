@@ -46,7 +46,7 @@ DEFAULT_QUERIES = [
     "c06_curriculum_order", "c06_train_split", "c06_shard_shuffle",
     "b12_asof_join", "b13_sessionization", "b15_exact_percentiles",
     "b19_window_frames", "b17_scd2_intervals", "c03_hard_negatives",
-    "c03_knn_graph",
+    "c03_knn_graph", "c06_contamination_fuzzy",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",
