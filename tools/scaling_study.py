@@ -88,6 +88,7 @@ MEASURED = [
     # round 8 batch 2: retrieval-training data ops
     "c03_hard_negatives",
     "c03_knn_graph",
+    "c06_contamination_fuzzy",
 ]
 
 
