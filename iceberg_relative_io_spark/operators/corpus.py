@@ -128,21 +128,9 @@ def _side_bands(spark: SparkSession, sf_dir: str, incoming: bool) -> DataFrame:
     side = sigs.filter(
         (F.col("doc_id") % 10 == 0) if incoming else (F.col("doc_id") % 10 != 0)
     )
-    return side.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
-                    )
-                    for b in range(T.BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "sh", "bs.band", "bs.bsig")
+    from iceberg_relative_io_spark.operators.northstar import banded
+
+    return banded(side, "doc_id", "sh")
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,22 +457,9 @@ def q_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_relative_io_spark.operators.northstar import _signatures
 
     sigs = _signatures(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
-                    )
-                    for b in range(T.BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "sig", "sh", "bs.band", "bs.bsig")
+    from iceberg_relative_io_spark.operators.northstar import banded
+
+    bands = banded(sigs, "doc_id", "sig", "sh")
     a, b = bands.alias("a"), bands.alias("b")
     n_agree = F.aggregate(
         F.zip_with(

@@ -216,6 +216,28 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SIG_CACHE[key]
 
 
+
+def banded(sigs, *carry: str):
+    """Explode a signature frame into one row per LSH band:
+    ``(*carry, band, bsig)``. The ONE definition of the banding shape —
+    every LSH consumer (candidate pairs, simhash-agree, incremental
+    dedup, fuzzy decontamination, capstones) must band identically or
+    their candidate sets silently diverge."""
+    return sigs.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
+                    )
+                    for b in range(T.BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(*carry, "bs.band", "bs.bsig")
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (MinHash): per-document signature + LSH band signatures. The
     oracle recomputes the full integer pipeline in SQL, so all 16
@@ -243,21 +265,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps any key at cap rows per side, spreading the quadratic over
     C(C+1)/2 bounded tasks with exact pair semantics."""
     sigs = _signatures(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
-                    )
-                    for b in range(T.BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "sh", "bs.band", "bs.bsig")
+    bands = banded(sigs, "doc_id", "sh")
     # hot-bucket occupancy computed ONCE per (session, sf_dir) on the
     # persisted signature cache and itself persisted (it is empty or
     # tiny): the four LSH-family queries that re-enter this function

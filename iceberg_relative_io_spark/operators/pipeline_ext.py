@@ -111,43 +111,28 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train split (bucket < 80) through the MinHash LSH band join;
     band collisions are verified with exact Jaccard >= _FUZZY_TAU over
     distinct shingle sets. Output: one verdict row per test doc with
-    its best train match and max Jaccard.
+    its best train match (the argmax-Jaccard match, ties to the lowest
+    doc_id) and max Jaccard.
 
     At 100 TB: eval sets are tiny next to the corpus, so the TEST side
     broadcasts and the probe is one map-only pass over the train bands
     — no corpus self-join, the same asymmetric shape as
     c02_incremental_dedup (whose index side is plan-asserted
     shuffle-free)."""
-    from iceberg_relative_io_spark.operators.northstar import _signatures
+    from iceberg_relative_io_spark.operators.northstar import _signatures, banded
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", (T.fingerprint(F.col("text")) % 100).alias("bucket")
     )
     sigs = _signatures(spark, sf_dir).join(docs, "doc_id")
-    bands = sigs.select(
-        "doc_id",
-        "lang",
-        "sh",
-        "bucket",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
-                    )
-                    for b in range(T.BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "lang", "sh", "bucket", "bs.band", "bs.bsig")
+    bands = banded(sigs, "doc_id", "lang", "sh", "bucket")
     test = bands.filter(F.col("bucket") >= 90)
     train = bands.filter(F.col("bucket") < 80)
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     jacc = inter.cast("double") / (
         F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     )
-    matches = (
+    cand = (
         F.broadcast(test.alias("a"))
         .join(
             train.alias("b"),
@@ -161,10 +146,21 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("jaccard") >= _FUZZY_TAU)
+    )
+    # best = the ARGMAX-Jaccard match (ties to the lowest doc_id), so
+    # the (best_train_match, max_jaccard) pair actually co-occurred —
+    # a leak-triage report must point at the right document
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), "match_id"
+    )
+    matches = (
+        cand.withColumn("rn", F.row_number().over(wbest))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_train_matches"),
-            F.min("match_id").alias("best_train_match"),
+            F.max(F.when(F.col("rn") == 1, F.col("match_id"))).alias(
+                "best_train_match"
+            ),
             F.max("jaccard").alias("max_jaccard"),
         )
     )
@@ -417,9 +413,12 @@ def _fuzzy_contamination_oracle() -> str:
         ),
         matches AS (
             SELECT doc_id, count(*) AS n_train_matches,
-                   min(match_id) AS best_train_match,
+                   max(CASE WHEN rn = 1 THEN match_id END) AS best_train_match,
                    max(jaccard) AS max_jaccard
-            FROM verified WHERE jaccard >= {_FUZZY_TAU!r} GROUP BY doc_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY jaccard DESC, match_id) AS rn
+                  FROM verified WHERE jaccard >= {_FUZZY_TAU!r})
+            GROUP BY doc_id
         )
         SELECT t.doc_id, t.lang,
                CAST(COALESCE(m.n_train_matches, 0) AS BIGINT) AS n_train_matches,

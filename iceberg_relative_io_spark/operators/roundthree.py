@@ -550,25 +550,10 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: identical plan shape to c02_lsh_candidate_pairs — one
     band-keyed shuffle join over the persisted signature table plus the
     pair dedup."""
-    from iceberg_relative_io_spark.functions import text as T
-    from iceberg_relative_io_spark.operators.northstar import _signatures
+    from iceberg_relative_io_spark.operators.northstar import _signatures, banded
 
     sigs = _signatures(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        T.band_signature_from_sig(F.col("sig"), b).alias("bsig"),
-                    )
-                    for b in range(T.BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "sh", "bs.band", "bs.bsig")
+    bands = banded(sigs, "doc_id", "sh")
     a, b = bands.alias("a"), bands.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     pairs = (

@@ -190,6 +190,13 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         off = {"last_sid": None, "max_seq": 0}
         if oldest is not None:
             off["first_sid"] = oldest
+        else:
+            # empty mirror: there is no snapshot to witness, but the
+            # stream still "saw genesis" — batch 1's replay must find an
+            # UNBROKEN chain back to a null-parent genesis snapshot
+            # (expiry keeps the boundary's dangling parent pointer, so a
+            # trimmed chain is detectable)
+            off["genesis"] = True
         return off
 
     def latestOffset(self) -> dict:
@@ -284,6 +291,30 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
                 "fresh checkpoint (a batch read bootstraps the current "
                 "state)"
             )
+        if (
+            anchor is None
+            and start.get("genesis")
+            and end.get("last_sid") in by_id
+        ):
+            # the stream started on an EMPTY mirror, so batch 1 owns the
+            # full history: its end's ancestry must reach a null-parent
+            # genesis snapshot. Expiry keeps the boundary's dangling
+            # parent pointer, so a trimmed chain is detectable — raise,
+            # never silently plan a partial window.
+            walk = end["last_sid"]
+            while True:
+                parent = by_id[walk].get("parent-snapshot-id")
+                if parent is None:
+                    break  # unbroken chain to genesis
+                if parent not in by_id:
+                    raise ValueError(
+                        f"first batch replay needs expired snapshot "
+                        f"{parent}: expire_snapshots_iceberg reaped "
+                        "history under the uncommitted initial batch — "
+                        "restart the stream from a fresh checkpoint (a "
+                        "batch read bootstraps the current state)"
+                    )
+                walk = parent
         head = end.get("last_sid")
         if head is None:
             return []

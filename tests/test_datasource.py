@@ -1088,3 +1088,57 @@ def test_mirror_fresh_batch_replay_detects_expiry(spark):
     rows, _ = _advance(r2, r2.initialOffset())
     assert rows == [(3, "c")]
 
+
+
+def test_mirror_empty_start_replay_detects_expiry(spark):
+    """Review finding (round 8, follow-up): a stream started on an EMPTY
+    mirror has no snapshot to witness — batch 1's replay instead demands
+    an unbroken parent chain to a null-parent genesis (expiry keeps the
+    boundary's dangling parent pointer). Reaping history under the
+    uncommitted first batch raises; a legitimate empty->append flow
+    streams fine."""
+    import pytest as _pytest
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    # build a SNAPSHOT-LESS mirror, the state an external writer's
+    # freshly-created Iceberg table has before its first commit (our own
+    # exporter always writes one snapshot, so surgically reset the doc)
+    import json as _json
+    import os as _os
+
+    wh = tempfile.mkdtemp(prefix="mirror_empty_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    ops = cat.create_table(("ns",), "m0", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    dest = tempfile.mkdtemp(prefix="mirror_empty_")
+    iceberg_export.export_iceberg(table, dest)
+    meta_path = _os.path.join(dest, "metadata", "v1.metadata.json")
+    doc = _json.loads(open(meta_path).read())
+    doc["snapshots"] = []
+    doc["snapshot-log"] = []
+    doc["refs"] = {}
+    doc.pop("current-snapshot-id", None)
+    doc["last-sequence-number"] = 0
+    open(meta_path, "w").write(_json.dumps(doc))
+
+    r = _reader(dest)
+    start = r.initialOffset()
+    assert start.get("genesis") is True
+    # legitimate flow first: appends land, the batch replays cleanly
+    for k in range(3):
+        iceberg_export.append_iceberg(
+            spark,
+            dest,
+            spark.createDataFrame([(10 + k, f"v{k}")], "id long, v string"),
+        )
+    end = r.latestOffset()
+    assert sorted(_replay(r, start, end)) == [
+        (10, "v0"), (11, "v1"), (12, "v2")
+    ]
+    # now expiry reaps history under the (still uncommitted) batch
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    with _pytest.raises(ValueError, match="first batch replay"):
+        r.partitions(start, end)
