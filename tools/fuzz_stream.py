@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Randomized mirror-tail fuzz: exactly-once under arbitrary histories.
+
+The round-8 stream transport (partition-planning reader + sequence
+watermark + max-files-per-trigger admission control) is driven the way
+the engine drives it — latestOffset -> partitions(start, end) -> per-
+file reads -> commit — against a mirror mutated by a random interleave
+of multi-file appends, manifest rewrites, and expiry (expiry only when
+the tail is caught up; the reaped-under-lag RAISE paths are pinned
+deterministically in tests/test_datasource.py). Between mutations the
+tail advances a random number of batches, so it is routinely BEHIND a
+multi-snapshot backlog when it catches up — the admission-control
+window arithmetic (sequence grouping, replace-at-same-sequence ties,
+oversized-commit floor) is exercised at every lag depth.
+
+Invariants checked per seed:
+- NO ROW EMITS TWICE, ever (exactly-once across every interleave);
+- after the final catch-up the consumed multiset EQUALS every row ever
+  appended (nothing lost across rewrites/expiry);
+- with a cap set, every batch stays within the cap unless a single
+  sequence exceeds it (the >=1-sequence progress floor is the only
+  legal overshoot).
+
+Usage: python tools/fuzz_stream.py [n_seeds] [n_ops]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_seed(spark, seed: int, n_ops: int) -> None:
+    from iceberg_relative_io_spark.catalog import (
+        FsCatalog,
+        RelativeTable,
+        iceberg_export,
+    )
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorStreamReader,
+    )
+
+    rng = random.Random(seed)
+    wh = tempfile.mkdtemp(prefix=f"fs_wh_{seed}_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df0 = spark.createDataFrame([(0, "seed")], "id long, v string")
+    ops = cat.create_table(("ns",), "t", df0.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df0)
+    dest = tempfile.mkdtemp(prefix=f"fs_{seed}_")
+    iceberg_export.export_iceberg(table, dest)
+
+    cap = rng.choice([None, 1, 2, 3])
+    opts = {"path": dest}
+    if cap is not None:
+        opts["max-files-per-trigger"] = str(cap)
+    r = IcebergMirrorStreamReader(opts, df0.schema)
+    pos = r.initialOffset()
+
+    appended: set[tuple] = {(0, "seed")}
+    consumed: list[tuple] = []
+    next_id = 1
+
+    def current_seqs():
+        from iceberg_relative_io_spark.sources.iceberg_mirror_source import _doc
+
+        doc = _doc(dest)
+        out = {}
+        by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
+        walk = doc.get("current-snapshot-id")
+        while walk is not None and walk in by_id:
+            s = by_id[walk]
+            if s.get("summary", {}).get("operation", "append") == "append":
+                out[s.get("sequence-number") or 0] = int(
+                    s.get("summary", {}).get("added-data-files")
+                    or s.get("summary", {}).get("total-data-files")
+                    or 1
+                )
+            walk = s.get("parent-snapshot-id")
+        return out
+
+    def advance(max_batches: int) -> int:
+        """Drive up to max_batches engine-shaped micro-batches."""
+        nonlocal pos
+        n = 0
+        while n < max_batches:
+            end = r.latestOffset()
+            if end == pos:
+                break
+            parts = r.partitions(pos, end)
+            if cap is not None and parts:
+                # the legal overshoot is ONE oversized sequence inside
+                # this window (the >=1-sequence progress floor)
+                win = {
+                    q: f
+                    for q, f in current_seqs().items()
+                    if (pos.get("max_seq") or 0) < q <= (end.get("max_seq") or 0)
+                }
+                biggest_seq = max(win.values(), default=1)
+                assert len(parts) <= max(cap, biggest_seq), (
+                    f"seed {seed}: batch of {len(parts)} files exceeds "
+                    f"cap {cap} and the largest single in-window "
+                    f"sequence {biggest_seq}"
+                )
+            names = [f.name for f in r.schema.fields]
+            for p in parts:
+                for b in r.read(p):
+                    for row in zip(*[b.column(c).to_pylist() for c in names]):
+                        consumed.append(tuple(row))
+            r.commit(end)
+            pos = end
+            n += 1
+        return n
+
+    def caught_up() -> bool:
+        # NON-MUTATING: probing via r.latestOffset() would advance the
+        # reader's self-tracked admission base without a batch being
+        # planned (the engine always turns a latestOffset result into a
+        # batch end, so the base never runs ahead of planning there)
+        from iceberg_relative_io_spark.sources.iceberg_mirror_source import _doc
+
+        doc = _doc(dest)
+        head = doc.get("current-snapshot-id")
+        if head is None:
+            return True
+        return (pos.get("max_seq") or 0) >= doc["last-sequence-number"]
+
+    advance(10)  # consume the export era
+    for _ in range(n_ops):
+        op = rng.random()
+        if op < 0.6:  # append 1-3 files
+            nfiles = rng.randrange(1, 4)
+            rows = [
+                (next_id + i, f"s{seed}v{next_id + i}")
+                for i in range(rng.randrange(1, 5))
+            ]
+            next_id += len(rows)
+            appended.update(rows)
+            iceberg_export.append_iceberg(
+                spark,
+                dest,
+                spark.createDataFrame(rows, "id long, v string").repartition(
+                    nfiles
+                ),
+            )
+        elif op < 0.75:
+            iceberg_export.rewrite_manifests_iceberg(dest)
+        elif op < 0.9:
+            # expiry only when caught up (the lagging-tail raise paths
+            # are deterministic tests); keep >= 1 snapshot
+            if caught_up():
+                iceberg_export.expire_snapshots_iceberg(
+                    dest, keep_last=rng.randrange(1, 4)
+                )
+        advance(rng.randrange(0, 3))  # sometimes lag behind
+
+    while advance(50):  # final catch-up
+        pass
+    assert len(consumed) == len(set(consumed)), (
+        f"seed {seed}: duplicate emission — "
+        f"{len(consumed) - len(set(consumed))} rows repeated"
+    )
+    assert set(consumed) == appended, (
+        f"seed {seed}: lost {sorted(appended - set(consumed))[:5]} / "
+        f"phantom {sorted(set(consumed) - appended)[:5]}"
+    )
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    from iceberg_relative_io_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_stream")
+    for seed in range(1, n_seeds + 1):
+        run_seed(spark, seed, n_ops)
+        print(f"OK  seed {seed} ({n_ops} ops)", flush=True)
+    print(f"{n_seeds}/{n_seeds} seeds clean")
+
+
+if __name__ == "__main__":
+    main()
