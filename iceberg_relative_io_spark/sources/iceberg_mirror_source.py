@@ -19,14 +19,18 @@ scan):
   append entries at or below the watermark skip without IO) and plans
   only files in ``(start.max_seq, end.max_seq]``. A positional index
   would silently misalign when ``expire_snapshots_iceberg`` trims log
-  entries; the watermark is immune to trimming, and the anchor turns a
-  reaped anchor snapshot into a LOUD "restart from a fresh checkpoint"
-  error instead of silent loss (expiry is oldest-first, so any
-  unconsumed snapshot being reaped implies the strictly-older anchor
-  was reaped too — the anchor check is both necessary and sufficient
-  once a batch has committed; batch 1, whose start has no anchor,
-  carries the oldest surviving ancestor observed at start as a
-  ``first_sid`` witness with the same oldest-first argument).
+  entries; the watermark is immune to trimming, and a reaped anchor
+  raises a LOUD "restart from a fresh checkpoint" error instead of
+  silent loss WHEN data was actually lost: expiry is oldest-first and
+  sequences never decrease child->parent, so every reaped sequence is
+  at or below the oldest SURVIVING ancestor's — if that boundary is at
+  or below the consumed watermark, the reaped history was already
+  consumed (a caught-up tail whose anchor aged out) and the tail
+  proceeds; above it, unconsumed content is gone and the error fires.
+  Batch 1, whose start has no anchor, carries the oldest surviving
+  ancestor observed at start as a ``first_sid`` witness (or a
+  ``genesis`` marker on a snapshot-less table) with the same
+  oldest-first argument.
   ``latestOffset`` advertises ``last-sequence-number`` (table-global,
   monotone through rollbacks — rollback_iceberg is metadata-only)
   rather than the head snapshot's own sequence, so the watermark NEVER
@@ -272,12 +276,32 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         by_id = {s["snapshot-id"]: s for s in doc["snapshots"]}
         anchor = start.get("last_sid")
         if anchor is not None and anchor not in by_id:
-            raise ValueError(
-                f"stream offset anchored at expired snapshot {anchor}: "
-                "the tail fell behind expire_snapshots_iceberg — "
-                "restart the stream from a fresh checkpoint (a batch "
-                "read bootstraps the current state)"
-            )
+            # a reaped anchor is only DATA LOSS if something unconsumed
+            # was reaped with it. Expiry is oldest-first along the
+            # ancestry and sequences never decrease child->parent, so
+            # every reaped sequence <= the oldest SURVIVING ancestor's
+            # sequence: if that boundary is at or below the consumed
+            # watermark (a caught-up tail whose old anchor aged out —
+            # found by tools/fuzz_stream.py), everything reaped was
+            # already consumed and the tail proceeds; otherwise raise.
+            boundary_seq, dangling = None, False
+            walk = end.get("last_sid")
+            while walk is not None and walk in by_id:
+                snap = by_id[walk]
+                boundary_seq = snap.get("sequence-number") or 0
+                parent = snap.get("parent-snapshot-id")
+                dangling = parent is not None and parent not in by_id
+                walk = parent
+            if dangling and (
+                boundary_seq is None
+                or boundary_seq > (start.get("max_seq") or 0)
+            ):
+                raise ValueError(
+                    f"stream offset anchored at expired snapshot {anchor}: "
+                    "the tail fell behind expire_snapshots_iceberg — "
+                    "restart the stream from a fresh checkpoint (a batch "
+                    "read bootstraps the current state)"
+                )
         # fresh-stream replay guard: batch 1's start carries the oldest
         # surviving ancestor observed at initialOffset time; if expiry
         # reaped it while the batch was uncommitted, the window's

@@ -1142,3 +1142,33 @@ def test_mirror_empty_start_replay_detects_expiry(spark):
     iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
     with _pytest.raises(ValueError, match="first batch replay"):
         r.partitions(start, end)
+
+
+def test_mirror_caught_up_tail_tolerates_aged_out_anchor(spark):
+    """Fuzz-found (tools/fuzz_stream.py): a CAUGHT-UP tail whose anchor
+    snapshot ages out of retention must keep streaming — every reaped
+    sequence is at or below the oldest surviving ancestor's, which is at
+    or below the consumed watermark, so nothing unconsumed was reaped.
+    The fell-behind case (boundary above the watermark) still raises
+    (test_mirror_tail_survives_log_trimming_by_expiry)."""
+    from iceberg_relative_io_spark.catalog import iceberg_export
+
+    dest = _mirror(spark, [(1, "a")])
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    r = _reader(dest)
+    rows, off = _advance(r, r.initialOffset())
+    assert sorted(rows) == [(1, "a"), (2, "b")]  # caught up; anchor = head
+    # a manifest rewrite moves the head WITHOUT new content, then expiry
+    # reaps everything but the rewrite — including the tail's anchor
+    iceberg_export.rewrite_manifests_iceberg(dest)
+    iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    rows2, off2 = _advance(r, off)
+    assert rows2 == []  # tolerated: nothing unconsumed was reaped
+    # and the tail keeps flowing afterwards, exactly once
+    iceberg_export.append_iceberg(
+        spark, dest, spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    rows3, _ = _advance(r, off2)
+    assert rows3 == [(3, "c")]
