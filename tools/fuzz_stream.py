@@ -5,18 +5,24 @@ The round-8 stream transport (partition-planning reader + sequence
 watermark + max-files-per-trigger admission control) is driven the way
 the engine drives it — latestOffset -> partitions(start, end) -> per-
 file reads -> commit — against a mirror mutated by a random interleave
-of multi-file appends, manifest rewrites, and expiry (expiry only when
-the tail is caught up; the reaped-under-lag RAISE paths are pinned
-deterministically in tests/test_datasource.py). Between mutations the
+of multi-file appends, manifest rewrites, metadata-only rollbacks, and
+expiry (expiry only when the tail is caught up; the reaped-under-lag
+RAISE paths are pinned deterministically in
+tests/test_datasource.py). Between mutations the
 tail advances a random number of batches, so it is routinely BEHIND a
 multi-snapshot backlog when it catches up — the admission-control
 window arithmetic (sequence grouping, replace-at-same-sequence ties,
 oversized-commit floor) is exercised at every lag depth.
 
 Invariants checked per seed:
-- NO ROW EMITS TWICE, ever (exactly-once across every interleave);
-- after the final catch-up the consumed multiset EQUALS every row ever
-  appended (nothing lost across rewrites/expiry);
+- NO ROW EMITS TWICE, ever (exactly-once across every interleave,
+  including a rollback later re-flowed past by fresh appends);
+- no PHANTOM rows (everything consumed was appended);
+- after the final catch-up, every append snapshot reachable from the
+  FINAL head's ancestry has been consumed (nothing lost across
+  rewrites/rollbacks/expiry; a rolled-back append the watermark never
+  reached legitimately never emits — exactly-once beats completeness,
+  the documented trade);
 - with a cap set, every batch stays within the cap unless a single
   sequence exceeds it (the >=1-sequence progress floor is the only
   legal overshoot).
@@ -64,6 +70,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
     pos = r.initialOffset()
 
     appended: set[tuple] = {(0, "seed")}
+    rows_of_snapshot: dict[int, set] = {}  # append sid -> its rows
     consumed: list[tuple] = []
     next_id = 1
 
@@ -149,8 +156,27 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                     nfiles
                 ),
             )
-        elif op < 0.75:
+            from iceberg_relative_io_spark.sources.iceberg_mirror_source import _doc
+
+            rows_of_snapshot[_doc(dest)["current-snapshot-id"]] = set(rows)
+        elif op < 0.7:
             iceberg_export.rewrite_manifests_iceberg(dest)
+        elif op < 0.8:
+            # metadata-only rollback to a random retained ancestor of
+            # the head (skip when there is no strict ancestor)
+            from iceberg_relative_io_spark.sources.iceberg_mirror_source import _doc
+
+            doc = _doc(dest)
+            by_id = {x["snapshot-id"]: x for x in doc["snapshots"]}
+            walk = by_id.get(doc.get("current-snapshot-id"), {}).get(
+                "parent-snapshot-id"
+            )
+            ancestors = []
+            while walk is not None and walk in by_id:
+                ancestors.append(walk)
+                walk = by_id[walk].get("parent-snapshot-id")
+            if ancestors:
+                iceberg_export.rollback_iceberg(dest, rng.choice(ancestors))
         elif op < 0.9:
             # expiry only when caught up (the lagging-tail raise paths
             # are deterministic tests); keep >= 1 snapshot
@@ -166,10 +192,27 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
         f"seed {seed}: duplicate emission — "
         f"{len(consumed) - len(set(consumed))} rows repeated"
     )
-    assert set(consumed) == appended, (
-        f"seed {seed}: lost {sorted(appended - set(consumed))[:5]} / "
-        f"phantom {sorted(set(consumed) - appended)[:5]}"
+    got = set(consumed)
+    assert got <= appended, (
+        f"seed {seed}: phantom rows {sorted(got - appended)[:5]}"
     )
+    # completeness over the FINAL head's ancestry: every reachable
+    # append snapshot's rows must be present (rolled-back appends the
+    # watermark never reached are legitimately absent)
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import _doc
+
+    doc = _doc(dest)
+    by_id = {x["snapshot-id"]: x for x in doc["snapshots"]}
+    walk = doc.get("current-snapshot-id")
+    while walk is not None and walk in by_id:
+        need = rows_of_snapshot.get(walk)
+        if need is not None:
+            missing = need - got
+            assert not missing, (
+                f"seed {seed}: snapshot {walk} on the final ancestry "
+                f"lost rows {sorted(missing)[:5]}"
+            )
+        walk = by_id[walk].get("parent-snapshot-id")
 
 
 def main() -> None:
