@@ -1409,7 +1409,12 @@ def _write_data_files(
     return entries, total_rows
 
 
-def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
+def append_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    extra_summary: dict | None = None,
+) -> dict:
     """Commit ``df`` as a new APPEND snapshot on an existing Iceberg v2
     table directory — the incremental half of the interop story: after
     one ``export_iceberg``, a pipeline keeps the external mirror current
@@ -1533,6 +1538,9 @@ def append_iceberg(spark: SparkSession, table_dir: str, df: DataFrame) -> dict:
             "operation": "append",
             "added-data-files": str(len(entries)),
             "added-records": str(total_rows),
+            # extra_summary: idempotent stream sinks record their epoch
+            # key here (stream-batch-id) — same hook as the native format
+            **(extra_summary or {}),
         },
         "manifest-list": ml_path,
         "schema-id": doc["current-schema-id"],

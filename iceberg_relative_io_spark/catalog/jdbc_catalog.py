@@ -107,11 +107,18 @@ class SqliteDriver:
 
 class DuckDbDriver:
     name = "duckdb"
-    # duckdb takes an EXCLUSIVE file lock per open write connection: a
-    # held connection would block every other catalog instance on the
-    # same db file, so this driver stays connect-per-transaction
-    # (autocommit; the connection context manager closes it)
-    poolable = False
+    # Pooled since round 9: a COLD duckdb file connect costs ~15ms
+    # (open + WAL replay), and the round-8 connect-per-transaction
+    # choice put that on every catalog statement — measured as the
+    # b04_sql_views 1.0s→3.3s bench regression. Held connections are
+    # safe in-process: the duckdb Python module caches one database
+    # instance per path, so other catalog instances on the same file
+    # coexist with the pool (verified: a second connect while one is
+    # held reads the first's commits). Cross-PROCESS concurrent access
+    # to one duckdb file is unsupported by duckdb itself regardless of
+    # pooling. Statements are autocommit by default, so the pool's txn
+    # scope opens an explicit transaction via the begin() hook.
+    poolable = True
     # DuckDB can't ADD COLUMN with constraints; DEFAULT backfills rows
     migrate_v1_sql = (
         "ALTER TABLE iceberg_tables ADD COLUMN record_type TEXT DEFAULT 'TABLE'"
@@ -127,6 +134,17 @@ class DuckDbDriver:
         import duckdb
 
         return duckdb.connect(db_path)
+
+    @staticmethod
+    def begin(con) -> None:
+        con.execute("BEGIN TRANSACTION")
+
+    @staticmethod
+    def end_txn(con, ok: bool) -> None:
+        # an error inside the txn leaves it aborted; both catalog catch
+        # sites re-raise, so the ok=False ROLLBACK path (valid on an
+        # aborted duckdb txn) is the only one that can follow an error
+        con.execute("COMMIT" if ok else "ROLLBACK")
 
     @staticmethod
     def changes(cur) -> int:
@@ -191,6 +209,16 @@ class _PooledTxn:
                 if cat._pool
                 else cat._driver.connect(cat.db_path)
             )
+        begin = getattr(cat._driver, "begin", None)
+        if begin is not None:  # autocommit engines need an explicit txn
+            try:
+                begin(self.con)
+            except Exception:
+                try:
+                    self.con.close()
+                except Exception:
+                    pass
+                raise
         return self.con
 
     def __exit__(self, exc_type, exc, tb) -> bool:
@@ -311,8 +339,8 @@ class JdbcCatalog:
         self.name = name
         self._driver = resolve_db_driver(driver)
         # connection pool (reference JdbcClientPool parity): poolable
-        # drivers lease connections per transaction and return them;
-        # non-poolable ones (duckdb: exclusive file lock) connect per
+        # drivers (sqlite, duckdb) lease connections per transaction
+        # and return them; a non-poolable injected driver connects per
         # transaction and the `with` scope closes the connection
         self._pool: list = []
         self._pool_lock = threading.Lock()

@@ -453,10 +453,32 @@ class RelativeTable:
                     pass
         raise CommitFailedError(f"commit failed after {_COMMIT_RETRIES} retries: {last_err}")
 
-    def append(self, df: DataFrame, branch: str = "main") -> dict:
-        """B2: INSERT INTO — durable append producing a new snapshot."""
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """B2: INSERT INTO — durable append producing a new snapshot.
+        ``extra_summary`` lands in the snapshot summary — the hook
+        idempotent stream sinks use to record their epoch key
+        (stream-batch-id, same contract as RelativeStreamWriter)."""
         _, entries = self._write_snapshot_files(df)
-        return self._commit_snapshot("append", entries, branch)
+        return self._commit_snapshot(
+            "append", entries, branch, extra_summary=extra_summary
+        )
+
+    def seen_stream_epoch(self, epoch_key: str) -> bool:
+        """True if a snapshot already records ``stream-batch-id ==
+        epoch_key`` — the replayed-epoch probe for foreachBatch sinks
+        (Structured Streaming re-runs an epoch whose sink action ran
+        but whose commit-log write was lost to a crash; an idempotent
+        sink must skip it)."""
+        self.ops._should_refresh = True
+        return any(
+            s.get("summary", {}).get("stream-batch-id") == epoch_key
+            for s in self.ops.current().get("snapshots", [])
+        )
 
     def overwrite_partitions(self, df: DataFrame) -> dict:
         """Dynamic partition overwrite (backfill): replace ONLY the
@@ -600,6 +622,7 @@ class RelativeTable:
         source: DataFrame,
         key_cols: list[str],
         order_cols: list[str],
+        extra_summary: dict | None = None,
     ) -> dict:
         """Ordered upsert: for each key keep the row with the greatest
         (order_cols) tuple across target ∪ source — MERGE's
@@ -644,7 +667,9 @@ class RelativeTable:
             .select("_row.*")
         )
         _, entries = self._write_snapshot_files(latest)
-        return self._commit_snapshot("merge", entries)
+        return self._commit_snapshot(
+            "merge", entries, extra_summary=extra_summary
+        )
 
     # -- branches (refs) -----------------------------------------------------------
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:

@@ -207,6 +207,55 @@ def derived_sqrt_sql(floor: int = 32, table: str = "embeddings") -> str:
     )
 
 
+# Two-level IVF derivation. A flat quantizer balances assignment
+# O(N*nlist*dim) against in-cell pairs O(N*(N/nlist)*dim) at
+# nlist=sqrt(N) -> total TH(N^1.5). A two-level quantizer (assign to one
+# of nsup=sqrt(nlist) super-cells, then only to that super's children)
+# cuts assignment to O(N*2*sqrt(nlist)*dim), so nlist can GROW past
+# sqrt(N) and shrink the pair stage. The free optimum nlist=N^(2/3)
+# balances all three stages at TH(N^(4/3)) — but exponent 2/3 needs
+# pow(), which IEEE does NOT require correctly rounded (the oracle could
+# ceil to a different integer). sqrt and * ARE correctly rounded, so we
+# use the closest 5-bit binary fraction 21/32 = 0.65625 as a
+# sqrt/multiply chain — bit-identical in any IEEE-754 engine:
+#   N^(21/32) = (N^(1/2) * N^(1/8)) * N^(1/32),  association fixed.
+# Stages then cost N^(1+21/64)=N^1.33 (assign) and N^(2-21/32)=N^1.34
+# (pairs) — vs the flat N^1.5. The cap bounds the driver-side centroid
+# collect (2^20 rows x dim doubles = 512 MB broadcast at the cap — the
+# named ceiling; beyond it a third quantizer level is the next cut).
+
+def derived_two_level(n_rows: int, floor: int = 32, cap: int = 1 << 20) -> tuple[int, int]:
+    """(nlist, nsup): nlist = clamp(ceil(N^(21/32))), nsup = max(8,
+    ceil(sqrt(nlist))). Every step correctly rounded -> both engines
+    ceil the same double."""
+    import math
+
+    x = float(n_rows)
+    s1 = math.sqrt(x)        # N^(1/2)
+    s3 = math.sqrt(math.sqrt(s1))          # N^(1/8)
+    s5 = math.sqrt(math.sqrt(s3))          # N^(1/32)
+    nlist = max(floor, min(cap, math.ceil((s1 * s3) * s5)))
+    nsup = max(8, math.ceil(math.sqrt(float(nlist))))
+    return nlist, nsup
+
+
+def derived_two_level_sql(
+    floor: int = 32, cap: int = 1 << 20, table: str = "embeddings"
+) -> tuple[str, str]:
+    """(nlist_sql, nsup_sql) mirroring derived_two_level bit-for-bit.
+    The multiply association ((s1*s3)*s5) matches the Python chain."""
+    n = f"CAST((SELECT count(*) FROM {table}) AS DOUBLE)"
+    s1 = f"sqrt({n})"
+    s3 = f"sqrt(sqrt({s1}))"
+    s5 = f"sqrt(sqrt({s3}))"
+    nlist = (
+        f"GREATEST({floor}, LEAST({cap}, "
+        f"CAST(ceil(({s1} * {s3}) * {s5}) AS BIGINT)))"
+    )
+    nsup = f"GREATEST(8, CAST(ceil(sqrt(CAST(({nlist}) AS DOUBLE))) AS BIGINT))"
+    return nlist, nsup
+
+
 def collect_centroids(emb, k: int):
     """Collect the bounded sample (exactly min(k, N) rows — constant in
     the corpus) and pack it id-sorted for the nearest-centroid UDF."""
@@ -317,6 +366,82 @@ def make_nearest_udf(bc):
         return _scatter(mask, [int(x) for x in got])
 
     return nearest
+
+
+def collect_two_level(emb, nlist: int, nsup: int):
+    """One bounded collect feeding both quantizer levels: the nlist
+    sample rows arrive in sample-key order, so the first nsup of them
+    ARE the super-centroid sample (the oracle's sups CTE is the same
+    ORDER BY with a smaller LIMIT — a strict prefix). Children are
+    assigned to their max-cosine super driver-side with the SAME
+    dimension-sequential accumulation as cosine_sql (nlist x nsup
+    flops — negligible), and supers that win no child are dropped from
+    the level-1 search (a vector must never land in an empty cell);
+    the oracle mirrors the drop with an IN (SELECT sid FROM cassign)
+    filter. Returns (sup_ids, Sup, sup_norms, child_ids, C,
+    child_norms, child_sup) — all id-sorted, child_sup[i] = the super
+    id owning child i."""
+    rows = bounded_sample(emb, nlist).collect()  # sample-key order
+    sup_ids, Sup, sup_nc = pack_centroids(
+        sorted(((r.vec_id, r.embedding) for r in rows[:nsup]))
+    )
+    child_ids, C, child_nc = pack_centroids(
+        sorted(((r.vec_id, r.embedding) for r in rows))
+    )
+    S = np.zeros((len(C), len(Sup)), dtype=np.float64)
+    for i in range(C.shape[1]):
+        S = S + np.outer(C[:, i], Sup[:, i])
+    cos = S / np.outer(child_nc, sup_nc)
+    child_sup = sup_ids[np.argmax(cos, axis=1)]  # first max == smallest sid
+    keep = np.isin(sup_ids, child_sup)
+    return (
+        sup_ids[keep],
+        Sup[keep],
+        sup_nc[keep],
+        child_ids,
+        C,
+        child_nc,
+        child_sup,
+    )
+
+
+def make_two_level_nearest_udf(bc):
+    """pandas UDF: IVF cell id via the two-level quantizer — nearest
+    (by cosine) non-empty super-cell first, then nearest child among
+    that super's children only. Per batch of B rows the flop count is
+    B*(nsup + E[children-per-super])*dim instead of the flat
+    B*nlist*dim. Both argmaxes take the first maximum over id-sorted
+    candidates, and every accumulation is dimension-sequential — the
+    exact bits of the oracle's two windowed row_number() stages."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def nearest2(vec: pd.Series) -> pd.Series:
+        sup_ids, Sup, sup_nc, child_ids, C, child_nc, child_sup = bc.value
+        mask, V_ = _stack_valid(vec)
+        if len(V_) == 0:
+            return pd.Series([None] * len(mask), dtype=object)
+        S = np.zeros((len(V_), len(Sup)), dtype=np.float64)
+        nv = np.zeros(len(V_), dtype=np.float64)
+        for i in range(V_.shape[1]):
+            S = S + np.outer(V_[:, i], Sup[:, i])
+            nv = nv + V_[:, i] * V_[:, i]
+        rt = np.sqrt(nv)
+        win = np.argmax(S / np.outer(rt, sup_nc), axis=1)
+        out = np.empty(len(V_), dtype=np.int64)
+        for sidx in np.unique(win):
+            rows_ = np.where(win == sidx)[0]
+            kids = np.where(child_sup == sup_ids[sidx])[0]  # id-sorted
+            S2 = np.zeros((len(rows_), len(kids)), dtype=np.float64)
+            for i in range(V_.shape[1]):
+                S2 = S2 + np.outer(V_[rows_, i], C[kids, i])
+            cos2 = S2 / np.outer(rt[rows_], child_nc[kids])
+            out[rows_] = child_ids[kids[np.argmax(cos2, axis=1)]]
+        if mask.all():
+            return pd.Series(out)
+        return _scatter(mask, [int(x) for x in out])
+
+    return nearest2
 
 
 def make_bucket_udf(n_planes: int = N_PLANES):

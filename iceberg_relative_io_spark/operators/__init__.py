@@ -9,59 +9,47 @@ from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
 # bounded budget (it records exactly the first 50 entries). Cumulative
-# driver evidence through round 7 covers all 208 previously-registered
-# names green (r7 itself graded 50/50).
+# driver evidence through round 8 covers all 217 registered names
+# green (r8 itself graded 50/50).
 #
 # FRESHNESS INVARIANT (round 7 onward): the prefix is built so that no
 # query's latest driver grade is ever older than ~3 rounds. Each round
 # it front-loads (a) every never-graded new query, then (b) names whose
 # physical plan changed since their last grade, then (c) the
-# stalest-graded names, oldest round first. Entering round 8 the
-# last-graded histogram is {r3:34, r4:46, r5:28, r6:50, r7:50}; the 50
-# slots below take the nine never-graded round-8 queries (TPC-H
-# literals q1/q4/q12/q14, the SCD2 dimension build roundeight.py:
-# b17_scd2_intervals, the admission-control tail
-# b30_stream_backpressure, the hard-negative miner c03_hard_negatives,
-# the cell-blocked kNN graph c03_knn_graph, and the fuzzy
-# decontamination pass c06_contamination_fuzzy),
-# b30_stream_from_iceberg + b30_stream_to_table (their transport was
-# rewritten round 8: partition-planning DataSourceStreamReader in both
-# stream sources — b30_stream_to_table is also r3-stale), all 34
-# r3-graded names, and 6 r4-graded picks (the round-8 full-inventory
-# rerun covers everything else). After r8 grades, nothing is older
-# than r4 (the remaining 40 r4 names rotate in next round).
-# Everything rotated out stays in the registry and in the judge's full
-# rerun (tools/check_oracle.py).
+# stalest-graded names, oldest round first. Entering round 9 the
+# last-graded histogram is {r4:40, r5:28, r6:50, r7:49, r8:50}; the 50
+# slots below take the four round-9 plan-touched names (c03_knn_graph:
+# two-level coarse quantizer rewrite; b04_sql_views: duckdb catalog
+# driver now pools connections; b30_stream_from_iceberg: totals-delta
+# admission costing for pre-added-data-files mirrors;
+# b30_stream_backpressure: monotone commit() watermark in the relative
+# stream reader), ALL 40 remaining r4-graded names (completing the r7
+# freshness goal one round late), and 6 r5-graded picks. After r9
+# grades, nothing is older than r5 (the remaining 22 r5 names rotate
+# next round). Everything rotated out stays in the registry and in the
+# judge's full rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # --- never driver-graded (new in round 8) ---
-    "b34_tpch_q1",   # NEW: literal Q1 (pricing summary + ORDER BY)
-    "b34_tpch_q4",   # NEW: literal Q4 (EXISTS late-line semi join)
-    "b34_tpch_q12",  # NEW: literal Q12 (derived ship modes)
-    "b34_tpch_q14",  # NEW: literal Q14 (promo revenue percent)
-    "b17_scd2_intervals",  # NEW: SCD2 dimension build (roundeight.py)
-    "b30_stream_backpressure",  # NEW: max-files-per-trigger catch-up
-    "c03_hard_negatives",  # NEW: contrastive hard-negative mining
-    "c03_knn_graph",  # NEW: cell-blocked kNN-graph construction
-    "c06_contamination_fuzzy",  # NEW: MinHash near-dup decontamination
-    # --- plan touched round 8 (partition-planned stream readers) ---
-    "b30_stream_from_iceberg",  # mirror tail: DataSourceStreamReader
-    # --- last graded round 3 (34; b30_stream_to_table also plan-touched) ---
-    "a02_warehouse_move", "a18_expire_snapshots", "a32_zorder_pruning",
-    "a39_jdbc_view_roundtrip", "a_cdc_incremental_read", "a_row_delete",
-    "b02_catalog_insert_select", "b04_sql_frontend", "b10_star_broadcast",
-    "b11_range_join", "b13_agg_pricing_summary", "b15_approx_distinct",
-    "b16_rollup", "b17_window_rank", "b21_topk", "b28_time_travel",
-    "b29_snapshots_table", "b30_session_window",
-    "b30_stream_stateful_counter", "b30_stream_stream_join",
-    "b30_stream_to_table", "b30_stream_tumbling_window",
-    "b31_stream_dedup", "b33_recursive_cte", "c01_exact_dedup",
-    "c02_connected_components", "c02_incremental_dedup", "c03_ann_ivfpq",
-    "c03_ann_rerank", "c03_hybrid_rrf", "c03_knn_bruteforce",
-    "c03_semantic_dedup", "c04_phrase_mining", "c04_vocab_build",
-    # --- last graded round 4 (6 of 46; rest rotate next round) ---
-    "a32_bloom_pruning", "b03_catalog_create_schema",
-    "b06_systematic_sample", "b08_join_right", "b13_sessionization",
-    "b15_exact_percentiles",
+    # --- plan touched round 9 ---
+    "c03_knn_graph",           # two-level coarse quantizer (N^(21/32) cells)
+    "b04_sql_views",           # duckdb catalog driver pooled (begin/commit txns)
+    "b30_stream_from_iceberg",  # totals-delta admission costing
+    "b30_stream_backpressure",  # monotone commit() admission base
+    # --- last graded round 4 (all 40) ---
+    "b26_higher_order_funs", "b27_json_funs", "b27_variant_json",
+    "b30_stream_sliding_window", "b32_apply_in_pandas", "b32_python_udtf",
+    "b34_tpch_q2", "b34_tpch_q3", "b34_tpch_q5", "b34_tpch_q6",
+    "b34_tpch_q7", "b34_tpch_q8", "b34_tpch_q9", "b34_tpch_q10",
+    "b34_tpch_q11", "b34_tpch_q13", "b34_tpch_q15", "b34_tpch_q16",
+    "b34_tpch_q17", "b34_tpch_q18", "b34_tpch_q19", "b34_tpch_q20",
+    "b34_tpch_q21", "b34_tpch_q22", "c02_score_propagation",
+    "c03_ann_lsh", "c03_ann_recall_eval", "c03_cluster_medoids",
+    "c03_kmeans_lloyd", "c03_pq_codes", "c03_quantize_int8",
+    "c04_bm25_search", "c04_chunking", "c04_fingerprint",
+    "c04_pii_redaction", "c04_sequence_packing", "c05_audio_energy",
+    "c05_keyframes", "c05_scene_cuts", "c06_contamination_bloom",
+    # --- last graded round 5 (6 of 28; rest rotate next round) ---
+    "b01_scan_count", "b05_projection", "b06_filter",
+    "c05_image_hash_neardup", "c06_contamination_check", "c06_train_split",
 ]
 
 

@@ -568,6 +568,11 @@ def q_ann_ivf(
 
 _KNN_GRAPH_K = 3  # neighbors kept per node
 
+# session-scoped cache of the persisted cell-assignment frame, keyed like
+# retrieval_ext._HASH_CACHE: repeated q_knn_graph runs in one session
+# reuse ONE cached assignment instead of leaking a new persist per call
+_KNN_BUCKET_CACHE: dict[tuple, DataFrame] = {}
+
 
 def q_knn_graph(
     spark: SparkSession, sf_dir: str, nlist: int | None = None
@@ -576,40 +581,54 @@ def q_knn_graph(
     _KNN_GRAPH_K nearest cosine neighbors WITHIN ITS IVF CELL — the
     cell-blocked kNN graph that feeds graph-based dedup, diversity
     sampling, label propagation, and kNN classification at corpus
-    scale. Brute force is O(N²). TOTAL blocked cost is
-    assignment + pairs = N·nlist·dim + N·(N/nlist)·dim, which is
-    MINIMIZED at nlist = sqrt(N) — both stages then cost O(N^1.5·dim)
-    (a fixed-occupancy derivation would make the pair stage linear but
-    the assignment stage quadratic: measured 58.6x wall at 10x data
-    before this derivation landed; sqrt rebalances it). nlist therefore
-    DERIVES as max(32, ceil(sqrt(N))) — the same quantizer + derivation
-    as c03_ann_ivf, mirrored in the oracle; at extreme scale the
-    assignment flops drop further via hierarchical / two-level
-    quantization, the named next step. The self-join rides the
-    skew-proof chunked machinery (skewpairs: no join key ever carries
-    more than CAP rows per side, so one hot cell cannot produce an
-    unbounded task). Recall < 1 at cell boundaries — the standard
-    blocked trade; the dial is nlist, and c03_ann_recall_eval shows how
-    any setting is measured. Pairs are
-    computed once (unordered) and symmetrized: dot products and norm
-    products commute multiplication-wise, so the mirrored direction
-    reuses the identical IEEE double — the per-node top-k then costs
-    one window over 2·pairs rows. Nodes alone in their cell have no
-    in-cell neighbors and are absent, identically in the oracle."""
+    scale. Brute force is O(N²). With a FLAT quantizer the blocked cost
+    assignment + pairs = N·nlist·dim + N·(N/nlist)·dim is minimized at
+    nlist = sqrt(N) → Θ(N^1.5·dim) total (measured 30.4× wall at 10×
+    data ≈ the 10^1.5 asymptote, SCALING.md r8). This is the TWO-LEVEL
+    quantizer that docs named as the next cut: vectors find their cell
+    through nsup = ceil(sqrt(nlist)) super-cells first, then only that
+    super's children, so assignment costs N·2·sqrt(nlist)·dim and
+    nlist can GROW past sqrt(N) to shrink the pair stage. nlist DERIVES
+    as max(32, min(2^20, ceil(N^(21/32)))) — the closest
+    sqrt-chain-expressible fraction to the free optimum N^(2/3)
+    (correctly-rounded ops only, so the DuckDB oracle ceils the same
+    double; see vectors.derived_two_level) — balancing all stages at
+    ~Θ(N^1.34·dim). The 2^20 cap bounds the driver-side centroid
+    collect (512 MB broadcast at the cap); past it a third quantizer
+    level is the named next step. The self-join rides the skew-proof
+    chunked machinery (skewpairs: no join key ever carries more than
+    CAP rows per side, so one hot cell cannot produce an unbounded
+    task). Recall < 1 at cell boundaries — the standard blocked trade;
+    the dial is nlist, and c03_ann_recall_eval shows how any setting is
+    measured. Pairs are computed once (unordered) and symmetrized: dot
+    products and norm products commute multiplication-wise, so the
+    mirrored direction reuses the identical IEEE double — the per-node
+    top-k then costs one window over 2·pairs rows. Nodes alone in
+    their cell have no in-cell neighbors and are absent, identically
+    in the oracle."""
     from iceberg_relative_io_spark.operators import skewpairs
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
     if nlist is None:
-        nlist = V.derived_sqrt(emb.count(), _IVF_FLOOR)
-    cids, C, nc = V.collect_centroids(emb, nlist)
-    bc = spark.sparkContext.broadcast((cids, C, nc))
-    cell_of = V.make_nearest_udf(bc)
-    # the assignment pass feeds both self-join sides: persist so the
-    # corpus is featurized once (the shared-featurization pattern of
-    # retrieval_ext._HASH_CACHE, scoped to this query's lifetime)
-    bucketed = emb.withColumn("cell", cell_of(F.col("embedding"))).persist()
+        nlist, nsup = V.derived_two_level(emb.count(), _IVF_FLOOR)
+    else:
+        import math
+
+        nsup = max(8, math.ceil(math.sqrt(float(nlist))))
+    bkey = (id(spark), sf_dir, nlist)
+    if bkey not in _KNN_BUCKET_CACHE:
+        bc = spark.sparkContext.broadcast(
+            V.collect_two_level(emb, nlist, nsup)
+        )
+        cell_of = V.make_two_level_nearest_udf(bc)
+        # the assignment pass feeds both self-join sides: persist once
+        # per (session, corpus, nlist) so the corpus is featurized once
+        _KNN_BUCKET_CACHE[bkey] = emb.withColumn(
+            "cell", cell_of(F.col("embedding"))
+        ).persist()
+    bucketed = _KNN_BUCKET_CACHE[bkey]
 
     pairs = skewpairs.chunked_self_join(bucketed, ["cell"], "vec_id")
     dot_udf = V.make_dot_udf()
@@ -1568,21 +1587,56 @@ ORACLE = {
     """,
     "c03_knn_graph": f"""
         WITH cents AS (
-            {V.sample_cte_sql(V.derived_sqrt_sql(_IVF_FLOOR))}
+            {V.sample_cte_sql(V.derived_two_level_sql(_IVF_FLOOR)[0])}
         ),
-        assign AS (
+        sups AS (
+            -- the super-centroid sample is a strict PREFIX of cents:
+            -- same ORDER BY, smaller LIMIT (collect_two_level slices
+            -- the one collected sample)
+            {V.sample_cte_sql(V.derived_two_level_sql(_IVF_FLOOR)[1],
+                              id_alias='sid', vec_alias='svec')}
+        ),
+        cassign AS (
+            -- level 2: each centroid owned by its max-cosine super
+            SELECT cid, cvec, sid FROM (
+                SELECT c.cid, c.cvec, s.sid,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY {V.cosine_sql('c.cvec', 's.svec')} DESC, s.sid
+                       ) AS rn
+                FROM cents c, sups s
+            ) WHERE rn = 1
+        ),
+        s1 AS (
+            -- level 1: nearest NON-EMPTY super per vector (supers that
+            -- win no child are dropped, exactly as collect_two_level
+            -- filters them — a vector must never land in an empty cell).
             -- NULL-embedding rows get a NULL cell in the engine
-            -- (make_nearest_udf) and the non-null-safe cell join drops
-            -- them; mirror the exclusion here or the oracle would give
-            -- them rn=1 at an arbitrary cid and emit phantom neighbors
-            SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
+            -- (make_two_level_nearest_udf) and the non-null-safe cell
+            -- join drops them; mirror the exclusion here or the oracle
+            -- would emit phantom neighbors for them
+            SELECT vec_id, sid FROM (
+                SELECT e.vec_id, s.sid,
                        row_number() OVER (
                            PARTITION BY e.vec_id
-                           ORDER BY {V.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+                           ORDER BY {V.cosine_sql('e.embedding', 's.svec')} DESC, s.sid
                        ) AS rn
-                FROM embeddings e, cents c
+                FROM embeddings e,
+                     (SELECT * FROM sups
+                      WHERE sid IN (SELECT sid FROM cassign)) s
                 WHERE e.embedding IS NOT NULL
+            ) WHERE rn = 1
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT s1.vec_id, ca.cid,
+                       row_number() OVER (
+                           PARTITION BY s1.vec_id
+                           ORDER BY {V.cosine_sql('e.embedding', 'ca.cvec')} DESC, ca.cid
+                       ) AS rn
+                FROM s1
+                JOIN embeddings e ON e.vec_id = s1.vec_id
+                JOIN cassign ca ON ca.sid = s1.sid
             ) WHERE rn = 1
         ),
         pairs AS (

@@ -167,11 +167,18 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         # AND the engine's first latestOffset call precedes both
         # initialOffset and partitions — so the first planned window
         # after reader construction (fresh backfill or post-restart
-        # catch-up) is uncapped (anything less could advertise an
-        # offset behind a restarted checkpoint); every window after the
-        # engine teaches the base honors the cap. Monotone by
-        # construction (sequence numbers never regress — see
-        # latestOffset's watermark note).
+        # catch-up) is uncapped; every window after the engine teaches
+        # the base honors the cap. Monotone by construction (sequence
+        # numbers never regress — see latestOffset's watermark note).
+        # ADR (round 9, shared with RelativeStreamReader — see its
+        # class docstring for the full derivation): capping the first
+        # window against the only base a baseless reader has (genesis)
+        # is NOT restart-safe — a clean restart at checkpoint C would
+        # advertise a genesis-capped G < C, the offset log would adopt
+        # G, and the next capped window (G, H<C] would re-plan
+        # sequences consumed before the restart: duplicate emission.
+        # Uncapped-to-head is the only first answer that can never sit
+        # behind a checkpoint, so the cold-start window stays uncapped.
         self._pos_seq: int | None = None
         self.schema = schema
 
@@ -244,14 +251,29 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
         for snap in chain:
             seq = snap.get("sequence-number") or 0
             summ = snap.get("summary", {})
-            n = (
-                # the export era records totals (== added for the first
-                # snapshot); missing both, 1 is the conservative floor
-                int(summ.get("added-data-files")
-                    or summ.get("total-data-files") or 1)
-                if summ.get("operation", "append") == "append"
-                else 0
-            )
+            if summ.get("operation", "append") != "append":
+                n = 0
+            elif summ.get("added-data-files") is not None:
+                n = int(summ["added-data-files"])
+            else:
+                # pre-added-data-files export era records only totals.
+                # Totals are cumulative, so the added count is the delta
+                # vs the parent's total (first snapshot: parent absent,
+                # delta == own total). A raw-total fallback would
+                # over-cost every later snapshot cumulatively and
+                # degrade catch-up to one snapshot per trigger.
+                parent = by_id.get(snap.get("parent-snapshot-id"))
+                own = summ.get("total-data-files")
+                ptot = (
+                    (parent.get("summary", {}) or {}).get("total-data-files")
+                    if parent is not None
+                    else 0
+                )
+                n = (
+                    max(1, int(own) - int(ptot))
+                    if own is not None and ptot is not None
+                    else 1  # conservative floor when totals are absent
+                )
             cost[seq] = cost.get(seq, 0) + n
         budget = self.max_files
         capped_seq: int | None = None

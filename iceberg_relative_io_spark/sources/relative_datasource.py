@@ -485,13 +485,28 @@ class RelativeStreamReader(DataSourceStreamReader):
     ``initialOffset`` and any ``partitions`` call. The first planned
     window after reader construction — a fresh stream's initial
     backfill, or the first batch after a restart — is therefore
-    UNCAPPED (capping it from an assumed base could advertise an
-    offset behind a restarted checkpoint, which corrupts the offset
-    log; uncapped-to-head is the only restart-safe answer). Every
-    window after the engine has taught the base (``initialOffset`` /
-    ``partitions`` / ``commit`` — all monotone) honors the cap: the
-    steady-state tail that falls behind catches up in bounded
-    micro-batches."""
+    UNCAPPED. Every window after the engine has taught the base
+    (``initialOffset`` / ``partitions`` / ``commit`` — all monotone)
+    honors the cap: the steady-state tail that falls behind catches up
+    in bounded micro-batches.
+
+    ADR (round 9): capping the FIRST window cannot be made restart-safe
+    under this API, so it stays uncapped. The only base a fresh reader
+    could cap against is genesis, and a reader cannot distinguish fresh
+    start from clean restart at first-``latestOffset`` time. The
+    failure chain if it capped against genesis: (1) clean restart with
+    checkpointed position C — first ``latestOffset`` advertises a
+    genesis-capped G < C; the engine sees G != C, plans batch (C, G),
+    and a defensive empty ``partitions`` would still let the offset log
+    record G as the new position; (2) the next capped window (G, H]
+    with H < C then RE-PLANS files already consumed before the restart
+    — duplicate emission, exactly-once broken. Uncapped-to-head can
+    never advertise behind any checkpoint, so it is the only safe first
+    answer. Consequence accepted: a cold tail of a huge backlog plans
+    one giant first batch — bounded per-task by one InputPartition per
+    file, but committed as one epoch. Pinned by
+    tests/test_datasource.py::test_stream_cap_engine_end_to_end and
+    ::test_stream_restart_from_checkpoint."""
 
     def __init__(self, options, schema: StructType):
         self.options = options
@@ -569,7 +584,10 @@ class RelativeStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        self._pos = end["snapshot_id"] or self._pos
+        # monotone, like initialOffset/latestOffset/partitions: a commit
+        # for an older batch delivered after a newer offset taught a
+        # higher base must not regress the admission-control watermark
+        self._pos = max(self._pos or 0, end["snapshot_id"] or 0)
 
     def stop(self) -> None:
         pass

@@ -154,15 +154,29 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "append")
 
 
+def _epoch_key(ckpt: str, epoch: int) -> str:
+    """Checkpoint-scoped epoch key for idempotent foreachBatch sinks —
+    the same ``sha1(checkpoint)[:12]:batchId`` contract as
+    RelativeStreamWriter._batch_key (batch ids restart at 0 per
+    checkpoint, so a bare batchId would let a second query's first
+    epochs be swallowed as replays)."""
+    import hashlib
+
+    return hashlib.sha1(ckpt.encode()).hexdigest()[:12] + ":" + str(epoch)
+
+
 def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30 (stream -> table sink): the production ingestion shape — the
     event stream commits into the relative-path table format through
-    foreachBatch (one durable snapshot per micro-batch, idempotent by
-    Structured Streaming's epoch contract), then the TABLE is read back
-    and aggregated. What the oracle checks is therefore the whole
-    stream->catalog->scan round trip, not just the stream computation.
-    Three micro-batches here (maxFilesPerTrigger) prove multi-snapshot
-    accumulation."""
+    foreachBatch (one durable snapshot per micro-batch), then the TABLE
+    is read back and aggregated. foreachBatch alone is AT-LEAST-once —
+    a crash between the sink's table commit and the engine's
+    commit-log write replays the epoch — so the sink records its epoch
+    key in the snapshot summary and skips epochs it already committed
+    (seen_stream_epoch; fuzzed by tools/fuzz_stream.py --sinks). What
+    the oracle checks is therefore the whole stream->catalog->scan
+    round trip, not just the stream computation. Three micro-batches
+    here (maxFilesPerTrigger) prove multi-snapshot accumulation."""
     import tempfile as _tf
 
     from iceberg_relative_io_spark.catalog import FsCatalog, RelativeTable
@@ -177,9 +191,17 @@ def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(_EVENT_SCHEMA).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
+    ckpt = _tf.mkdtemp(prefix="ckpt_")
+
+    def _sink(batch, epoch: int) -> None:
+        key = _epoch_key(ckpt, epoch)
+        if table.seen_stream_epoch(key):
+            return  # replayed epoch: snapshot already committed
+        table.append(batch, extra_summary={"stream-batch-id": key})
+
     q = (
-        stream.writeStream.foreachBatch(lambda batch, epoch: table.append(batch))
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
@@ -229,11 +251,25 @@ def q_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(_EVENT_SCHEMA).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, epoch: iceberg_export.append_iceberg(spark, dest, batch)
+    ckpt = _tf.mkdtemp(prefix="ckpt_")
+
+    def _sink(batch, epoch: int) -> None:
+        # replayed-epoch guard (at-least-once foreachBatch -> idempotent
+        # commits): the epoch key rides the mirror snapshot summary
+        key = _epoch_key(ckpt, epoch)
+        doc = iceberg_export._load_metadata(dest)
+        if any(
+            s.get("summary", {}).get("stream-batch-id") == key
+            for s in doc["snapshots"]
+        ):
+            return
+        iceberg_export.append_iceberg(
+            spark, dest, batch, extra_summary={"stream-batch-id": key}
         )
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
@@ -285,13 +321,26 @@ def q_stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, epoch: table.merge_latest(
-                spark, batch, ["user_id", "event_type"], ["ts", "event_id"]
-            )
+    ckpt = _tf.mkdtemp(prefix="ckpt_")
+
+    def _sink(batch, epoch: int) -> None:
+        # a replayed merge epoch would CONVERGE on rows (keep-latest is
+        # idempotent on identical input) but still mint a duplicate
+        # snapshot; the epoch guard keeps history exactly-once too
+        key = _epoch_key(ckpt, epoch)
+        if table.seen_stream_epoch(key):
+            return
+        table.merge_latest(
+            spark,
+            batch,
+            ["user_id", "event_type"],
+            ["ts", "event_id"],
+            extra_summary={"stream-batch-id": key},
         )
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()

@@ -904,6 +904,86 @@ def test_mirror_stream_max_files_per_trigger(spark):
     assert r2.latestOffset() == offsets[2]  # capped continuation
 
 
+def test_mirror_stream_cap_totals_only_era(spark):
+    """Round-9 fix: mirrors exported before added-data-files landed
+    carry only CUMULATIVE total-data-files in their summaries. The
+    admission cost of such a snapshot is the totals DELTA vs its
+    parent, not the raw total — a raw-total cost over-charges every
+    snapshot after the first (era2 would cost 3 not 2, era3 5 not 2)
+    and degrades catch-up to one snapshot per trigger on old mirrors."""
+    import json
+    import os
+
+    from iceberg_relative_io_spark.catalog import iceberg_export
+    from iceberg_relative_io_spark.catalog.iceberg_export import (
+        _current_version,
+    )
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorStreamReader,
+    )
+
+    wh = tempfile.mkdtemp(prefix="mirror_tot_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string"
+    )
+    ops = cat.create_table(("ns",), "mt", df.schema.jsonValue())
+    table = RelativeTable(ops)
+    table.append(df.filter(F.col("id") < 10).repartition(1))
+    dest = tempfile.mkdtemp(prefix="mirror_tot_")
+    iceberg_export.export_iceberg(table, dest)  # era 1: 1 file
+    for lo in (10, 15, 20, 25):  # eras 2-5: 1 file each
+        iceberg_export.append_iceberg(
+            spark, dest,
+            df.filter(
+                (F.col("id") >= lo) & (F.col("id") < lo + 5)
+            ).repartition(1),
+        )
+
+    # age the metadata into the totals-only era: strip added-data-files,
+    # keep a cumulative total-data-files per append snapshot
+    meta = os.path.join(
+        dest, "metadata", f"v{_current_version(dest)}.metadata.json"
+    )
+    with open(meta) as fh:
+        doc = json.load(fh)
+    running = 0
+    for snap in sorted(
+        doc["snapshots"], key=lambda s: s.get("sequence-number") or 0
+    ):
+        summ = snap.setdefault("summary", {})
+        if summ.get("operation", "append") == "append":
+            running += int(summ.get("added-data-files") or 0)
+        summ.pop("added-data-files", None)
+        summ["total-data-files"] = str(running)
+    with open(meta, "w") as fh:
+        json.dump(doc, fh)
+
+    r = IcebergMirrorStreamReader(
+        {"path": dest, "max-files-per-trigger": "2"}, df.schema
+    )
+    pos = r.initialOffset()
+    windows, got = [], []
+    while True:
+        end = r.latestOffset()
+        if end == pos:
+            break
+        parts = r.partitions(pos, end)
+        windows.append(len(parts))
+        for p in parts:
+            for b in r.read(p):
+                got.extend(b.column("id").to_pylist())
+        r.commit(end)
+        pos = end
+    # delta costs are 1,1,1,1,1 → two snapshots per budget-2 window,
+    # the same packing as the added-data-files era. The raw-total bug
+    # charged the CUMULATIVE 1,2,3,4,5 — every window after the first
+    # degenerated to a single snapshot ([1,1,1,1,1])
+    assert windows == [2, 2, 1]
+    assert sorted(got) == list(range(30))
+
+
 def test_stream_restart_from_checkpoint(spark, wh):
     """Round-8 transport rewrite, the contract that must survive it:
     offsets in the checkpoint log recover across a stop/restart — rows

@@ -658,17 +658,17 @@ def test_knn_graph_invariants(spark, sf_dir):
 
     rows = N.q_knn_graph(spark, sf_dir).collect()
     assert rows, "fixture cells must produce neighbors"
-    # recompute cell assignments the same way the query does
+    # recompute cell assignments the same way the query does (two-level
+    # quantizer, round 9)
     emb = N.load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    nlist = V.derived_sqrt(emb.count(), N._IVF_FLOOR)
-    cids, C, nc = V.collect_centroids(emb, nlist)
-    bc = spark.sparkContext.broadcast((cids, C, nc))
+    nlist, nsup = V.derived_two_level(emb.count(), N._IVF_FLOOR)
+    bc = spark.sparkContext.broadcast(V.collect_two_level(emb, nlist, nsup))
     cell = {
         r.vec_id: r.cell
         for r in emb.withColumn(
-            "cell", V.make_nearest_udf(bc)(F.col("embedding"))
+            "cell", V.make_two_level_nearest_udf(bc)(F.col("embedding"))
         ).collect()
     }
     by_node: dict = {}

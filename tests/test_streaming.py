@@ -151,3 +151,67 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_epoch_replay_idempotent(spark):
+    """Round-9 regression pin for the sink-side replay hazard:
+    foreachBatch is at-least-once (a crash between the sink's table
+    commit and the engine's commit-log write replays the epoch with the
+    same batchId), so the b30/b31 sinks record a checkpoint-scoped
+    epoch key in the snapshot summary and skip epochs already
+    committed. This drives a real stream whose sink crashes
+    post-commit, restarts it on the same checkpoint, and asserts the
+    replayed epoch minted no second snapshot and no duplicate rows.
+    (tools/fuzz_stream.py --sinks randomizes the same scenario across
+    crash points and all three sink shapes.)"""
+    from iceberg_relative_io_spark.streaming.stream_queries import _epoch_key
+
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    rows = [(i, f"r{i}") for i in range(9)]
+    for f in range(3):
+        spark.createDataFrame(
+            rows[f * 3 : (f + 1) * 3], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    wh = tempfile.mkdtemp(prefix="replay_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    schema_json = spark.createDataFrame(
+        rows[:1], "id long, v string"
+    ).schema.jsonValue()
+    table = RelativeTable(cat.create_table(("ns",), "replay", schema_json))
+    ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
+    crashed = {"done": False}
+
+    def sink(batch, epoch: int) -> None:
+        key = _epoch_key(ckpt, epoch)
+        if not table.seen_stream_epoch(key):
+            table.append(batch, extra_summary={"stream-batch-id": key})
+        if epoch == 1 and not crashed["done"]:
+            crashed["done"] = True  # crash AFTER commit, once
+            raise RuntimeError("injected post-commit crash")
+
+    def run():
+        return (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = run()
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    q2 = run()  # restart on the same checkpoint: epoch 1 replays
+    q2.processAllAvailable()
+    q2.stop()
+
+    table.ops._should_refresh = True
+    snaps = table.ops.current()["snapshots"]
+    keys = [s["summary"].get("stream-batch-id") for s in snaps]
+    assert len(snaps) == 3 and len(set(keys)) == 3, keys
+    got = sorted(tuple(r) for r in table.read(spark).collect())
+    assert got == sorted(rows)

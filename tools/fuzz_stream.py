@@ -27,7 +27,18 @@ Invariants checked per seed:
   sequence exceeds it (the >=1-sequence progress floor is the only
   legal overshoot).
 
-Usage: python tools/fuzz_stream.py [n_seeds] [n_ops]
+Round 9 adds ``--sinks``: kill/restart fuzz of the foreachBatch sinks
+(the b30_stream_to_table / b30_stream_to_iceberg /
+b31_stream_upsert_to_table shapes). Each seed drives a
+maxFilesPerTrigger=1 file stream through a sink that CRASHES at random
+epochs — randomly before or after its table commit (the
+after-commit-before-commit-log window is the replay hazard) — then
+restarts the query on the same checkpoint until the stream drains.
+Invariants: every source row lands exactly once, one sink snapshot per
+distinct epoch (replays commit nothing), and every snapshot's
+stream-batch-id is distinct.
+
+Usage: python tools/fuzz_stream.py [n_seeds] [n_ops] [--sinks]
 """
 
 from __future__ import annotations
@@ -215,15 +226,138 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
         walk = by_id[walk].get("parent-snapshot-id")
 
 
+def run_sink_seed(spark, seed: int, kind: str) -> None:
+    """One kill/restart fuzz run of a foreachBatch sink shape."""
+    from iceberg_relative_io_spark.catalog import (
+        FsCatalog,
+        RelativeTable,
+        iceberg_export,
+    )
+    from iceberg_relative_io_spark.streaming.stream_queries import _epoch_key
+
+    rng = random.Random(10_000 + seed)
+    n_files = rng.randrange(4, 8)
+    rows = [(i, f"s{seed}r{i}") for i in range(n_files * 3)]
+    src = tempfile.mkdtemp(prefix=f"sinkfuzz_src_{seed}_")
+    for f in range(n_files):  # one parquet file per future epoch
+        chunk = rows[f * 3 : (f + 1) * 3]
+        spark.createDataFrame(chunk, "id long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    wh = tempfile.mkdtemp(prefix=f"sinkfuzz_wh_{seed}_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    schema_json = spark.createDataFrame(rows[:1], "id long, v string").schema.jsonValue()
+    ops = cat.create_table(("ns",), f"sink_{kind}", schema_json)
+    table = RelativeTable(ops)
+    dest = None
+    if kind == "iceberg":
+        dest = tempfile.mkdtemp(prefix=f"sinkfuzz_ice_{seed}_")
+        iceberg_export.export_iceberg(table, dest)  # empty seed
+
+    ckpt = tempfile.mkdtemp(prefix=f"sinkfuzz_ckpt_{seed}_")
+    # crash plan: a random subset of epochs dies once, randomly before
+    # or after its commit (after = the replay-hazard window)
+    crash = {
+        e: rng.choice(["before", "after"])
+        for e in rng.sample(range(n_files), max(1, n_files // 2))
+    }
+
+    def sink(batch, epoch: int) -> None:
+        key = _epoch_key(ckpt, epoch)
+        mode = crash.pop(epoch, None)
+        if mode == "before":
+            raise RuntimeError(f"injected pre-commit crash at epoch {epoch}")
+        if kind == "iceberg":
+            doc = iceberg_export._load_metadata(dest)
+            seen = any(
+                s.get("summary", {}).get("stream-batch-id") == key
+                for s in doc["snapshots"]
+            )
+            if not seen:
+                iceberg_export.append_iceberg(
+                    spark, dest, batch, extra_summary={"stream-batch-id": key}
+                )
+        elif kind == "merge":
+            if not table.seen_stream_epoch(key):
+                table.merge_latest(
+                    spark,
+                    batch,
+                    ["id"],
+                    ["id"],
+                    extra_summary={"stream-batch-id": key},
+                )
+        else:
+            if not table.seen_stream_epoch(key):
+                table.append(batch, extra_summary={"stream-batch-id": key})
+        if mode == "after":
+            raise RuntimeError(f"injected post-commit crash at epoch {epoch}")
+
+    restarts = 0
+    while True:
+        q = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            break
+        except Exception:
+            restarts += 1
+            assert restarts <= 3 * n_files, (
+                f"seed {seed}/{kind}: stream never drained"
+            )
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    if kind == "iceberg":
+        got = [
+            tuple(r)
+            for r in iceberg_export.read_iceberg(spark, dest).collect()
+        ]
+        doc = iceberg_export._load_metadata(dest)
+        snaps = doc["snapshots"][1:]  # drop the empty export seed
+    else:
+        table.ops._should_refresh = True
+        got = [tuple(r) for r in table.read(spark).collect()]
+        snaps = table.ops.current()["snapshots"]
+    assert sorted(got) == sorted(rows), (
+        f"seed {seed}/{kind}: rows diverged after {restarts} restarts "
+        f"(got {len(got)}, want {len(rows)}; dups "
+        f"{len(got) - len(set(got))})"
+    )
+    keys = [s["summary"].get("stream-batch-id") for s in snaps]
+    assert len(snaps) == n_files and len(set(keys)) == n_files, (
+        f"seed {seed}/{kind}: {len(snaps)} snapshots / "
+        f"{len(set(keys))} distinct epoch keys, want {n_files}"
+    )
+
+
 def main() -> None:
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sinks_mode = "--sinks" in sys.argv
+    n_seeds = int(args[0]) if args else 3
+    n_ops = int(args[1]) if len(args) > 1 else 20
     from iceberg_relative_io_spark.session import get_spark
 
     spark = get_spark(app_name="fuzz_stream")
     for seed in range(1, n_seeds + 1):
-        run_seed(spark, seed, n_ops)
-        print(f"OK  seed {seed} ({n_ops} ops)", flush=True)
+        if sinks_mode:
+            for kind in ("append", "iceberg", "merge"):
+                run_sink_seed(spark, seed, kind)
+                print(f"OK  seed {seed} sink={kind}", flush=True)
+        else:
+            run_seed(spark, seed, n_ops)
+            print(f"OK  seed {seed} ({n_ops} ops)", flush=True)
     print(f"{n_seeds}/{n_seeds} seeds clean")
 
 
