@@ -382,3 +382,55 @@ def test_apportionment_properties_hold_for_arbitrary_counts(counts, budget):
         assert math.floor(exact) <= r.alloc_tokens <= math.floor(exact) + 1
         assert r.alloc_final == min(r.alloc_tokens, t)
         assert r.shortfall == max(r.alloc_tokens - t, 0)
+
+
+def test_boilerplate_removal_invariants(spark, sf_dir):
+    """c04_boilerplate_removal (round 9): segments recurring in >=K
+    distinct docs vanish from EVERY document, surviving segments keep
+    their original order, every input document survives as a row, and
+    clean_text is always a subsequence of the original segmentation —
+    the invariants the row-hash oracle can't state."""
+    from iceberg_relative_io_spark.operators import roundnine as R9
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def segs_of(text):
+        words = text.split(" ")
+        return [
+            " ".join(words[i : i + R9._BP_W])
+            for i in range(0, len(words), R9._BP_W)
+        ]
+
+    from collections import Counter
+
+    df_count = Counter()
+    for t in docs.values():
+        if t is not None:
+            for s in set(segs_of(t)):
+                df_count[s] += 1
+    boiler = {s for s, n in df_count.items() if n >= R9._BP_K}
+
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in R9.q_boilerplate_removal(spark, sf_dir).collect()
+    }
+    assert set(out) == set(docs)  # no document silently dropped
+    dropped_any = False
+    for doc_id, text in docs.items():
+        clean, n_kept = out[doc_id]
+        if text is None:
+            assert clean is None and n_kept == 0
+            continue
+        want = [s for s in segs_of(text) if s not in boiler]
+        assert clean == " ".join(want), f"doc {doc_id} reassembly diverged"
+        assert n_kept == len(want)
+        if len(want) < len(segs_of(text)):
+            dropped_any = True
+    # the fixture HAS exact-duplicate docs (c01_exact_dedup's premise),
+    # so shared segments must exist and something must actually drop
+    assert dropped_any, "fixture produced no boilerplate — test is vacuous"

@@ -89,6 +89,8 @@ MEASURED = [
     "c03_hard_negatives",
     "c03_knn_graph",
     "c06_contamination_fuzzy",
+    # round 9: segment-level boilerplate removal
+    "c04_boilerplate_removal",
 ]
 
 
@@ -158,6 +160,7 @@ def main() -> None:
         for cache in (
             northstar._SIG_CACHE,
             northstar._BUCKETED_CACHE,
+            northstar._KNN_BUCKET_CACHE,
             northstar._LSH_HOT_CACHE,
             retrieval_ext._HASH_CACHE,
             retrieval_ext._HASH_HOT_CACHE,
