@@ -434,3 +434,24 @@ def test_boilerplate_removal_invariants(spark, sf_dir):
     # the fixture HAS exact-duplicate docs (c01_exact_dedup's premise),
     # so shared segments must exist and something must actually drop
     assert dropped_any, "fixture produced no boilerplate — test is vacuous"
+
+
+def test_boilerplate_removal_plan_shape(spark, sf_dir):
+    """c04_boilerplate_removal at 100 TB: the segment document-frequency
+    count must partial-aggregate map-side (a viral boilerplate line
+    costs one partial count per task, never a hot reduce key carrying
+    every occurrence), segmentation must stay codegen (higher-order
+    array functions, no Python UDF), and the boilerplate drop is a join
+    — no CartesianProduct anywhere."""
+    from iceberg_relative_io_spark.operators import roundnine as R9
+
+    plan = (
+        R9.q_boilerplate_removal(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    low = plan.lower()
+    assert "partial_count" in plan or "partial count" in low
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
