@@ -368,6 +368,69 @@ def make_nearest_udf(bc):
     return nearest
 
 
+def two_level_assign_ctes_sql(floor: int = 32, table: str = "embeddings") -> str:
+    """The shared two-level-quantizer CTE chain (cents, sups, cassign,
+    s1, assign) as SQL text — the bit-exact oracle mirror of
+    collect_two_level + make_two_level_nearest_udf, used by every
+    cell-blocked operator's oracle (c03_knn_graph, c03_diversity_cap).
+    Returned WITHOUT the leading WITH so callers append their own
+    CTEs. ``assign`` maps every non-NULL-embedding vec_id to its cell
+    (cid)."""
+    nlist_sql, nsup_sql = derived_two_level_sql(floor, table=table)
+    return f"""cents AS (
+            {sample_cte_sql(nlist_sql)}
+        ),
+        sups AS (
+            -- the super-centroid sample is a strict PREFIX of cents:
+            -- same ORDER BY, smaller LIMIT (collect_two_level slices
+            -- the one collected sample)
+            {sample_cte_sql(nsup_sql, id_alias='sid', vec_alias='svec')}
+        ),
+        cassign AS (
+            -- level 2: each centroid owned by its max-cosine super
+            SELECT cid, cvec, sid FROM (
+                SELECT c.cid, c.cvec, s.sid,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY {cosine_sql('c.cvec', 's.svec')} DESC, s.sid
+                       ) AS rn
+                FROM cents c, sups s
+            ) WHERE rn = 1
+        ),
+        s1 AS (
+            -- level 1: nearest NON-EMPTY super per vector (supers that
+            -- win no child are dropped, exactly as collect_two_level
+            -- filters them — a vector must never land in an empty cell).
+            -- NULL-embedding rows get a NULL cell in the engine
+            -- (make_two_level_nearest_udf) and the non-null-safe cell
+            -- join drops them; mirror the exclusion here or the oracle
+            -- would emit phantom rows for them
+            SELECT vec_id, sid FROM (
+                SELECT e.vec_id, s.sid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.embedding', 's.svec')} DESC, s.sid
+                       ) AS rn
+                FROM {table} e,
+                     (SELECT * FROM sups
+                      WHERE sid IN (SELECT sid FROM cassign)) s
+                WHERE e.embedding IS NOT NULL
+            ) WHERE rn = 1
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT s1.vec_id, ca.cid,
+                       row_number() OVER (
+                           PARTITION BY s1.vec_id
+                           ORDER BY {cosine_sql('e.embedding', 'ca.cvec')} DESC, ca.cid
+                       ) AS rn
+                FROM s1
+                JOIN {table} e ON e.vec_id = s1.vec_id
+                JOIN cassign ca ON ca.sid = s1.sid
+            ) WHERE rn = 1
+        )"""
+
+
 def collect_two_level(emb, nlist: int, nsup: int):
     """One bounded collect feeding both quantizer levels: the nlist
     sample rows arrive in sample-key order, so the first nsup of them

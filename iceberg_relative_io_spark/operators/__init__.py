@@ -18,20 +18,22 @@ from __future__ import annotations
 # physical plan changed since their last grade, then (c) the
 # stalest-graded names, oldest round first. Entering round 9 the
 # last-graded histogram is {r4:40, r5:28, r6:50, r7:49, r8:50}; the 50
-# slots below take the never-graded round-9 query
-# (c04_boilerplate_removal), the four round-9 plan-touched names
+# slots below take the two never-graded round-9 queries
+# (c04_boilerplate_removal, c03_diversity_cap), the four round-9
+# plan-touched names
 # (c03_knn_graph: two-level coarse quantizer rewrite; b04_sql_views:
 # duckdb catalog driver now pools connections; b30_stream_from_iceberg:
 # totals-delta admission costing for pre-added-data-files mirrors;
 # b30_stream_backpressure: monotone commit() watermark in the relative
 # stream reader), ALL 40 remaining r4-graded names (completing the r7
-# freshness goal one round late), and 5 r5-graded picks. After r9
-# grades, nothing is older than r5 (the remaining 23 r5 names rotate
+# freshness goal one round late), and 4 r5-graded picks. After r9
+# grades, nothing is older than r5 (the remaining 24 r5 names rotate
 # next round). Everything rotated out stays in the registry and in the
 # judge's full rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- never driver-graded (new in round 9) ---
     "c04_boilerplate_removal",  # NEW: segment-level boilerplate removal
+    "c03_diversity_cap",        # NEW: per-cell diversity stratification
     # --- plan touched round 9 ---
     "c03_knn_graph",           # two-level coarse quantizer (N^(21/32) cells)
     "b04_sql_views",           # duckdb catalog driver pooled (begin/commit txns)
@@ -50,9 +52,9 @@ PRIORITY_ORDER = [
     "c04_bm25_search", "c04_chunking", "c04_fingerprint",
     "c04_pii_redaction", "c04_sequence_packing", "c05_audio_energy",
     "c05_keyframes", "c05_scene_cuts", "c06_contamination_bloom",
-    # --- last graded round 5 (5 of 28; rest rotate next round) ---
+    # --- last graded round 5 (4 of 28; rest rotate next round) ---
     "b01_scan_count", "b05_projection", "b06_filter",
-    "c05_image_hash_neardup", "c06_contamination_check",
+    "c05_image_hash_neardup",
 ]
 
 

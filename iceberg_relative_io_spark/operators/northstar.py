@@ -569,9 +569,41 @@ def q_ann_ivf(
 _KNN_GRAPH_K = 3  # neighbors kept per node
 
 # session-scoped cache of the persisted cell-assignment frame, keyed like
-# retrieval_ext._HASH_CACHE: repeated q_knn_graph runs in one session
-# reuse ONE cached assignment instead of leaking a new persist per call
+# retrieval_ext._HASH_CACHE: repeated runs (and the operators SHARING the
+# assignment — c03_knn_graph, c03_diversity_cap) reuse ONE cached
+# featurization instead of leaking a new persist per call
 _KNN_BUCKET_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _two_level_bucketed(
+    spark: SparkSession, sf_dir: str, nlist: int | None = None
+) -> tuple[DataFrame, int]:
+    """(corpus with a ``cell`` column, nlist): the session-cached
+    two-level-quantizer assignment every cell-blocked operator shares.
+    nlist derives as max(32, min(2^20, ceil(N^(21/32)))) and
+    nsup = max(8, ceil(sqrt(nlist))) — see vectors.derived_two_level
+    for why 21/32 (the closest sqrt-chain fraction to the free optimum
+    N^(2/3); pow is not correctly rounded, sqrt and * are, so both
+    engines ceil the same double)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    if nlist is None:
+        nlist, nsup = V.derived_two_level(emb.count(), _IVF_FLOOR)
+    else:
+        nsup = max(8, math.ceil(math.sqrt(float(nlist))))
+    bkey = (id(spark), sf_dir, nlist)
+    if bkey not in _KNN_BUCKET_CACHE:
+        bc = spark.sparkContext.broadcast(
+            V.collect_two_level(emb, nlist, nsup)
+        )
+        cell_of = V.make_two_level_nearest_udf(bc)
+        _KNN_BUCKET_CACHE[bkey] = emb.withColumn(
+            "cell", cell_of(F.col("embedding"))
+        ).persist()
+    return _KNN_BUCKET_CACHE[bkey], nlist
 
 
 def q_knn_graph(
@@ -608,27 +640,9 @@ def q_knn_graph(
     in the oracle."""
     from iceberg_relative_io_spark.operators import skewpairs
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    if nlist is None:
-        nlist, nsup = V.derived_two_level(emb.count(), _IVF_FLOOR)
-    else:
-        import math
-
-        nsup = max(8, math.ceil(math.sqrt(float(nlist))))
-    bkey = (id(spark), sf_dir, nlist)
-    if bkey not in _KNN_BUCKET_CACHE:
-        bc = spark.sparkContext.broadcast(
-            V.collect_two_level(emb, nlist, nsup)
-        )
-        cell_of = V.make_two_level_nearest_udf(bc)
-        # the assignment pass feeds both self-join sides: persist once
-        # per (session, corpus, nlist) so the corpus is featurized once
-        _KNN_BUCKET_CACHE[bkey] = emb.withColumn(
-            "cell", cell_of(F.col("embedding"))
-        ).persist()
-    bucketed = _KNN_BUCKET_CACHE[bkey]
+    # the assignment pass feeds both self-join sides: persisted once per
+    # (session, corpus, nlist) and shared with c03_diversity_cap
+    bucketed, _ = _two_level_bucketed(spark, sf_dir, nlist)
 
     pairs = skewpairs.chunked_self_join(bucketed, ["cell"], "vec_id")
     dot_udf = V.make_dot_udf()
@@ -655,6 +669,51 @@ def q_knn_graph(
             "rnk",
             "cos_sim",
         )
+    )
+
+
+_DIV_CAP = 4    # max vectors kept per cell
+_DIV_SALT = 16  # phase-1 split of each cell (skew-proof top-K)
+
+
+def q_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (diversity stratification): keep at most _DIV_CAP vectors per
+    IVF cell — the per-cluster membership cap the DataComp/SemDeDup
+    recipes apply to stop dense regions (boilerplate, template spam)
+    from dominating the training mix, and the cheap cousin of full
+    semantic dedup (c03_semantic_dedup keeps one of each near-dup PAIR;
+    this bounds whole neighborhoods). Cells come from the SAME
+    session-cached two-level quantizer assignment as c03_knn_graph
+    (_two_level_bucketed: one featurization pass serves both). Survivor
+    choice is the deterministic hash order every sampler here uses
+    (sample_key, vec_id), so the subset is a pure function of the data.
+
+    Skew defense: a per-cell top-K as one window would sort a viral
+    cell (millions of boilerplate embeddings) in ONE task. The top-K
+    here is two-phase — phase 1 ranks within (cell, vec_id % _DIV_SALT)
+    and keeps K per salt slice, phase 2 ranks the ≤ K·_DIV_SALT
+    survivors per cell — so no task ever sorts more than max(cell/salt,
+    K·salt) rows. Exact selection commutes through the split (the
+    global top-K is contained in the union of per-slice top-Ks), so the
+    oracle states the plain one-window form."""
+    bucketed, _ = _two_level_bucketed(spark, sf_dir)
+    keyed = bucketed.filter(F.col("cell").isNotNull()).select(
+        "vec_id",
+        "cell",
+        V.sample_key(F.col("vec_id")).alias("skey"),
+        (F.col("vec_id") % _DIV_SALT).alias("salt"),
+    )
+    w1 = Window.partitionBy("cell", "salt").orderBy("skey", "vec_id")
+    pre = (
+        keyed.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _DIV_CAP)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("cell").orderBy("skey", "vec_id")
+    return (
+        pre.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _DIV_CAP)
+        .select("cell", "vec_id", "rnk")
     )
 
 
@@ -1300,6 +1359,7 @@ QUERIES = {
     "c03_ann_lsh": q_ann_lsh,
     "c03_ann_ivf": q_ann_ivf,
     "c03_knn_graph": q_knn_graph,
+    "c03_diversity_cap": q_diversity_cap,
     "c03_cluster_medoids": q_cluster_medoids,
     "c03_kmeans_lloyd": q_kmeans_lloyd,
     "c03_kmeans_inertia": q_kmeans_inertia,
@@ -1585,60 +1645,19 @@ ORACLE = {
             FROM scored
         ) WHERE rnk <= {_TOP_K}
     """,
+    "c03_diversity_cap": f"""
+        WITH {V.two_level_assign_ctes_sql(_IVF_FLOOR)}
+        SELECT cell, vec_id, rnk FROM (
+            SELECT a.cid AS cell, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY a.cid
+                       ORDER BY {V.sample_key_sql('a.vec_id')}, a.vec_id
+                   ) AS rnk
+            FROM assign a
+        ) WHERE rnk <= {_DIV_CAP}
+    """,
     "c03_knn_graph": f"""
-        WITH cents AS (
-            {V.sample_cte_sql(V.derived_two_level_sql(_IVF_FLOOR)[0])}
-        ),
-        sups AS (
-            -- the super-centroid sample is a strict PREFIX of cents:
-            -- same ORDER BY, smaller LIMIT (collect_two_level slices
-            -- the one collected sample)
-            {V.sample_cte_sql(V.derived_two_level_sql(_IVF_FLOOR)[1],
-                              id_alias='sid', vec_alias='svec')}
-        ),
-        cassign AS (
-            -- level 2: each centroid owned by its max-cosine super
-            SELECT cid, cvec, sid FROM (
-                SELECT c.cid, c.cvec, s.sid,
-                       row_number() OVER (
-                           PARTITION BY c.cid
-                           ORDER BY {V.cosine_sql('c.cvec', 's.svec')} DESC, s.sid
-                       ) AS rn
-                FROM cents c, sups s
-            ) WHERE rn = 1
-        ),
-        s1 AS (
-            -- level 1: nearest NON-EMPTY super per vector (supers that
-            -- win no child are dropped, exactly as collect_two_level
-            -- filters them — a vector must never land in an empty cell).
-            -- NULL-embedding rows get a NULL cell in the engine
-            -- (make_two_level_nearest_udf) and the non-null-safe cell
-            -- join drops them; mirror the exclusion here or the oracle
-            -- would emit phantom neighbors for them
-            SELECT vec_id, sid FROM (
-                SELECT e.vec_id, s.sid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {V.cosine_sql('e.embedding', 's.svec')} DESC, s.sid
-                       ) AS rn
-                FROM embeddings e,
-                     (SELECT * FROM sups
-                      WHERE sid IN (SELECT sid FROM cassign)) s
-                WHERE e.embedding IS NOT NULL
-            ) WHERE rn = 1
-        ),
-        assign AS (
-            SELECT vec_id, cid FROM (
-                SELECT s1.vec_id, ca.cid,
-                       row_number() OVER (
-                           PARTITION BY s1.vec_id
-                           ORDER BY {V.cosine_sql('e.embedding', 'ca.cvec')} DESC, ca.cid
-                       ) AS rn
-                FROM s1
-                JOIN embeddings e ON e.vec_id = s1.vec_id
-                JOIN cassign ca ON ca.sid = s1.sid
-            ) WHERE rn = 1
-        ),
+        WITH {V.two_level_assign_ctes_sql(_IVF_FLOOR)},
         pairs AS (
             SELECT a.vec_id AS va, b.vec_id AS vb,
                    {V.cosine_sql('ea.embedding', 'eb.embedding')} AS cos_sim

@@ -685,3 +685,43 @@ def test_knn_graph_invariants(spark, sf_dir):
     for (a, b), c in cos_of.items():
         if (b, a) in cos_of:
             assert cos_of[(b, a)] == c
+
+
+def test_diversity_cap_invariants(spark, sf_dir):
+    """c03_diversity_cap (round 9): the salted two-phase per-cell top-K
+    must equal the plain one-window top-K (selection commutes through
+    the salt split); no cell exceeds _DIV_CAP survivors; ranks are
+    consecutive from 1; survivors are the hash-order minima of their
+    cell; and the cell assignment is the SAME cached frame c03_knn_graph
+    uses (one featurization pass serves both)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    rows = N.q_diversity_cap(spark, sf_dir).collect()
+    assert rows
+    bucketed, _ = N._two_level_bucketed(spark, sf_dir)
+    # reference: plain one-window top-K over the same assignment
+    key_of = {
+        r.vec_id: ((r.vec_id % V._TWO31) * (V._LCG % V._TWO31)) % V._TWO31
+        for r in bucketed.select("vec_id").collect()
+    }
+    cell_of = {
+        r.vec_id: r.cell
+        for r in bucketed.select("vec_id", "cell").collect()
+        if r.cell is not None
+    }
+    by_cell: dict = {}
+    for vid, cell in cell_of.items():
+        by_cell.setdefault(cell, []).append(vid)
+    want = {}
+    for cell, vids in by_cell.items():
+        ordered = sorted(vids, key=lambda v: (key_of[v], v))[: N._DIV_CAP]
+        for rnk, vid in enumerate(ordered, 1):
+            want[(cell, vid)] = rnk
+    got = {(r.cell, r.vec_id): r.rnk for r in rows}
+    assert got == want  # two-phase == one-window, ranks included
+    from collections import Counter
+
+    per_cell = Counter(c for c, _ in got)
+    assert all(n <= N._DIV_CAP for n in per_cell.values())

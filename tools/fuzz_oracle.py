@@ -48,8 +48,9 @@ DEFAULT_QUERIES = [
     "b19_window_frames", "b17_scd2_intervals", "c03_hard_negatives",
     "c03_knn_graph", "c06_contamination_fuzzy",
     # round 9: segment explosion + order-preserving reassembly is
-    # edge-sensitive (empty docs, one-token docs, NULL text)
-    "c04_boilerplate_removal",
+    # edge-sensitive (empty docs, one-token docs, NULL text); the
+    # diversity cap rides the two-level quantizer + hash sampler
+    "c04_boilerplate_removal", "c03_diversity_cap",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",

@@ -89,8 +89,9 @@ MEASURED = [
     "c03_hard_negatives",
     "c03_knn_graph",
     "c06_contamination_fuzzy",
-    # round 9: segment-level boilerplate removal
+    # round 9: segment-level boilerplate removal + diversity cap
     "c04_boilerplate_removal",
+    "c03_diversity_cap",
 ]
 
 
