@@ -100,6 +100,8 @@ def main() -> None:
         "c05_audio_vad",
         # round-6 mirror lifecycle flagships
         "a41_iceberg_export", "a48_iceberg_merge", "a52_stats_pruned_read",
+        # round-9 flagships (two-level quantizer + new pipeline ops)
+        "c03_knn_graph", "c03_diversity_cap", "c04_boilerplate_removal",
     ]
     def render(keys: list[str]) -> str:
         return json.dumps(

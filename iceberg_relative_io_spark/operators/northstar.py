@@ -672,8 +672,7 @@ def q_knn_graph(
     )
 
 
-_DIV_CAP = 4    # max vectors kept per cell
-_DIV_SALT = 16  # phase-1 split of each cell (skew-proof top-K)
+_DIV_CAP = 4  # max vectors kept per cell
 
 
 def q_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,30 +687,22 @@ def q_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is the deterministic hash order every sampler here uses
     (sample_key, vec_id), so the subset is a pure function of the data.
 
-    Skew defense: a per-cell top-K as one window would sort a viral
-    cell (millions of boilerplate embeddings) in ONE task. The top-K
-    here is two-phase — phase 1 ranks within (cell, vec_id % _DIV_SALT)
-    and keeps K per salt slice, phase 2 ranks the ≤ K·_DIV_SALT
-    survivors per cell — so no task ever sorts more than max(cell/salt,
-    K·salt) rows. Exact selection commutes through the split (the
-    global top-K is contained in the union of per-slice top-Ks), so the
-    oracle states the plain one-window form."""
+    Skew defense is CATALYST'S, deliberately: a rank<=K filter over a
+    window compiles to WindowGroupLimit Partial/Final around the
+    exchange (Spark >= 3.5), so every map task forwards at most K rows
+    per cell and a viral cell (millions of boilerplate embeddings)
+    reaches its reduce task as <= K x upstream-partitions rows — the
+    same bound a hand-rolled salted two-phase top-K would buy, for one
+    declarative window. test_diversity_cap_plan_pins_group_limit pins
+    the Partial limit below the exchange so an optimizer regression
+    can't silently reintroduce the hot-cell sort."""
     bucketed, _ = _two_level_bucketed(spark, sf_dir)
     keyed = bucketed.filter(F.col("cell").isNotNull()).select(
-        "vec_id",
-        "cell",
-        V.sample_key(F.col("vec_id")).alias("skey"),
-        (F.col("vec_id") % _DIV_SALT).alias("salt"),
+        "vec_id", "cell", V.sample_key(F.col("vec_id")).alias("skey")
     )
-    w1 = Window.partitionBy("cell", "salt").orderBy("skey", "vec_id")
-    pre = (
-        keyed.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= _DIV_CAP)
-        .drop("r1", "salt")
-    )
-    w2 = Window.partitionBy("cell").orderBy("skey", "vec_id")
+    w = Window.partitionBy("cell").orderBy("skey", "vec_id")
     return (
-        pre.withColumn("rnk", F.row_number().over(w2))
+        keyed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _DIV_CAP)
         .select("cell", "vec_id", "rnk")
     )

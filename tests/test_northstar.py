@@ -688,12 +688,11 @@ def test_knn_graph_invariants(spark, sf_dir):
 
 
 def test_diversity_cap_invariants(spark, sf_dir):
-    """c03_diversity_cap (round 9): the salted two-phase per-cell top-K
-    must equal the plain one-window top-K (selection commutes through
-    the salt split); no cell exceeds _DIV_CAP survivors; ranks are
-    consecutive from 1; survivors are the hash-order minima of their
-    cell; and the cell assignment is the SAME cached frame c03_knn_graph
-    uses (one featurization pass serves both)."""
+    """c03_diversity_cap (round 9): survivors are exactly the hash-order
+    minima of their cell with consecutive ranks from 1; no cell exceeds
+    _DIV_CAP survivors; and the cell assignment is the SAME cached frame
+    c03_knn_graph uses (one featurization pass serves both) — all
+    recomputed independently driver-side."""
     from pyspark.sql import functions as F
 
     from iceberg_relative_io_spark.functions import vectors as V
@@ -725,3 +724,56 @@ def test_diversity_cap_invariants(spark, sf_dir):
 
     per_cell = Counter(c for c, _ in got)
     assert all(n <= N._DIV_CAP for n in per_cell.values())
+
+
+def test_two_level_derivation_matches_duckdb_bitwise():
+    """The load-bearing bit-exactness claim of the two-level quantizer
+    (round 9): nlist = max(32, min(2^20, ceil(N^(21/32)))) is computed
+    as a chain of correctly-rounded sqrt/multiply ops so DuckDB ceils
+    the SAME double as Python for every corpus size — including sizes
+    adjacent to exact powers where a one-ulp pow() divergence would
+    flip the ceil. Property-checked over random and adversarial N."""
+    import random
+
+    import duckdb
+
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    nlist_sql, nsup_sql = V.derived_two_level_sql()
+    rng = random.Random(0x21_32)
+    cases = [1, 2, 31, 32, 33, 1000, 2**31, 10**12]
+    # adversarial: k^32 has an exact 21/32-power (k^21) — the ceil sits
+    # on the integer boundary where any rounding drift would show
+    cases += [k**3 for k in (2, 3, 10, 99)] + [2**32, 2**32 - 1, 2**32 + 1]
+    cases += [rng.randrange(1, 10**12) for _ in range(400)]
+    con = duckdb.connect()
+    for n in cases:
+        want_nlist, want_nsup = V.derived_two_level(n)
+        sub = f"CAST({n} AS DOUBLE)"
+        sql_nlist = nlist_sql.replace(
+            "CAST((SELECT count(*) FROM embeddings) AS DOUBLE)", sub
+        )
+        sql_nsup = nsup_sql.replace(
+            "CAST((SELECT count(*) FROM embeddings) AS DOUBLE)", sub
+        )
+        got = con.execute(f"SELECT {sql_nlist}, {sql_nsup}").fetchone()
+        assert got == (want_nlist, want_nsup), (n, got, (want_nlist, want_nsup))
+
+
+def test_diversity_cap_plan_pins_group_limit(spark, sf_dir):
+    """The skew defense c03_diversity_cap delegates to Catalyst: the
+    rank<=K filter must compile to a PARTIAL WindowGroupLimit BELOW the
+    cell exchange (map tasks forward at most K rows per cell, so a
+    viral cell can never concentrate its full membership in one sort).
+    Pinned so an optimizer/conf regression cannot silently reintroduce
+    the hot-cell sort."""
+    plan = (
+        N.q_diversity_cap(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    below_exchange = plan.split("Exchange hashpartitioning(cell", 1)[1]
+    assert "WindowGroupLimit" in below_exchange
+    assert "Partial" in below_exchange
