@@ -2189,3 +2189,38 @@ def test_jdbc_pool_concurrency_stress(tmp_path, db_driver):
     for t in range(n_threads):
         assert len(cat.list_tables((f"ns{t}",))) == rounds
     cat.close()
+
+
+def test_jdbc_pool_amortizes_server_handshake(tmp_path):
+    """Why the pool exists (reference JdbcClientPool,
+    JdbcRelativeCatalog.java:80-104): against a server RDBMS the
+    TCP+auth handshake is paid per CONNECT, not per statement. An
+    injected fake-server driver (sqlite semantics, counted connects)
+    runs a 30-op single-threaded catalog workload: the pool must reuse
+    ONE leased connection throughout — connect count stays 1, not one
+    per transaction."""
+    import os
+
+    from iceberg_relative_io_spark.catalog.jdbc_catalog import SqliteDriver
+
+    class FakeServerDriver(SqliteDriver):
+        name = "fakeserver"
+        connects = 0
+
+        def connect(self, db_path):
+            type(self).connects += 1
+            return super().connect(db_path)
+
+    wh = str(tmp_path / "srv_wh")
+    os.makedirs(wh)
+    cat = JdbcCatalog(
+        str(tmp_path / "srv.db"), wh, driver=FakeServerDriver()
+    )
+    schema = {"type": "struct", "fields": []}
+    cat.create_namespace(("s",))
+    for i in range(10):
+        cat.create_table(("s",), f"t{i}", schema)
+        assert cat.table_exists(("s",), f"t{i}")
+        assert f"t{i}" in cat.list_tables(("s",))
+    assert FakeServerDriver.connects == 1, FakeServerDriver.connects
+    cat.close()
