@@ -517,7 +517,12 @@ def q_ann_ivf(
     a parquet-metadata count-star; the oracle mirrors the identical
     derivation via a scalar subquery in the centroid CTE's LIMIT
     (``derived_sqrt_sql``). All float math is dimension-sequential so
-    the oracle reproduces the exact assignments, probes, and scores."""
+    the oracle reproduces the exact assignments, probes, and scores.
+    (When the index-BUILD assignment pass dominates — corpora where
+    N·nlist·dim flops outgrow the probe volume — the shipped two-level
+    assignment of c03_knn_graph/_two_level_bucketed is the drop-in
+    cut: O(N·2·sqrt(nlist)·dim) assignment with the same oracle-exact
+    CTE mirror, vectors.two_level_assign_ctes_sql.)"""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(

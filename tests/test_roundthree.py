@@ -419,3 +419,22 @@ def test_contamination_fuzzy_semantics(spark, sf_dir):
             assert text[r.best_train_match] != text[r.doc_id]
         else:
             assert (r.n_train_matches, r.best_train_match) == (0, -1)
+
+
+def test_contamination_fuzzy_probe_broadcasts(spark, sf_dir):
+    """The 100 TB shape claim of c06_contamination_fuzzy, plan-pinned:
+    the eval split is tiny next to the corpus, so EVERY join in the
+    probe (band match, jaccard verify, verdict attach) must broadcast
+    the test side — no sort-merge join, no cartesian product. A plan
+    regression here turns the map-only probe into a corpus shuffle."""
+    from iceberg_relative_io_spark.operators import pipeline_ext as P
+
+    plan = (
+        P.q_contamination_fuzzy(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
