@@ -777,3 +777,34 @@ def test_diversity_cap_plan_pins_group_limit(spark, sf_dir):
     below_exchange = plan.split("Exchange hashpartitioning(cell", 1)[1]
     assert "WindowGroupLimit" in below_exchange
     assert "Partial" in below_exchange
+
+
+def test_two_level_quantizer_tiny_corpus(spark):
+    """Degenerate sizes the floors create: a corpus SMALLER than the
+    nsup/nlist floors must still quantize (every row becomes its own
+    centroid and super), duplicates tie-break to the smallest id, and
+    NULL embeddings stay NULL cells."""
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.0, 0.0]),  # duplicate of 1 -> ties to id 1's cell
+        (4, None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    nlist, nsup = V.derived_two_level(4)
+    assert (nlist, nsup) == (32, 8)  # floors bind
+    pack = V.collect_two_level(emb, nlist, nsup)
+    bc = spark.sparkContext.broadcast(pack)
+    got = {
+        r.vec_id: r.cell
+        for r in emb.withColumn(
+            "cell", V.make_two_level_nearest_udf(bc)(F.col("embedding"))
+        ).collect()
+    }
+    assert got[1] == 1 and got[2] == 2
+    assert got[3] == 1  # duplicate vector -> first-maximum, smallest id
+    assert got[4] is None  # NULL embedding -> NULL cell
