@@ -9,12 +9,29 @@ breakdown while the full per-query timing map is written to
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no result serialization cost), matching how a warehouse would measure
 operator throughput.
+
+MEASUREMENT PROTOCOL (round 10). Timing all ~220 queries in ONE JVM
+session inflates the alphabetical tail 3-5x: accumulated JVM/session
+state (codegen cache churn, listener/UI state, shuffle bookkeeping),
+not plans — SCALING.md's round-9 protocol note reproduced 39.8x
+spurious ratios only deep inside a 58-query session, and round 9's
+recorded c06_pipeline_capstone was 10.4s against a 3.1s fresh-session
+re-time. So the parent process splits the sorted query list into
+chunks of $SPARK_GRAFT_BENCH_CHUNK (default 40) and runs EACH CHUNK IN
+ITS OWN SUBPROCESS with a fresh SparkSession — short sessions, same
+per-query protocol (warm-up pass at sf0.001, best-of-N at the target
+sf). Within a chunk the shared featurization caches stay warm exactly
+as a warehouse session would keep them; the worker releases them via
+iceberg_relative_io_spark.caches.release_session_caches at chunk end
+(the long-session contract — the hook exists so ANY long-lived session
+can do the same).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -23,11 +40,16 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-
+def _query_names() -> list[str]:
     import __spark_entry__ as e
+
+    return sorted(e.queries())
+
+
+def _worker(names: list[str], sf_dir: str, out_path: str) -> None:
+    """Time one chunk of queries in THIS process's fresh SparkSession."""
+    import __spark_entry__ as e
+    from iceberg_relative_io_spark.caches import release_session_caches
     from iceberg_relative_io_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -36,19 +58,22 @@ def main() -> None:
 
     queries = e.queries()
 
-    # Full warm-up pass at the smallest scale factor: JIT-compiles every
+    # Warm-up pass at the smallest scale factor: JIT-compiles every
     # operator's codegen'd stages, analyzer/optimizer rules, decimal
-    # aggregation paths, and the Arrow/pandas-UDF workers before anything
-    # is timed — standard JVM benchmarking practice. Cold-plan compilation
-    # costs ~0.5-3s *per distinct plan shape* on first execution and is a
-    # one-off that a long-running warehouse never pays per query; without
-    # this pass the measurement is of HotSpot, not of the engine.
+    # aggregation paths, and the Arrow/pandas-UDF workers before
+    # anything is timed — standard JVM benchmarking practice. Cold-plan
+    # compilation costs ~0.5-3s *per distinct plan shape* on first
+    # execution and is a one-off that a long-running warehouse never
+    # pays per query; without this pass the measurement is of HotSpot,
+    # not of the engine.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if warm_dir != "off" and os.path.isdir(warm_dir):
-        for name, fn in sorted(queries.items()):
+        for name in names:
             try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # warm-up is best-effort, but never silent
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # warm-up is best-effort, never silent
                 print(f"warmup {name}: {type(exc).__name__}", file=sys.stderr)
 
     # Best-of-2 per query: the measurement box shows transient noise
@@ -57,7 +82,8 @@ def main() -> None:
     # the engine's cost rather than the co-tenant's.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
+    for name in names:
+        fn = queries[name]
         best = None
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
@@ -66,6 +92,53 @@ def main() -> None:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         times[name] = round(best, 3)
+
+    # the long-session hygiene contract (see module docstring)
+    release_session_caches(spark)
+    Path(out_path).write_text(json.dumps(times))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[3:], sf_dir, sys.argv[2])
+        return
+
+    names = _query_names()
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40"))
+    times: dict[str, float] = {}
+    if chunk <= 0:  # escape hatch: old single-session behavior
+        import tempfile
+
+        out = tempfile.mktemp(suffix=".json")
+        _worker(names, sf_dir, out)
+        times = json.loads(Path(out).read_text())
+    else:
+        import tempfile
+
+        for i in range(0, len(names), chunk):
+            part = names[i : i + chunk]
+            out = tempfile.mktemp(suffix=f".bench{i}.json")
+            # fresh subprocess == fresh JVM + fresh SparkSession: the
+            # chunk's recorded times can't inherit another chunk's
+            # session aging (worker stdout -> our stderr so the ONE
+            # parseable stdout line below stays the only stdout)
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--worker", out]
+                + part,
+                stdout=sys.stderr,
+                env=os.environ,
+            )
+            if proc.returncode != 0:
+                print(
+                    f"bench worker chunk {i} failed rc={proc.returncode}",
+                    file=sys.stderr,
+                )
+                continue
+            times.update(json.loads(Path(out).read_text()))
+            os.unlink(out)
 
     total = round(sum(times.values()), 3)
     (REPO / "BENCH_FULL.json").write_text(
@@ -103,6 +176,7 @@ def main() -> None:
         # round-9 flagships (two-level quantizer + new pipeline ops)
         "c03_knn_graph", "c03_diversity_cap", "c04_boilerplate_removal",
     ]
+
     def render(keys: list[str]) -> str:
         return json.dumps(
             {

@@ -204,6 +204,7 @@ class _PooledTxn:
         with cat._pool_lock:
             if cat._closed:
                 raise ValueError(f"catalog {cat.name!r} is closed")
+            from_pool = bool(cat._pool)
             self.con = (
                 cat._pool.pop()
                 if cat._pool
@@ -214,11 +215,28 @@ class _PooledTxn:
             try:
                 begin(self.con)
             except Exception:
+                # a pooled connection can go stale between leases (a
+                # server RDBMS drops idle sessions); the reference's
+                # JdbcClientPool re-validates on lease, so mirror it:
+                # discard the stale lease and retry ONCE on a fresh
+                # connect — a second failure is a real outage, propagate
                 try:
                     self.con.close()
                 except Exception:
                     pass
-                raise
+                self.con = None
+                if not from_pool:
+                    raise
+                con = cat._driver.connect(cat.db_path)
+                try:
+                    begin(con)
+                except Exception:
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    raise
+                self.con = con
         return self.con
 
     def __exit__(self, exc_type, exc, tb) -> bool:

@@ -30,6 +30,25 @@ from iceberg_relative_io_spark.catalog.table_ops import CommitFailedError, Table
 
 _COMMIT_RETRIES = 4
 
+# table-property prefix recording, per stream checkpoint, the max batch
+# id a sink committed: "stream.epoch.<sha1(ckpt)[:12]>" -> str(batchId).
+# Properties ride table metadata, not snapshots, so the idempotence
+# probe survives expire_snapshots (one bounded property per checkpoint,
+# not per epoch — epochs commit in order, so the max is complete)
+_STREAM_EPOCH_PROP = "stream.epoch."
+
+
+def _epoch_key_parts(epoch_key) -> tuple[str, int] | None:
+    """Split a checkpoint-scoped epoch key ``<ckpt-hash>:<batchId>``;
+    None for bare/legacy keys (no checkpoint identity to scope a bounded
+    property under — those stay on the snapshot-summary scan)."""
+    if not isinstance(epoch_key, str) or ":" not in epoch_key:
+        return None
+    ckpt, _, batch = epoch_key.rpartition(":")
+    if not ckpt or not batch.isdigit():
+        return None
+    return ckpt, int(batch)
+
 
 def _json_safe(v, floor: bool | None = None):
     """Parquet footer stats -> JSON-storable scalar (datetime ->
@@ -433,6 +452,19 @@ class RelativeTable:
                     **(extra_summary or {}),
                 },
             }
+            # idempotent stream sinks: mirror the epoch key into the
+            # expiry-proof per-checkpoint property (same atomic commit
+            # as the snapshot — no window where one exists without the
+            # other)
+            ek_parts = _epoch_key_parts(
+                (extra_summary or {}).get("stream-batch-id")
+            )
+            if ek_parts is not None:
+                props = meta.setdefault("properties", {})
+                prop = _STREAM_EPOCH_PROP + ek_parts[0]
+                prev = props.get(prop)
+                if prev is None or int(prev) < ek_parts[1]:
+                    props[prop] = str(ek_parts[1])
             meta["snapshots"].append(snapshot)
             refs[branch] = snap_id
             if branch == "main":
@@ -469,15 +501,33 @@ class RelativeTable:
         )
 
     def seen_stream_epoch(self, epoch_key: str) -> bool:
-        """True if a snapshot already records ``stream-batch-id ==
-        epoch_key`` — the replayed-epoch probe for foreachBatch sinks
+        """True if this table already committed stream epoch
+        ``epoch_key`` — the replayed-epoch probe for foreachBatch sinks
         (Structured Streaming re-runs an epoch whose sink action ran
         but whose commit-log write was lost to a crash; an idempotent
-        sink must skip it)."""
+        sink must skip it).
+
+        Checkpoint-scoped keys (``sha1(ckpt)[:12]:batchId``) are probed
+        against the ``stream.epoch.<ckpt>`` table PROPERTY first:
+        _commit_snapshot maintains it as the max committed batch id per
+        checkpoint, and properties live in table metadata, so the probe
+        survives expire_snapshots pruning the marker snapshot (round-10
+        advice: a crash + expiry + replay window would otherwise
+        double-commit). Epochs commit in order within a checkpoint, so
+        the max is a complete record. Legacy/bare keys fall back to the
+        snapshot-summary scan."""
         self.ops._should_refresh = True
+        meta = self.ops.current()
+        parts = _epoch_key_parts(epoch_key)
+        if parts is not None:
+            prev = meta.get("properties", {}).get(
+                _STREAM_EPOCH_PROP + parts[0]
+            )
+            if prev is not None and int(prev) >= parts[1]:
+                return True
         return any(
             s.get("summary", {}).get("stream-batch-id") == epoch_key
-            for s in self.ops.current().get("snapshots", [])
+            for s in meta.get("snapshots", [])
         )
 
     def overwrite_partitions(self, df: DataFrame) -> dict:

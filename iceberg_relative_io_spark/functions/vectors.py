@@ -150,15 +150,22 @@ def bounded_sample(emb, k: int):
     )
 
 
-def sample_cte_sql(k, id_alias: str = "cid", vec_alias: str = "cvec") -> str:
+def sample_cte_sql(
+    k,
+    id_alias: str = "cid",
+    vec_alias: str = "cvec",
+    table: str = "embeddings",
+) -> str:
     """DuckDB mirror of bounded_sample as a CTE body. ``k`` is either an
     int literal or a SQL expression string (DuckDB accepts a scalar
     subquery in LIMIT) — the latter is how the corpus-derived knobs
     (``derived_cells_sql`` / ``derived_sqrt_sql``) mirror the Spark-side
-    derivation exactly."""
+    derivation exactly. ``table`` must name the same source the caller's
+    other CTEs scan — two_level_assign_ctes_sql threads its own table
+    through so centroid sampling can never silently diverge from it."""
     limit = f"({k})" if isinstance(k, str) else str(k)
     return (
-        f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias} FROM embeddings "
+        f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias} FROM {table} "
         f"WHERE embedding IS NOT NULL "
         f"ORDER BY {sample_key_sql('vec_id')}, vec_id LIMIT {limit}"
     )
@@ -378,13 +385,13 @@ def two_level_assign_ctes_sql(floor: int = 32, table: str = "embeddings") -> str
     (cid)."""
     nlist_sql, nsup_sql = derived_two_level_sql(floor, table=table)
     return f"""cents AS (
-            {sample_cte_sql(nlist_sql)}
+            {sample_cte_sql(nlist_sql, table=table)}
         ),
         sups AS (
             -- the super-centroid sample is a strict PREFIX of cents:
             -- same ORDER BY, smaller LIMIT (collect_two_level slices
             -- the one collected sample)
-            {sample_cte_sql(nsup_sql, id_alias='sid', vec_alias='svec')}
+            {sample_cte_sql(nsup_sql, id_alias='sid', vec_alias='svec', table=table)}
         ),
         cassign AS (
             -- level 2: each centroid owned by its max-cosine super

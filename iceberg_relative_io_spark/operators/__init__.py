@@ -9,52 +9,54 @@ from __future__ import annotations
 
 # The driver's correctness gate checks queries in registry order with a
 # bounded budget (it records exactly the first 50 entries). Cumulative
-# driver evidence through round 8 covers all 217 registered names
-# green (r8 itself graded 50/50).
+# driver evidence through round 9 covers all 219 registered names
+# green (r9 itself graded 50/50).
 #
 # FRESHNESS INVARIANT (round 7 onward): the prefix is built so that no
 # query's latest driver grade is ever older than ~3 rounds. Each round
 # it front-loads (a) every never-graded new query, then (b) names whose
 # physical plan changed since their last grade, then (c) the
-# stalest-graded names, oldest round first. Entering round 9 the
-# last-graded histogram is {r4:40, r5:28, r6:50, r7:49, r8:50}; the 50
-# slots below take the two never-graded round-9 queries
-# (c04_boilerplate_removal, c03_diversity_cap), the four round-9
-# plan-touched names
-# (c03_knn_graph: two-level coarse quantizer rewrite; b04_sql_views:
-# duckdb catalog driver now pools connections; b30_stream_from_iceberg:
-# totals-delta admission costing for pre-added-data-files mirrors;
-# b30_stream_backpressure: monotone commit() watermark in the relative
-# stream reader), ALL 40 remaining r4-graded names (completing the r7
-# freshness goal one round late), and 4 r5-graded picks. After r9
-# grades, nothing is older than r5 (the remaining 24 r5 names rotate
-# next round). Everything rotated out stays in the registry and in the
-# judge's full rerun (tools/check_oracle.py).
+# stalest-graded names, oldest round first. Entering round 10 the
+# last-graded histogram is {r5:24, r6:49, r7:49, r8:47, r9:50}; the 50
+# slots below take the round-10 plan-touched names
+# (c03_knn_graph + c03_diversity_cap: the shared two-level assignment's
+# session cache was rekeyed on applicationId and the oracle CTE builder
+# grew table threading; b30_stream_from_iceberg: expired-parent floor
+# in the totals-only admission costing; b30_stream_to_iceberg +
+# b31_stream_upsert_to_table: epoch keys now also persist in the
+# expiry-proof stream.epoch.<ckpt> table property; b04_sql_views: the
+# pooled catalog txn revalidates stale leases), ALL 24 remaining
+# r5-graded names (completing the rotation — after r10 grades, nothing
+# is older than r6), and 20 r6-graded names, alphabetical. Everything
+# rotated out stays in the registry and in the judge's full rerun
+# (tools/check_oracle.py).
 PRIORITY_ORDER = [
-    # --- never driver-graded (new in round 9) ---
-    "c04_boilerplate_removal",  # NEW: segment-level boilerplate removal
-    "c03_diversity_cap",        # NEW: per-cell diversity stratification
-    # --- plan touched round 9 ---
-    "c03_knn_graph",           # two-level coarse quantizer (N^(21/32) cells)
-    "b04_sql_views",           # duckdb catalog driver pooled (begin/commit txns)
-    "b30_stream_from_iceberg",  # totals-delta admission costing
-    "b30_stream_backpressure",  # monotone commit() admission base
-    # --- last graded round 4 (all 40) ---
-    "b26_higher_order_funs", "b27_json_funs", "b27_variant_json",
-    "b30_stream_sliding_window", "b32_apply_in_pandas", "b32_python_udtf",
-    "b34_tpch_q2", "b34_tpch_q3", "b34_tpch_q5", "b34_tpch_q6",
-    "b34_tpch_q7", "b34_tpch_q8", "b34_tpch_q9", "b34_tpch_q10",
-    "b34_tpch_q11", "b34_tpch_q13", "b34_tpch_q15", "b34_tpch_q16",
-    "b34_tpch_q17", "b34_tpch_q18", "b34_tpch_q19", "b34_tpch_q20",
-    "b34_tpch_q21", "b34_tpch_q22", "c02_score_propagation",
-    "c03_ann_lsh", "c03_ann_recall_eval", "c03_cluster_medoids",
-    "c03_kmeans_lloyd", "c03_pq_codes", "c03_quantize_int8",
-    "c04_bm25_search", "c04_chunking", "c04_fingerprint",
-    "c04_pii_redaction", "c04_sequence_packing", "c05_audio_energy",
-    "c05_keyframes", "c05_scene_cuts", "c06_contamination_bloom",
-    # --- last graded round 5 (4 of 28; rest rotate next round) ---
-    "b01_scan_count", "b05_projection", "b06_filter",
-    "c05_image_hash_neardup",
+    # --- plan touched round 10 ---
+    "c03_knn_graph",            # session-cache rekey + oracle table threading
+    "c03_diversity_cap",        # shares the two-level assignment cache
+    "b30_stream_from_iceberg",  # expired-parent admission-cost floor
+    "b30_stream_to_iceberg",    # expiry-proof epoch property
+    "b31_stream_upsert_to_table",  # expiry-proof epoch property
+    "b04_sql_views",            # pooled txn revalidates stale leases
+    # --- last graded round 5 (all 24 — rotation complete) ---
+    "b01_csv_source", "b01_json_source", "b01_orc_roundtrip",
+    "b04_select_all", "c04_normalize_editdist", "c04_repetition_ratio",
+    "c04_term_frequency", "c04_text_normalize", "c04_token_ids",
+    "c05_audio_vad", "c05_frame_sample", "c05_resize_pipeline",
+    "c05_video_neardup", "c06_contamination_check", "c06_curriculum_order",
+    "c06_dataset_card", "c06_dataset_diff", "c06_mixture_weights",
+    "c06_quality_sampling", "c06_selection_capstone", "c06_shard_shuffle",
+    "c06_source_quota_sample", "c06_token_budget_allocation",
+    "c06_train_split",
+    # --- last graded round 6 (20 of 47; rest rotate next round) ---
+    "a26_compaction", "a32_hidden_partitioning", "a32_partition_pruning",
+    "a41_iceberg_export", "a42_bucket_export", "a43_iceberg_import",
+    "a44_position_delete_read", "a45_iceberg_append",
+    "a46_iceberg_mor_delete", "a47_iceberg_update", "a48_iceberg_merge",
+    "a49_iceberg_overwrite", "a50_iceberg_rollback", "a51_iceberg_evolution",
+    "a52_stats_pruned_read", "a53_iceberg_meta_tables",
+    "a54_iceberg_era_read", "a_merge_upsert", "a_mor_delete",
+    "b01_python_datasource",
 ]
 
 

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_relative_io_spark import caches
 from iceberg_relative_io_spark.functions import text as T
 from iceberg_relative_io_spark.functions import vectors as V
 from iceberg_relative_io_spark.operators import skewpairs
@@ -89,7 +90,7 @@ def q_embedding_neardup(
     # expensive stage, and without the persist it would run TWICE — once
     # under the skewpairs occupancy pre-count and once under the pair
     # join (round-5 verdict item 4: feed the pre-count from the cache)
-    key = (id(spark), sf_dir, n_planes)
+    key = (caches.session_key(spark), sf_dir, n_planes)
     if key not in _BUCKETED_CACHE:
         _BUCKETED_CACHE[key] = emb.withColumn(
             "bucket", V.make_bucket_udf(n_planes)(F.col("embedding"))
@@ -130,7 +131,7 @@ def q_embedding_neardup(
         "vec_id",
         sizes=_probe_hot(
             _LSH_HOT_CACHE,
-            (id(spark), sf_dir, "embband", n_planes, n_bands),
+            (caches.session_key(spark), sf_dir, "embband", n_planes, n_bands),
             bands,
             ["band", "bk"],
         ),
@@ -189,9 +190,9 @@ def q_embedding_neardup(
 # C2 — sketch dedup: MinHash+LSH, SimHash, n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
-_BUCKETED_CACHE: dict[tuple, DataFrame] = {}
-_LSH_HOT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+_BUCKETED_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+_LSH_HOT_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +202,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir): the LSH join consumes it from both sides and four
     sketch queries share it — the expensive tokenize+hash stage runs once,
     the standard reuse pattern for a shared featurization stage."""
-    key = (id(spark), sf_dir)
+    key = (caches.session_key(spark), sf_dir)
     if key not in _SIG_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         sig_udf = T.make_minhash_udf()
@@ -271,7 +272,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny): the four LSH-family queries that re-enter this function
     # (dedup_survivors, capstone, threshold sweep) skip the per-pass
     # recount entirely — round-5 verdict item 4
-    hkey = (id(spark), sf_dir)
+    hkey = (caches.session_key(spark), sf_dir)
     if hkey not in _LSH_HOT_CACHE:
         hot = skewpairs.hot_buckets(
             bands.select("band", "bsig"), ["band", "bsig"]
@@ -577,7 +578,11 @@ _KNN_GRAPH_K = 3  # neighbors kept per node
 # retrieval_ext._HASH_CACHE: repeated runs (and the operators SHARING the
 # assignment — c03_knn_graph, c03_diversity_cap) reuse ONE cached
 # featurization instead of leaking a new persist per call
-_KNN_BUCKET_CACHE: dict[tuple, DataFrame] = {}
+_KNN_BUCKET_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+# derived (nlist, nsup) per (session, corpus): the derivation needs a
+# full corpus count — one count job, not one per query that shares the
+# assignment (round-9 advice)
+_KNN_NLIST_CACHE: dict[tuple, tuple] = caches.register_cache({})
 
 
 def _two_level_bucketed(
@@ -596,10 +601,13 @@ def _two_level_bucketed(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
     if nlist is None:
-        nlist, nsup = V.derived_two_level(emb.count(), _IVF_FLOOR)
+        nkey = (caches.session_key(spark), sf_dir)
+        if nkey not in _KNN_NLIST_CACHE:
+            _KNN_NLIST_CACHE[nkey] = V.derived_two_level(emb.count(), _IVF_FLOOR)
+        nlist, nsup = _KNN_NLIST_CACHE[nkey]
     else:
         nsup = max(8, math.ceil(math.sqrt(float(nlist))))
-    bkey = (id(spark), sf_dir, nlist)
+    bkey = (caches.session_key(spark), sf_dir, nlist)
     if bkey not in _KNN_BUCKET_CACHE:
         bc = spark.sparkContext.broadcast(
             V.collect_two_level(emb, nlist, nsup)

@@ -52,6 +52,7 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_relative_io_spark import caches
 from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
 
@@ -65,10 +66,10 @@ from iceberg_relative_io_spark.sources.tables import load_table
 # the per-pass plan entirely via NO_HOT_BUCKETS. At 100 TB both cached
 # frames are far smaller than the corpus (doc_id + n_bands longs;
 # 5-int scene rows) — the standard shared-featurization trade.
-_HASH_CACHE: dict[tuple, DataFrame] = {}
-_HASH_HOT_CACHE: dict[tuple, object] = {}
-_KF_CACHE: dict[tuple, DataFrame] = {}
-_KF_HOT_CACHE: dict[tuple, object] = {}
+_HASH_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+_HASH_HOT_CACHE: dict[tuple, object] = caches.register_cache({})
+_KF_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+_KF_HOT_CACHE: dict[tuple, object] = caches.register_cache({})
 
 
 def _probe_hot(cache: dict, key: tuple, df: DataFrame, cols: list[str]):
@@ -343,7 +344,7 @@ def q_image_hash_neardup(
     shuffles (band_idx, band_val) keys; the per-doc verdict aggregation
     is partial-aggregated before its exchange."""
     ham_max = n_bands - 1
-    hkey = (id(spark), sf_dir, n_bands)
+    hkey = (caches.session_key(spark), sf_dir, n_bands)
     if hkey not in _HASH_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _HASH_CACHE[hkey] = _hashed(docs, n_bands).persist()
@@ -618,7 +619,7 @@ def q_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(rows)
         return pd.Series(out)
 
-    key = (id(spark), sf_dir)
+    key = (caches.session_key(spark), sf_dir)
     if key not in _KF_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         out = docs.select(

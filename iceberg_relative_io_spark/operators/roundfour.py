@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_relative_io_spark import caches
 from iceberg_relative_io_spark.functions import vectors as V
 from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
@@ -106,7 +107,7 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         sizes=retrieval_ext._probe_hot(
             retrieval_ext._KF_HOT_CACHE,
-            (id(spark), sf_dir),
+            (caches.session_key(spark), sf_dir),
             kf,
             ["scene_idx", "key_lum"],
         ),

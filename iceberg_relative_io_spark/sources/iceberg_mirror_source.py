@@ -262,13 +262,24 @@ class IcebergMirrorStreamReader(DataSourceStreamReader):
                 # delta == own total). A raw-total fallback would
                 # over-cost every later snapshot cumulatively and
                 # degrade catch-up to one snapshot per trigger.
-                parent = by_id.get(snap.get("parent-snapshot-id"))
+                parent_id = snap.get("parent-snapshot-id")
+                parent = by_id.get(parent_id)
                 own = summ.get("total-data-files")
-                ptot = (
-                    (parent.get("summary", {}) or {}).get("total-data-files")
-                    if parent is not None
-                    else 0
-                )
+                if parent_id is None:
+                    ptot = 0  # genuine first snapshot: delta == own total
+                elif parent is None:
+                    # parent EXPIRED out of the snapshot list: the delta
+                    # is unknowable, not equal to the cumulative total —
+                    # costing it at own-ptot(=0) would charge the whole
+                    # table history to this snapshot and degrade that
+                    # window's catch-up to one snapshot per trigger
+                    # (round-10 advice). Use the same floor as the
+                    # totals-absent branch.
+                    ptot = None
+                else:
+                    ptot = (parent.get("summary", {}) or {}).get(
+                        "total-data-files"
+                    )
                 n = (
                     max(1, int(own) - int(ptot))
                     if own is not None and ptot is not None

@@ -419,12 +419,12 @@ class RelativeStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         table = _load_table(self.options)
-        already = {
-            s["summary"].get("stream-batch-id")
-            for s in table.ops.current()["snapshots"]
-        }
-        if self._batch_key(batchId) in already:
-            return  # replayed batch: snapshot already committed
+        # replayed batch: snapshot already committed. seen_stream_epoch
+        # consults the expiry-proof stream.epoch.<ckpt> property first,
+        # then the snapshot summaries (round-10 advice: the marker
+        # snapshot alone could be expired between crash and replay)
+        if table.seen_stream_epoch(self._batch_key(batchId)):
+            return
         entries = []
         for m in messages:
             if m is None:

@@ -2224,3 +2224,77 @@ def test_jdbc_pool_amortizes_server_handshake(tmp_path):
         assert f"t{i}" in cat.list_tables(("s",))
     assert FakeServerDriver.connects == 1, FakeServerDriver.connects
     cat.close()
+
+
+def test_jdbc_pool_revalidates_stale_lease(tmp_path):
+    """Round-10 advice: a pooled connection can die between leases (a
+    server RDBMS drops idle sessions). The reference's JdbcClientPool
+    re-validates on lease; our _PooledTxn must mirror that — when
+    begin() raises on a connection that came FROM THE POOL, discard it
+    and retry once on a fresh connect instead of failing the catalog
+    op. A FIRST-connect begin() failure (real outage) still propagates."""
+    import os
+
+    from iceberg_relative_io_spark.catalog.jdbc_catalog import SqliteDriver
+
+    class _ConnProxy:
+        """sqlite3.Connection forbids new attributes; delegate through a
+        proxy that can carry the dead flag."""
+
+        def __init__(self, con):
+            self._con = con
+            self._dead = False
+
+        def __getattr__(self, name):
+            return getattr(self._con, name)
+
+    class DroppingServerDriver(SqliteDriver):
+        """sqlite semantics + explicit begin; the test marks pooled
+        connections dead to simulate a server-side idle disconnect."""
+
+        name = "droppingserver"
+        connects = 0
+
+        def connect(self, db_path):
+            type(self).connects += 1
+            return _ConnProxy(super().connect(db_path))
+
+        @staticmethod
+        def begin(con) -> None:
+            if con._dead:
+                raise ConnectionError("server closed idle connection")
+
+    wh = str(tmp_path / "drop_wh")
+    os.makedirs(wh)
+    cat = JdbcCatalog(
+        str(tmp_path / "drop.db"), wh, driver=DroppingServerDriver()
+    )
+    schema = {"type": "struct", "fields": []}
+    cat.create_namespace(("s",))
+    # kill the idle pooled connection(s), then run another op: the stale
+    # lease must be replaced transparently
+    for con in cat._pool:
+        con._dead = True
+    cat.create_table(("s",), "t0", schema)
+    assert cat.table_exists(("s",), "t0")
+    for con in cat._pool:
+        con._dead = True
+    assert cat.list_tables(("s",)) == ["t0"]
+    # reconnects happened (>=2 connects total), no op ever failed
+    assert DroppingServerDriver.connects >= 2
+    cat.close()
+
+    # a catalog whose FIRST connect can't begin() must still fail loudly
+    class AlwaysDeadDriver(DroppingServerDriver):
+        name = "alwaysdead"
+
+        @staticmethod
+        def begin(con) -> None:
+            raise ConnectionError("server unreachable")
+
+    import pytest as _pytest
+
+    wh2 = str(tmp_path / "dead_wh")
+    os.makedirs(wh2)
+    with _pytest.raises(ConnectionError):
+        JdbcCatalog(str(tmp_path / "dead.db"), wh2, driver=AlwaysDeadDriver())

@@ -1252,3 +1252,41 @@ def test_mirror_caught_up_tail_tolerates_aged_out_anchor(spark):
     )
     rows3, _ = _advance(r, off2)
     assert rows3 == [(3, "c")]
+
+
+def test_mirror_stream_cap_expired_parent_floor():
+    """Round-10 advice: in the totals-only costing era, a snapshot whose
+    parent has been EXPIRED out of the snapshot list has an unknowable
+    delta. Costing it at own_total - 0 charges the whole table history
+    to that snapshot and degrades its window's catch-up to one snapshot
+    per trigger; the fix floors it at 1 like the totals-absent branch.
+    (A genuinely parentless first snapshot still costs its full total —
+    that total IS its delta.)"""
+    from iceberg_relative_io_spark.sources.iceberg_mirror_source import (
+        IcebergMirrorStreamReader,
+    )
+
+    # snapshots 2..6, totals-only summaries, snapshot 1 expired (absent);
+    # snapshot 2's parent pointer dangles at it
+    snaps = [
+        {
+            "snapshot-id": k,
+            "parent-snapshot-id": k - 1,
+            "sequence-number": k,
+            "summary": {"operation": "append", "total-data-files": str(k)},
+        }
+        for k in range(2, 7)
+    ]
+    doc = {
+        "snapshots": snaps,
+        "current-snapshot-id": 6,
+        "last-sequence-number": 6,
+    }
+    r = IcebergMirrorStreamReader.__new__(IcebergMirrorStreamReader)
+    r.max_files = 2
+    r._pos_seq = 1  # base: everything after seq 1 is in-window
+    capped = r._capped_offset(doc, 6)
+    # floor-1 cost for the dangling-parent snapshot → two snapshots fit
+    # the budget-2 window (the raw-total bug costed snapshot 2 at 2 and
+    # the window degenerated to one snapshot, max_seq == 2)
+    assert capped is not None and capped["max_seq"] == 3, capped

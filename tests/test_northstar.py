@@ -808,3 +808,18 @@ def test_two_level_quantizer_tiny_corpus(spark):
     assert got[1] == 1 and got[2] == 2
     assert got[3] == 1  # duplicate vector -> first-maximum, smallest id
     assert got[4] is None  # NULL embedding -> NULL cell
+
+
+def test_two_level_ctes_thread_the_table_name():
+    """Round-10 advice: two_level_assign_ctes_sql's table parameter must
+    reach the cents/sups sampling CTEs too — a non-default table with
+    any 'FROM embeddings' left behind would sample centroids from the
+    wrong corpus. The default text stays byte-identical to what every
+    registered oracle already uses."""
+    from iceberg_relative_io_spark.functions import vectors as V
+
+    default = V.two_level_assign_ctes_sql()
+    assert default == V.two_level_assign_ctes_sql(table="embeddings")
+    other = V.two_level_assign_ctes_sql(table="emb_view")
+    assert "embeddings" not in other
+    assert other.count("FROM emb_view") == default.count("FROM embeddings")

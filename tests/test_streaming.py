@@ -215,3 +215,51 @@ def test_foreachbatch_epoch_replay_idempotent(spark):
     assert len(snaps) == 3 and len(set(keys)) == 3, keys
     got = sorted(tuple(r) for r in table.read(spark).collect())
     assert got == sorted(rows)
+
+
+def test_epoch_probe_survives_snapshot_expiry(spark):
+    """Round-10 advice: seen_stream_epoch used to scan live snapshot
+    summaries only, so expire_snapshots running between a sink crash
+    and the epoch replay could expire the marker snapshot and let the
+    replayed epoch double-commit. The epoch key now also lands in the
+    stream.epoch.<ckpt> table property (same atomic commit), which
+    survives expiry."""
+    from iceberg_relative_io_spark.streaming.stream_queries import _epoch_key
+
+    wh = tempfile.mkdtemp(prefix="exp_epoch_wh_")
+    cat = FsCatalog(wh)
+    cat.create_namespace(("ns",))
+    schema_json = spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).schema.jsonValue()
+    table = RelativeTable(cat.create_table(("ns",), "sink", schema_json))
+    ckpt = "/tmp/some_checkpoint_dir"
+
+    for epoch in range(3):
+        key = _epoch_key(ckpt, epoch)
+        assert not table.seen_stream_epoch(key)
+        table.append(
+            spark.createDataFrame([(epoch, "x")], "id long, v string"),
+            extra_summary={"stream-batch-id": key},
+        )
+        assert table.seen_stream_epoch(key)
+
+    # compaction (overwrite is NOT a chain op, so the chain walk from
+    # the retained head stops at it) followed by aggressive GC: the
+    # epoch marker snapshots are REMOVED from metadata outright, not
+    # tombstoned — the summary scan alone would forget them
+    table.overwrite(table.read(spark))
+    table.expire_snapshots(keep_last=1)
+    table.ops._should_refresh = True
+    snaps = table.ops.current()["snapshots"]
+    assert len(snaps) == 1 and "stream-batch-id" not in snaps[0]["summary"]
+    for epoch in range(3):
+        assert table.seen_stream_epoch(_epoch_key(ckpt, epoch))
+    # and a later epoch on the same checkpoint is still unseen; a
+    # DIFFERENT checkpoint's epoch 0 must not be swallowed either
+    assert not table.seen_stream_epoch(_epoch_key(ckpt, 3))
+    assert not table.seen_stream_epoch(_epoch_key("/tmp/other_ckpt", 0))
+    # one bounded property per checkpoint, holding the max batch id
+    props = table.properties()
+    marks = {k: v for k, v in props.items() if k.startswith("stream.epoch.")}
+    assert list(marks.values()) == ["2"], marks

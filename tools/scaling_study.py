@@ -152,26 +152,15 @@ def main() -> None:
     qs = e.queries()
 
     def run(name: str, sf_dir: str) -> float:
-        from iceberg_relative_io_spark.operators import northstar, retrieval_ext
+        from iceberg_relative_io_spark.caches import release_session_caches
 
         # the shared featurization caches would make the base timing
         # unrepresentative of a cold pipeline — measure uncached (all
         # per-session persists: LSH signatures, hyperplane buckets,
-        # image hashes, video keyframes, and the hot-bucket probes)
-        for cache in (
-            northstar._SIG_CACHE,
-            northstar._BUCKETED_CACHE,
-            northstar._KNN_BUCKET_CACHE,
-            northstar._LSH_HOT_CACHE,
-            retrieval_ext._HASH_CACHE,
-            retrieval_ext._HASH_HOT_CACHE,
-            retrieval_ext._KF_CACHE,
-            retrieval_ext._KF_HOT_CACHE,
-        ):
-            for df in cache.values():
-                if hasattr(df, "unpersist"):
-                    df.unpersist()
-            cache.clear()
+        # two-level cell assignments + derived nlist, image hashes,
+        # video keyframes, and the hot-bucket probes — every cache the
+        # operator modules registered with iceberg_relative_io_spark.caches)
+        release_session_caches(spark)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
