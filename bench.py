@@ -175,6 +175,8 @@ def main() -> None:
         "a41_iceberg_export", "a48_iceberg_merge", "a52_stats_pruned_read",
         # round-9 flagships (two-level quantizer + new pipeline ops)
         "c03_knn_graph", "c03_diversity_cap", "c04_boilerplate_removal",
+        # round-10 flagships (BPE trainer rounds + graph-ANN serving)
+        "c04_bpe_pair_merges", "c03_ann_graph_beam",
     ]
 
     def render(keys: list[str]) -> str:

@@ -1,0 +1,422 @@
+"""Round-10 operators: distributed BPE merge rounds and graph-ANN beam
+search.
+
+Two capabilities a training-data platform needs that the inventory did
+not yet cover. The reference delegates its entire query surface to
+Spark+Iceberg (SURVEY §0; reference README.md:8-11), so LLM-corpus
+operators like these are engine-parity inventory, not ports of
+reference code.
+
+**c04_bpe_pair_merges** — the inner loop of BPE tokenizer training
+(Sennrich et al. 2016), the step every tokenizer pipeline runs before
+a corpus can be tokenized at all: count adjacent symbol pairs across
+the corpus weighted by word frequency, merge the most frequent pair
+everywhere, repeat. Distributed shape: the corpus collapses ONCE into
+the word-frequency table (wordcount with map-side partials — the table
+is vocabulary-sized, not corpus-sized, and is session-cached via the
+round-10 cache registry); every merge round then runs over that
+bounded table — pair explosion is map-only, the pair count
+partial-aggregates before its one exchange, the winning pair is a
+one-row aggregate broadcast back into a map-only merge application.
+Nothing per-round ever rescans the corpus or collects unbounded rows.
+
+**c03_ann_graph_beam** — graph-based ANN serving (the HNSW/NSG family):
+answer queries by walking the kNN graph from a fixed entry set instead
+of scanning the corpus. Reuses the c03_knn_graph edges (and therefore
+the session-cached two-level quantizer assignment — one featurization
+pass serves graph build, diversity cap, and serving). Relational
+framing of the walk: each hop is ONE broadcast-probe pass of the edge
+table (frontier is O(queries x beam), always the broadcast side) plus
+one broadcast-probe pass of the embedding table to score new
+candidates — and each pass serves EVERY query simultaneously, which is
+how a batch engine amortizes what a pointer-chasing index does one
+query at a time. Hop count and beam width are constants, so the whole
+search is a fixed 2x(scan+scan) pipeline regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark import caches
+from iceberg_relative_io_spark.functions import vectors as V
+from iceberg_relative_io_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# C4 — BPE pair-merge rounds (tokenizer training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2  # merge rounds to run
+_BPE_TOPN = 5    # pair candidates reported per round
+
+# word-frequency table, session-cached: both rounds and every consumer
+# share ONE corpus pass (the 100-TB contract: the corpus is read once,
+# training state is vocabulary-sized)
+_WF_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, seq): corpus wordcount plus each word's initial BPE
+    symbol sequence (space-joined characters). One shuffle with
+    map-side partials; output is vocabulary-sized."""
+    key = (caches.session_key(spark), sf_dir)
+    if key not in _WF_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        wf = (
+            docs.filter(F.col("text").isNotNull())
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            # '(.)' -> '$1 ': space-join the characters. regexp_replace
+            # replaces ALL matches in Spark; the oracle passes 'g' to
+            # DuckDB's RE2 for the identical expansion.
+            .withColumn(
+                "seq",
+                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            )
+        )
+        _WF_CACHE[key] = wf.persist()
+    return _WF_CACHE[key]
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, cnt): adjacent-symbol pair counts weighted by word
+    frequency. Map-only explode + one partial-aggregated exchange; the
+    distinct-pair space is bounded by alphabet^2 + merges-so-far, never
+    by the corpus."""
+    syms = F.split(F.col("seq"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(syms) - F.lit(2)),
+        lambda i: F.concat(
+            F.element_at(syms, i + F.lit(1)),
+            F.lit(" "),
+            F.element_at(syms, i + F.lit(2)),
+        ),
+    )
+    return (
+        # guard: a 1-symbol word has no pairs, and sequence(0, -1) would
+        # generate a DESCENDING range rather than an empty one
+        words.filter(F.size(syms) >= 2)
+        .select("cnt", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _apply_merge(words: DataFrame, top1: DataFrame) -> DataFrame:
+    """Merge the winning pair in every word's symbol sequence. The
+    1-row winner broadcasts; the application is a map-only literal
+    replace over ' a b ' with ' ab ' on the space-padded sequence —
+    leftmost non-overlapping, identical semantics in Spark and DuckDB
+    (the reinserted separator lets back-to-back occurrences both
+    merge, exactly like the sequential scan of a real BPE trainer)."""
+    merged = words.crossJoin(F.broadcast(top1))
+    padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    pat = F.concat(F.lit(" "), F.col("top_pair"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("top_merged"), F.lit(" "))
+    return merged.select(
+        "word",
+        "cnt",
+        F.trim(F.replace(padded, pat, rep)).alias("seq"),
+    )
+
+
+def q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (tokenizer training): run _BPE_ROUNDS BPE merge rounds over
+    the corpus word-frequency table and report each round's top
+    _BPE_TOPN pair candidates — (round, rnk, pair, merged, cnt). The
+    round-r winner (rnk 1) is the merge applied before round r+1, so
+    the output pins both the pair statistics and the merge application
+    exactly; counts are frequency-weighted integers, making the oracle
+    value-exact. Ties break on pair text ascending, like every
+    deterministic sampler here.
+
+    The per-round top-N window is unpartitioned BY DESIGN: it ranks the
+    aggregated pair table (bounded by alphabet^2 + merges), never the
+    token stream — same argument as c04_vocab_build's id window."""
+    words = _word_freq(spark, sf_dir)
+    out = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pc = _pair_counts(words)
+        w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+        ranked = pc.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= _BPE_TOPN
+        )
+        out.append(
+            ranked.select(
+                F.lit(rnd).alias("round"),
+                "rnk",
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "cnt",
+            )
+        )
+        if rnd < _BPE_ROUNDS:
+            # 1-row winner: min(struct(-cnt, pair)) == (cnt desc, pair asc)
+            top1 = pc.agg(
+                F.min(F.struct((-F.col("cnt")).alias("negc"), "pair")).alias(
+                    "t"
+                )
+            ).select(
+                F.col("t.pair").alias("top_pair"),
+                F.replace(F.col("t.pair"), F.lit(" "), F.lit("")).alias(
+                    "top_merged"
+                ),
+            )
+            words = _apply_merge(words, top1)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def _bpe_oracle() -> str:
+    rounds_sql = []
+    words = """
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM (
+            SELECT tok AS word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY tok
+        )
+    """
+    ctes = [f"w1 AS ({words})"]
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{rnd} AS (
+            SELECT syms[i] || ' ' || syms[i+1] AS pair,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM w{rnd}),
+                 UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+            GROUP BY 1
+        )"""
+        )
+        if rnd < _BPE_ROUNDS:
+            ctes.append(
+                f"""m{rnd} AS (
+                SELECT pair, replace(pair, ' ', '') AS merged
+                FROM p{rnd} ORDER BY cnt DESC, pair LIMIT 1
+            )"""
+            )
+            ctes.append(
+                f"""w{rnd + 1} AS (
+                SELECT word, cnt,
+                       trim(replace(' ' || seq || ' ',
+                                    ' ' || (SELECT pair FROM m{rnd}) || ' ',
+                                    ' ' || (SELECT merged FROM m{rnd}) || ' '))
+                           AS seq
+                FROM w{rnd}
+            )"""
+            )
+        rounds_sql.append(
+            f"""SELECT {rnd} AS round, rnk, pair,
+                   replace(pair, ' ', '') AS merged, cnt
+            FROM (SELECT pair, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+                  FROM p{rnd})
+            WHERE rnk <= {_BPE_TOPN}"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(rounds_sql)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — graph-ANN beam search over the kNN graph
+# ---------------------------------------------------------------------------
+
+_BEAM_ENTRIES = 32  # fixed entry-point set (hash-sample of the corpus)
+_BEAM_WIDTH = 4     # beam kept per hop
+_BEAM_HOPS = 2      # expansion rounds
+_BEAM_TOPK = 3      # results returned per query
+
+# the kNN graph IS the serving index: built once per (session, corpus),
+# persisted, probed by every hop of every query. Without this the
+# ~O(N^1.34) pair stage re-executes once per hop consumer — measured
+# 14.3x at 10x data vs ~8x with the index persisted.
+_GRAPH_CACHE: dict[tuple, DataFrame] = caches.register_cache({})
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_relative_io_spark.operators.northstar import q_knn_graph
+
+    key = (caches.session_key(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = (
+            q_knn_graph(spark, sf_dir)
+            .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+            .persist()
+        )
+    return _GRAPH_CACHE[key]
+
+
+def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (graph-ANN serving): beam search over the c03_knn_graph
+    edges. Each query starts at its best of _BEAM_ENTRIES fixed
+    hash-sampled entry points (HNSW's entry layer, flattened), then for
+    _BEAM_HOPS rounds expands the beam's out-edges, rescores the
+    deduplicated candidates against the query, and keeps the top
+    _BEAM_WIDTH by (cosine desc, vec_id) — returning each query's final
+    top _BEAM_TOPK. The query node itself is excluded from candidates
+    (self is never a useful neighbor), matching every kNN operator
+    here.
+
+    Recall < 1 by construction (beam search inspects a graph
+    neighborhood, not the corpus) and improves along the standard dials
+    — entries, width, hops, and the graph's K — all corpus-independent
+    constants; c03_ann_recall_eval shows how any setting is measured.
+    Cosines reuse the exact double pipeline of the graph build, so the
+    oracle replays the identical walk bit-for-bit."""
+    from iceberg_relative_io_spark.operators.northstar import _N_QUERIES
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
+    )
+    graph = _graph_edges(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    ents = V.bounded_sample(emb, _BEAM_ENTRIES).select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("nvec"),
+    )
+    dot_udf = V.make_dot_udf()
+
+    def score(cand: DataFrame) -> DataFrame:
+        """cos(query, node) for a tiny (query_id, node) frontier: the
+        frontier broadcasts into one probe pass over the corpus."""
+        cos = dot_udf(F.col("qvec"), F.col("embedding")) / (
+            F.col("qnrm") * F.col("nrm")
+        )
+        scored = (
+            emb.join(F.broadcast(cand), F.col("vec_id") == F.col("node"))
+            .join(F.broadcast(queries), "query_id")
+            .select("query_id", "node", cos.alias("cos_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("node")
+        )
+        return scored.withColumn("rnk", F.row_number().over(w))
+
+    entry = score(
+        queries.select("query_id")
+        .crossJoin(F.broadcast(ents.select("node")))
+        .filter(F.col("node") != F.col("query_id"))
+    )
+    beam = entry.filter(F.col("rnk") == 1).select("query_id", "node")
+    ranked = None
+    for _ in range(_BEAM_HOPS):
+        nbrs = (
+            F.broadcast(beam)
+            .join(graph, F.col("node") == F.col("src"))
+            .select("query_id", F.col("dst").alias("node"))
+        )
+        cand = (
+            beam.unionByName(nbrs)
+            .filter(F.col("node") != F.col("query_id"))
+            .distinct()
+        )
+        ranked = score(cand)
+        beam = ranked.filter(F.col("rnk") <= _BEAM_WIDTH).select(
+            "query_id", "node"
+        )
+    return ranked.filter(F.col("rnk") <= _BEAM_TOPK).select(
+        "query_id", F.col("node").alias("vec_id"), "rnk", "cos_sim"
+    )
+
+
+def _beam_oracle() -> str:
+    from iceberg_relative_io_spark.operators.northstar import (
+        _IVF_FLOOR,
+        _KNN_GRAPH_K,
+        _N_QUERIES,
+    )
+
+    hops = []
+    prev = "b0"
+    for h in range(1, _BEAM_HOPS + 1):
+        hops.append(
+            f"""c{h} AS (
+            SELECT DISTINCT qid, node FROM (
+                SELECT qid, node FROM {prev}
+                UNION ALL
+                SELECT b.qid, g.dst AS node
+                FROM {prev} b JOIN graph g ON g.src = b.node
+            ) WHERE node <> qid
+        ),
+        bs{h} AS (
+            SELECT qid, node, cos_sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, node) AS rn
+            FROM (
+                SELECT c.qid, c.node,
+                       {V.cosine_sql('q.qv', 'e.embedding')} AS cos_sim
+                FROM c{h} c
+                JOIN qs q ON q.qid = c.qid
+                JOIN embeddings e ON e.vec_id = c.node
+            )
+        ),
+        b{h} AS (SELECT qid, node FROM bs{h} WHERE rn <= {_BEAM_WIDTH})"""
+        )
+        prev = f"b{h}"
+    return f"""
+        WITH {V.two_level_assign_ctes_sql(_IVF_FLOOR)},
+        pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {V.cosine_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+            FROM assign a
+            JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),
+        graph AS (
+            SELECT va AS src, vb AS dst FROM (
+                SELECT va, vb,
+                       row_number() OVER (PARTITION BY va
+                                          ORDER BY cos_sim DESC, vb) AS rnk
+                FROM pairs
+            ) WHERE rnk <= {_KNN_GRAPH_K}
+        ),
+        ents AS (
+            {V.sample_cte_sql(_BEAM_ENTRIES, id_alias='eid', vec_alias='evec')}
+        ),
+        qs AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
+        ),
+        b0 AS (
+            SELECT qid, node FROM (
+                SELECT q.qid, e.eid AS node,
+                       row_number() OVER (PARTITION BY q.qid
+                                          ORDER BY {V.cosine_sql('q.qv', 'e.evec')} DESC,
+                                                   e.eid) AS rn
+                FROM qs q, ents e WHERE e.eid <> q.qid
+            ) WHERE rn = 1
+        ),
+        {','.join(hops)}
+        SELECT qid AS query_id, node AS vec_id, rn AS rnk, cos_sim
+        FROM bs{_BEAM_HOPS} WHERE rn <= {_BEAM_TOPK}
+    """
+
+
+QUERIES = {
+    "c04_bpe_pair_merges": q_bpe_pair_merges,
+    "c03_ann_graph_beam": q_ann_graph_beam,
+}
+
+ORACLE = {
+    "c04_bpe_pair_merges": _bpe_oracle(),
+    "c03_ann_graph_beam": _beam_oracle(),
+}

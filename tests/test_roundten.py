@@ -1,0 +1,157 @@
+"""Round-10 operators: BPE merge rounds and graph-ANN beam search.
+
+The DuckDB oracles check cross-engine equality; these tests check the
+SEMANTICS independently — a pure-Python BPE trainer over the collected
+fixture for c04_bpe_pair_merges, and structural search invariants
+(reachability, ordering, improvement over the entry point) for
+c03_ann_graph_beam.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from iceberg_relative_io_spark.operators import roundten
+from iceberg_relative_io_spark.sources.tables import load_table
+
+
+def _python_bpe(texts, rounds, topn):
+    """Reference BPE pair-merge rounds: word-frequency table, weighted
+    adjacent-pair counts, greedy leftmost non-overlapping merge of the
+    winner (Python str.replace has exactly those semantics)."""
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split(" "):
+            wf[w] += 1
+    seqs = {w: " ".join(w) for w in wf}
+    out = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, cnt in wf.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[a + " " + b] += cnt
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.extend(
+            (rnd, i + 1, p, p.replace(" ", ""), c)
+            for i, (p, c) in enumerate(ranked[:topn])
+        )
+        if rnd < rounds and ranked:
+            top, _ = ranked[0]
+            merged = top.replace(" ", "")
+            seqs = {
+                w: (" " + s + " ")
+                .replace(" " + top + " ", " " + merged + " ")
+                .strip()
+                for w, s in seqs.items()
+            }
+    return out
+
+
+def test_bpe_matches_pure_python_trainer(spark, sf_dir):
+    texts = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    want = _python_bpe(texts, roundten._BPE_ROUNDS, roundten._BPE_TOPN)
+    got = sorted(
+        tuple(r)
+        for r in roundten.q_bpe_pair_merges(spark, sf_dir).collect()
+    )
+    assert got == sorted(want)
+    # the round-1 winner was merged before round 2: its pair cannot
+    # recur (every adjacency of it was consumed by the merge pass)
+    r1_top = next(p for rnd, rnk, p, m, c in want if rnd == 1 and rnk == 1)
+    r2_pairs = [p for rnd, rnk, p, m, c in want if rnd == 2]
+    assert r1_top not in r2_pairs
+    # and the merge changed the statistics: round 2's ranking is not
+    # just round 1's with the winner removed
+    r1_rest = [p for rnd, rnk, p, m, c in want if rnd == 1 and rnk > 1]
+    assert r2_pairs != r1_rest
+
+
+def test_bpe_word_freq_is_session_cached(spark, sf_dir):
+    from iceberg_relative_io_spark import caches
+
+    caches.release_session_caches(spark)
+    roundten.q_bpe_pair_merges(spark, sf_dir).count()
+    key = (caches.session_key(spark), sf_dir)
+    assert key in roundten._WF_CACHE
+    wf1 = roundten._WF_CACHE[key]
+    roundten.q_bpe_pair_merges(spark, sf_dir).count()
+    assert roundten._WF_CACHE[key] is wf1  # one corpus pass per session
+    caches.release_session_caches(spark)
+    assert not roundten._WF_CACHE
+
+
+def test_beam_search_invariants(spark, sf_dir):
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.operators import northstar
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    res = roundten.q_ann_graph_beam(spark, sf_dir).collect()
+    assert res, "beam search returned nothing"
+    by_q: dict[int, list] = {}
+    for r in res:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= roundten._BEAM_TOPK
+        coss = [r.cos_sim for r in rows]
+        assert coss == sorted(coss, reverse=True)
+
+    # reachability: every returned node is an entry point or some graph
+    # node's out-neighbor (a necessary condition of any graph walk)
+    entries = {
+        r.vec_id
+        for r in V.bounded_sample(emb, roundten._BEAM_ENTRIES).collect()
+    }
+    dsts = {
+        r.nbr_id for r in northstar.q_knn_graph(spark, sf_dir).collect()
+    }
+    for r in res:
+        assert r.vec_id in entries or r.vec_id in dsts, r
+
+    # the walk never ends below its start: each query's best result is
+    # at least as similar as its chosen entry point
+    import math
+
+    emb_map = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return num / (na * nb)
+
+    for q, rows in by_q.items():
+        qv = emb_map[q]
+        entry_best = max(
+            (cos(qv, emb_map[e]) for e in entries if e != q),
+        )
+        # tolerance: the test's cos uses a different summation order
+        assert rows[0].cos_sim >= entry_best - 1e-6, (q, rows[0], entry_best)
+
+
+def test_beam_is_deterministic(spark, sf_dir):
+    a = sorted(
+        tuple(r) for r in roundten.q_ann_graph_beam(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r) for r in roundten.q_ann_graph_beam(spark, sf_dir).collect()
+    )
+    assert a == b

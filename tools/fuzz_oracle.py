@@ -51,6 +51,11 @@ DEFAULT_QUERIES = [
     # edge-sensitive (empty docs, one-token docs, NULL text); the
     # diversity cap rides the two-level quantizer + hash sampler
     "c04_boilerplate_removal", "c03_diversity_cap",
+    # round 10: BPE pair extraction is edge-sensitive (1-char words,
+    # empty tokens from double spaces, NULL text, replace-boundary
+    # overlaps); the graph beam composes the quantizer + graph + hash
+    # entry sample under subsampled/NULL-injected embeddings
+    "c04_bpe_pair_merges", "c03_ann_graph_beam",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",

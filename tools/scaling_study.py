@@ -92,6 +92,9 @@ MEASURED = [
     # round 9: segment-level boilerplate removal + diversity cap
     "c04_boilerplate_removal",
     "c03_diversity_cap",
+    # round 10: BPE trainer rounds + graph-ANN beam serving
+    "c04_bpe_pair_merges",
+    "c03_ann_graph_beam",
 ]
 
 
