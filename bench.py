@@ -176,7 +176,7 @@ def main() -> None:
         # round-9 flagships (two-level quantizer + new pipeline ops)
         "c03_knn_graph", "c03_diversity_cap", "c04_boilerplate_removal",
         # round-10 flagships (BPE trainer rounds + graph-ANN serving)
-        "c04_bpe_pair_merges", "c03_ann_graph_beam",
+        "c04_bpe_pair_merges", "c04_bpe_encode", "c03_ann_graph_beam",
     ]
 
     def render(keys: list[str]) -> str:

@@ -27,13 +27,14 @@ from __future__ import annotations
 # expiry-proof stream.epoch.<ckpt> table property; b04_sql_views: the
 # pooled catalog txn revalidates stale leases), ALL 24 remaining
 # r5-graded names (completing the rotation — after r10 grades, nothing
-# is older than r6), and 18 r6-graded names, alphabetical
-# (plus the two never-graded round-10 queries at the very front). Everything
+# is older than r6), and 17 r6-graded names, alphabetical
+# (plus the three never-graded round-10 queries at the very front). Everything
 # rotated out stays in the registry and in the judge's full rerun
 # (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- never driver-graded (new in round 10) ---
     "c04_bpe_pair_merges",   # NEW: distributed BPE merge rounds
+    "c04_bpe_encode",        # NEW: subword token counting with the trained merges
     "c03_ann_graph_beam",    # NEW: graph-ANN beam search over the kNN graph
     # --- plan touched round 10 ---
     "c03_knn_graph",            # session-cache rekey + oracle table threading
@@ -52,14 +53,14 @@ PRIORITY_ORDER = [
     "c06_quality_sampling", "c06_selection_capstone", "c06_shard_shuffle",
     "c06_source_quota_sample", "c06_token_budget_allocation",
     "c06_train_split",
-    # --- last graded round 6 (18 of 47; rest rotate next round) ---
+    # --- last graded round 6 (17 of 47; rest rotate next round) ---
     "a26_compaction", "a32_hidden_partitioning", "a32_partition_pruning",
     "a41_iceberg_export", "a42_bucket_export", "a43_iceberg_import",
     "a44_position_delete_read", "a45_iceberg_append",
     "a46_iceberg_mor_delete", "a47_iceberg_update", "a48_iceberg_merge",
     "a49_iceberg_overwrite", "a50_iceberg_rollback", "a51_iceberg_evolution",
     "a52_stats_pruned_read", "a53_iceberg_meta_tables",
-    "a54_iceberg_era_read", "a_merge_upsert",
+    "a54_iceberg_era_read",
 ]
 
 

@@ -155,26 +155,19 @@ def q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if rnd < _BPE_ROUNDS:
-            # 1-row winner: min(struct(-cnt, pair)) == (cnt desc, pair asc)
-            top1 = pc.agg(
-                F.min(F.struct((-F.col("cnt")).alias("negc"), "pair")).alias(
-                    "t"
-                )
-            ).select(
-                F.col("t.pair").alias("top_pair"),
-                F.replace(F.col("t.pair"), F.lit(" "), F.lit("")).alias(
-                    "top_merged"
-                ),
-            )
-            words = _apply_merge(words, top1)
+            words = _apply_merge(words, _top_pair(pc))
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
     return res
 
 
-def _bpe_oracle() -> str:
-    rounds_sql = []
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """The shared BPE CTE chain: w1 (word-frequency table with initial
+    character sequences), then per round r: p{r} (pair counts), m{r}
+    (the winning merge), w{r+1} (sequences with it applied). DuckDB
+    prunes unreferenced CTEs, so oracles cite only the stages they
+    need."""
     words = """
         SELECT word, cnt,
                trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
@@ -186,7 +179,7 @@ def _bpe_oracle() -> str:
         )
     """
     ctes = [f"w1 AS ({words})"]
-    for rnd in range(1, _BPE_ROUNDS + 1):
+    for rnd in range(1, n_merges + 1):
         ctes.append(
             f"""p{rnd} AS (
             SELECT syms[i] || ' ' || syms[i+1] AS pair,
@@ -196,36 +189,105 @@ def _bpe_oracle() -> str:
             GROUP BY 1
         )"""
         )
-        if rnd < _BPE_ROUNDS:
-            ctes.append(
-                f"""m{rnd} AS (
-                SELECT pair, replace(pair, ' ', '') AS merged
-                FROM p{rnd} ORDER BY cnt DESC, pair LIMIT 1
-            )"""
-            )
-            ctes.append(
-                f"""w{rnd + 1} AS (
-                SELECT word, cnt,
-                       trim(replace(' ' || seq || ' ',
-                                    ' ' || (SELECT pair FROM m{rnd}) || ' ',
-                                    ' ' || (SELECT merged FROM m{rnd}) || ' '))
-                           AS seq
-                FROM w{rnd}
-            )"""
-            )
-        rounds_sql.append(
-            f"""SELECT {rnd} AS round, rnk, pair,
-                   replace(pair, ' ', '') AS merged, cnt
-            FROM (SELECT pair, cnt,
-                         row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
-                  FROM p{rnd})
-            WHERE rnk <= {_BPE_TOPN}"""
+        ctes.append(
+            f"""m{rnd} AS (
+            SELECT pair, replace(pair, ' ', '') AS merged
+            FROM p{rnd} ORDER BY cnt DESC, pair LIMIT 1
+        )"""
         )
+        ctes.append(
+            f"""w{rnd + 1} AS (
+            SELECT word, cnt,
+                   trim(replace(' ' || seq || ' ',
+                                ' ' || (SELECT pair FROM m{rnd}) || ' ',
+                                ' ' || (SELECT merged FROM m{rnd}) || ' '))
+                       AS seq
+            FROM w{rnd}
+        )"""
+        )
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    rounds_sql = [
+        f"""SELECT {rnd} AS round, rnk, pair,
+               replace(pair, ' ', '') AS merged, cnt
+        FROM (SELECT pair, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+              FROM p{rnd})
+        WHERE rnk <= {_BPE_TOPN}"""
+        for rnd in range(1, _BPE_ROUNDS + 1)
+    ]
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_ctes(_BPE_ROUNDS))
         + "\n"
         + "\nUNION ALL\n".join(rounds_sql)
+    )
+
+
+def _top_pair(pc: DataFrame) -> DataFrame:
+    """1-row winner of a pair-count table:
+    min(struct(-cnt, pair)) == (cnt desc, pair asc)."""
+    return pc.agg(
+        F.min(F.struct((-F.col("cnt")).alias("negc"), "pair")).alias("t")
+    ).select(
+        F.col("t.pair").alias("top_pair"),
+        F.replace(F.col("t.pair"), F.lit(" "), F.lit("")).alias("top_merged"),
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (tokenizer application): encode every document with the
+    _BPE_ROUNDS-merge tokenizer q_bpe_pair_merges trains and report
+    (doc_id, n_words, n_subwords) — the SUBWORD token count that
+    token-budget math (c06_token_budget_allocation, c04_sequence_packing)
+    actually needs, where c04_token_count's whitespace count is only a
+    proxy. The encoder state is the per-word subword count of the
+    merged word-frequency table (vocabulary-sized, broadcast); encoding
+    the corpus is then one map-only pass of the exploded token stream
+    through that broadcast join plus a doc_id re-aggregation. No
+    per-document BPE scan exists anywhere — each distinct word is
+    merged once, however many times it occurs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _word_freq(spark, sf_dir)
+    for _ in range(_BPE_ROUNDS):
+        words = _apply_merge(words, _top_pair(_pair_counts(words)))
+    nsub = words.select(
+        "word", F.size(F.split("seq", " ")).alias("n_sub")
+    )
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(nsub), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(_BPE_ROUNDS))
+        + f""",
+        ns AS (
+            SELECT word, len(string_split(seq, ' ')) AS n_sub
+            FROM w{_BPE_ROUNDS + 1}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        FROM toks JOIN ns USING (word)
+        GROUP BY doc_id
+    """
     )
 
 
@@ -413,10 +475,12 @@ def _beam_oracle() -> str:
 
 QUERIES = {
     "c04_bpe_pair_merges": q_bpe_pair_merges,
+    "c04_bpe_encode": q_bpe_encode,
     "c03_ann_graph_beam": q_ann_graph_beam,
 }
 
 ORACLE = {
     "c04_bpe_pair_merges": _bpe_oracle(),
+    "c04_bpe_encode": _bpe_encode_oracle(),
     "c03_ann_graph_beam": _beam_oracle(),
 }

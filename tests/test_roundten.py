@@ -155,3 +155,56 @@ def test_beam_is_deterministic(spark, sf_dir):
         tuple(r) for r in roundten.q_ann_graph_beam(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_bpe_encode_matches_pure_python_encoder(spark, sf_dir):
+    """Subword counts after applying the trained merges, checked against
+    a pure-Python replay of the same greedy trainer+encoder."""
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    wf = Counter()
+    for t in texts.values():
+        if t is None:
+            continue
+        for w in t.split(" "):
+            wf[w] += 1
+    seqs = {w: " ".join(w) for w in wf}
+    for _ in range(roundten._BPE_ROUNDS):
+        pc = Counter()
+        for w, cnt in wf.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[a + " " + b] += cnt
+        if not pc:
+            break
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = top.replace(" ", "")
+        seqs = {
+            w: (" " + s + " ")
+            .replace(" " + top + " ", " " + merged + " ")
+            .strip()
+            for w, s in seqs.items()
+        }
+    nsub = {w: len(s.split(" ")) for w, s in seqs.items()}
+    want = {}
+    for d, t in texts.items():
+        if t is None:
+            continue
+        words = t.split(" ")
+        want[d] = (len(words), sum(nsub[w] for w in words))
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in roundten.q_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == want
+    # merges compress: subwords never exceed characters, and at least
+    # one document actually got shorter than its character count
+    for d, (nw, ns) in got.items():
+        assert ns <= len(texts[d].replace(" ", "")), d
+    assert any(
+        ns < len(texts[d].replace(" ", "")) for d, (nw, ns) in got.items()
+    )

@@ -55,7 +55,7 @@ DEFAULT_QUERIES = [
     # empty tokens from double spaces, NULL text, replace-boundary
     # overlaps); the graph beam composes the quantizer + graph + hash
     # entry sample under subsampled/NULL-injected embeddings
-    "c04_bpe_pair_merges", "c03_ann_graph_beam",
+    "c04_bpe_pair_merges", "c04_bpe_encode", "c03_ann_graph_beam",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",

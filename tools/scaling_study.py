@@ -94,6 +94,7 @@ MEASURED = [
     "c03_diversity_cap",
     # round 10: BPE trainer rounds + graph-ANN beam serving
     "c04_bpe_pair_merges",
+    "c04_bpe_encode",
     "c03_ann_graph_beam",
 ]
 
