@@ -208,3 +208,53 @@ def test_bpe_encode_matches_pure_python_encoder(spark, sf_dir):
     assert any(
         ns < len(texts[d].replace(" ", "")) for d, (nw, ns) in got.items()
     )
+
+
+def test_bpe_plan_shapes(spark, sf_dir):
+    """BPE stays JVM-side and distributed: no Python UDFs anywhere, the
+    pair count partial-aggregates before its exchange, and the merge
+    application is a broadcast of the 1-row winner — never a shuffle of
+    the word table against it."""
+    from iceberg_relative_io_spark import caches
+
+    caches.release_session_caches(spark)
+    plan = (
+        roundten.q_bpe_pair_merges(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine on the pair count
+    assert "BroadcastExchange" in plan  # the 1-row winner broadcasts
+    assert "SortMergeJoin" not in plan
+    caches.release_session_caches(spark)
+
+
+def test_bpe_encode_plan_broadcasts_vocab(spark, sf_dir):
+    """Encoding is one pass of the token stream through a broadcast
+    join against the vocabulary-sized subword-count table — a shuffle
+    join here would move the corpus to meet the vocabulary."""
+    plan = (
+        roundten.q_bpe_encode(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_beam_plan_broadcasts_frontier(spark, sf_dir):
+    """Every hop probes the edge/embedding tables with the tiny frontier
+    as the broadcast side — a sort-merge join would sort the corpus per
+    hop; a cartesian product must never appear."""
+    plan = (
+        roundten.q_ann_graph_beam(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
