@@ -17,8 +17,11 @@ is vocabulary-sized, not corpus-sized, and is session-cached via the
 round-10 cache registry); every merge round then runs over that
 bounded table — pair explosion is map-only, the pair count
 partial-aggregates before its one exchange, the winning pair is a
-one-row aggregate broadcast back into a map-only merge application.
-Nothing per-round ever rescans the corpus or collects unbounded rows.
+one-row aggregate broadcast back into a windowed greedy merge
+application (see _apply_merge: true left-to-right BPE semantics, which
+a literal string replace does NOT have for back-to-back occurrences —
+a hypothesis property test caught that). Nothing per-round ever
+rescans the corpus or collects unbounded rows.
 
 **c03_ann_graph_beam** — graph-based ANN serving (the HNSW/NSG family):
 answer queries by walking the kNN graph from a fixed entry set instead
@@ -105,20 +108,70 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _apply_merge(words: DataFrame, top1: DataFrame) -> DataFrame:
-    """Merge the winning pair in every word's symbol sequence. The
-    1-row winner broadcasts; the application is a map-only literal
-    replace over ' a b ' with ' ab ' on the space-padded sequence —
-    leftmost non-overlapping, identical semantics in Spark and DuckDB
-    (the reinserted separator lets back-to-back occurrences both
-    merge, exactly like the sequential scan of a real BPE trainer)."""
-    merged = words.crossJoin(F.broadcast(top1))
-    padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
-    pat = F.concat(F.lit(" "), F.col("top_pair"), F.lit(" "))
-    rep = F.concat(F.lit(" "), F.col("top_merged"), F.lit(" "))
-    return merged.select(
-        "word",
-        "cnt",
-        F.trim(F.replace(padded, pat, rep)).alias("seq"),
+    """Merge the winning pair (a, b) in every word's symbol sequence
+    with TRUE greedy BPE semantics: scan left to right, merge on sight,
+    continue after the merged token. Every real trainer (Sennrich's
+    re.sub with zero-width boundaries, HuggingFace) merges ALL
+    non-overlapping occurrences in one pass — including back-to-back
+    ones like 'a b a b' -> 'ab ab' — so a padded literal replace
+    (which consumes the shared separator and skips the second
+    occurrence) is NOT equivalent; the round-10 hypothesis property
+    test caught exactly that. Occurrences only overlap when a == b
+    (runs), where greedy keeps every other one: relationally, group
+    consecutive occurrence positions (i - rank is constant within a
+    run) and keep odd ranks within each run.
+
+    All joins/windows run over the vocabulary-sized symbol explosion —
+    per-round cost never touches the corpus."""
+    m = words.crossJoin(F.broadcast(top1))
+    syms = F.split(F.col("seq"), " ")
+    ex = m.select(
+        "word", "cnt", "top_a", "top_b",
+        F.posexplode(syms).alias("i", "sym"),
+    )
+    wl = Window.partitionBy("word").orderBy("i")
+    ex = ex.withColumn("nxt", F.lead("sym").over(wl))
+    occ = ex.filter(
+        (F.col("sym") == F.col("top_a")) & (F.col("nxt") == F.col("top_b"))
+    ).select("word", "i")
+    occ = occ.withColumn("rn", F.row_number().over(wl)).withColumn(
+        "grp", F.col("i") - F.col("rn")
+    )
+    wg = Window.partitionBy("word", "grp").orderBy("i")
+    kept = (
+        occ.withColumn("pr", F.row_number().over(wg))
+        .filter(F.col("pr") % 2 == 1)
+        .select(F.col("word").alias("kw"), F.col("i").alias("ki"))
+    )
+    taken = ex.join(
+        kept, (ex.word == kept.kw) & (ex.i == kept.ki), "left"
+    ).select(
+        "word", "cnt", "i", "sym", "nxt",
+        F.col("ki").isNotNull().alias("is_merge"),
+    )
+    prev = kept.select(
+        F.col("kw").alias("pw"), (F.col("ki") + 1).alias("pi")
+    )
+    rebuilt = (
+        taken.join(
+            prev, (taken.word == prev.pw) & (taken.i == prev.pi), "left"
+        )
+        .filter(F.col("pi").isNull())  # swallowed by the merge at i-1
+        .select(
+            "word", "cnt", "i",
+            F.when(
+                F.col("is_merge"), F.concat("sym", "nxt")
+            ).otherwise(F.col("sym")).alias("ns"),
+        )
+    )
+    return rebuilt.groupBy("word", "cnt").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ns"))),
+                lambda x: x["ns"],
+            ),
+        ).alias("seq")
     )
 
 
@@ -191,18 +244,53 @@ def _bpe_ctes(n_merges: int) -> list[str]:
         )
         ctes.append(
             f"""m{rnd} AS (
-            SELECT pair, replace(pair, ' ', '') AS merged
+            SELECT string_split(pair, ' ')[1] AS a,
+                   string_split(pair, ' ')[2] AS b
             FROM p{rnd} ORDER BY cnt DESC, pair LIMIT 1
+        )"""
+        )
+        # greedy merge application, mirroring _apply_merge exactly:
+        # t = exploded symbols with successor; k = greedy-taken
+        # occurrence positions (all disjoint occurrences; every other
+        # one within an a==b run); w' drops the swallowed successor and
+        # reassembles in position order
+        ctes.append(
+            f"""t{rnd} AS (
+            SELECT word, cnt, i, syms[i] AS sym, syms[i + 1] AS nxt
+            FROM (SELECT word, cnt, string_split(seq, ' ') AS syms
+                  FROM w{rnd}),
+                 UNNEST(generate_series(1, len(syms))) AS g(i)
+        )"""
+        )
+        ctes.append(
+            f"""k{rnd} AS (
+            SELECT word, i FROM (
+                SELECT word, i,
+                       row_number() OVER (PARTITION BY word, i - rn
+                                          ORDER BY i) AS pr
+                FROM (
+                    SELECT word, i,
+                           row_number() OVER (PARTITION BY word
+                                              ORDER BY i) AS rn
+                    FROM t{rnd}
+                    WHERE sym = (SELECT a FROM m{rnd})
+                      AND nxt = (SELECT b FROM m{rnd})
+                )
+            ) WHERE pr % 2 = 1
         )"""
         )
         ctes.append(
             f"""w{rnd + 1} AS (
-            SELECT word, cnt,
-                   trim(replace(' ' || seq || ' ',
-                                ' ' || (SELECT pair FROM m{rnd}) || ' ',
-                                ' ' || (SELECT merged FROM m{rnd}) || ' '))
-                       AS seq
-            FROM w{rnd}
+            SELECT t.word, t.cnt,
+                   string_agg(CASE WHEN k.i IS NOT NULL
+                                   THEN t.sym || t.nxt
+                                   ELSE t.sym END,
+                              ' ' ORDER BY t.i) AS seq
+            FROM t{rnd} t
+            LEFT JOIN k{rnd} k  ON k.word = t.word AND k.i = t.i
+            LEFT JOIN k{rnd} kp ON kp.word = t.word AND kp.i = t.i - 1
+            WHERE kp.i IS NULL
+            GROUP BY t.word, t.cnt
         )"""
         )
     return ctes
@@ -228,12 +316,15 @@ def _bpe_oracle() -> str:
 
 def _top_pair(pc: DataFrame) -> DataFrame:
     """1-row winner of a pair-count table:
-    min(struct(-cnt, pair)) == (cnt desc, pair asc)."""
+    min(struct(-cnt, pair)) == (cnt desc, pair asc). Emits the pair's
+    two symbols (an empty pair table yields NULLs, which match no
+    occurrence — the merge is then a no-op, identically in the
+    oracle)."""
     return pc.agg(
         F.min(F.struct((-F.col("cnt")).alias("negc"), "pair")).alias("t")
     ).select(
-        F.col("t.pair").alias("top_pair"),
-        F.replace(F.col("t.pair"), F.lit(" "), F.lit("")).alias("top_merged"),
+        F.split(F.col("t.pair"), " ").getItem(0).alias("top_a"),
+        F.split(F.col("t.pair"), " ").getItem(1).alias("top_b"),
     )
 
 

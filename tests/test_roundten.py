@@ -17,22 +17,36 @@ from iceberg_relative_io_spark.operators import roundten
 from iceberg_relative_io_spark.sources.tables import load_table
 
 
+def _greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Textbook greedy BPE merge: scan left to right, merge (a, b) on
+    sight, continue AFTER the merged token (non-overlapping) — the
+    semantics of Sennrich's re.sub pattern and HuggingFace trainers."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _python_bpe(texts, rounds, topn):
     """Reference BPE pair-merge rounds: word-frequency table, weighted
-    adjacent-pair counts, greedy leftmost non-overlapping merge of the
-    winner (Python str.replace has exactly those semantics)."""
+    adjacent-pair counts, greedy merge of the winner."""
     wf = Counter()
     for t in texts:
         if t is None:
             continue
         for w in t.split(" "):
             wf[w] += 1
-    seqs = {w: " ".join(w) for w in wf}
+    seqs = {w: list(w) if w else [""] for w in wf}
     out = []
     for rnd in range(1, rounds + 1):
         pc = Counter()
         for w, cnt in wf.items():
-            syms = seqs[w].split(" ")
+            syms = seqs[w]
             for a, b in zip(syms, syms[1:]):
                 pc[a + " " + b] += cnt
         ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -41,14 +55,8 @@ def _python_bpe(texts, rounds, topn):
             for i, (p, c) in enumerate(ranked[:topn])
         )
         if rnd < rounds and ranked:
-            top, _ = ranked[0]
-            merged = top.replace(" ", "")
-            seqs = {
-                w: (" " + s + " ")
-                .replace(" " + top + " ", " " + merged + " ")
-                .strip()
-                for w, s in seqs.items()
-            }
+            a, b = ranked[0][0].split(" ")
+            seqs = {w: _greedy_merge(s, a, b) for w, s in seqs.items()}
     return out
 
 
@@ -172,24 +180,18 @@ def test_bpe_encode_matches_pure_python_encoder(spark, sf_dir):
             continue
         for w in t.split(" "):
             wf[w] += 1
-    seqs = {w: " ".join(w) for w in wf}
+    seqs = {w: list(w) if w else [""] for w in wf}
     for _ in range(roundten._BPE_ROUNDS):
         pc = Counter()
         for w, cnt in wf.items():
-            syms = seqs[w].split(" ")
+            syms = seqs[w]
             for a, b in zip(syms, syms[1:]):
                 pc[a + " " + b] += cnt
         if not pc:
             break
-        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merged = top.replace(" ", "")
-        seqs = {
-            w: (" " + s + " ")
-            .replace(" " + top + " ", " " + merged + " ")
-            .strip()
-            for w, s in seqs.items()
-        }
-    nsub = {w: len(s.split(" ")) for w, s in seqs.items()}
+        a, b = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0].split(" ")
+        seqs = {w: _greedy_merge(s, a, b) for w, s in seqs.items()}
+    nsub = {w: len(s) for w, s in seqs.items()}
     want = {}
     for d, t in texts.items():
         if t is None:
@@ -234,7 +236,12 @@ def test_bpe_plan_shapes(spark, sf_dir):
 def test_bpe_encode_plan_broadcasts_vocab(spark, sf_dir):
     """Encoding is one pass of the token stream through a broadcast
     join against the vocabulary-sized subword-count table — a shuffle
-    join here would move the corpus to meet the vocabulary."""
+    join THERE would move the corpus to meet the vocabulary. (The merge
+    machinery's internal joins are all vocab-vs-vocab on (word, i) —
+    Catalyst may pick any strategy for those; what must never shuffle
+    is the corpus stream.) The broadcast is explicit in the code, so it
+    survives regardless of stats; pin that the corpus-side scan feeds a
+    BroadcastHashJoin probe."""
     plan = (
         roundten.q_bpe_encode(spark, sf_dir)
         ._jdf.queryExecution()
@@ -242,7 +249,17 @@ def test_bpe_encode_plan_broadcasts_vocab(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the corpus join's key is word ALONE (the merge machinery's
+    # internal joins all carry the extra position key): a single-key
+    # word SortMergeJoin would be the corpus stream being shuffled
+    import re
+
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"SortMergeJoin.*\[word#\d+\], \[word#\d+\]", ln)
+    ]
+    assert not bad, bad
 
 
 def test_beam_plan_broadcasts_frontier(spark, sf_dir):
@@ -258,3 +275,71 @@ def test_beam_plan_broadcasts_frontier(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property test: the oracle's windowed merge IS textbook greedy BPE
+# ---------------------------------------------------------------------------
+#
+# History: the first implementation applied merges as a literal replace
+# of ' a b ' with ' ab ' on the space-padded symbol string. A hypothesis
+# property test against the textbook scan falsified it on 'aaaa' with
+# pair (a, a) — replace consumes the shared separator, so back-to-back
+# occurrences don't all merge in one pass, while every real trainer
+# (Sennrich's zero-width re.sub, HuggingFace) merges all non-overlapping
+# occurrences. Engine, oracle, and the then-reference all used replace,
+# so the cross-engine gate could never catch it. Both now implement the
+# windowed greedy selection; this property pins the ORACLE side (the
+# engine side is pinned corpus-wide by test_bpe_matches_pure_python_*).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=2, max_size=14),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba"]),
+        st.sampled_from(["a", "b", "ab", "ba"]),
+    ),
+)
+def test_oracle_windowed_merge_is_greedy_bpe(word, pair):
+    import duckdb
+
+    a, b = pair
+    syms = list(word)
+    seq = " ".join(syms)
+    # exactly the oracle's t/k/w chain, on a one-word table with the
+    # winning pair injected
+    sql = f"""
+        WITH w1 AS (SELECT 'w' AS word, 1 AS cnt, ? AS seq),
+        m1 AS (SELECT ? AS a, ? AS b),
+        t1 AS (
+            SELECT word, cnt, i, syms[i] AS sym, syms[i + 1] AS nxt
+            FROM (SELECT word, cnt, string_split(seq, ' ') AS syms FROM w1),
+                 UNNEST(generate_series(1, len(syms))) AS g(i)
+        ),
+        k1 AS (
+            SELECT word, i FROM (
+                SELECT word, i,
+                       row_number() OVER (PARTITION BY word, i - rn
+                                          ORDER BY i) AS pr
+                FROM (SELECT word, i,
+                             row_number() OVER (PARTITION BY word
+                                                ORDER BY i) AS rn
+                      FROM t1
+                      WHERE sym = (SELECT a FROM m1)
+                        AND nxt = (SELECT b FROM m1))
+            ) WHERE pr % 2 = 1
+        )
+        SELECT string_agg(CASE WHEN k.i IS NOT NULL THEN t.sym || t.nxt
+                               ELSE t.sym END, ' ' ORDER BY t.i)
+        FROM t1 t
+        LEFT JOIN k1 k  ON k.word = t.word AND k.i = t.i
+        LEFT JOIN k1 kp ON kp.word = t.word AND kp.i = t.i - 1
+        WHERE kp.i IS NULL
+        GROUP BY t.word
+    """
+    got = duckdb.connect().execute(sql, [seq, a, b]).fetchone()[0]
+    assert got.split(" ") == _greedy_merge(syms, a, b), (word, pair)
