@@ -97,7 +97,9 @@ from pyspark.sql import types as T
 
 from iceberg_relative_io_spark.catalog import avro_ocf
 from iceberg_relative_io_spark.catalog.spark_table import (
+    _STREAM_EPOCH_PROP,
     RelativeTable,
+    _epoch_key_parts,
     parse_partition_field,
 )
 
@@ -1547,6 +1549,21 @@ def append_iceberg(
     }
     if doc.get("current-snapshot-id") is not None:
         snap_doc["parent-snapshot-id"] = doc["current-snapshot-id"]
+    # checkpoint-scoped epoch keys ALSO persist as a table property
+    # (max committed batch id per checkpoint) inside this same atomic
+    # metadata commit: properties ride metadata, not snapshots, so the
+    # idempotence probe (seen_stream_epoch_iceberg) survives
+    # expire_snapshots_iceberg reaping the marker snapshot — the same
+    # expiry-proof contract as the native format's _commit_snapshot
+    ek_parts = _epoch_key_parts((extra_summary or {}).get("stream-batch-id"))
+    if ek_parts is not None:
+        prop = _STREAM_EPOCH_PROP + ek_parts[0]
+        props = dict(doc.get("properties", {}))
+        prev_max = props.get(prop)
+        props[prop] = str(
+            max(ek_parts[1], int(prev_max)) if prev_max is not None else ek_parts[1]
+        )
+        new_doc["properties"] = props
     new_doc["snapshots"] = doc["snapshots"] + [snap_doc]
     new_doc["snapshot-log"] = doc.get("snapshot-log", []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
@@ -1561,6 +1578,38 @@ def append_iceberg(
         "data-files": len(entries),
         "records": total_rows,
     }
+
+
+def seen_stream_epoch_iceberg(table_dir: str, epoch_key: str) -> bool:
+    """True if the mirror at ``table_dir`` already committed stream
+    epoch ``epoch_key`` — the replayed-epoch probe for foreachBatch
+    mirror sinks (same contract as RelativeTable.seen_stream_epoch).
+
+    Checkpoint-scoped keys (``sha1(ckpt)[:12]:batchId``) probe the
+    ``stream.epoch.<ckpt>`` metadata PROPERTY first — append_iceberg
+    maintains it as the max committed batch id per checkpoint inside the
+    same atomic metadata commit, and properties survive
+    expire_snapshots_iceberg reaping the marker snapshot (the
+    crash + expiry + replay window that a summary-only scan leaves
+    open). Epochs commit in order within a checkpoint, so the max is a
+    complete record. Legacy/bare keys fall back to the summary scan.
+
+    Caveat (both formats): the probe treats any batchId <= the recorded
+    max as a replay. If a checkpoint DIRECTORY is deleted and the same
+    path is reused by a NEW query, its batch ids restart at 0 and the
+    first batches are swallowed as replays — use a fresh checkpoint
+    path per logical query (standard Structured Streaming practice;
+    wiping a checkpoint already discards the engine's own offsets)."""
+    doc = _load_metadata(table_dir)
+    parts = _epoch_key_parts(epoch_key)
+    if parts is not None:
+        prev = doc.get("properties", {}).get(_STREAM_EPOCH_PROP + parts[0])
+        if prev is not None and int(prev) >= parts[1]:
+            return True
+    return any(
+        s.get("summary", {}).get("stream-batch-id") == epoch_key
+        for s in doc.get("snapshots", [])
+    )
 
 
 def _commit_next_metadata(

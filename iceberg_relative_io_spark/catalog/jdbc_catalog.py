@@ -227,7 +227,14 @@ class _PooledTxn:
                 self.con = None
                 if not from_pool:
                     raise
-                con = cat._driver.connect(cat.db_path)
+                # the retry connect re-acquires the pool lock and
+                # re-checks closed, mirroring the initial lease path —
+                # otherwise a concurrent close() could race the retry
+                # and leak the fresh connection past pool teardown
+                with cat._pool_lock:
+                    if cat._closed:
+                        raise ValueError(f"catalog {cat.name!r} is closed")
+                    con = cat._driver.connect(cat.db_path)
                 try:
                     begin(con)
                 except Exception:

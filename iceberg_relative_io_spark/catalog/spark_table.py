@@ -515,7 +515,15 @@ class RelativeTable:
         advice: a crash + expiry + replay window would otherwise
         double-commit). Epochs commit in order within a checkpoint, so
         the max is a complete record. Legacy/bare keys fall back to the
-        snapshot-summary scan."""
+        snapshot-summary scan.
+
+        Caveat: any batchId <= the recorded max counts as a replay. If
+        a checkpoint DIRECTORY is deleted and the same path is reused
+        by a NEW query, its batch ids restart at 0 and the first
+        batches are swallowed as replays — use a fresh checkpoint path
+        per logical query (standard Structured Streaming practice;
+        wiping a checkpoint already discards the engine's own
+        offsets)."""
         self.ops._should_refresh = True
         meta = self.ops.current()
         parts = _epoch_key_parts(epoch_key)

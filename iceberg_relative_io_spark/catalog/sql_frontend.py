@@ -34,7 +34,9 @@ the format provides):
   ``remove_orphan_files('ns.t')`` / ``rewrite_data_files('ns.t', n)`` /
   ``rewrite_zorder('ns.t', 'c1,c2')`` / ``rollback_to_snapshot('ns.t', id)`` /
   ``fast_forward('ns.t', 'branch')`` /
-  ``create_changelog_view('ns.t', from_sid[, to_sid[, view]])``
+  ``create_changelog_view('ns.t', from_sid[, to_sid[, view]])`` /
+  ``release_session_caches()`` (session-scoped, no table: the
+  long-session cache-lifecycle hook, reachable from pure SQL)
 
 Known limitation (documented, not defended): qualified names are located
 lexically, so a string literal containing ``cat.ns.t`` would be rewritten
@@ -352,6 +354,27 @@ class RelativeSqlSession:
 
     # -- maintenance procedures (Iceberg's CALL cat.system.* surface) ----------
     def _call(self, stmt: str) -> DataFrame:
+        # session-scoped (no-table) procedures first:
+        # CALL cat.system.release_session_caches() unpersists + clears
+        # every registered session cache (the long-session hygiene
+        # contract) so a long-lived pure-SQL session can honor it
+        # without Python imports — warehouse parity with bench.py and
+        # scaling_study.py calling caches.release_session_caches.
+        m0 = re.fullmatch(
+            rf"CALL\s+{re.escape(self.name)}\.system\.(\w+)\s*\(\s*\)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m0:
+            proc = m0.group(1).lower()
+            if proc == "release_session_caches":
+                from iceberg_relative_io_spark import caches
+
+                released = caches.release_session_caches(self.spark)
+                return self.spark.createDataFrame(
+                    [(str(released),)], "result string"
+                )
+            raise SqlParseError(f"unknown procedure {proc!r}")
         m = re.fullmatch(
             rf"CALL\s+{re.escape(self.name)}\.system\.(\w+)\s*\(\s*'([\w.]+)'\s*"
             r"(?:,\s*([\w'\.\, ]+?)\s*)?\)",

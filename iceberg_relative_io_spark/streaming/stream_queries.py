@@ -255,13 +255,12 @@ def q_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sink(batch, epoch: int) -> None:
         # replayed-epoch guard (at-least-once foreachBatch -> idempotent
-        # commits): the epoch key rides the mirror snapshot summary
+        # commits): the epoch key rides the mirror snapshot summary AND
+        # the expiry-proof stream.epoch.<ckpt> metadata property, so the
+        # probe survives expire_snapshots_iceberg reaping the marker
+        # snapshot (crash + expiry + replay can't double-commit)
         key = _epoch_key(ckpt, epoch)
-        doc = iceberg_export._load_metadata(dest)
-        if any(
-            s.get("summary", {}).get("stream-batch-id") == key
-            for s in doc["snapshots"]
-        ):
+        if iceberg_export.seen_stream_epoch_iceberg(dest, key):
             return
         iceberg_export.append_iceberg(
             spark, dest, batch, extra_summary={"stream-batch-id": key}

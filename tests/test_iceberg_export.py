@@ -3365,3 +3365,73 @@ def test_bucket_value_out_of_int64_range_raises_typeerror():
         bucket_value(1 << 63, 4)
     with pytest.raises(TypeError, match="int64"):
         bucket_value(-(1 << 63) - 1, 4)
+
+
+def test_mirror_epoch_probe_survives_snapshot_expiry(spark):
+    """Round-11 advice: the mirror sink's replayed-epoch guard used to
+    scan snapshot summaries only, so expire_snapshots_iceberg running
+    between a sink crash and the epoch replay could reap the marker
+    snapshot and let the replayed epoch double-commit into the mirror.
+    append_iceberg now persists the stream.epoch.<ckpt> property (max
+    batch id per checkpoint) in the same atomic metadata commit, and
+    seen_stream_epoch_iceberg probes it before the summary scan —
+    the exact expiry-proof contract the native format already had
+    (test_epoch_probe_survives_snapshot_expiry)."""
+    from iceberg_relative_io_spark.streaming.stream_queries import _epoch_key
+
+    cat = FsCatalog(tempfile.mkdtemp(prefix="iceepoch_wh_"))
+    cat.create_namespace(("ns",))
+    df0 = spark.createDataFrame([(0, "seed")], "id long, v string")
+    ops = cat.create_table(("ns",), "t", df0.schema.jsonValue())
+    table = RelativeTable(ops)
+    dest = tempfile.mkdtemp(prefix="iceepoch_out_")
+    iceberg_export.export_iceberg(table, dest)  # empty seed
+    ckpt = "/tmp/some_mirror_checkpoint"
+
+    for epoch in range(3):
+        key = _epoch_key(ckpt, epoch)
+        assert not iceberg_export.seen_stream_epoch_iceberg(dest, key)
+        iceberg_export.append_iceberg(
+            spark,
+            dest,
+            spark.createDataFrame([(epoch, "x")], "id long, v string"),
+            extra_summary={"stream-batch-id": key},
+        )
+        assert iceberg_export.seen_stream_epoch_iceberg(dest, key)
+
+    # aggressive GC reaps the marker snapshots outright — the summary
+    # scan alone would forget the committed epochs
+    gone = iceberg_export.expire_snapshots_iceberg(dest, keep_last=1)
+    assert gone["expired"] >= 3
+    doc = iceberg_export._load_metadata(dest)
+    live_keys = [
+        s.get("summary", {}).get("stream-batch-id") for s in doc["snapshots"]
+    ]
+    assert not any(k == _epoch_key(ckpt, 0) for k in live_keys)
+    for epoch in range(3):
+        assert iceberg_export.seen_stream_epoch_iceberg(
+            dest, _epoch_key(ckpt, epoch)
+        )
+    # a later epoch on the same checkpoint is still unseen; a DIFFERENT
+    # checkpoint's epoch 0 must not be swallowed either
+    assert not iceberg_export.seen_stream_epoch_iceberg(
+        dest, _epoch_key(ckpt, 3)
+    )
+    assert not iceberg_export.seen_stream_epoch_iceberg(
+        dest, _epoch_key("/tmp/other_ckpt", 0)
+    )
+    # one bounded property per checkpoint, holding the max batch id
+    marks = {
+        k: v
+        for k, v in doc.get("properties", {}).items()
+        if k.startswith("stream.epoch.")
+    }
+    assert list(marks.values()) == ["2"], marks
+    # legacy bare keys (no checkpoint scope) still use the summary scan
+    iceberg_export.append_iceberg(
+        spark,
+        dest,
+        spark.createDataFrame([(9, "y")], "id long, v string"),
+        extra_summary={"stream-batch-id": "bare-key"},
+    )
+    assert iceberg_export.seen_stream_epoch_iceberg(dest, "bare-key")

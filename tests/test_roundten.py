@@ -343,3 +343,89 @@ def test_oracle_windowed_merge_is_greedy_bpe(word, pair):
     """
     got = duckdb.connect().execute(sql, [seq, a, b]).fetchone()[0]
     assert got.split(" ") == _greedy_merge(syms, a, b), (word, pair)
+
+
+def test_graph_recall_eval_invariants(spark, sf_dir):
+    """c03_graph_recall_eval (round 11): one row per query, the exact
+    side pinned at _BEAM_TOPK rows, hits bounded by both sides, and
+    recall == n_hit / n_exact exactly (integer division re-derived)."""
+    from iceberg_relative_io_spark.operators import northstar
+
+    rows = roundten.q_graph_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == northstar._N_QUERIES
+    for r in rows:
+        assert r.n_exact == roundten._BEAM_TOPK
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall == r.n_hit / r.n_exact
+    # cross-check hits against materialized sets (the eval's join logic)
+    exact = {
+        (x.query_id, x.vec_id)
+        for x in northstar.q_knn_bruteforce(spark, sf_dir)
+        .filter("rnk <= %d" % roundten._BEAM_TOPK)
+        .collect()
+    }
+    beam = {
+        (x.query_id, x.vec_id)
+        for x in roundten.q_ann_graph_beam(spark, sf_dir).collect()
+    }
+    want = {}
+    for q, v in exact & beam:
+        want[q] = want.get(q, 0) + 1
+    assert {r.query_id: r.n_hit for r in rows if r.n_hit} == want
+
+
+# ---------------------------------------------------------------------------
+# property test: MULTI-ROUND oracle chain == pure-Python trainer (round 11)
+# ---------------------------------------------------------------------------
+#
+# The single-merge property above pins one application; tie-breaks and
+# run-parity INTERACT across rounds (a round-1 merge changes which runs
+# exist for round 2, and the (cnt DESC, pair ASC) tie-break decides
+# different winners once counts collide), so round 11 extends the pin to
+# a 4-round chain: random tiny corpora -> the oracle's full CTE chain
+# (_bpe_ctes, exactly what c04_bpe_pair_merges' driver oracle runs, at
+# rounds=4 > the shipped _BPE_ROUNDS=2) vs the textbook trainer.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=8),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_oracle_multiround_chain_matches_python_trainer(docs):
+    import duckdb
+
+    rounds, topn = 4, 3
+    rounds_sql = [
+        f"""SELECT {rnd} AS round, rnk, pair,
+               replace(pair, ' ', '') AS merged, cnt
+        FROM (SELECT pair, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+              FROM p{rnd})
+        WHERE rnk <= {topn}"""
+        for rnd in range(1, rounds + 1)
+    ]
+    # MATERIALIZED changes only DuckDB's evaluation strategy (the plain
+    # chain re-inlines every CTE per reference — ~3.4s/example at 4
+    # rounds vs 0.12s materialized); the CTE TEXT under test stays
+    # byte-identical to what the driver oracle runs.
+    import re as _re
+
+    ctes = [
+        _re.sub(r"^(\s*\w+ AS) \(", r"\1 MATERIALIZED (", c, count=1)
+        for c in roundten._bpe_ctes(rounds)
+    ]
+    sql = "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rounds_sql)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(d,) for d in docs])
+    got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    want = sorted(_python_bpe(docs, rounds, topn))
+    assert got == want, (docs, got, want)

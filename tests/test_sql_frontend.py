@@ -452,3 +452,29 @@ def test_call_create_changelog_view(sess):
     )
     assert out2.collect()[0][0] == "cl_v2"
     assert sess.spark.sql("SELECT count(*) AS n FROM cl_v2").collect()[0].n == 2
+
+
+def test_call_release_session_caches(sess, spark, sf_dir):
+    """Round-11: the long-session cache-lifecycle hook is reachable from
+    pure SQL — CALL cat.system.release_session_caches() unpersists and
+    clears every registered session cache (warehouse parity with
+    bench.py / scaling_study.py calling the Python hook directly)."""
+    from iceberg_relative_io_spark import caches
+    from iceberg_relative_io_spark.operators import northstar
+
+    # populate a real registered cache (LSH featurization persists)
+    northstar.q_lsh_candidate_pairs(spark, sf_dir).count()
+    assert caches.persisted_count() > 0
+    res = sess.sql("CALL test.system.release_session_caches()").collect()
+    assert len(res) == 1 and res[0].result.isdigit()
+    assert int(res[0].result) > 0
+    assert caches.persisted_count() == 0
+    # idempotent: a second call releases nothing and still succeeds
+    res2 = sess.sql("CALL test.system.release_session_caches()").collect()
+    assert res2[0].result == "0"
+    # unknown no-arg procedures are refused, not silently ignored
+    import pytest as _pytest
+    from iceberg_relative_io_spark.catalog.sql_frontend import SqlParseError
+
+    with _pytest.raises(SqlParseError, match="unknown procedure"):
+        sess.sql("CALL test.system.no_such_proc()")

@@ -96,6 +96,8 @@ MEASURED = [
     "c04_bpe_pair_merges",
     "c04_bpe_encode",
     "c03_ann_graph_beam",
+    # round 11: recall eval of the graph-beam serving path
+    "c03_graph_recall_eval",
 ]
 
 
