@@ -596,15 +596,16 @@ def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical walk and the brute-force join).
 
     Measured at the shipped dials on the synthetic fixtures (round 11):
-    mean recall@3 ~= 0.1 at sf0.01 — essentially the inspected
+    mean recall@3 = 0.067 at sf0.01 — essentially the inspected
     fraction of the corpus (~50 of 500 nodes), because the fixture
     embeddings are isotropic random vectors with NO manifold/cluster
     structure for a navigable graph to exploit (planted near-dup twins
     are found; the rest of the exact top-3 is noise-ranked). This is
     the expected floor for graph-ANN on isotropic data, not a serving
     bug: recall rises along the dials exactly as the method predicts —
-    (entries 128, width 16, hops 4) measured mean 0.47 on the same
-    fixture — and real embedding corpora have the low intrinsic
+    (entries 128, width 16, hops 4) measures mean 0.667 on the same
+    fixture with this seed (0.47 with the pre-round-11 rank-1 seed —
+    the ef seed's gain compounds at larger dials) — and real embedding corpora have the low intrinsic
     dimension the walk shape exploits. The eval exists precisely so
     any dial change is measured, not asserted.
 
