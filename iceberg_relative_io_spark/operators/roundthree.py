@@ -15,6 +15,9 @@ Operators a 100 TB training-data pipeline runs between "crawl" and
   shards with a stable within-shard order (what a dataloader consumes);
 - **ANN recall evaluation** — recall@k of the LSH ANN path against the
   brute-force exact top-k (the eval loop that tunes nprobe/planes);
+  round 11 adds the IVF twin (c03_ivf_recall_eval), completing the
+  measurement loop across all three approximate serving paths
+  (LSH / IVF / graph-beam — the last lives in roundten.py);
 - **temperature mixture weights** — per-source sampling weights
   n_s^alpha / sum(n_s^alpha) (the data-mixing step before training).
 
@@ -348,6 +351,52 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     approx = q_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (eval harness, round 11): recall@k of the IVF-probed ANN path
+    against the brute-force exact top-k — the IVF twin of
+    c03_ann_recall_eval, completing the measurement loop across all
+    three approximate serving paths (LSH / IVF / graph-beam, the last
+    via c03_graph_recall_eval): every recall<1-by-design index now has
+    its recall MEASURED, not asserted. Same integer-count + one-division
+    shape, so the oracle is exact (it replays the IVF probe and the
+    brute-force join).
+
+    Measured on the isotropic random fixture at sf0.01 (round 11):
+    mean recall@10 = 0.24 for IVF at the shipped nprobe vs 0.02 for
+    LSH — IVF's probed cells cover a larger corpus fraction than one
+    256-bucket sign pattern, exactly the coverage-vs-cost dial the eval
+    exists to expose (the fixture's lack of manifold structure sets the
+    floor; see c03_graph_recall_eval's docstring for the geometry).
+
+    At 100 TB: identical cost argument to the LSH eval — two index
+    probes plus a k-row join per sampled query, corpus-independent."""
+    from iceberg_relative_io_spark.operators.northstar import (
+        q_ann_ivf,
+        q_knn_bruteforce,
+    )
+
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     n_hit = (
         exact.join(approx, ["query_id", "vec_id"], "left_semi")
@@ -870,6 +919,7 @@ QUERIES = {
     "c04_bigram_logprob": q_bigram_logprob,
     "c06_shard_shuffle": q_shard_shuffle,
     "c03_ann_recall_eval": q_ann_recall_eval,
+    "c03_ivf_recall_eval": q_ivf_recall_eval,
     "c06_mixture_weights": q_mixture_weights,
     "c02_connected_components": q_connected_components,
     "c02_substring_removal": q_substring_removal,
@@ -1098,7 +1148,10 @@ def _shard_oracle() -> str:
     """
 
 
-def _recall_oracle() -> str:
+def _recall_oracle(approx_key: str = "c03_ann_lsh") -> str:
+    """Recall-eval oracle against the exact top-k; ``approx_key`` names
+    the approximate path's oracle to nest (LSH default, IVF for the
+    round-11 twin) — both replay their index probe exactly."""
     from iceberg_relative_io_spark.operators.northstar import ORACLE as NS
 
     return f"""
@@ -1106,7 +1159,7 @@ def _recall_oracle() -> str:
             SELECT query_id, vec_id FROM ({NS['c03_knn_bruteforce']})
         ),
         approx AS (
-            SELECT query_id, vec_id FROM ({NS['c03_ann_lsh']})
+            SELECT query_id, vec_id FROM ({NS[approx_key]})
         ),
         base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
         hits AS (
@@ -1295,6 +1348,7 @@ ORACLE = {
     "c04_bigram_logprob": _bigram_oracle(),
     "c06_shard_shuffle": _shard_oracle(),
     "c03_ann_recall_eval": _recall_oracle(),
+    "c03_ivf_recall_eval": _recall_oracle("c03_ann_ivf"),
     "c06_mixture_weights": _mixture_oracle(),
     "c02_connected_components": _cc_oracle(),
     "c02_substring_removal": _removal_oracle(),

@@ -438,3 +438,28 @@ def test_contamination_fuzzy_probe_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_bounds_and_hits(spark, sf_dir):
+    """c03_ivf_recall_eval (round 11): same bounds contract as the LSH
+    eval, plus the hit counts re-derived from the two materialized
+    top-k sets (the eval's semi-join logic, independently)."""
+    from iceberg_relative_io_spark.operators import northstar as N
+
+    rows = R.q_ivf_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == N._N_QUERIES
+    for r in rows:
+        assert r.n_exact == N._TOP_K
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall - r.n_hit / r.n_exact) < 1e-15
+    exact = {
+        (x.query_id, x.vec_id)
+        for x in N.q_knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (x.query_id, x.vec_id) for x in N.q_ann_ivf(spark, sf_dir).collect()
+    }
+    want = {}
+    for q, v in exact & approx:
+        want[q] = want.get(q, 0) + 1
+    assert {r.query_id: r.n_hit for r in rows if r.n_hit} == want

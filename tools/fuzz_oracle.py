@@ -56,9 +56,9 @@ DEFAULT_QUERIES = [
     # overlaps); the graph beam composes the quantizer + graph + hash
     # entry sample under subsampled/NULL-injected embeddings
     "c04_bpe_pair_merges", "c04_bpe_encode", "c03_ann_graph_beam",
-    # round 11: the recall eval composes the beam walk AND the
+    # round 11: the recall evals compose an index probe AND the
     # brute-force side over the same fuzzed/NULL-injected embeddings
-    "c03_graph_recall_eval",
+    "c03_graph_recall_eval", "c03_ivf_recall_eval",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",

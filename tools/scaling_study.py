@@ -96,8 +96,9 @@ MEASURED = [
     "c04_bpe_pair_merges",
     "c04_bpe_encode",
     "c03_ann_graph_beam",
-    # round 11: recall eval of the graph-beam serving path
+    # round 11: recall evals of the graph-beam and IVF serving paths
     "c03_graph_recall_eval",
+    "c03_ivf_recall_eval",
 ]
 
 
