@@ -18,8 +18,11 @@ from __future__ import annotations
 # physical plan changed since their last grade, then (c) the
 # stalest-graded names, oldest round first. Entering round 11 the
 # last-graded histogram is {r6:30, r7:49, r8:47, r9:46, r10:50}; the 50
-# slots below take the never-graded round-11 queries
-# (c03_graph_recall_eval, c03_ivf_recall_eval), the round-11 plan-touched names
+# slots below take the never-graded round-11 queries (the recall-eval
+# family: c03_graph_recall_eval, c03_ivf_recall_eval,
+# c03_pq_recall_eval, c03_rerank_recall_eval — plus the refactor
+# re-plans the two prior evals, so c03_ann_recall_eval rides along as
+# plan-touched), the round-11 plan-touched names
 # (c03_ann_graph_beam: HNSW-style ef seed — the beam now starts from
 # the top-width scored entries instead of rank 1 alone, oracle b0 CTE
 # updated in lockstep; b30_stream_to_iceberg + a45_iceberg_append:
@@ -29,16 +32,20 @@ from __future__ import annotations
 # now re-acquires _pool_lock and re-checks closed; b04_sql_frontend:
 # the CALL surface grew system.release_session_caches), ALL 30
 # remaining r6-graded names (completing the rotation — after r11
-# grades, nothing is older than r7), and 12 r7-graded names —
-# alphabetical, except b12_asof_join is kept in place of
-# b11_bucketed_interval_join (next alphabetically) because its record
-# was this round's one open drift question (SCALING.md round-11 A/B:
-# environment; the fresh grade closes the loop). Everything rotated out stays in the registry and in the
+# grades, nothing is older than r7), and 9 r7-graded names —
+# alphabetical, except b12_asof_join is kept ahead of three
+# alphabetically-earlier names because its record was this round's one
+# open drift question (SCALING.md round-11 A/B: environment; the fresh
+# grade closes the loop). Everything rotated out stays in the registry and in the
 # judge's full rerun (tools/check_oracle.py).
 PRIORITY_ORDER = [
     # --- never driver-graded (new in round 11) ---
-    "c03_graph_recall_eval",  # NEW: recall@k of the graph-beam serving path
-    "c03_ivf_recall_eval",    # NEW: recall@k of the IVF serving path
+    "c03_graph_recall_eval",   # NEW: recall@k of the graph-beam serving path
+    "c03_ivf_recall_eval",     # NEW: recall@k of the IVF serving path
+    "c03_pq_recall_eval",      # NEW: recall@k of the composed IVF-PQ path
+    "c03_rerank_recall_eval",  # NEW: recall@k of the coarse-to-fine rerank path
+    # --- plan re-derived round 11 (shared _recall_frame refactor) ---
+    "c03_ann_recall_eval",
     # --- plan touched round 11 ---
     "c03_ann_graph_beam",       # ef-style beam seed (top-width entries)
     "b30_stream_to_iceberg",    # expiry-proof mirror epoch property
@@ -58,11 +65,10 @@ PRIORITY_ORDER = [
     "c03_kmeans_inertia", "c03_knn_filtered", "c03_knn_label_accuracy",
     "c03_label_centroids", "c03_outlier_filter", "c04_bigram_logprob",
     "c04_classifier_score", "c04_keyword_rarity", "c06_pipeline_capstone",
-    # --- last graded round 7 (12 of 49; rest rotate next round) ---
+    # --- last graded round 7 (9 of 49; rest rotate next round) ---
     "a55_position_delete_dml", "a56_iceberg_changelog", "a_changelog",
     "b07_join_inner", "b07_skew_salted_join", "b08_join_full",
-    "b08_join_left", "b09_join_anti", "b09_join_semi",
-    "b09_order_priority", "b10_promo_revenue", "b12_asof_join",
+    "b08_join_left", "b09_join_anti", "b12_asof_join",
 ]
 
 

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark import caches
+from iceberg_relative_io_spark.operators import roundthree as _roundthree
 from iceberg_relative_io_spark.operators import skewpairs
 from iceberg_relative_io_spark.sources.tables import load_table
 
@@ -246,6 +247,22 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RR_TOP_K)
         .select("query_id", "vec_id", "rnk", "cos_sim")
     )
+
+
+def q_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (eval harness, round 11): recall@k of the two-stage
+    coarse-to-fine rerank path against the brute-force exact top-k.
+    The rerank stage scores its shortlist with EXACT full-dim cosines,
+    so all recall loss comes from the 32-dim-prefix shortlist missing
+    true neighbors — this eval measures exactly that loss (the
+    Matryoshka-truncation trade). Shares _recall_frame / the
+    generalized _recall_oracle with the LSH/IVF/IVF-PQ evals; the
+    oracle replays the shortlist and rerank verbatim."""
+    from iceberg_relative_io_spark.operators.northstar import q_knn_bruteforce
+
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_ann_rerank(spark, sf_dir).select("query_id", "vec_id")
+    return _roundthree._recall_frame(exact, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -776,6 +793,7 @@ QUERIES = {
     "c03_hybrid_rrf": q_hybrid_rrf,
     "c03_hard_negatives": q_hard_negatives,
     "c03_ann_rerank": q_ann_rerank,
+    "c03_rerank_recall_eval": q_rerank_recall_eval,
     "c05_image_hash_neardup": q_image_hash_neardup,
     "c05_scene_cuts": q_scene_cuts,
     "c05_keyframes": q_keyframes,
@@ -912,6 +930,9 @@ ORACLE = {
     "c03_hybrid_rrf": _rrf_oracle(),
     "c03_hard_negatives": _hard_negatives_oracle(),
     "c03_ann_rerank": _rerank_oracle(),
+    "c03_rerank_recall_eval": _roundthree._recall_oracle(
+        approx_sql=_rerank_oracle()
+    ),
     "c05_image_hash_neardup": _ah_oracle(),
     "c05_scene_cuts": _scene_oracle(),
     "c05_keyframes": _keyframes_oracle(),

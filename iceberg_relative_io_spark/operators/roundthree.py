@@ -15,9 +15,12 @@ Operators a 100 TB training-data pipeline runs between "crawl" and
   shards with a stable within-shard order (what a dataloader consumes);
 - **ANN recall evaluation** — recall@k of the LSH ANN path against the
   brute-force exact top-k (the eval loop that tunes nprobe/planes);
-  round 11 adds the IVF twin (c03_ivf_recall_eval), completing the
-  measurement loop across all three approximate serving paths
-  (LSH / IVF / graph-beam — the last lives in roundten.py);
+  round 11 adds the IVF, IVF-PQ and rerank twins (c03_ivf_recall_eval,
+  c03_pq_recall_eval; c03_rerank_recall_eval in retrieval_ext.py),
+  completing the measurement loop across EVERY approximate serving
+  path (LSH / IVF / IVF-PQ / rerank / graph-beam — the last lives in
+  roundten.py), all over the shared _recall_frame + generalized
+  _recall_oracle pair;
 - **temperature mixture weights** — per-source sampling weights
   n_s^alpha / sum(n_s^alpha) (the data-mixing step before training).
 
@@ -334,6 +337,28 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall) from two (query_id, vec_id)
+    top-k tables — the shared body of every recall eval (LSH / IVF /
+    IVF-PQ / rerank here, graph-beam in roundten.py). Integer counts
+    plus one final division keep every oracle exact."""
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (eval harness): recall@k of the LSH-bucketed ANN path against
     the brute-force exact top-k, per query — the measurement loop that
@@ -351,24 +376,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     approx = q_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
-    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    n_hit = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return (
-        n_exact.join(n_hit, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double")
-            ).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
 
 
 def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,24 +405,23 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     approx = q_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
-    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    n_hit = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return (
-        n_exact.join(n_hit, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double")
-            ).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (eval harness, round 11): recall@k of the composed IVF-PQ
+    serving path (coarse-cell pruning + ADC scoring over 8-code
+    candidates) against the brute-force exact top-k. IVF-PQ loses
+    recall TWO ways — unprobed cells AND quantized distances reranking
+    the probed candidates — and this eval measures the composition,
+    which neither c03_ivf_recall_eval (probe loss only) nor the ADC
+    tables alone expose. Same integer-count shape; the oracle replays
+    the full IVF-PQ pipeline and the brute-force join exactly."""
+    from iceberg_relative_io_spark.operators.northstar import q_knn_bruteforce
+
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = q_ann_ivfpq(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_frame(exact, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -920,6 +927,7 @@ QUERIES = {
     "c06_shard_shuffle": q_shard_shuffle,
     "c03_ann_recall_eval": q_ann_recall_eval,
     "c03_ivf_recall_eval": q_ivf_recall_eval,
+    "c03_pq_recall_eval": q_pq_recall_eval,
     "c06_mixture_weights": q_mixture_weights,
     "c02_connected_components": q_connected_components,
     "c02_substring_removal": q_substring_removal,
@@ -1148,18 +1156,24 @@ def _shard_oracle() -> str:
     """
 
 
-def _recall_oracle(approx_key: str = "c03_ann_lsh") -> str:
-    """Recall-eval oracle against the exact top-k; ``approx_key`` names
-    the approximate path's oracle to nest (LSH default, IVF for the
-    round-11 twin) — both replay their index probe exactly."""
+def _recall_oracle(
+    approx_key: str = "c03_ann_lsh", approx_sql: str | None = None
+) -> str:
+    """Recall-eval oracle against the exact top-k; the approximate
+    path's oracle nests as a subquery — named by ``approx_key`` in
+    northstar's registry (LSH default, IVF) or passed verbatim via
+    ``approx_sql`` (IVF-PQ here, rerank in retrieval_ext). Every
+    variant replays its index probe exactly."""
     from iceberg_relative_io_spark.operators.northstar import ORACLE as NS
 
+    if approx_sql is None:
+        approx_sql = NS[approx_key]
     return f"""
         WITH exact AS (
             SELECT query_id, vec_id FROM ({NS['c03_knn_bruteforce']})
         ),
         approx AS (
-            SELECT query_id, vec_id FROM ({NS[approx_key]})
+            SELECT query_id, vec_id FROM ({approx_sql})
         ),
         base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
         hits AS (
@@ -1349,6 +1363,7 @@ ORACLE = {
     "c06_shard_shuffle": _shard_oracle(),
     "c03_ann_recall_eval": _recall_oracle(),
     "c03_ivf_recall_eval": _recall_oracle("c03_ann_ivf"),
+    "c03_pq_recall_eval": _recall_oracle(approx_sql=_ivfpq_oracle()),
     "c06_mixture_weights": _mixture_oracle(),
     "c02_connected_components": _cc_oracle(),
     "c02_substring_removal": _removal_oracle(),

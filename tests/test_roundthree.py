@@ -463,3 +463,27 @@ def test_ivf_recall_bounds_and_hits(spark, sf_dir):
     for q, v in exact & approx:
         want[q] = want.get(q, 0) + 1
     assert {r.query_id: r.n_hit for r in rows if r.n_hit} == want
+
+
+def test_pq_and_rerank_recall_bounds(spark, sf_dir):
+    """Round-11 completion of the recall-eval family: IVF-PQ and rerank
+    evals obey the same bounds contract, and the ordering the methods
+    predict holds on the fixture — IVF-PQ (probe loss + quantization
+    loss) recalls no better than plain IVF (probe loss only), and the
+    exact-rerank path recalls at least as well as every quantized
+    path."""
+    from iceberg_relative_io_spark.operators import northstar as N
+    from iceberg_relative_io_spark.operators import retrieval_ext as RX
+
+    def mean_recall(rows):
+        for r in rows:
+            assert r.n_exact == N._TOP_K
+            assert 0 <= r.n_hit <= r.n_exact
+            assert abs(r.recall - r.n_hit / r.n_exact) < 1e-15
+        return sum(r.recall for r in rows) / len(rows)
+
+    pq = mean_recall(R.q_pq_recall_eval(spark, sf_dir).collect())
+    ivf = mean_recall(R.q_ivf_recall_eval(spark, sf_dir).collect())
+    rr = mean_recall(RX.q_rerank_recall_eval(spark, sf_dir).collect())
+    assert pq <= ivf + 1e-12, (pq, ivf)
+    assert rr >= max(pq, ivf) - 1e-12, (rr, pq, ivf)

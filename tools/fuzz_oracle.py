@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     # round 11: the recall evals compose an index probe AND the
     # brute-force side over the same fuzzed/NULL-injected embeddings
     "c03_graph_recall_eval", "c03_ivf_recall_eval",
+    "c03_pq_recall_eval", "c03_rerank_recall_eval",
     # round-6 widened sweep: every one of these diverged (or crashed)
     # under NULL injection before the round-6 NULL-semantics pass
     "c01_embedding_neardup", "c03_cluster_medoids", "c03_kmeans_lloyd",

@@ -96,9 +96,11 @@ MEASURED = [
     "c04_bpe_pair_merges",
     "c04_bpe_encode",
     "c03_ann_graph_beam",
-    # round 11: recall evals of the graph-beam and IVF serving paths
+    # round 11: recall evals of every approximate serving path
     "c03_graph_recall_eval",
     "c03_ivf_recall_eval",
+    "c03_pq_recall_eval",
+    "c03_rerank_recall_eval",
 ]
 
 
