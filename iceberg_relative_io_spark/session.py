@@ -32,6 +32,14 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDF / toPandas paths
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # prefer shuffled-hash over sort-merge when the per-partition build
+    # side fits (optimization guide §3.1/§9): skips the two sorts. The
+    # round-11 A/B on a 22-query subset measured 30.2s vs 31.4s, with
+    # the join-heavy c02/c06 names improving consistently; at scale the
+    # OOM risk is bounded by the planner's own size conditions and AQE
+    # skew-splitting still applies (runtime-settable, so the driver's
+    # vanilla session gets it through ensure_runtime_confs too).
+    "spark.sql.join.preferSortMergeJoin": "false",
     # let the Python DataSource receive Catalyst filters for file skipping
     "spark.sql.python.filterPushdown.enabled": "true",
 }
