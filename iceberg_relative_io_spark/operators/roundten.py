@@ -116,63 +116,46 @@ def _apply_merge(words: DataFrame, top1: DataFrame) -> DataFrame:
     ones like 'a b a b' -> 'ab ab' — so a padded literal replace
     (which consumes the shared separator and skips the second
     occurrence) is NOT equivalent; the round-10 hypothesis property
-    test caught exactly that. Occurrences only overlap when a == b
-    (runs), where greedy keeps every other one: relationally, group
-    consecutive occurrence positions (i - rank is constant within a
-    run) and keep odd ranks within each run.
+    test caught exactly that.
 
-    All joins/windows run over the vocabulary-sized symbol explosion —
-    per-round cost never touches the corpus."""
+    Round-11 optimization (guide §2.4 — remove shuffles outright): the
+    greedy scan is a single left-to-right ``F.aggregate`` fold over the
+    split symbols — MAP-ONLY, zero exchanges. The previous relational
+    form (posexplode + lead window + run-grouping windows + two
+    position self-joins + ordered re-agg) shuffled the vocabulary table
+    ~6x per round; measured on this chain, c04_bpe_encode's plan
+    carried 112 Exchange nodes. The fold appends each symbol unless the
+    accumulator's last element equals ``a`` and the symbol equals ``b``,
+    in which case the last element is replaced by the merged token.
+    Greedy run semantics ('x x x' with (x,x) -> 'xx x') fall out
+    directly: a just-merged last element has text a||b, which can never
+    equal ``a`` (b is a non-empty symbol), so it can never left-match
+    again in the same pass — exactly the textbook scan's "continue
+    after the merged token". A NULL winner (empty pair table) matches
+    nothing and the merge is a no-op, as before. Equivalence to the
+    textbook trainer is pinned corpus-wide by
+    test_bpe_matches_pure_python_trainer / _encode_* and per-word by
+    the round-11 hypothesis property test
+    (test_engine_fold_merge_is_greedy_bpe)."""
     m = words.crossJoin(F.broadcast(top1))
     syms = F.split(F.col("seq"), " ")
-    ex = m.select(
-        "word", "cnt", "top_a", "top_b",
-        F.posexplode(syms).alias("i", "sym"),
-    )
-    wl = Window.partitionBy("word").orderBy("i")
-    ex = ex.withColumn("nxt", F.lead("sym").over(wl))
-    occ = ex.filter(
-        (F.col("sym") == F.col("top_a")) & (F.col("nxt") == F.col("top_b"))
-    ).select("word", "i")
-    occ = occ.withColumn("rn", F.row_number().over(wl)).withColumn(
-        "grp", F.col("i") - F.col("rn")
-    )
-    wg = Window.partitionBy("word", "grp").orderBy("i")
-    kept = (
-        occ.withColumn("pr", F.row_number().over(wg))
-        .filter(F.col("pr") % 2 == 1)
-        .select(F.col("word").alias("kw"), F.col("i").alias("ki"))
-    )
-    taken = ex.join(
-        kept, (ex.word == kept.kw) & (ex.i == kept.ki), "left"
-    ).select(
-        "word", "cnt", "i", "sym", "nxt",
-        F.col("ki").isNotNull().alias("is_merge"),
-    )
-    prev = kept.select(
-        F.col("kw").alias("pw"), (F.col("ki") + 1).alias("pi")
-    )
-    rebuilt = (
-        taken.join(
-            prev, (taken.word == prev.pw) & (taken.i == prev.pi), "left"
-        )
-        .filter(F.col("pi").isNull())  # swallowed by the merge at i-1
-        .select(
-            "word", "cnt", "i",
-            F.when(
-                F.col("is_merge"), F.concat("sym", "nxt")
-            ).otherwise(F.col("sym")).alias("ns"),
-        )
-    )
-    return rebuilt.groupBy("word", "cnt").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "ns"))),
-                lambda x: x["ns"],
+    merged = F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.coalesce(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == F.col("top_a"))
+                & (x == F.col("top_b")),
+                F.lit(False),
             ),
-        ).alias("seq")
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.col("top_a"), F.col("top_b"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
+    return m.select("word", "cnt", F.concat_ws(" ", merged).alias("seq"))
 
 
 def q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -429,3 +429,38 @@ def test_oracle_multiround_chain_matches_python_trainer(docs):
     got = sorted(tuple(r) for r in con.execute(sql).fetchall())
     want = sorted(_python_bpe(docs, rounds, topn))
     assert got == want, (docs, got, want)
+
+
+def test_engine_fold_merge_is_greedy_bpe(spark):
+    """Round-11: _apply_merge became a map-only F.aggregate fold (the
+    windowed relational form shuffled the vocab table ~6x per round).
+    Pin the fold against the textbook greedy scan EXHAUSTIVELY: every
+    word over {a, b} of length 2..6 crossed with every (a, b) pair over
+    {a, b, ab, ba} — this covers every run-parity and multi-char-symbol
+    interaction up to that depth (including the 'aaaa' case that
+    falsified the round-10 padded replace)."""
+    from itertools import product
+
+    words = [
+        "".join(w)
+        for n in range(2, 7)
+        for w in product("ab", repeat=n)
+    ]
+    wdf = spark.createDataFrame(
+        [(w, 1, " ".join(w)) for w in words], "word string, cnt long, seq string"
+    )
+    for a, b in product(["a", "b", "ab", "ba"], repeat=2):
+        top1 = spark.createDataFrame([(a, b)], "top_a string, top_b string")
+        got = {
+            r.word: r.seq
+            for r in roundten._apply_merge(wdf, top1).collect()
+        }
+        for w in words:
+            want = " ".join(_greedy_merge(list(w), a, b))
+            assert got[w] == want, (w, a, b, got[w], want)
+    # NULL winner (empty pair table): the merge must be a no-op
+    top_null = spark.createDataFrame(
+        [(None, None)], "top_a string, top_b string"
+    )
+    got = {r.word: r.seq for r in roundten._apply_merge(wdf, top_null).collect()}
+    assert got == {w: " ".join(w) for w in words}
