@@ -85,7 +85,21 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    before_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTITIONS)
+    # Round-11 (guide §1/§2 — don't compute what you throw away): these
+    # drain-to-completion pipelines emit every row during DATA batches
+    # (complete mode rewrites the sink each batch; append-mode dedup /
+    # inner stream-stream joins emit on sight/match). The trailing
+    # no-data micro-batch only advances the watermark to evict state —
+    # for a complete-mode aggregation that means ONE FULL extra
+    # recompute of the aggregation with zero new input. Skip it; the
+    # sink content is identical (oracle-checked per query). Scoped to
+    # this memory-sink runner, not session-wide: a continuous
+    # production stream may want watermark-only emission.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -98,6 +112,9 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", before_ndmb
+        )
     return spark.table(name)
 
 
