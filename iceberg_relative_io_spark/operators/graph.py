@@ -99,9 +99,16 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        # lazy: round 1 materializes it as a side effect of its own
+        # convergence aggregate — same trick as the in-loop checkpoint
+        .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Round-11 (guide §5 — the driver should do almost no work): the
+    # initial label sum was a separate eager checkpoint + one extra
+    # driver action per call; starting from None skips the compare on
+    # round 1 instead (labels == node ids can only equal round 1's sum
+    # when the edge set is empty, where one extra tiny round is free).
+    prev_sum: int | None = None
     converged = False
     rounds = 0
     for _ in range(_CC_MAX_ITERS):
@@ -143,7 +150,7 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum

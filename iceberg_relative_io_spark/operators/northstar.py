@@ -35,7 +35,7 @@ from iceberg_relative_io_spark import caches
 from iceberg_relative_io_spark.functions import text as T
 from iceberg_relative_io_spark.functions import vectors as V
 from iceberg_relative_io_spark.operators import skewpairs
-from iceberg_relative_io_spark.sources.tables import load_table
+from iceberg_relative_io_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +204,9 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard reuse pattern for a shared featurization stage."""
     key = (caches.session_key(spark), sf_dir)
     if key not in _SIG_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
+        # fan_out: the tokenize+hash UDF otherwise runs in the scan's
+        # single split (guide §2.5 — unsplittable input)
+        docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         sig_udf = T.make_minhash_udf()
         set_udf = T.make_shingle_set_udf()
         out = docs.select(
@@ -1117,7 +1119,9 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of k-char strings — the compaction a 100 TB run would apply
     anyway, here with the oracle mirroring the code space exactly."""
     k = _SUBSTR_K
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the rolling-hash UDF + explode + partial agg ran in the
+    # scan's single split (guide §2.5) — measured 1.9s vs 1.1s fanned
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     gram_codes = T.make_char_gram_codes_udf(k)
     grams = docs.select("doc_id", F.explode(gram_codes("text")).alias("gram"))
     # One wide shuffle total: partial (map-side) aggregation collapses the

@@ -75,6 +75,8 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF instead of a global DISTINCT shuffle; the one wide exchange left
     is the gram-keyed semi join (at 100 TB: broadcast a bloom filter of
     the train side instead)."""
+    # fan_out measured NEGATIVE here (round-11 A/B: ~2.6s vs ~2.1s) —
+    # same two-branch shape as c06_contamination_bloom; left alone
     docs = load_table(spark, sf_dir, "documents")
     bucket = T.fingerprint(F.col("text")) % 100
     grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_relative_io_spark.sources.tables import load_table
+from iceberg_relative_io_spark.sources.tables import fan_out, load_table
 
 # exact-sum helper: decimal-typed term so SUM is order-independent
 def _dec(col, scale: int = 4):
@@ -288,7 +288,9 @@ def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual middle data value(s), so the result is deterministic and
     oracle-exact (the built-in percentile interpolation paths are not
     guaranteed bit-equal across engines)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    ).select("l_returnflag", "l_quantity")
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     ranked = li.select(
         "l_returnflag",
@@ -369,7 +371,7 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13: hash aggregation — the TPC-H Q1 pricing summary. Partial
     (map-side) aggregation collapses 100 TB of fact rows into 6 groups
     before the shuffle; decimal terms keep the sums exact."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -481,7 +483,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (verified on this fixture). At 100 TB the approx variant
     above is the production path (bounded memory); this one costs a
     per-group sort."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
@@ -501,7 +503,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 ranking — bit-identical in DuckDB, so even this sketch query
     carries an exact oracle."""
     params = _cms_params()
-    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey").select(
+        F.col("l_partkey").alias("key")
+    )
     # Collapse the fact volume to exact per-key counts FIRST (one hash agg
     # with map-side partials), then build the sketch from the distinct-key
     # table: sketch cell = sum of counts of the keys hashing there —
@@ -647,22 +651,31 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark computes them in a single hash-agg stage); at 100 TB distinct
     counts would switch to approx_count_distinct, here exact so the
     oracle is exact."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     cols = ("l_quantity", "l_extendedprice", "l_discount")
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
-            F.countDistinct(c).alias(f"dist_{c}"),
             F.round(F.min(c), 4).alias(f"min_{c}"),
             F.round(F.max(c), 4).alias(f"max_{c}"),
             F.sum(_dec(F.col(c), 4)).alias(f"sum_{c}"),
         ]
-    # ONE scan, one agg stage, all 16 measures. The three exact
-    # countDistincts cost an Expand (3x row duplication) — at 100 TB the
-    # profile job swaps them for approx_count_distinct and the Expand
-    # disappears; exact here keeps the oracle exact.
+    # Round-11 (guide §2.3 — shuffle fewer bytes): the plain measures
+    # ride ONE scan/agg (map-side partials -> one row), but the three
+    # exact countDistincts are pulled OUT of it. Fused, Catalyst plans
+    # multi-column distincts via Expand: every row duplicated 4x, and
+    # the first-stage hash agg keyed by (q, p, d, gid) — i.e. ~every
+    # row a distinct group DRAGGING all 13 plain-agg buffers — then a
+    # ~|rows|-size wide shuffle (measured 3.5s at sf0.1; this is also
+    # the shape that explodes at 100 TB). Split, each distinct is a
+    # column-pruned scan + per-value partial distinct, shuffling only
+    # |distinct values| narrow rows; the four 1-row frames recombine by
+    # broadcast cross join. Same exact values (at 100 TB the profile
+    # job swaps exact distincts for approx_count_distinct entirely).
     wide = li.agg(*aggs)
+    for c in cols:
+        wide = wide.crossJoin(li.agg(F.countDistinct(c).alias(f"dist_{c}")))
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
@@ -1031,7 +1044,8 @@ def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in stddev/corr aggregates, whose streaming (Welford-style)
     update order differs between engines at the ulp level. Same math,
     deterministic bits."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: six decimal partial sums single-task measured 2.0s vs 0.7s
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

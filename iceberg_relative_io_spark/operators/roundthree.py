@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.functions import vectors as V
-from iceberg_relative_io_spark.sources.tables import load_table
+from iceberg_relative_io_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +272,9 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _ln(x: pd.Series) -> pd.Series:
         return x.map(math.log)
 
+    # fan_out measured NEGATIVE here (round-11 A/B: 2.2s vs 1.6s): the
+    # bigram explosion is a JVM transform feeding three consumers; the
+    # added exchange costs more than the single-split scan stage saves
     docs = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(docs)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
@@ -541,7 +544,8 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token stage; the integers are identical (property-tested)."""
     from iceberg_relative_io_spark.functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: gram UDF + two posexplodes over the single-split scan
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     g = docs.select(
         "doc_id",
         F.posexplode(T.make_gram_codes_udf(_RM_K)(F.col("text"))).alias(
@@ -707,6 +711,9 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-sized gram semi-join of the exact check."""
     from iceberg_relative_io_spark.functions import text as T
 
+    # fan_out measured NEGATIVE here (round-11 A/B: ~3.7s vs ~3.4s):
+    # the gram UDF is light and the frame forks into train/test branches,
+    # so the extra exchange outweighs the scan parallelism — left alone
     docs = load_table(spark, sf_dir, "documents")
     bucket = T.fingerprint(F.col("text")) % 100
     grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_relative_io_spark.operators.relational import _dec, _dsum
-from iceberg_relative_io_spark.sources.tables import load_table
+from iceberg_relative_io_spark.sources.tables import fan_out, load_table
 
 _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
 
@@ -646,7 +646,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier, and that supplier is its ONLY late one. Adapted:
     numwait counts such orders (not lineitem rows). One shuffle on
     orderkey; supplier/nation broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey").select(
         "l_orderkey",
         "l_suppkey",
         (
@@ -661,9 +661,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.expr("(h div 97) % 97 > h % 97").alias("late"),  # exact BIGINT div
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    # Round-11 (guide §2.3 — aggregate before you shuffle): the two
+    # countDistincts planned an Expand (2x row duplication of the fact
+    # scan, first-stage agg keyed by near-unique tuples), and the
+    # waiters' pair-distinct shuffled the late lines AGAIN. One
+    # (orderkey, suppkey) pre-aggregation collapses line volume to
+    # distinct pairs once; both counts and the waiters set derive from
+    # it (its exchange is reused), with no Expand anywhere. NULL
+    # suppkeys are excluded up front — exactly countDistinct's NULL
+    # semantics, and a NULL suppkey can never match the supplier join.
+    pairs = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.coalesce(F.col("late"), F.lit(False))).alias("late"))
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late"),
     )
     orders_f = (
         load_table(spark, sf_dir, "orders")
@@ -671,9 +685,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     waiters = (
-        li.filter(F.col("late"))
+        pairs.filter(F.col("late"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),

@@ -54,6 +54,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, key: str | None = None, parallelism: int | None = None) -> DataFrame:
+    """Rebalance a scan whose split count is below the cluster's default
+    parallelism before a CPU-heavy stage (optimization guide §2.5:
+    unsplittable input — "repartition immediately after the read").
+
+    The driver fixtures are single-file, single-row-group parquet, so a
+    scan feeding an expensive featurization UDF / wide decimal
+    aggregation runs its whole first stage in 1-3 tasks while the rest
+    of the machine idles (measured round 11: a 6-sum decimal aggregate
+    over lineitem 2.0s single-task vs 0.7s fanned out; a char-gram UDF
+    over documents 1.9s vs 1.1s). A corpus at scale arrives in
+    thousands of splits, so the condition makes this a structural no-op
+    there — nothing is shuffled unless the scan is under-parallel.
+
+    ``key`` should be a high-cardinality column (guide §2.5: many more
+    distinct values than partitions): hash repartitioning avoids the
+    local sort every keyless round-robin repartition pays
+    (sortBeforeRepartition, SPARK-23207 — measured 1.1s vs 0.7s on the
+    same aggregate). Apply only where the first stage does real
+    per-row work; a scan feeding a plain join/exchange gains nothing."""
+    spark = df.sparkSession
+    want = parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    if key is not None:
+        return df.repartition(want, F.col(key))
+    return df.repartition(want)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register fixture tables as temp views (for the SQL-API surface)."""
     for name in tables or TABLES:
