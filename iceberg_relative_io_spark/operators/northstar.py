@@ -494,6 +494,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FLOOR = 32  # nlist floor; the default DERIVES nlist = max(32, ceil(sqrt(N)))
 _N_PROBE = 2
 
+# session-scoped IVF driver state (round 11): derived nlist per
+# (session, corpus), the broadcast centroid pack per
+# (session, corpus, nlist), and the collected sample-query rows per
+# (session, corpus) — all bounded (O(nlist) / O(_N_QUERIES)), shared by
+# every IVF consumer in the session, released with the registry (the
+# centroid cache stores the Broadcast object, which the release hook
+# unpersists)
+_IVF_NLIST_CACHE: dict[tuple, int] = caches.register_cache({})
+_IVF_CENTROID_CACHE: dict[tuple, object] = caches.register_cache({})
+_QUERY_ROWS_CACHE: dict[tuple, list] = caches.register_cache({})
+
 
 def q_ann_ivf(
     spark: SparkSession, sf_dir: str, nlist: int | None = None
@@ -525,20 +536,46 @@ def q_ann_ivf(
     N·nlist·dim flops outgrow the probe volume — the shipped two-level
     assignment of c03_knn_graph/_two_level_bucketed is the drop-in
     cut: O(N·2·sqrt(nlist)·dim) assignment with the same oracle-exact
-    CTE mirror, vectors.two_level_assign_ctes_sql.)"""
+    CTE mirror, vectors.two_level_assign_ctes_sql.)
+
+    Round-11: the derived nlist, the collected centroid pack (and its
+    broadcast), and the collected query rows are session-cached per
+    (session, corpus[, nlist]) — the same registered-cache discipline
+    as _KNN_NLIST_CACHE (round-9 advice): every IVF consumer in a
+    session (c03_ann_ivf, the recall evals, scaling studies) otherwise
+    re-ran the count job and both bounded collects per call. All three
+    are O(nlist)/O(queries) driver state, never corpus-sized."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
     if nlist is None:
-        nlist = V.derived_sqrt(emb.count(), _IVF_FLOOR)
-    cids, C, nc = V.collect_centroids(emb, nlist)
-    bc = spark.sparkContext.broadcast((cids, C, nc))
+        nkey = (caches.session_key(spark), sf_dir)
+        if nkey not in _IVF_NLIST_CACHE:
+            _IVF_NLIST_CACHE[nkey] = V.derived_sqrt(emb.count(), _IVF_FLOOR)
+        nlist = _IVF_NLIST_CACHE[nkey]
+    ckey = (caches.session_key(spark), sf_dir, nlist)
+    if ckey not in _IVF_CENTROID_CACHE:
+        # the cache value IS the broadcast (it has .unpersist, so the
+        # lifecycle registry's release hook cleans it); the driver-side
+        # pack is recovered from bc.value, which is driver-local
+        _IVF_CENTROID_CACHE[ckey] = spark.sparkContext.broadcast(
+            V.collect_centroids(emb, nlist)
+        )
+    bc = _IVF_CENTROID_CACHE[ckey]
+    cids, C, nc = bc.value
     cell_of = V.make_nearest_udf(bc)
 
     # probe cells for the (tiny, collected) query set — same sequential math
-    q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
+    qkey = (caches.session_key(spark), sf_dir)
+    if qkey not in _QUERY_ROWS_CACHE:
+        _QUERY_ROWS_CACHE[qkey] = (
+            emb.filter(F.col("vec_id") < _N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    q_rows = _QUERY_ROWS_CACHE[qkey]
     probe_rows = []
     for r in q_rows:
         v = np.array(r.embedding, dtype=np.float64)

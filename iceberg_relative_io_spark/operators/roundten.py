@@ -465,8 +465,19 @@ def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # HNSW-style ef seed: every entry point is already scored in the
     # same pass, so keeping the top _BEAM_WIDTH as the initial beam is
-    # free and strictly dominates seeding from rank 1 alone
-    beam = entry.filter(F.col("rnk") <= _BEAM_WIDTH).select("query_id", "node")
+    # free and strictly dominates seeding from rank 1 alone.
+    #
+    # Each hop's beam is localCheckpoint'ed (lazily — materialized by
+    # the final action): the beam is O(queries x width) rows, but
+    # WITHOUT the cut each hop's plan re-inlines the previous hop's
+    # whole scoring subtree (the round-11 before-plan was a
+    # 374-operator tree whose hop-1 pass appeared multiple times —
+    # guide §3.3: materialize intermediates to truncate large plans).
+    beam = (
+        entry.filter(F.col("rnk") <= _BEAM_WIDTH)
+        .select("query_id", "node")
+        .localCheckpoint(eager=False)
+    )
     ranked = None
     for _ in range(_BEAM_HOPS):
         nbrs = (
@@ -480,8 +491,10 @@ def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         ranked = score(cand)
-        beam = ranked.filter(F.col("rnk") <= _BEAM_WIDTH).select(
-            "query_id", "node"
+        beam = (
+            ranked.filter(F.col("rnk") <= _BEAM_WIDTH)
+            .select("query_id", "node")
+            .localCheckpoint(eager=False)
         )
     return ranked.filter(F.col("rnk") <= _BEAM_TOPK).select(
         "query_id", F.col("node").alias("vec_id"), "rnk", "cos_sim"
@@ -604,13 +617,15 @@ def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     approx = q_ann_graph_beam(spark, sf_dir).select("query_id", "vec_id")
+    # bounded sides (k rows per sampled query): broadcast explicitly,
+    # matching roundthree._recall_frame
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     n_hit = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    return n_exact.join(n_hit, "query_id", "left").select(
+    return n_exact.join(F.broadcast(n_hit), "query_id", "left").select(
         "query_id",
         "n_exact",
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),

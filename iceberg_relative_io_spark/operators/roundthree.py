@@ -345,13 +345,16 @@ def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     top-k tables — the shared body of every recall eval (LSH / IVF /
     IVF-PQ / rerank here, graph-beam in roundten.py). Integer counts
     plus one final division keep every oracle exact."""
+    # both sides are k rows per sampled query — bounded regardless of
+    # corpus size, so the explicit broadcasts hold at any scale (the
+    # planner's stats otherwise pick a sort-merge join here)
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     n_hit = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    return n_exact.join(n_hit, "query_id", "left").select(
+    return n_exact.join(F.broadcast(n_hit), "query_id", "left").select(
         "query_id",
         "n_exact",
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
