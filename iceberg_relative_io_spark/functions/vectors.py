@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from iceberg_relative_io_spark import caches
+
 _LCG = 2_654_435_761
 _TWO31 = 2_147_483_648  # 2^31 — exact power-of-two divisor
 
@@ -268,6 +270,42 @@ def collect_centroids(emb, k: int):
     the corpus) and pack it id-sorted for the nearest-centroid UDF."""
     rows = sorted(bounded_sample(emb, k).collect(), key=lambda r: r.vec_id)
     return pack_centroids([(r.vec_id, r.embedding) for r in rows])
+
+
+# Session-scoped cache of broadcast centroid packs (round 11, guide §5):
+# every quantizer consumer — IVF/IVF-PQ cells, PQ sub-codebooks, k-means
+# and k-medoids seeds, semantic-dedup and outlier-filter cells — collects
+# the SAME deterministic hash-sample per (corpus, k), and each collect is
+# a full corpus pass (distributed per-partition top-k). bounded_sample
+# drops NULL embeddings itself, so the pack is invariant to the caller's
+# projection or null-prefiltering: (session, corpus, k) fully identifies
+# it. Values are the Broadcast objects, so the lifecycle registry's
+# release hook unpersists them; each pack is O(k·dim) — never corpus-
+# sized. The corpus count feeding the derived-k paths is cached the same
+# way (one count job per corpus variant per session).
+_CENTROID_BC_CACHE: dict[tuple, object] = caches.register_cache({})
+_COUNT_CACHE: dict[tuple, int] = caches.register_cache({})
+
+
+def centroids_broadcast(spark, corpus_key: str, emb, k: int):
+    """Broadcast of ``collect_centroids(emb, k)``, session-cached per
+    (session, corpus_key, k). See _CENTROID_BC_CACHE above."""
+    key = (caches.session_key(spark), corpus_key, k)
+    if key not in _CENTROID_BC_CACHE:
+        _CENTROID_BC_CACHE[key] = spark.sparkContext.broadcast(
+            collect_centroids(emb, k)
+        )
+    return _CENTROID_BC_CACHE[key]
+
+
+def cached_count(spark, corpus_key: str, df, variant: str = "all") -> int:
+    """``df.count()``, session-cached per (session, corpus_key, variant).
+    ``variant`` names the frame's filter state (e.g. "all" vs "nonnull")
+    so differently-filtered counts of one corpus never alias."""
+    key = (caches.session_key(spark), corpus_key, variant)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = df.count()
+    return _COUNT_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -563,7 +601,10 @@ def make_pq_assign_udf(bc, n_sub: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def pq_assign(vec: pd.Series) -> pd.Series:
-        cids_l, C_l = bc.value
+        # accepts both the (ids, matrix) pair and the full
+        # pack_centroids triple (norms unused by L2 assignment), so PQ
+        # sites can share the session-cached centroid broadcast
+        cids_l, C_l = bc.value[0], bc.value[1]
         mask, X = _stack_valid(vec)
         if len(X) == 0:
             return pd.Series([None] * len(mask), dtype=object)

@@ -494,16 +494,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FLOOR = 32  # nlist floor; the default DERIVES nlist = max(32, ceil(sqrt(N)))
 _N_PROBE = 2
 
-# session-scoped IVF driver state (round 11): derived nlist per
-# (session, corpus), the broadcast centroid pack per
-# (session, corpus, nlist), and the collected sample-query rows per
-# (session, corpus) — all bounded (O(nlist) / O(_N_QUERIES)), shared by
-# every IVF consumer in the session, released with the registry (the
-# centroid cache stores the Broadcast object, which the release hook
-# unpersists)
-_IVF_NLIST_CACHE: dict[tuple, int] = caches.register_cache({})
-_IVF_CENTROID_CACHE: dict[tuple, object] = caches.register_cache({})
+# session-scoped IVF driver state (round 11): the corpus count and the
+# broadcast centroid pack live in vectors.py's generic caches (shared
+# with IVF-PQ, PQ codes, k-means seeds, semantic dedup, outlier
+# filter); the collected sample-query rows are cached here per
+# (session, corpus) — all bounded (O(nlist) / O(_N_QUERIES)), released
+# with the registry
 _QUERY_ROWS_CACHE: dict[tuple, list] = caches.register_cache({})
+
+
+def ivf_query_rows(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list:
+    """The collected ``vec_id < _N_QUERIES`` sample-query rows, cached
+    per (session, corpus) — shared by q_ann_ivf and q_ann_ivfpq."""
+    qkey = (caches.session_key(spark), sf_dir)
+    if qkey not in _QUERY_ROWS_CACHE:
+        _QUERY_ROWS_CACHE[qkey] = (
+            emb.filter(F.col("vec_id") < _N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    return _QUERY_ROWS_CACHE[qkey]
 
 
 def q_ann_ivf(
@@ -538,44 +548,27 @@ def q_ann_ivf(
     cut: O(N·2·sqrt(nlist)·dim) assignment with the same oracle-exact
     CTE mirror, vectors.two_level_assign_ctes_sql.)
 
-    Round-11: the derived nlist, the collected centroid pack (and its
-    broadcast), and the collected query rows are session-cached per
-    (session, corpus[, nlist]) — the same registered-cache discipline
-    as _KNN_NLIST_CACHE (round-9 advice): every IVF consumer in a
-    session (c03_ann_ivf, the recall evals, scaling studies) otherwise
-    re-ran the count job and both bounded collects per call. All three
-    are O(nlist)/O(queries) driver state, never corpus-sized."""
+    Round-11: the corpus count, the broadcast centroid pack, and the
+    collected query rows are session-cached per (session,
+    corpus[, k]) — vectors.cached_count / vectors.centroids_broadcast /
+    ivf_query_rows, all in the lifecycle registry: every IVF consumer
+    in a session (c03_ann_ivf, c03_ann_ivfpq, the recall evals,
+    scaling studies) otherwise re-ran the count job and both bounded
+    collects per call. All three are O(nlist)/O(queries) driver state,
+    never corpus-sized."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
     if nlist is None:
-        nkey = (caches.session_key(spark), sf_dir)
-        if nkey not in _IVF_NLIST_CACHE:
-            _IVF_NLIST_CACHE[nkey] = V.derived_sqrt(emb.count(), _IVF_FLOOR)
-        nlist = _IVF_NLIST_CACHE[nkey]
-    ckey = (caches.session_key(spark), sf_dir, nlist)
-    if ckey not in _IVF_CENTROID_CACHE:
-        # the cache value IS the broadcast (it has .unpersist, so the
-        # lifecycle registry's release hook cleans it); the driver-side
-        # pack is recovered from bc.value, which is driver-local
-        _IVF_CENTROID_CACHE[ckey] = spark.sparkContext.broadcast(
-            V.collect_centroids(emb, nlist)
-        )
-    bc = _IVF_CENTROID_CACHE[ckey]
+        nlist = V.derived_sqrt(V.cached_count(spark, sf_dir, emb), _IVF_FLOOR)
+    bc = V.centroids_broadcast(spark, sf_dir, emb, nlist)
     cids, C, nc = bc.value
     cell_of = V.make_nearest_udf(bc)
 
     # probe cells for the (tiny, collected) query set — same sequential math
-    qkey = (caches.session_key(spark), sf_dir)
-    if qkey not in _QUERY_ROWS_CACHE:
-        _QUERY_ROWS_CACHE[qkey] = (
-            emb.filter(F.col("vec_id") < _N_QUERIES)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-    q_rows = _QUERY_ROWS_CACHE[qkey]
+    q_rows = ivf_query_rows(spark, sf_dir, emb)
     probe_rows = []
     for r in q_rows:
         v = np.array(r.embedding, dtype=np.float64)
@@ -813,7 +806,7 @@ def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast map-only scan — further iterations repeat the same two
     jobs."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KM_K))
+    bc0 = V.centroids_broadcast(spark, sf_dir, emb, _KM_K)
     assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
     # elected medoids: a k-row agg (one per cluster) — O(k) driver rows.
     # NULL vectors assign to cluster NULL and must not elect a medoid
@@ -860,7 +853,7 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB further iterations repeat the same two jobs — O(k·dim)
     driver traffic per iteration, never O(N)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KMEANS_K))
+    bc0 = V.centroids_broadcast(spark, sf_dir, emb, _KMEANS_K)
     assign1 = emb.withColumn("c0", V.make_nearest_udf(bc0)(F.col("embedding")))
 
     # distributed centroid update: decimal-exact per-(cluster, dim) means
@@ -949,7 +942,7 @@ def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the Lloyd update of c03_kmeans_lloyd REDUCES total inertia
     — the eval and the trainer compose."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc0 = spark.sparkContext.broadcast(V.collect_centroids(emb, _KMEANS_K))
+    bc0 = V.centroids_broadcast(spark, sf_dir, emb, _KMEANS_K)
     a = emb.withColumn("a", V.make_assign_udf(bc0)(F.col("embedding")))
     term = (F.lit(1.0) - F.col("a.cos")).cast("decimal(28,6)")
     return a.groupBy(F.col("a.cluster").alias("cluster")).agg(

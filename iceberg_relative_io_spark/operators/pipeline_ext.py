@@ -262,8 +262,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid). 8 small codes per vector ≈ 32× compression — the memory step
     between int8 and full floats for ANN at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cids, C, _nc = _V.collect_centroids(emb.select("vec_id", "embedding"), _PQ_NCENT)
-    bc = spark.sparkContext.broadcast((cids, C))
+    # session-cached codebook broadcast, shared with c03_ann_ivfpq
+    # (round 11); make_pq_assign_udf reads (ids, matrix) off the triple
+    bc = _V.centroids_broadcast(
+        spark, sf_dir, emb.select("vec_id", "embedding"), _PQ_NCENT
+    )
     pq_assign = _V.make_pq_assign_udf(bc, _PQ_SUB)
 
     return emb.select(

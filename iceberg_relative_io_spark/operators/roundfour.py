@@ -188,9 +188,13 @@ def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # screen on both sides (round-5 NULL-injection fuzz)
         .filter(F.col("embedding").isNotNull())
     )
-    n_cells = V.derived_cells(emb.count(), _OUT_TARGET_CELL)
-    cids, C, nc = V.collect_centroids(emb, n_cells)
-    bc = spark.sparkContext.broadcast((cids, C, nc))
+    # count/centroids from the session caches (round 11): the "nonnull"
+    # count variant is shared with c03_semantic_dedup, the centroid
+    # pack with any consumer at the same derived k
+    n_cells = V.derived_cells(
+        V.cached_count(spark, sf_dir, emb, "nonnull"), _OUT_TARGET_CELL
+    )
+    bc = V.centroids_broadcast(spark, sf_dir, emb, n_cells)
     # fused (cluster, cos) assignment — ONE (rows x centroids) cosine
     # block per batch; two separate UDFs would run it twice
     assign = V.make_assign_udf(bc)

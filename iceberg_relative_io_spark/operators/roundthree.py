@@ -95,9 +95,12 @@ def q_semantic_dedup(
         .filter(F.col("embedding").isNotNull())
     )
     if n_cells is None:
-        n_cells = V.derived_cells(emb.count(), _SEM_TARGET_CELL)
-    cids, C, _nc = V.collect_centroids(emb, n_cells)
-    bc = spark.sparkContext.broadcast((cids, C, _nc))
+        # count of the NULL-filtered frame — the "nonnull" variant so it
+        # never aliases the full-corpus count the IVF family caches
+        n_cells = V.derived_cells(
+            V.cached_count(spark, sf_dir, emb, "nonnull"), _SEM_TARGET_CELL
+        )
+    bc = V.centroids_broadcast(spark, sf_dir, emb, n_cells)
     cell_of = V.make_nearest_udf(bc)
     assigned = emb.withColumn("cell", cell_of(F.col("embedding")))
 
@@ -829,8 +832,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_relative_io_spark.operators.northstar import (
         _IVF_FLOOR,
         _N_PROBE,
-        _N_QUERIES,
         _TOP_K,
+        ivf_query_rows,
     )
     from iceberg_relative_io_spark.operators.pipeline_ext import _PQ_NCENT, _PQ_SUB
 
@@ -840,22 +843,22 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-derived nlist — same sqrt(N) derivation (and oracle mirror)
     # as q_ann_ivf; the PQ codebook stays fixed-size (it quantizes the
     # SPACE, not the corpus — its resolution is a quality knob, not a
-    # scale knob)
-    nlist = V.derived_sqrt(emb.count(), _IVF_FLOOR)
-    cids, C, nc = V.collect_centroids(emb, nlist)
-    bc_cells = spark.sparkContext.broadcast((cids, C, nc))
+    # scale knob). The count, both centroid packs, and the query rows
+    # come from the session caches shared with q_ann_ivf / q_pq_codes
+    # (round 11) — zero extra driver actions when any of those ran.
+    nlist = V.derived_sqrt(V.cached_count(spark, sf_dir, emb), _IVF_FLOOR)
+    bc_cells = V.centroids_broadcast(spark, sf_dir, emb, nlist)
+    cids, C, nc = bc_cells.value
     cell_of = V.make_nearest_udf(bc_cells)
 
-    pcids, PC, _pnc = V.collect_centroids(emb.select("vec_id", "embedding"), _PQ_NCENT)
-    bc_pq = spark.sparkContext.broadcast((pcids, PC))
+    bc_pq = V.centroids_broadcast(spark, sf_dir, emb, _PQ_NCENT)
+    pcids, PC = bc_pq.value[0], bc_pq.value[1]
     pq_assign = V.make_pq_assign_udf(bc_pq, _PQ_SUB)
     dim_per = PC.shape[1] // _PQ_SUB
 
     # Driver-side query prep (the query batch is tiny by definition):
     # probe cells + per-query ADC tables, same sequential math as the SQL.
-    q_rows = (
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
-    )
+    q_rows = ivf_query_rows(spark, sf_dir, emb)
     probe_rows = []
     adc_tables = {}
     for r in q_rows:

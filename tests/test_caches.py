@@ -61,6 +61,38 @@ def test_nlist_cached_per_session_and_corpus(spark, sf_dir):
     caches.release_session_caches(spark)
 
 
+def test_centroid_and_count_caches_share_and_release(spark, sf_dir):
+    """Round-11: the generic quantizer caches in functions/vectors.py —
+    one collect per (session, corpus, k) shared across every consumer,
+    one count per (session, corpus, variant), all cleared (and the
+    broadcasts unpersisted) by the lifecycle hook."""
+    from iceberg_relative_io_spark.functions import vectors as V
+    from iceberg_relative_io_spark.sources.tables import load_table
+
+    caches.release_session_caches(spark)
+    assert not V._CENTROID_BC_CACHE and not V._COUNT_CACHE
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc1 = V.centroids_broadcast(spark, sf_dir, emb, 16)
+    bc2 = V.centroids_broadcast(spark, sf_dir, emb, 16)
+    assert bc1 is bc2  # second call: no collect job, same broadcast
+    bc_other = V.centroids_broadcast(spark, sf_dir, emb, 24)
+    assert bc_other is not bc1  # k is part of the key
+    assert len(bc_other.value[0]) == 24 and len(bc1.value[0]) == 16
+
+    n_all = V.cached_count(spark, sf_dir, emb)
+    n_nonnull = V.cached_count(
+        spark, sf_dir, emb.filter(F.col("embedding").isNotNull()), "nonnull"
+    )
+    assert (caches.session_key(spark), sf_dir, "all") in V._COUNT_CACHE
+    assert (caches.session_key(spark), sf_dir, "nonnull") in V._COUNT_CACHE
+    assert n_all >= n_nonnull > 0
+
+    released = caches.release_session_caches(spark)
+    assert released >= 2  # both broadcasts unpersisted via the hook
+    assert not V._CENTROID_BC_CACHE and not V._COUNT_CACHE
+
+
 def test_results_unchanged_after_release(spark, sf_dir):
     # releasing mid-session must be invisible to correctness: the next
     # query simply re-featurizes

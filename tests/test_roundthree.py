@@ -55,14 +55,19 @@ def test_semantic_dedup_centroid_collect_is_bounded(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(
         "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
     )
+    from iceberg_relative_io_spark import caches
     from iceberg_relative_io_spark.sources.tables import load_table as _lt0
 
+    # start cold: the round-11 session cache would otherwise satisfy the
+    # centroid broadcast without any collect at all
+    caches.release_session_caches(spark)
     n_corpus = _lt0(spark, sf_dir, "embeddings").count()
     R.q_semantic_dedup(spark, sf_dir).count()
     assert seen == [V.derived_cells(n_corpus, R._SEM_TARGET_CELL)]
     # the scale knob: n_cells drives the (bounded) collect directly, and
     # the finer blocking still covers the whole corpus one row per vector
     seen.clear()
+    caches.release_session_caches(spark)
     n = R.q_semantic_dedup(spark, sf_dir, n_cells=64).count()
     assert seen == [64]
     from iceberg_relative_io_spark.sources.tables import load_table as _lt
@@ -284,8 +289,14 @@ def test_ivfpq_centroid_collects_bounded_and_plan_broadcasts(
     monkeypatch.setattr(
         "iceberg_relative_io_spark.operators.roundthree.V.collect_centroids", spy
     )
+    from iceberg_relative_io_spark import caches
+
+    # start cold (round-11 session cache), and assert per DISTINCT k:
+    # when nlist == _PQ_NCENT the coarse cells and the sub-codebook are
+    # the same bounded sample, so the cache correctly collects it once
+    caches.release_session_caches(spark)
     df = R.q_ann_ivfpq(spark, sf_dir)
-    assert sorted(seen) == sorted([nlist, _PQ_NCENT])
+    assert sorted(seen) == sorted(set([nlist, _PQ_NCENT]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
