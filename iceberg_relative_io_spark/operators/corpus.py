@@ -218,8 +218,17 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _apportion(counts: DataFrame, budget: int = _TB_BUDGET) -> DataFrame:
     """Largest-remainder apportionment over a (source, n_docs,
     avail_tokens) table — shared by c06_token_budget_allocation (whole
-    corpus) and c06_selection_capstone (the sampled sub-corpus)."""
-    pw = counts.withColumn("pw", F.sqrt(F.col("n_docs").cast("double")))
+    corpus) and c06_selection_capstone (the sampled sub-corpus).
+
+    ``counts`` is |sources| rows but its lineage is the whole upstream
+    corpus pass, and the apportionment consumes it FOUR times (the two
+    scalar-aggregate cross joins plus both join sides) — the capstone
+    plan re-ran the corpus-wide classifier subtree once per consumer.
+    The lazy localCheckpoint (guide §3.3) materializes the tiny table
+    once at the final action and truncates the other three."""
+    pw = counts.localCheckpoint(eager=False).withColumn(
+        "pw", F.sqrt(F.col("n_docs").cast("double"))
+    )
     total = pw.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("pw")))),
@@ -632,6 +641,12 @@ def _classifier_scored(docs: DataFrame) -> DataFrame:
             ss.append(acc / n)
         return pd.DataFrame({"n_tokens": ns, "score": ss})
 
+    # nondeterministic marking (guide §4.4): downstream filters on the
+    # score-derived columns (quality gate, capstone's sampled==1)
+    # otherwise push below this projection and re-evaluate the
+    # corpus-wide inference UDF once per pushed predicate (the capstone
+    # plan showed FOUR full cls passes)
+    cls = cls.asNondeterministic()
     return docs.select("doc_id", "text", cls(F.col("text")).alias("s")).select(
         "doc_id", "text", F.col("s.n_tokens").alias("n_tokens"),
         F.col("s.score").alias("score"),

@@ -565,7 +565,10 @@ def q_ann_ivf(
         nlist = V.derived_sqrt(V.cached_count(spark, sf_dir, emb), _IVF_FLOOR)
     bc = V.centroids_broadcast(spark, sf_dir, emb, nlist)
     cids, C, nc = bc.value
-    cell_of = V.make_nearest_udf(bc)
+    # nondeterministic marking (guide §4.4): the probe join's pushed
+    # isnotnull(cell) otherwise duplicates the corpus-sized assignment
+    # UDF below the filter (plan showed TWO full ArrowEvalPython passes)
+    cell_of = V.make_nearest_udf(bc).asNondeterministic()
 
     # probe cells for the (tiny, collected) query set — same sequential math
     q_rows = ivf_query_rows(spark, sf_dir, emb)

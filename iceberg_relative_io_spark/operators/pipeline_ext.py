@@ -79,15 +79,19 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same two-branch shape as c06_contamination_bloom; left alone
     docs = load_table(spark, sf_dir, "documents")
     bucket = T.fingerprint(F.col("text")) % 100
-    grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))
-    with_grams = docs.select(
-        "doc_id", "lang", bucket.alias("bucket"), grams.alias("grams")
+    # nondeterministic gram UDF + bucket filters BELOW it (guide §4.4):
+    # explode's implicit size/notnull predicate on the UDF column
+    # otherwise pushes under the projection and re-evaluates the
+    # corpus-wide hashing UDF (the plan showed 2 full passes per branch)
+    gram_udf = T.make_distinct_gram_codes_udf(_CONTAM_K).asNondeterministic()
+    base = docs.select("doc_id", "lang", "text", bucket.alias("bucket"))
+    test_docs = base.filter(F.col("bucket") >= 90)
+    train_grams = base.filter(F.col("bucket") < 80).select(
+        F.explode(gram_udf(F.col("text"))).alias("gram")
     )
-    test_docs = with_grams.filter(F.col("bucket") >= 90)
-    train_grams = with_grams.filter(F.col("bucket") < 80).select(
-        F.explode("grams").alias("gram")
+    test_grams = test_docs.select(
+        "doc_id", F.explode(gram_udf(F.col("text"))).alias("gram")
     )
-    test_grams = test_docs.select("doc_id", F.explode("grams").alias("gram"))
     hit_docs = (
         test_grams.join(train_grams, "gram", "left_semi").select("doc_id").distinct()
     )

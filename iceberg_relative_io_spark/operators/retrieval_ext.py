@@ -139,8 +139,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — bit-identical to the oracle."""
     from iceberg_relative_io_spark.operators.roundthree import q_bm25_search
 
-    lex = q_bm25_search(spark, sf_dir).select(
-        "doc_id", F.col("rnk").alias("lex_rank")
+    # the 20-row lexical ranking is consumed twice (semantic seeding +
+    # the fusion join) but its lineage is the whole BM25 postings pass —
+    # lazy localCheckpoint (guide §3.3) runs that pass once
+    lex = (
+        q_bm25_search(spark, sf_dir)
+        .select("doc_id", F.col("rnk").alias("lex_rank"))
+        .localCheckpoint(eager=False)
     )
     sem = _semantic_topn(spark, sf_dir, lex)
     fused = (
@@ -725,8 +730,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_relative_io_spark.operators.roundthree import q_bm25_search
 
     dot_udf = V.make_dot_udf()
-    lex = q_bm25_search(spark, sf_dir).select(
-        "doc_id", F.col("rnk").alias("lex_rank")
+    # the 20-row lexical ranking is consumed THREE times (semantic
+    # seeding, the query-vector fetch, the anti-join) but its lineage is
+    # the whole BM25 postings pass — lazy localCheckpoint runs it once
+    lex = (
+        q_bm25_search(spark, sf_dir)
+        .select("doc_id", F.col("rnk").alias("lex_rank"))
+        .localCheckpoint(eager=False)
     )
     sem = _semantic_topn(spark, sf_dir, lex)  # doc_id, sem_rank
     emb = load_table(spark, sf_dir, "embeddings")

@@ -618,7 +618,8 @@ def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = q_ann_graph_beam(spark, sf_dir).select("query_id", "vec_id")
     # bounded sides (k rows per sampled query): broadcast explicitly,
-    # matching roundthree._recall_frame
+    # matching roundthree._recall_frame (and like it, NOT checkpointed —
+    # see the A/B note there)
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     n_hit = (
         exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")

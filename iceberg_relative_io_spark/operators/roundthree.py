@@ -350,7 +350,12 @@ def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     plus one final division keep every oracle exact."""
     # both sides are k rows per sampled query — bounded regardless of
     # corpus size, so the explicit broadcasts hold at any scale (the
-    # planner's stats otherwise pick a sort-merge join here)
+    # planner's stats otherwise pick a sort-merge join here).
+    # NOT checkpointed: the exact side is consumed twice (counts + the
+    # hit semi-join), but a round-11 interleaved A/B measured the lazy
+    # localCheckpoint WORSE at both 32 and 8 cores (pq eval 1.6-1.7 →
+    # 1.8-2.0s) — the added job barrier outweighs the duplicated
+    # scoring, whose stages overlap within one job at this scale.
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     n_hit = (
         exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
@@ -552,20 +557,24 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan_out: gram UDF + two posexplodes over the single-split scan
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # nondeterministic gram UDF (guide §4.4): posexplode's implicit
+    # size/notnull predicate otherwise re-evaluates it below the filter
+    gram_udf = T.make_gram_codes_udf(_RM_K).asNondeterministic()
     g = docs.select(
         "doc_id",
-        F.posexplode(T.make_gram_codes_udf(_RM_K)(F.col("text"))).alias(
-            "g0", "code"
-        ),
+        F.posexplode(gram_udf(F.col("text"))).alias("g0", "code"),
     ).select("doc_id", (F.col("g0") + 1).alias("gpos"), "code")
-    dup = (
-        g.groupBy("code")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("code")
-    )
+    # cross-doc duplicate detection in the SAME pass (round 11): a gram
+    # occurs in >=2 distinct docs iff min(doc_id) != max(doc_id) over
+    # its code partition — one shuffle + window over the gram stream,
+    # replacing the groupBy + semi-join shape whose second consumer
+    # re-ran the whole gram-UDF subtree (2 UDF passes + 2 shuffles)
+    wcode = Window.partitionBy("code")
     covered = (
-        g.join(dup, "code")
+        g.withColumn(
+            "dup", F.min("doc_id").over(wcode) != F.max("doc_id").over(wcode)
+        )
+        .filter(F.col("dup"))
         .select(
             "doc_id",
             F.explode(
@@ -722,10 +731,12 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the extra exchange outweighs the scan parallelism — left alone
     docs = load_table(spark, sf_dir, "documents")
     bucket = T.fingerprint(F.col("text")) % 100
-    grams = T.make_distinct_gram_codes_udf(_CONTAM_K)(F.col("text"))
-    wg = docs.select(
-        "doc_id", "lang", bucket.alias("bucket"), grams.alias("grams")
-    )
+    # nondeterministic gram UDF + bucket filters BELOW it (guide §4.4):
+    # explode's implicit size/notnull predicate on the UDF column
+    # otherwise pushes under the projection and re-evaluates the
+    # corpus-wide hashing UDF (the plan showed 2 full passes per branch)
+    gram_udf = T.make_distinct_gram_codes_udf(_CONTAM_K).asNondeterministic()
+    base = docs.select("doc_id", "lang", "text", bucket.alias("bucket"))
 
     def positions(g):
         out = []
@@ -735,14 +746,14 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array(*out)
 
     train_bits = (
-        wg.filter(F.col("bucket") < 80)
-        .select(F.explode("grams").alias("gram"))
+        base.filter(F.col("bucket") < 80)
+        .select(F.explode(gram_udf(F.col("text"))).alias("gram"))
         .select(F.explode(positions(F.col("gram"))).alias("pos"))
         .distinct()
     )
-    test_docs = wg.filter(F.col("bucket") >= 90)
+    test_docs = base.filter(F.col("bucket") >= 90)
     te_pos = test_docs.select(
-        "doc_id", F.explode("grams").alias("gram")
+        "doc_id", F.explode(gram_udf(F.col("text"))).alias("gram")
     ).select("doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos"))
     # the bit table is bounded by the FIXED bloom space (<= M rows however
     # large train is) — broadcast it so flagging is a map-side probe, no
@@ -763,7 +774,7 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_grams"),
         F.sum("all_present").alias("n_flagged"),
     )
-    test_ids = docs.filter(bucket >= 90).select("doc_id", "lang")
+    test_ids = base.filter(F.col("bucket") >= 90).select("doc_id", "lang")
     return test_ids.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "lang",
@@ -849,11 +860,14 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist = V.derived_sqrt(V.cached_count(spark, sf_dir, emb), _IVF_FLOOR)
     bc_cells = V.centroids_broadcast(spark, sf_dir, emb, nlist)
     cids, C, nc = bc_cells.value
-    cell_of = V.make_nearest_udf(bc_cells)
+    # nondeterministic marking (guide §4.4): the probe join's pushed
+    # isnotnull(cell) otherwise re-evaluates the corpus-sized cell
+    # assignment below the filter — one extra full UDF pass in the plan
+    cell_of = V.make_nearest_udf(bc_cells).asNondeterministic()
 
     bc_pq = V.centroids_broadcast(spark, sf_dir, emb, _PQ_NCENT)
     pcids, PC = bc_pq.value[0], bc_pq.value[1]
-    pq_assign = V.make_pq_assign_udf(bc_pq, _PQ_SUB)
+    pq_assign = V.make_pq_assign_udf(bc_pq, _PQ_SUB).asNondeterministic()
     dim_per = PC.shape[1] // _PQ_SUB
 
     # Driver-side query prep (the query batch is tiny by definition):
