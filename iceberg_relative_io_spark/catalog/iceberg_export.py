@@ -4094,24 +4094,72 @@ def read_iceberg(
             F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.\-]*:)?/*", ""),
         )
 
-    out: DataFrame | None = None
+    def _norm_meta_path(c):
+        # _metadata.file_path is additionally a percent-ENCODED URI
+        # (space -> %20, literal % -> %25 — e.g. a timestamp identity
+        # partition dir "th=... 00%3A00" arrives as "...%2000%253A00").
+        # Decode once, then strip the scheme, so it matches the RAW
+        # path form the manifests and delete files record.
+        return _norm_path(F.url_decode(c))
+
+    # round 11 (guide §5/§6): fan the read by DELETE CLASS, not by
+    # partition tuple. The old loop issued one spark.read per group key
+    # (identity tuple x delete sets) — a py4j + footer-reading round
+    # trip per partition tuple (a41's 26-group export spent 2.4s of its
+    # 3.1 in those calls). Groups sharing (applicable, pos_applicable)
+    # now read in ONE call, and identity partition columns are restored
+    # PER FILE through a broadcast (normalized path -> partition values)
+    # map join — the "per-file schema mapping" the docstring names as
+    # the production shape. Delete scoping is unchanged: it was already
+    # keyed only by the class.
+    classes: dict[tuple, list] = {}
+    ident_of: dict[str, tuple] = {}
     for (key, applicable, pos_applicable), paths in groups.items():
+        classes.setdefault((applicable, pos_applicable), []).extend(paths)
+        for p in paths:
+            ident_of[p] = key
+
+    def _norm_path_py(p: str) -> str:
+        # Python twin of _norm_path — same regex, so the map join keys
+        # and the scan-time _metadata.file_path normalize identically
+        return "/" + re.sub(r"^([A-Za-z][A-Za-z0-9+.\-]*:)?/*", "", p)
+
+    def _ident_value(src_field, raw):
+        tname = (
+            src_field["type"]
+            if isinstance(src_field["type"], str)
+            else "string"
+        )
+        val = raw
+        if raw is not None and tname == "date":
+            # spec partition value is days since epoch
+            val = date.fromordinal(_EPOCH.toordinal() + int(raw))
+        elif raw is not None and tname in ("timestamptz", "timestamp"):
+            # spec partition value is micros since epoch
+            from datetime import timedelta
+
+            val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
+        return val
+
+    out: DataFrame | None = None
+    for (applicable, pos_applicable), paths in classes.items():
         # ALWAYS merge file schemas: even without renames, add-only
-        # evolution mixes eras in one group and a non-merged read
+        # evolution mixes eras in one class and a non-merged read
         # samples an arbitrary file's footer — the added column would
         # vanish or the later union would fail, nondeterministically by
         # listing order
         part = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if pos_applicable or _with_positions:
+        if pos_applicable or _with_positions or identity:
             # capture provenance at scan time (before any rename):
             # _metadata.row_index is the row's ordinal within its file —
             # exactly the spec's `pos` — so a position delete becomes an
             # anti-join on (file, pos): a map-side broadcast probe while
             # the delete set is small, a shuffled hash join once the
-            # manifests say it is not (_anti_join above)
+            # manifests say it is not (_anti_join above). __ir_fp also
+            # keys the per-file identity-restore map join below.
             part = part.select(
                 "*",
-                _norm_path(F.col("_metadata.file_path")).alias("__ir_fp"),
+                _norm_meta_path(F.col("_metadata.file_path")).alias("__ir_fp"),
                 F.col("_metadata.row_index").alias("__ir_pos"),
             )
         for alias, cur in alias_of.items():
@@ -4128,24 +4176,44 @@ def read_iceberg(
         # keyed on a partition column is legal and must resolve. The
         # restored column takes the source field's CURRENT name (the
         # spec-field name is frozen at spec creation and goes stale if
-        # the source column is later renamed)
-        for (name, src_field), (_, raw) in zip(identity, key):
-            tname = (
-                src_field["type"]
-                if isinstance(src_field["type"], str)
-                else "string"
+        # the source column is later renamed). Values attach per FILE
+        # via the broadcast map keyed on the normalized path.
+        if identity:
+            ifields = [T.StructField("__ir_fp", T.StringType(), False)] + [
+                T.StructField(
+                    src_field["name"],
+                    _spark_type_of(
+                        src_field["type"]
+                        if isinstance(src_field["type"], str)
+                        else "string",
+                        default=T.StringType(),
+                    ),
+                    True,
+                )
+                for _, src_field in identity
+            ]
+            irows = [
+                tuple(
+                    [_norm_path_py(p)]
+                    + [
+                        _ident_value(src_field, raw)
+                        for (_, src_field), (_, raw) in zip(
+                            identity, ident_of[p]
+                        )
+                    ]
+                )
+                for p in paths
+            ]
+            for _, src_field in identity:
+                if src_field["name"] in part.columns:
+                    part = part.drop(src_field["name"])
+            part = part.join(
+                F.broadcast(
+                    spark.createDataFrame(irows, T.StructType(ifields))
+                ),
+                "__ir_fp",
+                "left",
             )
-            dt = _spark_type_of(tname, default=T.StringType())
-            val = raw
-            if raw is not None and tname == "date":
-                # spec partition value is days since epoch
-                val = date.fromordinal(_EPOCH.toordinal() + int(raw))
-            elif raw is not None and tname in ("timestamptz", "timestamp"):
-                # spec partition value is micros since epoch
-                from datetime import timedelta
-
-                val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
-            part = part.withColumn(src_field["name"], F.lit(val).cast(dt))
         if pos_applicable:
             # no .distinct(): anti-join is set semantics, so duplicate
             # (file, pos) rows (the spec allows re-deletion) are

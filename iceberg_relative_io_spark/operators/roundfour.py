@@ -716,22 +716,23 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = pairs.select(
         "doc_a", "doc_b", "jaccard", F.explode(taus).alias("tau")
     ).filter(F.col("jaccard") >= F.col("tau"))
-    per_pair = swept.groupBy("tau").agg(F.count("*").alias("n_pairs"))
-    docs = swept.select(
-        "tau", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    # single consumer of the (expensive) LSH pair join (round 11): each
+    # surviving pair emits its two doc ids with a position marker, so
+    # ONE aggregation yields both the pair count (pos==0 rows) and the
+    # distinct implicated docs — the old per_pair/per_doc pair of
+    # aggregations re-ran the banded self-join twice
+    both = swept.select(
+        "tau", F.posexplode(F.array("doc_a", "doc_b")).alias("pos", "doc_id")
     )
-    per_doc = docs.groupBy("tau").agg(
-        F.count_distinct("doc_id").alias("n_docs_implicated")
+    stats = both.groupBy("tau").agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_pairs"),
+        F.count_distinct("doc_id").alias("n_docs_implicated"),
     )
     base = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau double")
-    return (
-        base.join(per_pair, "tau", "left")
-        .join(per_doc, "tau", "left")
-        .select(
-            "tau",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_docs_implicated", F.lit(0)).alias("n_docs_implicated"),
-        )
+    return base.join(stats, "tau", "left").select(
+        "tau",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_implicated", F.lit(0)).alias("n_docs_implicated"),
     )
 
 
