@@ -503,7 +503,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 ranking — bit-identical in DuckDB, so even this sketch query
     carries an exact oracle."""
     params = _cms_params()
-    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey").select(
+    # NO fan_out here (round-11 A/B: 0.76s plain vs 1.14s fanned): the
+    # key-count groupBy does its own shuffle with map-side partials, and
+    # the partial stage is a cheap count — the extra orderkey-keyed
+    # exchange of the projected key column is pure cost
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("key")
     )
     # Collapse the fact volume to exact per-key counts FIRST (one hash agg
