@@ -211,11 +211,19 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.slice("embedding", 1, _RR_COARSE_DIM).alias("cvec"),
     ).withColumn("cnrm", F.sqrt(dot_udf("cvec", "cvec")))
-    queries = with_coarse.filter(F.col("vec_id") < _RR_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("cvec").alias("qcvec"),
-        F.col("cnrm").alias("qcnrm"),
+    # the _RR_N_QUERIES-row query frame broadcasts into BOTH passes
+    # (coarse scoring + exact rerank) but its lineage is the UDF-heavy
+    # coarse featurization — lazily localCheckpoint so that corpus pass
+    # runs once for the query side (round 11, same as the graph beam)
+    queries = (
+        with_coarse.filter(F.col("vec_id") < _RR_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("cvec").alias("qcvec"),
+            F.col("cnrm").alias("qcnrm"),
+        )
+        .localCheckpoint(eager=False)
     )
     coarse_cos = dot_udf("qcvec", "cvec") / (F.col("qcnrm") * F.col("cnrm"))
     coarse_scored = (

@@ -431,10 +431,17 @@ def q_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
     )
     graph = _graph_edges(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
+    # the _N_QUERIES-row query frame broadcasts into EVERY score pass
+    # (entry + one per hop) — lazily localCheckpoint it so the corpus
+    # filter-scan behind it runs once, not once per pass (round 11)
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .localCheckpoint(eager=False)
     )
     ents = V.bounded_sample(emb, _BEAM_ENTRIES).select(
         F.col("vec_id").alias("node"),
