@@ -281,6 +281,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(docs)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # NOT derived from c12 (c1 = sum of c12 over w2 is exact-identical
+    # and one fewer explosion pass, but a round-11 interleaved A/B
+    # measured it WORSE, 1.50/1.53 -> 1.86/1.92s: the two independent
+    # aggregations over the cheap JVM explosion overlap across idle
+    # cores, while the derivation serializes c1 behind c12's shuffle)
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     model = c12.join(c1, "w1").withColumn(
         "lp", _ln(F.col("c12").cast("double") / F.col("c1").cast("double"))
