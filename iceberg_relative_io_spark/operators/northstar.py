@@ -915,16 +915,23 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nlabel") == F.col("qlabel")).cast("int").alias("hit"),
         )
     )
-    per_label = scored.groupBy(F.col("qlabel").alias("label")).agg(
-        F.count("*").alias("n_queries"),
-        F.sum("hit").alias("n_hits"),
+    # ONE rollup pass computes the per-label groups AND the overall row
+    # (round 11): the old per_label/overall pair of aggregations each
+    # re-ran `scored`'s whole lineage — including the brute-force kNN
+    # corpus pass — once per consumer. grouping() distinguishes the
+    # grand-total row (relabelled -1, as before) from a genuine
+    # NULL-label group; counts/sums are identical exact integers.
+    g = (
+        scored.select(F.col("qlabel").alias("label"), "hit")
+        .rollup("label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum("hit").alias("n_hits"),
+            F.grouping("label").alias("_g"),
+        )
     )
-    overall = scored.groupBy(F.lit(-1).alias("label")).agg(
-        F.count("*").alias("n_queries"),
-        F.sum("hit").alias("n_hits"),
-    )
-    return per_label.unionAll(overall).select(
-        "label",
+    return g.select(
+        F.when(F.col("_g") == 1, F.lit(-1)).otherwise(F.col("label")).alias("label"),
         "n_queries",
         "n_hits",
         (F.col("n_hits").cast("double") / F.col("n_queries")).alias("accuracy"),

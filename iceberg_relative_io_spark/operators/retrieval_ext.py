@@ -515,7 +515,12 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.select("doc_id", scenes(F.col("text")).alias("s")).select(
+    # nondeterministic marking (guide §4.4): the n_frames>=2 filter
+    # otherwise pushes below the projection and the frame-decoding UDF
+    # runs TWICE over the whole corpus (plan showed two ArrowEvalPython
+    # passes around the pushed filter)
+    scenes_nd = scenes.asNondeterministic()
+    out = docs.select("doc_id", scenes_nd(F.col("text")).alias("s")).select(
         "doc_id",
         F.col("s.n_frames").alias("n_frames"),
         F.col("s.n_cuts").alias("n_cuts"),
