@@ -4099,8 +4099,12 @@ def read_iceberg(
         # (space -> %20, literal % -> %25 — e.g. a timestamp identity
         # partition dir "th=... 00%3A00" arrives as "...%2000%253A00").
         # Decode once, then strip the scheme, so it matches the RAW
-        # path form the manifests and delete files record.
-        return _norm_path(F.url_decode(c))
+        # path form the manifests and delete files record. url_decode
+        # is FORM decoding, which also turns a literal '+' into a
+        # space — but '+' is a legal URI path char the encoder leaves
+        # alone (plausible in identity partition dirs like tz=+00:00),
+        # so pre-protect it as %2B before decoding.
+        return _norm_path(F.url_decode(F.regexp_replace(c, r"\+", "%2B")))
 
     # round 11 (guide §5/§6): fan the read by DELETE CLASS, not by
     # partition tuple. The old loop issued one spark.read per group key
@@ -4139,6 +4143,29 @@ def read_iceberg(
             from datetime import timedelta
 
             val = datetime(1970, 1, 1) + timedelta(microseconds=int(raw))
+        elif raw is not None:
+            # createDataFrame's schema verification is STRICTER than a
+            # SQL cast: the restore frame raises TypeError when the
+            # Python value doesn't exactly match the Spark type (int
+            # into the StringType fallback for uuid/fixed, int into
+            # decimal/double, str into long). Coerce to the exact
+            # Python type the field expects — the same value the old
+            # per-group F.lit(raw).cast(dt) path produced.
+            dt = _spark_type_of(tname, default=T.StringType())
+            if isinstance(dt, T.StringType):
+                if not isinstance(val, str):
+                    val = str(val)
+            elif isinstance(dt, T.DecimalType):
+                from decimal import Decimal
+
+                if not isinstance(val, Decimal):
+                    val = Decimal(str(val))
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                if isinstance(val, int) and not isinstance(val, bool):
+                    val = float(val)
+            elif isinstance(dt, (T.LongType, T.IntegerType)):
+                if isinstance(val, str):
+                    val = int(val)
         return val
 
     out: DataFrame | None = None

@@ -159,12 +159,23 @@ class RelativeTable:
 
     @staticmethod
     def _partition_values(rel_path: str) -> dict[str, str]:
-        """Parse hive-style key=value segments out of a data file path."""
+        """Parse hive-style key=value segments out of a data file path.
+
+        Values are hive-UNESCAPED (Spark's escapePathName percent-encodes
+        ':', '=', ' ', '%', ... into the dir segment): the manifest must
+        record the TRUE partition value — partition_filter pruning
+        compares predicate values, in_layout range-prunes by string
+        order (':' is 0x3A but its escape '%3A' starts at 0x25, so an
+        escaped timestamp at a range bound was wrongly skipped), and the
+        DSv2 readers re-attach the stored string as the column value —
+        all of which silently diverge on the escaped form."""
+        from urllib.parse import unquote
+
         out = {}
         for seg in rel_path.split("/")[:-1]:
             if "=" in seg:
                 k, _, v = seg.partition("=")
-                out[k] = v
+                out[k] = unquote(v)
         return out
 
     def _write_snapshot_files(

@@ -150,7 +150,12 @@ def label_propagation_components(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        # an empty edge set gives an empty labels frame whose sum is
+        # NULL every round — that IS the fixpoint (nothing to propagate);
+        # without this branch the loop burns _CC_MAX_ITERS rounds and
+        # raises on a legitimately empty graph (e.g. a corpus with no
+        # near-duplicate pairs above the jaccard threshold)
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             converged = True
             break
         prev_sum = cur_sum

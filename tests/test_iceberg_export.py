@@ -243,6 +243,34 @@ def test_export_identity_on_date_and_timestamp(spark, sf_dir):
     assert all(isinstance(v, int) and v % day_us == 0 for v in vals)
 
 
+def test_export_identity_with_plus_in_partition_value(spark, sf_dir):
+    """A literal '+' is a legal URI path char the encoder leaves alone,
+    but url_decode is FORM decoding and turns it into a space: identity
+    partition dirs like tz=+00:00 silently broke the _metadata.file_path
+    normalization — NULL restored partition columns and position deletes
+    that miss their rows. Guards the %2B pre-protect in _norm_meta_path."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tz = F.when(F.col("n_regionkey") % 2 == 0, F.lit("+00:00")).otherwise(
+        F.lit("+05:30")
+    )
+    df = nation.withColumn("tz", tz)
+    table = _table(spark, df, partition_by=["tz"])
+    # identity restore must fill tz (not NULL) for every row
+    dest, _ = _round_trip(spark, table)
+    # and a position delete keyed on (file_path, pos) must actually land
+    n_even = df.filter(F.col("tz") == "+00:00").count()
+    assert n_even > 0
+    info = iceberg_export.delete_positions_iceberg(
+        spark, dest, F.col("tz") == "+00:00"
+    )
+    assert info["delete-records"] == n_even
+    got = iceberg_export.read_iceberg(spark, dest)
+    assert got.filter(F.col("tz") == "+00:00").count() == 0
+    assert got.count() == df.count() - n_even
+
+
 def test_murmur3_spec_vectors():
     """The published Iceberg spec Appendix B hash vectors — the ground
     truth that makes exported bucket[N] specs safe for external engines

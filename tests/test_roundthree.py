@@ -150,6 +150,19 @@ def test_ann_recall_bounds(spark, sf_dir):
         assert abs(r.recall - r.n_hit / r.n_exact) < 1e-15
 
 
+def test_label_propagation_empty_edge_set_converges(spark):
+    """An empty edge set (legitimate: a corpus with no near-dup pairs
+    above the jaccard threshold) must converge immediately to an empty
+    labels frame — NOT burn _CC_MAX_ITERS rounds on a NULL label sum
+    and raise (the round-11 prev_sum=None regression)."""
+    from iceberg_relative_io_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    labels = G.label_propagation_components(empty)
+    assert labels.count() == 0
+    assert G.LAST_LP_STATS["rounds"] == 1
+
+
 def test_connected_components_matches_driver_union_find(spark, sf_dir):
     """The distributed hash-min iteration must produce the exact same
     component assignment as the driver-side union-find operator — same

@@ -6,7 +6,7 @@ Usage:
     python tools/profile_queries.py [--sf DIR] [--plans OUT_SUFFIX]
                                     [--reps N] [--top N | names...]
 
-Writes plans to plans/r11/<name>_<suffix>.txt (suffix: "before"/"after")
+Writes plans to <outdir>/<name>_<suffix>.txt (default plans/r12) (suffix: "before"/"after")
 and prints one line per query: seconds, #Exchange, join strategies,
 python-eval nodes. Job descriptions are set per query (guide §1.5).
 """
@@ -44,6 +44,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     suffix = "before"
+    outdir = "plans/r12"
     reps = 2
     top = 0
     names: list[str] = []
@@ -54,6 +55,8 @@ def main() -> None:
             sf_dir = args[i + 1]; i += 2
         elif a == "--plans":
             suffix = args[i + 1]; i += 2
+        elif a == "--outdir":
+            outdir = args[i + 1]; i += 2
         elif a == "--reps":
             reps = int(args[i + 1]); i += 2
         elif a == "--top":
@@ -70,10 +73,10 @@ def main() -> None:
         names += [k for k, _ in sorted(full.items(), key=lambda kv: -kv[1])[:top]]
     names = [n for n in dict.fromkeys(names) if n in queries]
 
-    plans_dir = REPO / "plans" / "r11"
+    plans_dir = REPO / outdir
     plans_dir.mkdir(parents=True, exist_ok=True)
 
-    spark = get_spark(app_name="profile_r11")
+    spark = get_spark(app_name="profile_r12")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -90,7 +93,7 @@ def main() -> None:
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            spark.sparkContext.setJobDescription(f"r11-profile:{name}")
+            spark.sparkContext.setJobDescription(f"r12-profile:{name}")
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             spark.sparkContext.setJobDescription(None)
